@@ -1,0 +1,73 @@
+"""Headline benchmark. Prints ONE JSON line:
+{"metric": "total_sec", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default all cores).
+
+Each query is forced through a noop sink so the full plan executes
+(collect() would add driver-transfer cost that isn't the engine's)."""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_revenue_forecast",
+    "q07_customer_geography",
+    "q08_regional_revenue",
+    "q15_top_orders_per_customer",
+    "q16_running_spend",
+    "q24_json_extract",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    from rc_rag_spark.session import build_session
+    import rc_rag_spark.queries as q
+
+    spark = build_session(app_name="rc-rag-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = [n for n in HEADLINE if n in q.REGISTRY]
+    extra = os.environ.get("RC_RAG_BENCH_QUERIES")
+    if extra:
+        names = [n for n in extra.split(",") if n in q.REGISTRY]
+
+    timings: dict[str, float] = {}
+    # warm up the JVM + parquet footer caches on the smallest query
+    q.REGISTRY[names[0]].fn(spark, sf_dir).write.mode("overwrite").format(
+        "noop"
+    ).save()
+    for name in names:
+        t0 = time.perf_counter()
+        df = q.REGISTRY[name].fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

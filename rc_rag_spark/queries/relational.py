@@ -1,0 +1,834 @@
+"""Relational core query corpus (SURVEY.md §2.2 rows 1–8).
+
+Every query is implemented twice: idiomatic DataFrame code (what the
+engine runs) and an independent DuckDB SQL formulation (the oracle).
+Column names and numeric determinism discipline (see core.py) match on
+both sides.
+
+Scale notes are inline; the common ones:
+  - dimension joins (region/nation/supplier) are explicit broadcasts;
+  - aggregates are partial+final hash aggs (map-side combine is free);
+  - per-group top-k uses window row_number, never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from rc_rag_spark.queries.core import davg, dec, dsum, register, sql_davg, sql_dsum
+from rc_rag_spark.sources import load_tables, table
+
+
+# --- aggregation ---------------------------------------------------------
+
+@register(
+    "q01_pricing_summary",
+    sql=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity', 'sum_qty')},
+           {sql_dsum('l_extendedprice', 'sum_base_price')},
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+               AS sum_disc_price,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                         * (1 - CAST(l_discount AS DECIMAL(3,2))) AS DECIMAL(14,4))
+                    * (1 + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE)
+               AS sum_charge,
+           {sql_davg('l_quantity', 'avg_qty')},
+           {sql_davg('l_extendedprice', 'avg_price')},
+           {sql_davg('l_discount', 'avg_disc')},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "flagship"),
+)
+def q01_pricing_summary(spark, sf_dir):
+    """TPC-H-Q1-shaped rollup: scan→filter→hash-agg, no join.
+
+    At 100 TB this is the canonical map-side-combine agg: the
+    (returnflag, linestatus) grouping has cardinality 6, so partial
+    aggregation collapses each input partition to ≤6 rows before the
+    shuffle — the shuffle moves O(partitions), not O(rows).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    price = dec("l_extendedprice", 12, 2)
+    disc_price = price * (F.lit(1) - dec("l_discount", 3, 2))
+    charge = disc_price.cast("decimal(14,4)") * (F.lit(1) + dec("l_tax", 3, 2))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q02_revenue_forecast",
+    sql="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("agg", "filter"),
+)
+def q02_revenue_forecast(spark, sf_dir):
+    """TPC-H-Q6 shape: all three predicates push down to the parquet
+    scan (verify with .explain → PushedFilters)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec("l_extendedprice", 12, 2) * dec("l_discount", 3, 2))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "q03_distinct_parts",
+    sql="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS distinct_parts,
+           COUNT(DISTINCT l_suppkey) AS distinct_supps,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def q03_distinct_parts(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("distinct_parts"),
+        F.count_distinct("l_suppkey").alias("distinct_supps"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "q04_rollup",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg",),
+)
+def q04_rollup(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        dsum("l_quantity", "sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "q05_cube",
+    sql="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg",),
+)
+def q05_cube(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+        F.count("*").alias("n"),
+        F.sum(dec("o_totalprice", 12, 2)).cast("double").alias("sum_price"),
+    )
+
+
+@register(
+    "q06_grouping_sets",
+    sql="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    tags=("agg", "sql"),
+)
+def q06_grouping_sets(spark, sf_dir):
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+# --- joins ---------------------------------------------------------------
+
+@register(
+    "q07_customer_geography",
+    sql="""
+    SELECT r.r_name, n.n_name, COUNT(*) AS n_cust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    tags=("join", "broadcast"),
+)
+def q07_customer_geography(spark, sf_dir):
+    """Star join: both dims explicitly broadcast — zero shuffle on the
+    fact side until the final (tiny) aggregation."""
+    c = table(spark, sf_dir, "customer")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    r = F.broadcast(table(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.sum(dec("c_acctbal", 12, 2)).cast("double").alias("sum_bal"),
+        )
+    )
+
+
+@register(
+    "q08_regional_revenue",
+    sql="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+               AS revenue,
+           COUNT(*) AS n_items
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+    tags=("join",),
+)
+def q08_regional_revenue(spark, sf_dir):
+    """TPC-H-Q5 shape. The orders⋈lineitem join is the only real
+    shuffle (both sides hashed on orderkey); supplier/nation/region are
+    broadcast. AQE will coalesce the post-join partitions."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    s = F.broadcast(table(spark, sf_dir, "supplier"))
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    r = F.broadcast(table(spark, sf_dir, "region"))
+    revenue = dec("l_extendedprice", 12, 2) * (F.lit(1) - dec("l_discount", 3, 2))
+    return (
+        o.where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+        )
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, (n.n_regionkey == r.r_regionkey) & (r.r_name == "ASIA"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q09_orders_per_customer",
+    sql="""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_cust,
+           CAST(SUM(o.cnt) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN o.cnt = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_inactive
+    FROM customer c
+    LEFT JOIN (
+        SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey
+    ) o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("join", "outer"),
+)
+def q09_orders_per_customer(spark, sf_dir):
+    """Left join with pre-aggregation pushed below the join — the
+    orders side is reduced to one row per customer *before* joining,
+    so the join input is minimal at any scale."""
+    c = table(spark, sf_dir, "customer")
+    o = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("cnt"))
+    )
+    joined = c.join(o, c.c_custkey == o.o_custkey, "left").withColumn(
+        "cnt", F.coalesce(F.col("cnt"), F.lit(0))
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_cust"),
+        F.sum("cnt").cast("bigint").alias("n_orders"),
+        F.sum(F.when(F.col("cnt") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_inactive"),
+    )
+
+
+@register(
+    "q10_big_spenders",
+    sql="""
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 250000)
+    """,
+    tags=("join", "semi"),
+)
+def q10_big_spenders(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 250000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "q11_inactive_customers",
+    sql="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("join", "anti"),
+)
+def q11_inactive_customers(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q12_nation_coverage",
+    sql="""
+    SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nationkey,
+           COUNT(c.c_custkey) AS n_cust_rows,
+           COUNT(s.s_suppkey) AS n_supp_rows,
+           COUNT(*) AS n_rows
+    FROM customer c
+    FULL OUTER JOIN supplier s ON c.c_nationkey = s.s_nationkey
+    GROUP BY COALESCE(c.c_nationkey, s.s_nationkey)
+    """,
+    tags=("join", "outer"),
+)
+def q12_nation_coverage(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    j = c.join(s, c.c_nationkey == s.s_nationkey, "full_outer")
+    return j.groupBy(
+        F.coalesce(c.c_nationkey, s.s_nationkey).alias("nationkey")
+    ).agg(
+        F.count("c_custkey").alias("n_cust_rows"),
+        F.count("s_suppkey").alias("n_supp_rows"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "q13_status_matrix",
+    sql="""
+    SELECT r.r_name, st.o_orderstatus, COUNT(*) AS n
+    FROM region r
+    CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) st
+    GROUP BY r.r_name, st.o_orderstatus
+    """,
+    tags=("join", "cross"),
+)
+def q13_status_matrix(spark, sf_dir):
+    r = table(spark, sf_dir, "region")
+    st = table(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return r.crossJoin(st).groupBy("r_name", "o_orderstatus").agg(
+        F.count("*").alias("n")
+    )
+
+
+@register(
+    "q14_premium_lineitems",
+    sql="""
+    SELECT p.p_brand, COUNT(*) AS n,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS sum_price
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+               AND l.l_extendedprice > p.p_retailprice * 20
+    GROUP BY p.p_brand
+    """,
+    tags=("join", "theta"),
+)
+def q14_premium_lineitems(spark, sf_dir):
+    """Equi-key + non-equi residual: Catalyst keeps the hash join on
+    partkey and evaluates the range predicate as a join residual —
+    never a cartesian product."""
+    li = table(spark, sf_dir, "lineitem")
+    p = F.broadcast(table(spark, sf_dir, "part"))
+    return (
+        li.join(
+            p,
+            (li.l_partkey == p.p_partkey)
+            & (li.l_extendedprice > p.p_retailprice * 20),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec("l_extendedprice", 12, 2)).cast("double").alias("sum_price"),
+        )
+    )
+
+
+# --- window functions ----------------------------------------------------
+
+@register(
+    "q15_top_orders_per_customer",
+    sql="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+    tags=("window", "topk"),
+)
+def q15_top_orders_per_customer(spark, sf_dir):
+    """Per-group top-k: one shuffle on the partition key, no global
+    sort. The orderkey tiebreak makes row_number deterministic."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "q16_running_spend",
+    sql="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_spend,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS order_seq
+    FROM orders
+    """,
+    tags=("window",),
+)
+def q16_running_spend(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec("o_totalprice", 12, 2))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("running_spend"),
+        F.row_number().over(w).cast("int").alias("order_seq"),
+    )
+
+
+@register(
+    "q17_order_gaps",
+    sql="""
+    SELECT o_custkey, o_orderkey,
+           CAST(date_diff('day',
+                CAST(LAG(o_orderdate) OVER w AS DATE),
+                CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_prev,
+           LEAD(o_orderkey) OVER w AS next_orderkey
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("window", "lag"),
+)
+def q17_order_gaps(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag("o_orderdate").over(w).cast("date"),
+        )
+        .cast("bigint")
+        .alias("days_since_prev"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )
+
+
+@register(
+    "q18_price_quartiles",
+    sql="""
+    SELECT quartile, COUNT(*) AS n,
+           MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+    FROM (
+        SELECT o_totalprice,
+               CAST(NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey)
+                    AS INTEGER) AS quartile
+        FROM orders
+    ) GROUP BY quartile
+    """,
+    tags=("window",),
+)
+def q18_price_quartiles(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_totalprice", F.ntile(4).over(w).cast("int").alias("quartile")
+        )
+        .groupBy("quartile")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+@register(
+    "q19_top20_orders",
+    sql="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+    tags=("sort", "topk"),
+)
+def q19_top20_orders(spark, sf_dir):
+    """Global top-k: Spark plans TakeOrderedAndProject — per-partition
+    heaps + driver merge, never a full sort at scale."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# --- set operations ------------------------------------------------------
+
+@register(
+    "q20_set_ops",
+    sql="""
+    WITH f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+         o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    SELECT 'union_all' AS op, COUNT(*) AS n FROM (
+        SELECT o_custkey FROM f UNION ALL SELECT o_custkey FROM o)
+    UNION ALL
+    SELECT 'union_distinct', COUNT(*) FROM (
+        SELECT o_custkey FROM f UNION SELECT o_custkey FROM o)
+    UNION ALL
+    SELECT 'intersect', COUNT(*) FROM (
+        SELECT o_custkey FROM f INTERSECT SELECT o_custkey FROM o)
+    UNION ALL
+    SELECT 'except', COUNT(*) FROM (
+        SELECT o_custkey FROM f EXCEPT SELECT o_custkey FROM o)
+    """,
+    tags=("setop",),
+)
+def q20_set_ops(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    f = orders.where(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    o = orders.where(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+
+    def counted(name, df):
+        return df.agg(F.count("*").alias("n")).select(
+            F.lit(name).alias("op"), "n"
+        )
+
+    return (
+        counted("union_all", f.unionAll(o))
+        .unionByName(counted("union_distinct", f.union(o).distinct()))
+        .unionByName(counted("intersect", f.intersect(o)))
+        .unionByName(counted("except", f.exceptAll(o).distinct()))
+    )
+
+
+# --- scalar function surface --------------------------------------------
+
+@register(
+    "q21_string_functions",
+    sql="""
+    SELECT p_partkey,
+           lower(p_name) AS name_lower,
+           upper(p_brand) AS brand_upper,
+           substring(p_name, 1, 8) AS name_prefix,
+           concat_ws('|', p_brand, p_type) AS brand_type,
+           replace(p_type, 'E', '_') AS type_repl,
+           CAST(length(p_name) AS INTEGER) AS name_len,
+           CAST(levenshtein(p_brand, 'Brand#10') AS INTEGER) AS brand_dist,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           reverse(p_brand) AS brand_rev,
+           CAST(position('#' IN p_brand) AS INTEGER) AS hash_pos
+    FROM part
+    """,
+    tags=("scalar", "string"),
+)
+def q21_string_functions(spark, sf_dir):
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_type"), F.lit("E"), F.lit("_")).alias("type_repl"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.levenshtein(F.col("p_brand"), F.lit("Brand#10"))
+        .cast("int")
+        .alias("brand_dist"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.reverse(F.col("p_brand")).alias("brand_rev"),
+        F.instr(F.col("p_brand"), "#").cast("int").alias("hash_pos"),
+    )
+
+
+@register(
+    "q22_datetime_functions",
+    sql="""
+    SELECT event_id,
+           CAST(year(ts) AS INTEGER) AS y,
+           CAST(month(ts) AS INTEGER) AS m,
+           CAST(day(ts) AS INTEGER) AS d,
+           CAST(hour(ts) AS INTEGER) AS h,
+           CAST(isodow(ts) AS INTEGER) AS iso_dow,
+           date_trunc('day', ts) AS day_start,
+           date_trunc('hour', ts) AS hour_start,
+           CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INTEGER)
+               AS days_into_jan
+    FROM events
+    """,
+    tags=("scalar", "datetime"),
+)
+def q22_datetime_functions(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.year("ts").cast("int").alias("y"),
+        F.month("ts").cast("int").alias("m"),
+        F.dayofmonth("ts").cast("int").alias("d"),
+        F.hour("ts").cast("int").alias("h"),
+        (F.weekday("ts") + 1).cast("int").alias("iso_dow"),
+        F.date_trunc("day", "ts").alias("day_start"),
+        F.date_trunc("hour", "ts").alias("hour_start"),
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("int")
+        .alias("days_into_jan"),
+    )
+
+
+@register(
+    "q23_math_functions",
+    sql="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice, 1) AS price_r1,
+           abs(l_discount - 0.05) AS disc_dev,
+           round(ln(l_extendedprice), 6) AS price_ln,
+           round(sqrt(l_quantity), 6) AS qty_sqrt,
+           round(pow(l_quantity, 2), 2) AS qty_sq,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_bucket,
+           CAST(ceil(l_quantity / 7) AS BIGINT) AS qty_bucket,
+           CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
+           CAST(l_quantity AS BIGINT) % 7 AS qty_mod
+    FROM lineitem
+    """,
+    tags=("scalar", "math"),
+)
+def q23_math_functions(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("price_ln"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        F.round(F.pow("l_quantity", F.lit(2)), 2).alias("qty_sq"),
+        F.floor(F.col("l_extendedprice") / 1000).cast("bigint").alias("price_bucket"),
+        F.ceil(F.col("l_quantity") / 7).cast("bigint").alias("qty_bucket"),
+        F.signum(F.col("l_discount") - 0.05).cast("double").alias("disc_sign"),
+        (F.col("l_quantity").cast("bigint") % 7).alias("qty_mod"),
+    )
+
+
+@register(
+    "q24_json_extract",
+    sql="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY CAST(json_extract_string(props, '$.k') AS INTEGER) % 10
+    """,
+    tags=("scalar", "json"),
+)
+def q24_json_extract(spark, sf_dir):
+    """JSON prop extraction over the events stream table (reference
+    stores semi-structured props the same way; SURVEY §2.2 scalar
+    row)."""
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.select((k % 10).alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec("value", 12, 2)).cast("double").alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "q25_status_pivot",
+    sql="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+    FROM orders GROUP BY year(o_orderdate)
+    """,
+    tags=("agg", "pivot"),
+)
+def q25_status_pivot(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    piv = (
+        o.withColumn("order_year", F.year("o_orderdate").cast("int"))
+        .groupBy("order_year")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return piv.select(
+        "order_year",
+        F.coalesce(F.col("F"), F.lit(0)).cast("bigint").alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).cast("bigint").alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).cast("bigint").alias("n_p"),
+    )
+
+
+@register(
+    "q26_above_nation_average",
+    sql="""
+    SELECT c.c_custkey, c.c_acctbal, na.nation_avg
+    FROM customer c
+    JOIN (
+        SELECT c_nationkey,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                   / COUNT(c_acctbal) AS nation_avg
+        FROM customer GROUP BY c_nationkey
+    ) na ON na.c_nationkey = c.c_nationkey
+    WHERE c.c_acctbal > na.nation_avg
+    """,
+    tags=("join", "subquery"),
+)
+def q26_above_nation_average(spark, sf_dir):
+    """Correlated-scalar-subquery semantics, decorrelated into an
+    aggregate+join (what Catalyst would do anyway)."""
+    c = table(spark, sf_dir, "customer")
+    na = c.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        davg("c_acctbal", "nation_avg", scale=2)
+    )
+    return (
+        c.join(F.broadcast(na), c.c_nationkey == na.nk)
+        .where(F.col("c_acctbal") > F.col("nation_avg"))
+        .select("c_custkey", "c_acctbal", "nation_avg")
+    )
+
+
+@register(
+    "q27_quantity_histogram",
+    sql="""
+    SELECT CAST(floor(l_quantity / 10) AS BIGINT) AS qty_decade,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CAST(floor(l_quantity / 10) AS BIGINT)
+    """,
+    tags=("agg", "bucket"),
+)
+def q27_quantity_histogram(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.floor(F.col("l_quantity") / 10).cast("bigint").alias("qty_decade")
+        )
+        .agg(F.count("*").alias("n"), dsum("l_quantity", "sum_qty"))
+    )
+
+
+@register(
+    "q28_slice_scan",
+    sql="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey >= 100 AND o_orderkey < 500
+    """,
+    tags=("scan", "slice"),
+)
+def q28_slice_scan(spark, sf_dir):
+    """Range/slice scan (reference S3: rows [start, end) —
+    /root/reference/code/run_llm_ours.py:50-51,227). The key predicate
+    pushes down to the parquet scan → row-group pruning at scale."""
+    o = table(spark, sf_dir, "orders")
+    return o.where(
+        (F.col("o_orderkey") >= 100) & (F.col("o_orderkey") < 500)
+    ).select("o_orderkey", "o_custkey", "o_totalprice")

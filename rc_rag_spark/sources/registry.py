@@ -1,0 +1,87 @@
+"""Fixture-table registry.
+
+The driver materializes a TPC-H-ish star schema plus events/documents/
+embeddings as one parquet file per table (TESTDATA.md). Reads go
+through ``spark.read.parquet`` so Catalyst gets predicate pushdown,
+column pruning and (on partitioned layouts) partition pruning for free.
+
+Reference parity: the reference's only source is a JSONL scan
+(`/root/reference/code/utils.py:352-358` load_source) and its only sink
+an append JSONL writer (`utils.py:361-365`); ``read_jsonl`` /
+``write_jsonl`` cover that surface, parquet is the at-scale format.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from rc_rag_spark.session import tune_runtime
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables that should always be broadcast in joins.
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table as a DataFrame.
+
+    events.parquet stores TIMESTAMP(NANOS) which the Spark reader
+    rejects; read nanos as raw int64 and rebuild a microsecond
+    timestamp with exact integer division (a double division would
+    lose up to ~128 ns at 2024-epoch magnitudes).
+    """
+    tune_runtime(spark)
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
+    df = spark.read.parquet(path)
+    from pyspark.sql import functions as F
+
+    for col, dtype in df.dtypes:
+        if col == "ts" and dtype == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, register_views: bool = False
+) -> dict[str, DataFrame]:
+    out = {}
+    for name in TABLES:
+        df = table(spark, sf_dir, name)
+        out[name] = df
+        if register_views:
+            df.createOrReplaceTempView(name)
+    return out
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """JSONL scan (reference S1). Schema-on-read when provided — at
+    scale never rely on inference (it triggers a full extra pass)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "append") -> None:
+    """JSONL append sink (reference S2)."""
+    df.write.mode(mode).json(path)
