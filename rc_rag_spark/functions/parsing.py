@@ -1,0 +1,160 @@
+"""LLM-output parsers (reference X1–X7) as native column expressions.
+
+Cited parity targets (into /root/reference/):
+  X1 refusal detector        code/utils.py:208-214 (24 phrases, T2 match)
+  X2 prediction parser       code/utils.py:202-219
+  X3 answer/evidence split   code/utils.py:222-245
+  X4 evidence extractor      code/utils.py:248-274
+  X5 ##…## span remover      code/utils.py:277-283
+  X6 keep/discard parser     code/utils.py:368-378 ($$ regex is dead —
+     anchor bug — effective semantics is the substring fallback)
+  X7 probability extractor   code/utils.py:381-393
+
+Known, deliberate divergences (documented for the golden oracle):
+  - X4 multi-mention path: the reference dedups via a Python set and
+    comma-joins in set order (nondeterministic); we canonicalize with
+    array_sort.
+  - X4 adjacency: the reference advances a cursor by 9 chars; a regex
+    global scan does the same except for pathological overlapping
+    mentions ('Passage-0Passage-1' back-to-back is identical; a
+    mention *inside* the 9-char window of a prior one differs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from rc_rag_spark.functions.text import contains_tokens
+
+REFUSAL_PHRASES = (
+    "no specific", "unconfirmed", "uncertain", "unavailable", "sorry",
+    "not have access", "no information", "not provide", "no clear",
+    "not mentioned", "not mention", "no mention", "no answer", "N/A",
+    "unclear", "not clear", "unknown", "partially correct",
+    "partially incorrect", "not correct", "cannot determine",
+    "cannot answer", "not incorrect", "incomplete",
+)
+
+_MARK = r"##([\s\S]*?)##"
+# 9-char 'Passage-X' mention; the reference requires at least one more
+# char after the window (strict '<', utils.py:261,272) → lookahead.
+_MENTION = r"Passage-[\s\S](?=[\s\S])"
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# --- X5 ------------------------------------------------------------------
+
+def remove_marked_spans(col: str | Column) -> Column:
+    """Delete every ##…## span, trim."""
+    return F.trim(F.regexp_replace(_c(col), _MARK, ""))
+
+
+# --- X4 ------------------------------------------------------------------
+
+def extract_evidence(col: str | Column) -> Column:
+    """Evidence priority: last ##…## group (trimmed) → 'Passage-X'
+    mention(s) (sorted, comma-joined when >1) → passthrough."""
+    s = _c(col)
+    marks = F.regexp_extract_all(s, F.lit(_MARK), 1)
+    mentions = F.array_sort(
+        F.array_distinct(F.regexp_extract_all(s, F.lit(_MENTION), 0))
+    )
+    return (
+        F.when(F.size(marks) > 0, F.trim(F.element_at(marks, -1)))
+        .when(F.size(mentions) > 0, F.array_join(mentions, ", "))
+        .otherwise(s)
+    )
+
+
+# --- X3 ------------------------------------------------------------------
+
+def split_answer_evidence(col: str | Column) -> Column:
+    """Struct<answer, evidence>: strip 'Answer: ' markers, split on the
+    first 'Evidence: ', clean both halves (X5 on answer, X4 on
+    evidence), trim."""
+    s = F.regexp_replace(_c(col), r"Answer: ", "")
+    has_evi = s.contains("Evidence: ")
+    # reference: ans = re.sub(r'Evidence: (.*)', '', text) — kills from
+    # the first marker to end-of-line; evi = re.sub(r'(.*)Evidence: ',
+    # '', text) — greedy, keeps text after the LAST marker on the line.
+    ans_raw = F.when(has_evi, F.regexp_replace(s, r"Evidence: (.*)", "")).otherwise(s)
+    evi_raw = F.when(has_evi, F.regexp_replace(s, r"(.*)Evidence: ", "")).otherwise(s)
+    return F.struct(
+        F.trim(remove_marked_spans(ans_raw)).alias("answer"),
+        F.trim(extract_evidence(evi_raw)).alias("evidence"),
+    )
+
+
+# --- X1 ------------------------------------------------------------------
+
+def is_refusal(col: str | Column) -> Column:
+    """True iff the text token-contains any refusal phrase (T2
+    semantics, code/utils.py:208-211)."""
+    s = _c(col)
+    out = F.lit(False)
+    for p in REFUSAL_PHRASES:
+        out = out | contains_tokens(s, F.lit(p))
+    return out
+
+
+# --- X2 ------------------------------------------------------------------
+
+def parse_prediction(col: str | Column) -> Column:
+    """Struct<reject, answer, evidence> — full prediction parse:
+    NULL ⇒ (true, NULL, NULL); else strip a leading 'Answer:' prefix
+    (case-insensitive test, 7-char strip), refusal-detect, collapse
+    newlines, split answer/evidence."""
+    raw = _c(col)
+    stripped = F.when(
+        F.lower(raw).startswith("answer:"), F.substring(raw, 8, 2147483647)
+    ).otherwise(raw)
+    flat = F.regexp_replace(stripped, r"\n", " ")
+    parts = split_answer_evidence(flat)
+    return F.when(
+        raw.isNull(),
+        F.struct(
+            F.lit(True).alias("reject"),
+            F.lit(None).cast("string").alias("answer"),
+            F.lit(None).cast("string").alias("evidence"),
+        ),
+    ).otherwise(
+        F.struct(
+            is_refusal(stripped).alias("reject"),
+            parts.getField("answer").alias("answer"),
+            parts.getField("evidence").alias("evidence"),
+        )
+    )
+
+
+# --- X6 ------------------------------------------------------------------
+
+def parse_fusion_decision(col: str | Column) -> Column:
+    """Effective reference semantics (the $$…$$ regex can never match):
+    'keep' substring ⇒ keep, else discard."""
+    return F.when(_c(col).contains("keep"), F.lit("keep")).otherwise(
+        F.lit("discard")
+    )
+
+
+# --- X7 ------------------------------------------------------------------
+
+def parse_fusion_probability(col: str | Column) -> Column:
+    """Strip a 'Probability: ' prefix (case-insensitive test, 13-char
+    strip); first float like 3.14, else first 'd.' like '3.', else
+    0.0."""
+    s = _c(col)
+    s = F.when(
+        F.lower(s).startswith("probability: "), F.substring(s, 14, 2147483647)
+    ).otherwise(s)
+    return (
+        F.coalesce(
+            F.nullif(F.regexp_extract(s, r"(\d+\.\d+)", 1), F.lit("")),
+            F.nullif(F.regexp_extract(s, r"(\d+\.)", 1), F.lit("")),
+            F.lit("0.0"),
+        )
+        .cast("double")
+    )

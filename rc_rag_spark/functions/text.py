@@ -1,0 +1,258 @@
+"""Text-metric function library (reference T1–T7, A3).
+
+Reference parity targets (cited file:line are into /root/reference/):
+  T1 tokenizer        code/utils.py:147-199 (SimpleTokenizer + NFD)
+  T2 has_answer       code/utils.py:190-199 (token sliding window)
+  T3 normalizer       code/utils.py:292-306
+  T4 EM               code/utils.py:309-310
+  T5 token F1         code/utils.py:313-332
+  T6 ROUGE-L recall   code/utils.py:335-339 (their rouge.py is absent
+     from the repo; we define LCS recall over lowercase alnum tokens,
+     no stemming — the golden oracle is this exact implementation)
+  T7 match predicate  code/utils.py:399-413
+
+Everything except ROUGE-L is a native Catalyst column expression
+(whole-stage codegen, no Python in the hot path). ROUGE-L is an
+Arrow-batched pandas UDF. The exact-NFD tokenizer variant is also a
+pandas UDF for texts where Unicode normalization matters; the native
+variant skips NFD (identical output on NFC==NFD-free ASCII corpora).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+# Token pattern of the reference tokenizer: maximal alnum runs
+# (letters/digits/combining marks) else any single non-space char.
+TOKEN_PATTERN = r"[\p{L}\p{N}\p{M}]+|[^\p{Z}\p{C}]"
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# --- T3: answer normalizer (lower → strip punct → drop articles →
+#         collapse whitespace) -------------------------------------------
+
+def normalize_answer(col: str | Column) -> Column:
+    s = F.lower(_c(col))
+    s = F.regexp_replace(s, r"[\p{Punct}]", "")  # == string.punctuation
+    s = F.regexp_replace(s, r"\b(a|an|the)\b", " ")
+    return F.trim(F.regexp_replace(s, r"\s+", " "))
+
+
+def norm_tokens(col: str | Column) -> Column:
+    """Whitespace tokens of the normalized string (T5's token bag).
+    Empty/NULL-safe: '' → empty array (Python ''.split() == [])."""
+    n = normalize_answer(col)
+    return F.when(n == "", F.array().cast("array<string>")).otherwise(
+        F.split(n, " ")
+    )
+
+
+# --- T1: tokenizer -------------------------------------------------------
+
+def simple_tokenize(col: str | Column) -> Column:
+    """Native tokenizer: lowercased tokens by TOKEN_PATTERN.
+    Skips the reference's NFD pre-pass (see exact_tokenize)."""
+    return F.transform(
+        F.regexp_extract_all(_c(col), F.lit(TOKEN_PATTERN), 0),
+        lambda t: F.lower(t),
+    )
+
+
+_exact_tokenize_udf = None
+
+
+def exact_tokenize(col: str | Column) -> Column:
+    """Exact reference tokenizer: NFD normalize, then the same token
+    pattern via the `regex` module (Arrow-batched pandas UDF; built
+    lazily because UDF registration needs an active session)."""
+    global _exact_tokenize_udf
+    if _exact_tokenize_udf is None:
+
+        @pandas_udf("array<string>")
+        def _udf(s: pd.Series) -> pd.Series:
+            import unicodedata
+
+            import regex
+
+            pat = regex.compile(
+                TOKEN_PATTERN,
+                flags=regex.IGNORECASE | regex.UNICODE | regex.MULTILINE,
+            )
+
+            def tok(text):
+                if text is None:
+                    return None
+                text = unicodedata.normalize("NFD", text)
+                return [m.group().lower() for m in pat.finditer(text)]
+
+            return s.map(tok)
+
+        _exact_tokenize_udf = _udf
+    return _exact_tokenize_udf(_c(col))
+
+
+# --- T2: tokenized contiguous containment -------------------------------
+
+def _joined(tokens: Column) -> Column:
+    return F.concat(F.lit(" "), F.array_join(tokens, " "), F.lit(" "))
+
+
+def contains_tokens(text: str | Column, phrase: str | Column) -> Column:
+    """True iff phrase's token sequence occurs contiguously in text's
+    token sequence. Tokens never contain spaces, so the sliding-window
+    compare collapses to a substring test on ' '-joined tokens —
+    whole-stage-codegen'd, no UDF. Empty phrase ⇒ True (the reference
+    window loop matches trivially at i=0)."""
+    ptoks = simple_tokenize(phrase)
+    return F.when(F.size(ptoks) == 0, F.lit(True)).otherwise(
+        _joined(simple_tokenize(text)).contains(_joined(ptoks))
+    )
+
+
+def has_answer(answers: str | Column, text: str | Column) -> Column:
+    """T2: any answer's token sequence occurs in text (0/1)."""
+    return F.exists(_c(answers), lambda a: contains_tokens(_c(text), a)).cast(
+        "int"
+    )
+
+
+# --- T4: exact match -----------------------------------------------------
+
+def exact_match(refs: str | Column, pred: str | Column) -> Column:
+    """1 iff normalized pred equals any normalized reference."""
+    p = normalize_answer(pred)
+    return F.exists(_c(refs), lambda r: normalize_answer(r) == p).cast("int")
+
+
+# --- T5: token-bag F1 ----------------------------------------------------
+
+def _pair_f1(gold_toks: Column, pred_toks: Column) -> Column:
+    """Multiset-intersection F1 between two token arrays.
+    num_same = Σ_{t ∈ distinct(gold)} min(count_gold(t), count_pred(t))."""
+    num_same = F.aggregate(
+        F.array_distinct(gold_toks),
+        F.lit(0),
+        lambda acc, t: acc
+        + F.least(
+            F.size(F.filter(gold_toks, lambda x: x == t)),
+            F.size(F.filter(pred_toks, lambda x: x == t)),
+        ),
+    )
+    n_gold, n_pred = F.size(gold_toks), F.size(pred_toks)
+    either_empty = (n_gold == 0) | (n_pred == 0)
+    prec = num_same / n_pred
+    rec = num_same / n_gold
+    return (
+        F.when(either_empty, (n_gold == n_pred).cast("double"))
+        .when(num_same == 0, F.lit(0.0))
+        .otherwise(2 * prec * rec / (prec + rec))
+    )
+
+
+def token_f1(refs: str | Column, pred: str | Column) -> Column:
+    """Max over references of pair F1 (reference A3 reduce)."""
+    ptoks = norm_tokens(pred)
+    return F.array_max(
+        F.transform(_c(refs), lambda r: _pair_f1(norm_tokens(r), ptoks))
+    )
+
+
+# --- T6: ROUGE-L recall --------------------------------------------------
+
+def _lcs_len(a: list[str], b: list[str]) -> int:
+    if not a or not b:
+        return 0
+    prev = [0] * (len(b) + 1)
+    for x in a:
+        cur = [0] * (len(b) + 1)
+        for j, y in enumerate(b, 1):
+            cur[j] = prev[j - 1] + 1 if x == y else max(prev[j], cur[j - 1])
+        prev = cur
+    return prev[-1]
+
+
+def _rouge_tokens(s: str) -> list[str]:
+    import re as _re
+
+    return _re.findall(r"[a-z0-9]+", s.lower()) if s else []
+
+
+def rouge_l_recall_py(refs: list[str] | None, pred: str | None) -> float:
+    """Pure-Python ROUGE-L recall (max over refs); also the golden
+    oracle. recall = LCS(ref, pred) / len(ref)."""
+    if pred is None or refs is None:
+        return 0.0
+    best = 0.0
+    for r in refs:
+        rt, pt = _rouge_tokens(r), _rouge_tokens(pred)
+        if not rt:
+            score = 0.0
+        else:
+            score = _lcs_len(rt, pt) / len(rt)
+        best = max(best, score)
+    return best
+
+
+_rouge_udf = None
+
+
+def rouge_l_recall(refs: str | Column, pred: str | Column) -> Column:
+    global _rouge_udf
+    if _rouge_udf is None:
+
+        @pandas_udf("double")
+        def _udf(refs_s: pd.Series, pred_s: pd.Series) -> pd.Series:
+            return pd.Series(
+                [
+                    rouge_l_recall_py(list(r) if r is not None else None, p)
+                    for r, p in zip(refs_s, pred_s)
+                ]
+            )
+
+        _rouge_udf = _udf
+    return _rouge_udf(_c(refs), _c(pred))
+
+
+# --- T7: thresholded match predicate ------------------------------------
+
+def raw_substring_hit(refs: str | Column, pred: str | Column) -> Column:
+    """The reference's `has_answer` side-channel inside match():
+    RAW substring containment (code/utils.py:402-407), NOT tokenized."""
+    p = _c(pred)
+    return F.when(p.isNull(), F.lit(False)).otherwise(
+        F.exists(_c(refs), lambda r: p.contains(r))
+    )
+
+
+def match_metrics(refs: str | Column, pred: str | Column) -> Column:
+    """Struct of (EM, F1, RL, has_answer, matched) — the reference's
+    match() with its metric side-effects materialized as columns
+    (code/utils.py:399-413). NULL pred ⇒ all-zero metrics."""
+    p = _c(pred)
+    em = F.when(p.isNull(), F.lit(0)).otherwise(exact_match(refs, p))
+    f1 = F.when(p.isNull(), F.lit(0.0)).otherwise(token_f1(refs, p))
+    rl = F.when(p.isNull(), F.lit(0.0)).otherwise(rouge_l_recall(refs, p))
+    ha = raw_substring_hit(refs, p)
+    matched = (em == 1) | ha | (f1 > 0.7) | (rl > 0.7)
+    return F.struct(
+        em.alias("EM"),
+        f1.alias("F1"),
+        rl.alias("RL"),
+        ha.alias("has_answer"),
+        matched.alias("matched"),
+    )
+
+
+# --- P4: paragraph splitter (code/utils.py:342-349) ----------------------
+
+def str2paras(col: str | Column) -> Column:
+    return F.transform(
+        F.filter(F.split(_c(col), "\n"), lambda t: F.trim(t) != ""),
+        lambda t: F.concat(F.lit(": "), t),
+    )

@@ -1,0 +1,205 @@
+"""Golden-oracle tests: engine text/parsing expressions vs the
+pure-Python reference semantics (tests/golden_ref.py), on the edge-case
+matrix from SURVEY.md §2.1."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rc_rag_spark.functions import parsing as P
+from rc_rag_spark.functions import prompts as PR
+from rc_rag_spark.functions import text as T
+from tests import golden_ref as G
+
+TEXTS = [
+    "The quick brown fox jumps over the lazy dog",
+    "Answer: apple.\nEvidence: ## Passage-0, Passage-1 ##.",
+    "Answer: París, the capital-city of  France!",
+    "sorry, I cannot find the answer",
+    "It is unknown to me",
+    "a an the and",
+    "",
+    "  spaced   out  ",
+    "punct!!! only??? ###",
+    "café résumé naïve",  # NFC accents
+    "café résumé",  # NFD accents
+    "N/A",
+    "Answer: 42.5 percent. Evidence: Passage-2 said so",
+    "keep it simple",
+    "$$ discard $$ definitely",
+    "Probability: 0.85",
+    "Probability: 3.",
+    "no digits here",
+    "The answer is Passage-7 and Passage-3 together",
+    "multi ## first ## and ## second ## groups",
+]
+
+REFS = [
+    ["apple"],
+    ["Paris", "the capital of France"],
+    ["42.5 percent"],
+    ["unknown"],
+    ["A or B", "C"],
+    [""],
+]
+
+
+@pytest.fixture(scope="module")
+def tdf(spark):
+    rows = [(i, t) for i, t in enumerate(TEXTS)]
+    return spark.createDataFrame(rows, "idx int, txt string").cache()
+
+
+def collect_map(df, col):
+    return {r["idx"]: r["out"] for r in df.select("idx", col.alias("out")).collect()}
+
+
+def test_normalize_answer(tdf):
+    got = collect_map(tdf, T.normalize_answer("txt"))
+    for i, t in enumerate(TEXTS):
+        assert got[i] == G.normalize(t), f"normalize({t!r})"
+
+
+def test_exact_tokenize_matches_golden(tdf):
+    got = collect_map(tdf, T.exact_tokenize("txt"))
+    for i, t in enumerate(TEXTS):
+        assert got[i] == G.tokenize(t), f"tokenize({t!r})"
+
+
+def test_native_tokenize_matches_exact_on_ascii(tdf):
+    """Native (no-NFD) tokenizer equals the exact one wherever the text
+    is pure ASCII."""
+    got_native = collect_map(tdf, T.simple_tokenize("txt"))
+    for i, t in enumerate(TEXTS):
+        if t.isascii():
+            assert got_native[i] == G.tokenize(t), f"native tokenize({t!r})"
+
+
+@pytest.mark.parametrize("phrase", ["the lazy dog", "unknown", "Passage-0", "café", "", "not here at all"])
+def test_contains_tokens(tdf, phrase):
+    got = collect_map(tdf, T.contains_tokens("txt", F.lit(phrase)))
+    for i, t in enumerate(TEXTS):
+        if not (t.isascii() and phrase.isascii()):
+            continue  # native path skips NFD; non-ASCII covered above
+        want = bool(G.has_answer([phrase], t))
+        assert got[i] == want, f"contains_tokens({t!r}, {phrase!r})"
+
+
+def test_em_f1(spark):
+    rows = []
+    for t in TEXTS:
+        for refs in REFS:
+            rows.append((len(rows), t, refs))
+    df = spark.createDataFrame(rows, "idx int, pred string, refs array<string>")
+    got = {
+        r["idx"]: (r["em"], r["f1"])
+        for r in df.select(
+            "idx",
+            T.exact_match("refs", "pred").alias("em"),
+            T.token_f1("refs", "pred").alias("f1"),
+        ).collect()
+    }
+    for idx, (_, pred, refs) in enumerate(rows):
+        assert got[idx][0] == G.em(refs, pred), f"EM({pred!r},{refs!r})"
+        assert got[idx][1] == pytest.approx(G.f1(refs, pred), abs=1e-12), (
+            f"F1({pred!r},{refs!r})"
+        )
+
+
+def test_parse_prediction(tdf):
+    got = collect_map(tdf, P.parse_prediction("txt"))
+    for i, t in enumerate(TEXTS):
+        reject, ans, evi = G.parse_prediction(t)
+        r = got[i]
+        assert r["reject"] == reject, f"reject({t!r})"
+        assert r["answer"] == ans, f"answer({t!r}): {r['answer']!r} != {ans!r}"
+        assert r["evidence"] == evi, f"evidence({t!r}): {r['evidence']!r} != {evi!r}"
+
+
+def test_parse_prediction_null(spark):
+    df = spark.createDataFrame([(1, None)], "idx int, txt string")
+    r = df.select(P.parse_prediction("txt").alias("o")).collect()[0]["o"]
+    assert r["reject"] is True and r["answer"] is None and r["evidence"] is None
+
+
+def test_fusion_parsers(tdf):
+    dec = collect_map(tdf, P.parse_fusion_decision("txt"))
+    prob = collect_map(tdf, P.parse_fusion_probability("txt"))
+    for i, t in enumerate(TEXTS):
+        assert dec[i] == G.fusion_decision(t), f"fusion_decision({t!r})"
+        assert prob[i] == pytest.approx(G.fusion_probability(t)), (
+            f"fusion_probability({t!r})"
+        )
+
+
+def test_expand_references(spark):
+    cases = [
+        ["A or B", "C"],
+        ["X"],
+        ["A or B", "A", "B"],
+        ["one or two or three"],
+        [],
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "idx int, refs array<string>"
+    )
+    got = collect_map(df, PR.expand_references("refs"))
+    for i, c in enumerate(cases):
+        assert got[i] == G.expand_refs(c), f"expand({c!r})"
+
+
+def test_rouge_l_recall(spark):
+    cases = [
+        (["the cat sat"], "the cat sat"),
+        (["the cat sat on the mat"], "cat mat"),
+        (["alpha beta"], "gamma delta"),
+        ([""], "x"),
+        (["a b c"], None),
+    ]
+    df = spark.createDataFrame(
+        [(i, r, p) for i, (r, p) in enumerate(cases)],
+        "idx int, refs array<string>, pred string",
+    )
+    got = collect_map(df, T.rouge_l_recall("refs", "pred"))
+    for i, (r, p) in enumerate(cases):
+        assert got[i] == pytest.approx(T.rouge_l_recall_py(r, p)), (r, p)
+
+
+def test_prompt_build(spark):
+    df = spark.createDataFrame(
+        [(0, "What is X?", ["alpha", "beta", "gamma", "delta"])],
+        "idx int, q string, ctxs array<string>",
+    )
+    got = collect_map(df, PR.build_prompt("rag", "q", "ctxs", 3))
+    want = (
+        PR.TEMPLATES["rag"]
+        .replace("{question}", "What is X?")
+        .replace("{passage}", "Passage-0alpha\nPassage-1beta\nPassage-2gamma")
+        + "\nAnswer: "
+    )
+    assert got[0] == want
+    static = collect_map(df, PR.build_prompt("cf_use"))
+    assert static[0] == PR.TEMPLATES["cf_use"] + "\nAnswer: "
+    fus = collect_map(df, PR.build_prompt("fusion_probability"))
+    assert fus[0] == PR.TEMPLATES["fusion_probability"]
+
+
+def test_message_constructors(spark):
+    df = spark.createDataFrame([(0, "p1", "a1", "p2")], "idx int, p1 string, a1 string, p2 string")
+    msgs = collect_map(
+        df, PR.append_turn(PR.init_messages("p1"), F.col("a1"), F.col("p2"))
+    )
+    assert [(m["role"], m["content"]) for m in msgs[0]] == [
+        ("user", "p1"),
+        ("assistant", "a1"),
+        ("user", "p2"),
+    ]
+
+
+def test_str2paras(spark):
+    df = spark.createDataFrame(
+        [(0, "line one\n\n  \nline two")], "idx int, txt string"
+    )
+    got = collect_map(df, T.str2paras("txt"))
+    assert got[0] == [": line one", ": line two"]
