@@ -1,1 +1,480 @@
-"""Placeholder — populated in later milestone."""
+"""Text-operator query corpus (SURVEY §2.1 T1–T5, X1–X7, P1–P3) —
+every query runs the engine's function library on fixture-derived
+strings and is checked against an independently-spelled DuckDB
+formulation.
+
+The DuckDB SQL is generated programmatically (same phrase lists /
+templates as the engine) so the two sides can't drift apart by
+transcription error — but the *logic* is spelled independently
+(RE2 + list lambdas vs Catalyst expressions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rc_rag_spark.functions import parsing as P
+from rc_rag_spark.functions import prompts as PR
+from rc_rag_spark.functions import text as T
+from rc_rag_spark.queries.core import register
+from rc_rag_spark.sources import table
+
+# --- DuckDB SQL fragment generators -------------------------------------
+
+DUCK_TOKEN_PATTERN = r"[\pL\pN\pM]+|[^\pZ\pC]"
+
+
+def _sql_norm(expr: str) -> str:
+    """DuckDB mirror of functions.text.normalize_answer."""
+    return (
+        "trim(regexp_replace(regexp_replace(regexp_replace("
+        f"lower({expr}), '[[:punct:]]', '', 'g'),"
+        " '\\b(a|an|the)\\b', ' ', 'g'), '\\s+', ' ', 'g'))"
+    )
+
+
+def _sql_tokens(expr: str) -> str:
+    return f"regexp_extract_all(lower({expr}), '{DUCK_TOKEN_PATTERN}')"
+
+
+def _sql_tokpad(expr: str) -> str:
+    return f"(' ' || array_to_string({_sql_tokens(expr)}, ' ') || ' ')"
+
+
+def _py_tokens(s: str) -> list[str]:
+    import regex
+
+    pat = regex.compile(T.TOKEN_PATTERN, flags=regex.IGNORECASE | regex.UNICODE)
+    return [m.group().lower() for m in pat.finditer(s)]
+
+
+def _sql_refusal(expr: str) -> str:
+    """OR over the 24 refusal phrases, token-sequence containment."""
+    pad = _sql_tokpad(expr)
+    checks = [
+        f"contains({pad}, ' {' '.join(_py_tokens(p))} ')"
+        for p in P.REFUSAL_PHRASES
+    ]
+    return "(" + " OR ".join(checks) + ")"
+
+
+# --- T3 ------------------------------------------------------------------
+
+@register(
+    "q30_normalize_text",
+    sql=f"""
+    SELECT doc_id, {_sql_norm("substr(text, 1, 120)")} AS norm_text
+    FROM documents
+    """,
+    tags=("text", "t3"),
+)
+def q30_normalize_text(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.normalize_answer(F.substring("text", 1, 120)).alias("norm_text"),
+    )
+
+
+# --- T1 ------------------------------------------------------------------
+
+@register(
+    "q31_token_stats",
+    sql=f"""
+    SELECT doc_id,
+           CAST(len({_sql_tokens("text")}) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct({_sql_tokens("text")})) AS INTEGER)
+               AS n_distinct_tokens
+    FROM documents
+    """,
+    tags=("text", "t1"),
+)
+def q31_token_stats(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    toks = T.simple_tokenize("text")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("int").alias("n_distinct_tokens"),
+    )
+
+
+# --- T2 ------------------------------------------------------------------
+
+_PHRASES = ("batch stream", "merge sort", "the fast key")
+
+
+@register(
+    "q32_phrase_containment",
+    sql="SELECT doc_id, "
+    + ", ".join(
+        f"contains({_sql_tokpad('text')}, ' {' '.join(_py_tokens(p))} ')"
+        f" AS has_{i}"
+        for i, p in enumerate(_PHRASES)
+    )
+    + " FROM documents",
+    tags=("text", "t2"),
+)
+def q32_phrase_containment(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    cols = [
+        T.contains_tokens("text", F.lit(p)).alias(f"has_{i}")
+        for i, p in enumerate(_PHRASES)
+    ]
+    return d.select("doc_id", *cols)
+
+
+# --- X1 ------------------------------------------------------------------
+
+_REFUSAL_CASE_SQL = """
+    CASE doc_id % 5
+      WHEN 0 THEN 'Sorry, I cannot help with ' || split_part(text, ' ', 1)
+      WHEN 1 THEN 'The answer is ' || split_part(text, ' ', 1)
+      WHEN 2 THEN 'It is unknown'
+      WHEN 3 THEN split_part(text, ' ', 1) || ' is not mentioned here'
+      ELSE 'N/A'
+    END
+"""
+
+
+def _refusal_case_spark():
+    w1 = F.split_part(F.col("text"), F.lit(" "), F.lit(1))
+    return (
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("Sorry, I cannot help with "), w1))
+        .when(F.col("doc_id") % 5 == 1, F.concat(F.lit("The answer is "), w1))
+        .when(F.col("doc_id") % 5 == 2, F.lit("It is unknown"))
+        .when(F.col("doc_id") % 5 == 3, F.concat(w1, F.lit(" is not mentioned here")))
+        .otherwise(F.lit("N/A"))
+    )
+
+
+@register(
+    "q33_refusal_scan",
+    sql=f"""
+    SELECT doc_id, {_sql_refusal(_REFUSAL_CASE_SQL)} AS is_refusal
+    FROM documents
+    """,
+    tags=("text", "x1"),
+)
+def q33_refusal_scan(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", P.is_refusal(_refusal_case_spark()).alias("is_refusal")
+    )
+
+
+# --- X2/X3/X4/X5: full prediction parse ---------------------------------
+
+# Constructed LLM-ish outputs; every 'Passage-X' mention is followed by
+# at least one char (RE2 has no lookahead — see parsing._MENTION note).
+_PRED_CASE_SQL = """
+    CASE doc_id % 6
+      WHEN 0 THEN 'Answer: ' || split_part(text, ' ', 1) || '.' || chr(10)
+                  || 'Evidence: ## Passage-0, Passage-1 ##.'
+      WHEN 1 THEN 'Answer: ' || split_part(text, ' ', 2)
+      WHEN 2 THEN split_part(text, ' ', 1)
+                  || ' Evidence: it is in Passage-2 clearly'
+      WHEN 3 THEN 'sorry, I cannot find it'
+      WHEN 4 THEN 'Evidence: Passage-1 and Passage-3 support '
+                  || split_part(text, ' ', 1) || ' fully'
+      ELSE 'The ## hidden ## answer is ' || split_part(text, ' ', 3)
+           || ' ## Passage-4 ##'
+    END
+"""
+
+
+def _pred_case_spark():
+    t = F.col("text")
+    w = lambda i: F.split_part(t, F.lit(" "), F.lit(i))  # noqa: E731
+    m = F.col("doc_id") % 6
+    return (
+        F.when(m == 0, F.concat(F.lit("Answer: "), w(1), F.lit(".\nEvidence: ## Passage-0, Passage-1 ##.")))
+        .when(m == 1, F.concat(F.lit("Answer: "), w(2)))
+        .when(m == 2, F.concat(w(1), F.lit(" Evidence: it is in Passage-2 clearly")))
+        .when(m == 3, F.lit("sorry, I cannot find it"))
+        .when(m == 4, F.concat(F.lit("Evidence: Passage-1 and Passage-3 support "), w(1), F.lit(" fully")))
+        .otherwise(F.concat(F.lit("The ## hidden ## answer is "), w(3), F.lit(" ## Passage-4 ##")))
+    )
+
+
+def _sql_parse_prediction(raw: str) -> str:
+    """DuckDB mirror of functions.parsing.parse_prediction, as a CTE-
+    friendly single expression set; returns SELECT fragment."""
+    return f"""
+    WITH src AS (SELECT doc_id, {raw} AS s FROM documents),
+    st AS (
+        SELECT doc_id, s,
+               CASE WHEN lower(s) LIKE 'answer:%' THEN substr(s, 8) ELSE s END
+                   AS stripped
+        FROM src
+    ),
+    fl AS (
+        SELECT doc_id, stripped,
+               regexp_replace(regexp_replace(stripped, '\\n', ' ', 'g'),
+                              'Answer: ', '', 'g') AS s2
+        FROM st
+    ),
+    sp AS (
+        SELECT doc_id, stripped,
+               CASE WHEN contains(s2, 'Evidence: ')
+                    THEN regexp_replace(s2, 'Evidence: (.*)', '')
+                    ELSE s2 END AS ans_raw,
+               CASE WHEN contains(s2, 'Evidence: ')
+                    THEN regexp_replace(s2, '(.*)Evidence: ', '')
+                    ELSE s2 END AS evi_raw
+        FROM fl
+    ),
+    ex AS (
+        SELECT doc_id, stripped,
+               trim(regexp_replace(ans_raw, '##([\\s\\S]*?)##', '', 'g'))
+                   AS answer,
+               regexp_extract_all(evi_raw, '##([\\s\\S]*?)##', 1) AS marks,
+               list_sort(list_distinct(
+                   regexp_extract_all(evi_raw, 'Passage-[\\s\\S]')))
+                   AS mentions,
+               evi_raw
+        FROM sp
+    )
+    SELECT doc_id,
+           {_sql_refusal("stripped")} AS reject,
+           answer,
+           trim(CASE WHEN len(marks) > 0 THEN trim(marks[-1])
+                     WHEN len(mentions) > 0
+                         THEN array_to_string(mentions, ', ')
+                     ELSE evi_raw END) AS evidence
+    FROM ex
+    """
+
+
+@register(
+    "q34_parse_predictions",
+    sql=_sql_parse_prediction(_PRED_CASE_SQL),
+    tags=("text", "x2"),
+)
+def q34_parse_predictions(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    parsed = P.parse_prediction(_pred_case_spark())
+    return d.select(
+        "doc_id",
+        parsed.getField("reject").alias("reject"),
+        parsed.getField("answer").alias("answer"),
+        parsed.getField("evidence").alias("evidence"),
+    )
+
+
+# --- X6/X7 ---------------------------------------------------------------
+
+@register(
+    "q35_fusion_parsing",
+    sql="""
+    WITH src AS (
+        SELECT o_orderkey,
+               CASE o_orderkey % 4
+                 WHEN 0 THEN 'Probability: ' ||
+                      CAST(round(o_totalprice / 600000, 2) AS VARCHAR)
+                 WHEN 1 THEN 'around ' ||
+                      CAST(CAST(floor(o_totalprice) AS BIGINT) % 10 AS VARCHAR)
+                      || '. maybe'
+                 WHEN 2 THEN 'no digits here'
+                 ELSE 'probability: 0.5 or so'
+               END AS ptxt,
+               CASE o_orderkey % 3
+                 WHEN 0 THEN '$$ keep $$ this'
+                 WHEN 1 THEN 'discard it'
+                 ELSE 'nothing definitive'
+               END AS dtxt
+        FROM orders
+    )
+    SELECT o_orderkey,
+           CASE WHEN contains(dtxt, 'keep') THEN 'keep' ELSE 'discard' END
+               AS decision,
+           CAST(coalesce(
+               nullif(regexp_extract(
+                   CASE WHEN lower(ptxt) LIKE 'probability: %'
+                        THEN substr(ptxt, 14) ELSE ptxt END,
+                   '(\\d+\\.\\d+)', 1), ''),
+               nullif(regexp_extract(
+                   CASE WHEN lower(ptxt) LIKE 'probability: %'
+                        THEN substr(ptxt, 14) ELSE ptxt END,
+                   '(\\d+\\.)', 1), ''),
+               '0.0') AS DOUBLE) AS confidence
+    FROM src
+    """,
+    tags=("text", "x6", "x7"),
+)
+def q35_fusion_parsing(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    ptxt = (
+        F.when(k % 4 == 0, F.concat(F.lit("Probability: "), F.round(F.col("o_totalprice") / 600000, 2).cast("string")))
+        .when(k % 4 == 1, F.concat(F.lit("around "), (F.floor(F.col("o_totalprice")).cast("bigint") % 10).cast("string"), F.lit(". maybe")))
+        .when(k % 4 == 2, F.lit("no digits here"))
+        .otherwise(F.lit("probability: 0.5 or so"))
+    )
+    dtxt = (
+        F.when(k % 3 == 0, F.lit("$$ keep $$ this"))
+        .when(k % 3 == 1, F.lit("discard it"))
+        .otherwise(F.lit("nothing definitive"))
+    )
+    return o.select(
+        "o_orderkey",
+        P.parse_fusion_decision(dtxt).alias("decision"),
+        P.parse_fusion_probability(ptxt).alias("confidence"),
+    )
+
+
+# --- P1 ------------------------------------------------------------------
+
+def _sql_rag_prompt() -> str:
+    """Generate the DuckDB expression rendering the rag prompt from the
+    same template constant the engine uses."""
+    tmpl = PR.TEMPLATES["rag"] + "\nAnswer: "
+    q_sql = "('What about doc ' || CAST(doc_id AS VARCHAR) || '?')"
+    # coalesce: DuckDB out-of-range list slices yield NULL, Spark
+    # slice yields [] — normalize to ''.
+    seg = (
+        "coalesce(array_to_string("
+        "string_split(text, ' ')[{a}:{b}], ' '), '')"
+    )
+    p_sql = (
+        "('Passage-0' || " + seg.format(a=1, b=5)
+        + " || chr(10) || 'Passage-1' || " + seg.format(a=6, b=10)
+        + " || chr(10) || 'Passage-2' || " + seg.format(a=11, b=15) + ")"
+    )
+    lit = tmpl.replace("'", "''")
+    expr = "'" + lit.replace("{question}", "' || " + q_sql + " || '").replace(
+        "{passage}", "' || " + p_sql + " || '"
+    ) + "'"
+    return f"SELECT doc_id, {expr} AS prompt FROM documents"
+
+
+@register("q36_prompt_render", sql=_sql_rag_prompt(), tags=("text", "p1"))
+def q36_prompt_render(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    ctxs = F.array(
+        F.array_join(F.slice(words, 1, 5), " "),
+        F.array_join(F.slice(words, 6, 5), " "),
+        F.array_join(F.slice(words, 11, 5), " "),
+    )
+    question = F.concat(
+        F.lit("What about doc "), F.col("doc_id").cast("string"), F.lit("?")
+    )
+    return d.select(
+        "doc_id",
+        PR.build_prompt("rag", question, ctxs, 3).alias("prompt"),
+    )
+
+
+# --- P3 ------------------------------------------------------------------
+
+@register(
+    "q37_reference_expansion",
+    sql="""
+    WITH src AS (
+        SELECT doc_id,
+               [lang || ' or ' || source, lang,
+                'alpha or beta or ' || lang] AS refs
+        FROM documents
+    )
+    SELECT doc_id,
+           list_sort(list_distinct(list_concat(refs,
+               flatten(list_transform(
+                   list_filter(refs, x -> contains(x, ' or ')),
+                   x -> string_split(x, ' or ')))))) AS expanded
+    FROM src
+    """,
+    tags=("text", "p3"),
+)
+def q37_reference_expansion(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    refs = F.array(
+        F.concat_ws(" or ", "lang", "source"),
+        F.col("lang"),
+        F.concat(F.lit("alpha or beta or "), F.col("lang")),
+    )
+    return d.select(
+        "doc_id",
+        F.array_sort(PR.expand_references(refs)).alias("expanded"),
+    )
+
+
+# --- T4/T5 ---------------------------------------------------------------
+
+def _sql_em_f1() -> str:
+    norm = _sql_norm
+    toks = (
+        lambda e: f"(CASE WHEN {norm(e)} = '' THEN CAST([] AS VARCHAR[]) "
+        f"ELSE string_split({norm(e)}, ' ') END)"
+    )
+
+    def pair_f1(g, p):
+        num_same = (
+            f"list_sum(list_transform(list_distinct({g}), t -> "
+            f"least(len(list_filter({g}, x -> x = t)), "
+            f"len(list_filter({p}, x -> x = t)))))"
+        )
+        return f"""(
+          CASE
+            WHEN len({g}) = 0 OR len({p}) = 0
+                THEN CAST({g} = {p} AS DOUBLE)
+            WHEN coalesce({num_same}, 0) = 0 THEN 0.0
+            ELSE 2.0 * ({num_same} / len({p})) * ({num_same} / len({g}))
+                 / (({num_same} / len({p})) + ({num_same} / len({g})))
+          END)"""
+
+    return f"""
+    WITH src AS (
+        SELECT doc_id,
+               split_part(text, ' ', 1) || ' ' || split_part(text, ' ', 2)
+                   AS pred,
+               [split_part(text, ' ', 1) || ' ' || split_part(text, ' ', 2),
+                split_part(text, ' ', 3),
+                lang || ' data'] AS refs
+        FROM documents
+    ),
+    t AS (SELECT doc_id, pred, refs, {toks("pred")} AS ptoks FROM src)
+    SELECT doc_id,
+           CAST(len(list_filter(refs, r -> {norm("r")} = {norm("pred")})) > 0
+                AS INTEGER) AS em,
+           round(list_aggregate(list_transform(refs, r ->
+               {pair_f1(toks("r"), "ptoks")}), 'max'), 9) AS f1
+    FROM t
+    """
+
+
+@register("q38_qa_metrics", sql=_sql_em_f1(), tags=("text", "t4", "t5"))
+def q38_qa_metrics(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    w = lambda i: F.split_part(F.col("text"), F.lit(" "), F.lit(i))  # noqa: E731
+    pred = F.concat(w(1), F.lit(" "), w(2))
+    refs = F.array(
+        F.concat(w(1), F.lit(" "), w(2)),
+        w(3),
+        F.concat(F.col("lang"), F.lit(" data")),
+    )
+    return d.select(
+        "doc_id",
+        T.exact_match(refs, pred).alias("em"),
+        F.round(T.token_f1(refs, pred), 9).alias("f1"),
+    )
+
+
+# --- fingerprint / quality (text-analysis extensions) -------------------
+
+@register(
+    "q39_doc_fingerprint",
+    sql=f"""
+    SELECT doc_id, md5({_sql_norm("text")}) AS fingerprint,
+           CAST(length(text) AS BIGINT) AS text_len
+    FROM documents
+    """,
+    tags=("text", "fingerprint"),
+)
+def q39_doc_fingerprint(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(T.normalize_answer("text")).alias("fingerprint"),
+        F.length("text").cast("bigint").alias("text_len"),
+    )

@@ -34,15 +34,15 @@ def canonicalize(pdf):
     for tup in pdf.itertuples(index=False, name=None):
         row = []
         for v in tup:
-            if isinstance(v, float):
+            if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+                row.append(str([x for x in v]))
+            elif isinstance(v, float):
                 if math.isnan(v):
                     row.append("NaN")
                 else:
                     row.append(f"{round(v, 9):.9f}")
             elif v is None or v != v:
                 row.append("NULL")
-            elif isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
-                row.append(str([x for x in v]))
             else:
                 row.append(str(v))
         rows.append(tuple(row))
