@@ -230,14 +230,24 @@ def raw_substring_hit(refs: str | Column, pred: str | Column) -> Column:
     )
 
 
-def match_metrics(refs: str | Column, pred: str | Column) -> Column:
+def match_metrics(
+    refs: str | Column, pred: str | Column, rl: Column | None = None
+) -> Column:
     """Struct of (EM, F1, RL, has_answer, matched) — the reference's
     match() with its metric side-effects materialized as columns
-    (code/utils.py:399-413). NULL pred ⇒ all-zero metrics."""
+    (code/utils.py:399-413). NULL pred ⇒ all-zero metrics.
+
+    ``rl``: optionally a precomputed ROUGE-L column. The default calls
+    the pandas UDF inline, which is fine at the top level of a select;
+    inside CASE WHEN / struct branches Spark cannot extract the UDF —
+    precompute it with ``withColumn`` and pass it in.
+    """
     p = _c(pred)
     em = F.when(p.isNull(), F.lit(0)).otherwise(exact_match(refs, p))
     f1 = F.when(p.isNull(), F.lit(0.0)).otherwise(token_f1(refs, p))
-    rl = F.when(p.isNull(), F.lit(0.0)).otherwise(rouge_l_recall(refs, p))
+    if rl is None:
+        rl = rouge_l_recall(refs, p)
+    rl = F.when(p.isNull(), F.lit(0.0)).otherwise(rl)
     ha = raw_substring_hit(refs, p)
     matched = (em == 1) | ha | (f1 > 0.7) | (rl > 0.7)
     return F.struct(

@@ -17,6 +17,8 @@ import os
 from pyspark.sql import SparkSession
 
 DEFAULT_CONF = {
+    # local single-JVM: the driver hosts all executor threads
+    "spark.driver.memory": "24g",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
