@@ -1,0 +1,194 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not present in the reference (it has no corpus-level ops) — these are
+the north-star extensions (SURVEY §2.2 'Dedup'), designed for 100 TB:
+
+  exact_dedup          hash-shuffle dropDuplicates on a normalized key
+  fingerprint_dedup    md5-of-normalized-text (cheap exact near-dup)
+  minhash_lsh_pairs    MinHash + banded LSH via MLlib approxSimilarityJoin
+                       — candidate pairs without the O(n²) cross join
+  simhash              64-bit SimHash (vectorized pandas UDF); pairs by
+                       band-bucketing, never all-pairs
+  ngram_jaccard        exact n-gram Jaccard between candidate pairs
+                       (native array ops — the verification step after
+                       any LSH candidate generation)
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from rc_rag_spark.functions.text import normalize_answer, simple_tokenize
+
+
+def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Exact dedup on the given columns (one hash shuffle; AQE
+    coalesces post-shuffle partitions)."""
+    return df.dropDuplicates(cols)
+
+
+def fingerprint(col: str | Column) -> Column:
+    """Deterministic content fingerprint: md5 of the normalized text."""
+    return F.md5(normalize_answer(col))
+
+
+def fingerprint_dedup(df: DataFrame, text_col: str) -> DataFrame:
+    return df.withColumn("_fp", fingerprint(text_col)).dropDuplicates(["_fp"]).drop("_fp")
+
+
+def word_shingles(col: str | Column, n: int = 3) -> Column:
+    """n-gram word shingles as an array of strings (native)."""
+    toks = simple_tokenize(col)
+    k = F.size(toks) - (n - 1)
+    return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        )
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over distinct elements of two arrays (native)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union == 0, F.lit(0.0)).otherwise(
+        inter.cast("double") / union
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hash_tables: int = 8,
+    num_features: int = 1 << 18,
+    jaccard_threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash-LSH:
+    shingle → HashingTF (sparse binary) → MinHashLSH →
+    approxSimilarityJoin at distance ≤ 1 - threshold.
+
+    Scale path: LSH banding turns all-pairs into an equi-join on
+    band buckets — shuffle O(n·tables), never O(n²). Returns
+    (id_a, id_b, jaccard_distance) with id_a < id_b.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    shingled = df.select(
+        F.col(id_col).alias("_id"),
+        word_shingles(text_col, shingle_n).alias("_shingles"),
+    ).where(F.size("_shingles") > 0)
+    tf = HashingTF(
+        inputCol="_shingles", outputCol="_features",
+        numFeatures=num_features, binary=True,
+    )
+    feats = tf.transform(shingled)
+    mh = MinHashLSH(
+        inputCol="_features", outputCol="_hashes",
+        numHashTables=num_hash_tables, seed=seed,
+    )
+    model = mh.fit(feats)
+    pairs = model.approxSimilarityJoin(
+        feats, feats, 1.0 - jaccard_threshold, distCol="jaccard_distance"
+    )
+    return (
+        pairs.select(
+            F.col("datasetA._id").alias("id_a"),
+            F.col("datasetB._id").alias("id_b"),
+            F.col("jaccard_distance"),
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+    )
+
+
+_simhash_udf = None
+
+
+def simhash64(col: str | Column) -> Column:
+    """64-bit SimHash of the token stream (md5-based token hashes —
+    deterministic across workers; Arrow-batched)."""
+    global _simhash_udf
+    if _simhash_udf is None:
+
+        @pandas_udf("long")
+        def _udf(texts: pd.Series) -> pd.Series:
+            import hashlib
+
+            def sh(text):
+                if text is None:
+                    return None
+                acc = [0] * 64
+                for tok in (text.lower().split()):
+                    h = int.from_bytes(
+                        hashlib.md5(tok.encode()).digest()[:8], "big"
+                    )
+                    for b in range(64):
+                        acc[b] += 1 if (h >> b) & 1 else -1
+                out = 0
+                for b in range(64):
+                    if acc[b] > 0:
+                        out |= 1 << b
+                # interpret as signed 64-bit for LongType
+                return out - (1 << 64) if out >= (1 << 63) else out
+
+            return texts.map(sh)
+
+        _simhash_udf = _udf
+    c = F.col(col) if isinstance(col, str) else col
+    return _simhash_udf(c)
+
+
+def simhash_bands(sim_col: str | Column, num_bands: int = 4) -> list[Column]:
+    """Split a 64-bit simhash into equal bands; near-dups (small
+    Hamming distance) collide on ≥1 band — join per band, verify with
+    hamming distance (pigeonhole: dist < num_bands ⇒ some band equal)."""
+    c = F.col(sim_col) if isinstance(sim_col, str) else sim_col
+    width = 64 // num_bands
+    mask = (1 << width) - 1
+    return [
+        F.shiftright(c, i * width).bitwiseAND(F.lit(mask)).alias(f"band_{i}")
+        for i in range(num_bands)
+    ]
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, id_col: str, text_col: str,
+    max_hamming: int = 3, num_bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: band-bucket join (shuffle on band keys,
+    O(n) per band) + exact Hamming verify. Requires
+    max_hamming < num_bands for completeness (pigeonhole)."""
+    sh = df.select(
+        F.col(id_col).alias("_id"), simhash64(text_col).alias("_sh")
+    ).localCheckpoint(eager=True)  # simhash UDF runs once
+    out = None
+    for i, band in enumerate(simhash_bands("_sh", num_bands)):
+        banded = sh.withColumn("_band", band)
+        a = banded.alias("a")
+        b = banded.alias("b")
+        cand = a.join(
+            b,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._id") < F.col("b._id")),
+        ).select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            hamming64(F.col("a._sh"), F.col("b._sh")).alias("hamming"),
+        )
+        out = cand if out is None else out.unionByName(cand)
+    return (
+        out.where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )

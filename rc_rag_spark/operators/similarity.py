@@ -1,0 +1,151 @@
+"""Similarity search over embedding columns (north-star extension,
+SURVEY §2.2 'Similarity search').
+
+  brute_force_topk   exact top-k cosine/dot: broadcast the (small)
+                     query set against the corpus, per-query window
+                     top-k. One broadcast, one shuffle of
+                     O(n_queries·k) candidate rows after per-partition
+                     pruning — no corpus-side cross shuffle.
+  lsh_topk_join      approximate: BucketedRandomProjectionLSH
+                     candidate join, exact re-rank of candidates.
+  embedding_near_dup cosine-threshold near-duplicate pairs via LSH
+                     candidates + exact verify.
+
+All exact math is native Catalyst (functions/vectors.py) — sequential
+folds, deterministic, codegen'd.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from rc_rag_spark.functions.vectors import cosine, dot, l2_norm
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector.
+
+    Plan shape: broadcast-nested-loop join (queries are broadcast —
+    they must be small), similarity evaluated in codegen, then a
+    row_number window partitioned by query. At 100 TB the corpus never
+    shuffles; only (n_queries × corpus_partition) local top-k rows do.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec")
+        )
+    )
+    sim = {"cosine": cosine, "dot": dot}[metric](
+        F.col(vec_col), F.col("_qvec")
+    )
+    scored = corpus.crossJoin(q).select(
+        F.col("_qid").alias(query_id_col),
+        F.col(id_col).alias("neighbor_id"),
+        sim.alias("similarity"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("similarity").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _to_ml_vector(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
+    from pyspark.ml.functions import array_to_vector
+
+    return df.withColumn(out_col, array_to_vector(F.col(vec_col).cast("array<double>")))
+
+
+def lsh_topk_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 4,
+    max_l2: float = 10.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via random-projection LSH: bucket join on
+    hash bands (no cross product), exact cosine re-rank of candidates.
+    Recall is tunable via num_hash_tables / bucket_length / max_l2."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+
+    c = _to_ml_vector(corpus, vec_col, "_v")
+    q = _to_ml_vector(queries, vec_col, "_v")
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="_v", outputCol="_h",
+        bucketLength=bucket_length, numHashTables=num_hash_tables, seed=seed,
+    )
+    model = lsh.fit(c)
+    cand = model.approxSimilarityJoin(c, q, max_l2, distCol="_l2")
+    scored = cand.select(
+        F.col(f"datasetB.{query_id_col}").alias(query_id_col),
+        F.col(f"datasetA.{id_col}").alias("neighbor_id"),
+        cosine(F.col(f"datasetA.{vec_col}"), F.col(f"datasetB.{vec_col}")).alias(
+            "similarity"
+        ),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("similarity").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cosine_threshold: float = 0.95,
+    bucket_length: float = 0.5,
+    num_hash_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs. LSH self-join generates
+    candidates (cosine ≥ t on unit-norm vectors ⇔ L2 ≤ √(2-2t)),
+    exact cosine verifies. Returns (id_a, id_b, similarity)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+
+    normed = df.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: x / l2_norm(F.col(vec_col)),
+        ).alias("_unit"),
+    )
+    c = _to_ml_vector(normed, "_unit", "_v")
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="_v", outputCol="_h",
+        bucketLength=bucket_length, numHashTables=num_hash_tables, seed=seed,
+    )
+    model = lsh.fit(c)
+    max_l2 = float((2.0 - 2.0 * cosine_threshold) ** 0.5)
+    cand = model.approxSimilarityJoin(c, c, max_l2, distCol="_l2")
+    return (
+        cand.select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+            dot(F.col("datasetA._unit"), F.col("datasetB._unit")).alias(
+                "similarity"
+            ),
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.col("similarity") >= cosine_threshold)
+    )

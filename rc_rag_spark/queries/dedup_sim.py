@@ -1,1 +1,305 @@
-"""Placeholder — populated in later milestone."""
+"""Dedup / similarity / text-analysis query corpus (SURVEY §2.2 rows
+'Dedup', 'Similarity search', 'Text analysis').
+
+SQL-expressible variants are oracle-checked; LSH-based operators
+(MinHash, SimHash, random-projection) are algorithmically approximate
+candidate generators — they get rows-only driver checks here and exact
+verification against brute-force ground truth in tests/test_dedup_sim.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rc_rag_spark.functions.vectors import cosine
+from rc_rag_spark.operators import dedup as DD
+from rc_rag_spark.operators import similarity as SIM
+from rc_rag_spark.operators import textstats as TS
+from rc_rag_spark.queries.core import register
+from rc_rag_spark.sources import table
+
+
+@register(
+    "q60_exact_dedup_stats",
+    sql="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT text) AS n_unique_texts,
+           COUNT(DISTINCT md5(text)) AS n_unique_fps
+    FROM documents GROUP BY source
+    """,
+    tags=("dedup",),
+)
+def q60_exact_dedup_stats(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("text").alias("n_unique_texts"),
+        F.count_distinct(F.md5("text")).alias("n_unique_fps"),
+    )
+
+
+@register(
+    "q61_word_jaccard_neighbors",
+    sql="""
+    WITH t AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS words
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CASE WHEN len(list_distinct(list_concat(a.words, b.words))) = 0
+                      THEN 0.0
+                      ELSE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+                           / len(list_distinct(list_concat(a.words, b.words)))
+                 END, 9) AS jaccard
+    FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+    """,
+    tags=("dedup", "jaccard"),
+)
+def q61_word_jaccard_neighbors(spark, sf_dir):
+    """Exact word-set Jaccard between neighboring doc ids (the verify
+    step of any near-dup pipeline, exercised as an equi-join)."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("words")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    return a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.round(
+            DD.jaccard(F.col("a.words"), F.col("b.words")), 9
+        ).alias("jaccard"),
+    )
+
+
+@register("q62_minhash_near_dup", tags=("dedup", "lsh"))
+def q62_minhash_near_dup(spark, sf_dir):
+    """MinHash-LSH near-duplicate candidates over documents ∪ mutated
+    copies (the fixture corpus has no natural dups, so we plant
+    deterministic near-dups: every 10th doc with its last 3 words
+    dropped)."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    mutated = (
+        d.where(F.col("doc_id") % 10 == 0)
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.array_join(F.slice(words, 1, F.greatest(F.size(words) - 3, F.lit(1))), " ").alias("text"),
+        )
+    )
+    corpus = d.select("doc_id", "text").unionByName(mutated)
+    pairs = DD.minhash_lsh_pairs(
+        corpus, "doc_id", "text", shingle_n=3,
+        num_hash_tables=8, jaccard_threshold=0.5,
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard_distance", 6).alias("jaccard_distance")
+    )
+
+
+@register("q63_simhash_near_dup", tags=("dedup", "simhash"))
+def q63_simhash_near_dup(spark, sf_dir):
+    """SimHash band-bucketed near-dup pairs on the same planted corpus."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    mutated = (
+        d.where(F.col("doc_id") % 10 == 0)
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.array_join(F.slice(words, 1, F.greatest(F.size(words) - 2, F.lit(1))), " ").alias("text"),
+        )
+    )
+    corpus = d.select("doc_id", "text").unionByName(mutated)
+    return DD.simhash_near_dup_pairs(corpus, "doc_id", "text", max_hamming=3)
+
+
+@register(
+    "q64_knn_bruteforce",
+    sql="""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id, embedding::DOUBLE[] AS cv
+               FROM embeddings WHERE vec_id >= 5),
+         scored AS (
+           SELECT q.query_id, c.vec_id AS neighbor_id,
+                  list_dot_product(c.cv, q.qv)
+                  / (sqrt(list_dot_product(c.cv, c.cv))
+                     * sqrt(list_dot_product(q.qv, q.qv))) AS similarity
+           FROM c CROSS JOIN q
+         )
+    SELECT query_id, neighbor_id, round(similarity, 9) AS similarity,
+           CAST(rank AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY query_id
+              ORDER BY similarity DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+    tags=("similarity", "knn"),
+)
+def q64_knn_bruteforce(spark, sf_dir):
+    """Exact top-5 cosine neighbors for 5 query vectors (broadcast
+    queries, codegen'd fold — the scale baseline for ANN)."""
+    e = table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = e.where(F.col("vec_id") >= 5)
+    out = SIM.brute_force_topk(corpus, queries, k=5)
+    return out.select(
+        "query_id", "neighbor_id",
+        F.round("similarity", 9).alias("similarity"), "rank",
+    )
+
+
+@register("q65_knn_lsh", tags=("similarity", "lsh"))
+def q65_knn_lsh(spark, sf_dir):
+    """Approximate top-5 via random-projection LSH + exact re-rank
+    (recall vs q64 asserted in tests)."""
+    e = table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = e.where(F.col("vec_id") >= 5)
+    out = SIM.lsh_topk_join(
+        corpus, queries, k=5, bucket_length=4.0, num_hash_tables=6, max_l2=3.0
+    )
+    return out.select(
+        "query_id", "neighbor_id",
+        F.round("similarity", 9).alias("similarity"), "rank",
+    )
+
+
+@register(
+    "q66_embedding_neighbor_cosine",
+    sql="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 9) AS similarity,
+           list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))) > 0.2 AS near_dup
+    FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+    """,
+    tags=("similarity", "dedup"),
+)
+def q66_embedding_neighbor_cosine(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    a, b = e.alias("a"), e.alias("b")
+    sim = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1).select(
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        F.round(sim, 9).alias("similarity"),
+        (sim > 0.2).alias("near_dup"),
+    )
+
+
+@register(
+    "q67_lang_stats",
+    sql="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_words
+    FROM documents GROUP BY lang
+    """,
+    tags=("textstats",),
+)
+def q67_lang_stats(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("total_words"),
+    )
+
+
+@register(
+    "q68_quality_scores",
+    sql=f"""
+    WITH t AS (
+        SELECT doc_id,
+               {{toks}} AS toks,
+               length(text) AS n_chars,
+               len(regexp_extract_all(text, '[[:punct:]]')) AS n_punct,
+               len(regexp_extract_all(text, '[0-9]')) AS n_digit
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           round(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1), 6)
+               AS punct_ratio,
+           round(CAST(n_digit AS DOUBLE) / greatest(n_chars, 1), 6)
+               AS digit_ratio,
+           round(CAST(len(list_filter(toks,
+               x -> list_contains({{stop}}, x))) AS DOUBLE)
+               / greatest(len(toks), 1), 6) AS stopword_ratio
+    FROM t
+    """.format(
+        toks="regexp_extract_all(lower(text), '[\\pL\\pN\\pM]+|[^\\pZ\\pC]')",
+        stop="[" + ", ".join(f"'{w}'" for w in TS.STOPWORDS) + "]",
+    ),
+    tags=("textstats", "quality"),
+)
+def q68_quality_scores(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    q = TS.quality_features("text")
+    return d.select(
+        "doc_id",
+        q.getField("n_tokens").alias("n_tokens"),
+        q.getField("punct_ratio").alias("punct_ratio"),
+        q.getField("digit_ratio").alias("digit_ratio"),
+        q.getField("stopword_ratio").alias("stopword_ratio"),
+    )
+
+
+@register(
+    "q69_token_counts",
+    sql="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text),
+                '[\\pL\\pN\\pM]+|[^\\pZ\\pC]')) AS INTEGER) AS n_tokens,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                AS INTEGER) AS n_words,
+           CAST(coalesce(list_sum(list_transform(
+                    regexp_extract_all(lower(text), '[a-z0-9]+'),
+                    r -> CAST(ceil(length(r) / 4.0) AS INTEGER))), 0)
+                + len(regexp_extract_all(text, '[^\\sa-zA-Z0-9]'))
+                AS INTEGER) AS n_bpe_ish
+    FROM documents
+    """,
+    tags=("textstats", "tokens"),
+)
+def q69_token_counts(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TS.token_count("text").alias("n_tokens"),
+        TS.word_count("text").alias("n_words"),
+        TS.bpe_ish_token_count("text").alias("n_bpe_ish"),
+    )
+
+
+@register("q70_language_id", tags=("textstats", "langid"))
+def q70_language_id(spark, sf_dir):
+    """Heuristic language ID (marker-ratio argmax). Rows-only driver
+    check; determinism + marker behavior tested in pytest."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", "lang", TS.language_id("text").alias("lang_pred")
+    )
+
+
+@register("q71_rolling_fingerprint", tags=("textstats", "fingerprint"))
+def q71_rolling_fingerprint(spark, sf_dir):
+    """Winnowing-style min-hash-over-windows fingerprint (xxhash64 is
+    Spark-specific — rows-only check; determinism tested in pytest)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", TS.rolling_hash_fingerprint("text").alias("fingerprint")
+    )

@@ -1,0 +1,120 @@
+"""Dedup/similarity operator tests: LSH candidate generators verified
+against exact ground truth; planted near-duplicates must be found."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import rc_rag_spark.queries as q
+from rc_rag_spark.operators import dedup as DD
+from rc_rag_spark.operators import similarity as SIM
+from rc_rag_spark.operators import textstats as TS
+from rc_rag_spark.sources import table
+
+
+def test_minhash_finds_planted_dups(spark, sf_dir):
+    pairs = q.REGISTRY["q62_minhash_near_dup"].fn(spark, sf_dir).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    planted = {
+        (r["doc_id"], r["doc_id"] + 1_000_000)
+        for r in table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 10 == 0)
+        .select("doc_id")
+        .collect()
+    }
+    hit = planted & found
+    # MinHash is probabilistic: demand high recall of planted pairs
+    assert len(hit) >= 0.8 * len(planted), (len(hit), len(planted))
+
+
+def test_simhash_finds_planted_dups(spark, sf_dir):
+    pairs = q.REGISTRY["q63_simhash_near_dup"].fn(spark, sf_dir).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    planted = {
+        (r["doc_id"], r["doc_id"] + 1_000_000)
+        for r in table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 10 == 0)
+        .select("doc_id")
+        .collect()
+    }
+    hit = planted & found
+    assert len(hit) >= 0.6 * len(planted), (len(hit), len(planted))
+
+
+def test_simhash_deterministic(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").limit(50)
+    a = {r["doc_id"]: r["sh"] for r in d.select("doc_id", DD.simhash64("text").alias("sh")).collect()}
+    b = {r["doc_id"]: r["sh"] for r in d.select("doc_id", DD.simhash64("text").alias("sh")).collect()}
+    assert a == b
+
+
+def test_lsh_knn_recall_vs_bruteforce(spark, sf_dir):
+    exact = q.REGISTRY["q64_knn_bruteforce"].fn(spark, sf_dir).collect()
+    approx = q.REGISTRY["q65_knn_lsh"].fn(spark, sf_dir).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact_sets[qid] & approx_sets.get(qid, set())) / len(exact_sets[qid])
+        for qid in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+def test_embedding_near_dup_self_pairs(spark, sf_dir):
+    """Planting exact duplicates (shifted ids) must yield sim≈1 pairs."""
+    e = table(spark, sf_dir, "embeddings").limit(50)
+    dup = e.select((F.col("vec_id") + 10_000).alias("vec_id"), "embedding", "label")
+    corpus = e.unionByName(dup)
+    pairs = SIM.embedding_near_dup(corpus, cosine_threshold=0.99)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    want = {(r["vec_id"], r["vec_id"] + 10_000) for r in e.select("vec_id").collect()}
+    assert want <= found, f"missing {len(want - found)} of {len(want)}"
+
+
+def test_language_id_markers(spark):
+    rows = [
+        (0, "the cat and the dog of it is you that"),
+        (1, "der hund und die katze ist nicht ein"),
+        (2, "el perro y la casa de los que en un"),
+        (3, "le chat et les chiens est dans une que"),
+        (4, "xyzzy qwerty plugh"),
+    ]
+    df = spark.createDataFrame(rows, "id int, txt string")
+    got = {r["id"]: r["lang"] for r in df.select("id", TS.language_id("txt").alias("lang")).collect()}
+    assert got[0] == "en" and got[1] == "de" and got[2] == "es" and got[3] == "fr"
+    assert got[4] == "und"
+
+
+def test_rolling_fingerprint_shift_invariance(spark):
+    """Winnowing property: a doc and the same doc with one appended
+    word usually share the min-window fingerprint; an unrelated doc
+    doesn't."""
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota"),
+        (2, "completely different content with other words entirely"),
+    ]
+    df = spark.createDataFrame(rows, "id int, txt string")
+    fp = {r["id"]: r["fp"] for r in df.select("id", TS.rolling_hash_fingerprint("txt").alias("fp")).collect()}
+    assert fp[0] == fp[1]
+    assert fp[0] != fp[2]
+
+
+def test_exact_and_fingerprint_dedup(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = d.unionByName(
+        d.select((F.col("doc_id") + 5_000_000).alias("doc_id"), "text")
+    )
+    assert DD.exact_dedup(doubled, ["text"]).count() == d.count()
+    assert DD.fingerprint_dedup(doubled, "text").count() == d.count()
+
+
+@pytest.mark.parametrize("name", ["q70_language_id", "q71_rolling_fingerprint"])
+def test_rows_only_queries_run(spark, sf_dir, name):
+    df = q.REGISTRY[name].fn(spark, sf_dir)
+    assert df.count() > 0
