@@ -1,1 +1,137 @@
-"""Placeholder — populated in later milestone."""
+"""Event-time windowing query corpus over the events table (batch
+mode; the same functions run as Structured Streaming —
+tests/test_streaming.py asserts batch-equivalence).
+
+DuckDB oracles spell the window semantics independently:
+  tumbling → date_trunc grid;  sliding → per-offset grid union;
+  session  → gaps-and-islands with lag().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rc_rag_spark.queries.core import register, sql_dsum
+from rc_rag_spark.sources import table
+from rc_rag_spark.streaming import windows as W
+
+
+@register(
+    "q50_tumbling_hourly",
+    sql=f"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS n,
+           {sql_dsum('value', 'sum_value')}
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+    tags=("streaming", "window"),
+)
+def q50_tumbling_hourly(spark, sf_dir):
+    return W.tumbling_counts(table(spark, sf_dir, "events"), "1 hour")
+
+
+@register(
+    "q51_sliding_windows",
+    sql=f"""
+    WITH g AS (
+        SELECT e.*,
+               date_trunc('hour', ts)
+               + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
+                      ELSE INTERVAL 0 MINUTE END
+               - k.k * INTERVAL 30 MINUTE AS window_start
+        FROM events e CROSS JOIN (VALUES (0), (1)) k(k)
+    )
+    SELECT window_start,
+           window_start + INTERVAL 1 HOUR AS window_end,
+           COUNT(*) AS n,
+           {sql_dsum('value', 'sum_value')}
+    FROM g GROUP BY window_start
+    """,
+    tags=("streaming", "window"),
+)
+def q51_sliding_windows(spark, sf_dir):
+    """1-hour windows sliding every 30 min: each event belongs to
+    exactly 2 overlapping windows."""
+    return W.sliding_counts(table(spark, sf_dir, "events"), "1 hour", "30 minutes")
+
+
+@register(
+    "q52_session_windows",
+    sql=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+        SELECT *, SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 10 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           {sql_dsum('value', 'sum_value')}
+    FROM numbered GROUP BY user_id, sess
+    """,
+    tags=("streaming", "session"),
+)
+def q52_session_windows(spark, sf_dir):
+    """Gap-based session windows per user (session_window ⇔ the
+    gaps-and-islands SQL derivation)."""
+    return W.session_aggregate(table(spark, sf_dir, "events"), "10 minutes")
+
+
+@register(
+    "q53_daily_activity",
+    sql="""
+    SELECT date_trunc('day', ts) AS day,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY date_trunc('day', ts)
+    """,
+    tags=("streaming", "window"),
+)
+def q53_daily_activity(spark, sf_dir):
+    return W.daily_user_activity(table(spark, sf_dir, "events"))
+
+
+@register(
+    "q54_event_dedup_totals",
+    sql="""
+    SELECT event_type, COUNT(*) AS n
+    FROM (SELECT DISTINCT ON (event_id) event_id, event_type FROM events
+          ORDER BY event_id)
+    GROUP BY event_type
+    """,
+    tags=("streaming", "dedup"),
+)
+def q54_event_dedup_totals(spark, sf_dir):
+    """Exact dedup by event_id then per-type counts (event_id is
+    already unique in the fixture, so dedup is the identity — the
+    operator shape is what's exercised; the streaming variant with
+    state is tested in test_streaming.py)."""
+    deduped = W.dedup_events(table(spark, sf_dir, "events"))
+    return deduped.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+@register(
+    "q55_user_totals",
+    sql=f"""
+    SELECT user_id, COUNT(*) AS n_events, {sql_dsum('value', 'sum_value')}
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "stateful"),
+)
+def q55_user_totals(spark, sf_dir):
+    """Per-user running totals — the batch twin of the
+    applyInPandasWithState streaming operator."""
+    return W.stateful_user_totals(table(spark, sf_dir, "events"))

@@ -1,0 +1,154 @@
+"""Structured-Streaming surface over the events table (SURVEY §2.2
+'Streaming'). Every transformation here is written against the unified
+DataFrame API so the SAME function runs in batch and streaming — the
+batch run is the oracle for the streaming run (Spark's unified
+semantics make batch-equivalence a strict check).
+
+Scale posture: watermarks bound state; aggregation state is keyed by
+(window, group) — partitioned by the shuffle on the group key; AQE
+does not apply to streaming, so shuffle partitions are sized by
+spark.sql.shuffle.partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rc_rag_spark.queries.core import dec
+
+
+def with_watermark(df: DataFrame, delay: str = "1 hour") -> DataFrame:
+    """Event-time watermark on ts (late data beyond `delay` dropped)."""
+    return df.withWatermark("ts", delay) if df.isStreaming else df
+
+
+def tumbling_counts(df: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Per-(window, event_type) counts + exact value sums."""
+    return (
+        df.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec("value", 12, 2)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    df: DataFrame, window: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """Overlapping sliding-window counts (each event lands in
+    window/slide windows)."""
+    return (
+        df.groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec("value", 12, 2)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def session_aggregate(df: DataFrame, gap: str = "10 minutes") -> DataFrame:
+    """Per-user session windows (gap-merged). Session end is
+    last-event + gap (Spark session_window semantics)."""
+    return (
+        df.groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(dec("value", 12, 2)).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def daily_user_activity(df: DataFrame) -> DataFrame:
+    """Distinct users + counts per day (streaming-safe distinct via
+    approx in streaming mode is out of scope here; exact count for
+    batch oracle, per-day grouping)."""
+    return (
+        df.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def dedup_events(df: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming-safe exact dedup by event_id. In streaming mode the
+    watermark bounds the dedup state (dropDuplicatesWithinWatermark);
+    in batch it degenerates to dropDuplicates."""
+    if df.isStreaming:
+        return df.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    return df.dropDuplicates(["event_id"])
+
+
+def stateful_user_totals(df: DataFrame) -> DataFrame:
+    """Custom stateful operator (reference-free north-star surface):
+    running per-user totals via applyInPandasWithState in streaming,
+    plain aggregation in batch (identical final answer on a bounded
+    input — asserted in tests)."""
+    if not df.isStreaming:
+        return df.groupBy("user_id").agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(dec("value", 12, 2)).cast("double").alias("sum_value"),
+        )
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import decimal
+
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, "0")
+        total = decimal.Decimal(total)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += sum(
+                decimal.Decimal(str(v)).quantize(decimal.Decimal("0.01"))
+                for v in pdf["value"]
+            )
+        state.update((n, str(total)))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [float(total)],
+            }
+        )
+
+    return df.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, sum_value double",
+        stateStructType="n bigint, total string",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def read_stream_dir(spark, path: str, schema) -> DataFrame:
+    """File-source streaming read of a parquet directory with an
+    explicit schema (file streams require one — no inference pass)."""
+    return spark.readStream.schema(schema).parquet(path)

@@ -1,0 +1,127 @@
+"""Structured-Streaming batch-equivalence tests: each windowing
+function run as a file-source stream (availableNow) must produce
+exactly the batch result on the same data."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from rc_rag_spark.sources import table
+from rc_rag_spark.streaming import windows as W
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir):
+    """Events re-written as clean µs-timestamp parquet (file streams
+    need a plain schema) split into several files to get multiple
+    input splits."""
+    d = tempfile.mkdtemp(prefix="rc_rag_events_")
+    table(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def run_stream(spark, stream_df, output_mode="complete"):
+    name = "mem_" + uuid.uuid4().hex[:8]
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table(name).collect()
+    q.stop()
+    return out
+
+
+def canon(rows, cols):
+    return sorted(tuple(str(r[c]) for c in cols) for r in rows)
+
+
+def batch_events(spark, events_dir):
+    return spark.read.parquet(events_dir)
+
+
+def stream_events(spark, events_dir):
+    schema = spark.read.parquet(events_dir).schema
+    return W.read_stream_dir(spark, events_dir, schema)
+
+
+@pytest.mark.parametrize(
+    "fn,cols",
+    [
+        (lambda df: W.tumbling_counts(df, "1 hour"),
+         ["window_start", "window_end", "event_type", "n", "sum_value"]),
+        (lambda df: W.sliding_counts(df, "1 hour", "30 minutes"),
+         ["window_start", "window_end", "n", "sum_value"]),
+        (lambda df: W.session_aggregate(df, "10 minutes"),
+         ["user_id", "session_start", "session_end", "n_events", "sum_value"]),
+    ],
+    ids=["tumbling", "sliding", "session"],
+)
+def test_stream_batch_equivalence(spark, events_dir, fn, cols):
+    batch = fn(batch_events(spark, events_dir)).collect()
+    stream = run_stream(spark, fn(W.with_watermark(stream_events(spark, events_dir))))
+    assert canon(stream, cols) == canon(batch, cols)
+
+
+def test_streaming_dedup(spark, events_dir):
+    """Duplicate every event into a second file set; the streaming
+    dedup must restore exact-once counts."""
+    d = tempfile.mkdtemp(prefix="rc_rag_dup_")
+    try:
+        ev = batch_events(spark, events_dir)
+        ev.write.mode("overwrite").parquet(d)
+        ev.write.mode("append").parquet(d)  # every event twice
+        schema = spark.read.parquet(d).schema
+        stream = W.read_stream_dir(spark, d, schema)
+        deduped = W.dedup_events(stream, watermark="365 days")
+        counts = deduped.groupBy("event_type").agg(F.count("*").alias("n"))
+        got = run_stream(spark, counts, output_mode="complete")
+        want = (
+            ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+        )
+        assert canon(got, ["event_type", "n"]) == canon(want, ["event_type", "n"])
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stateful_user_totals_stream(spark, events_dir):
+    """applyInPandasWithState running totals == batch aggregation on a
+    bounded input (update mode: take the last emitted row per user)."""
+    stream = W.stateful_user_totals(stream_events(spark, events_dir))
+    rows = run_stream(spark, stream, output_mode="update")
+    last = {}
+    for r in rows:  # memory sink appends update-mode emissions in order
+        last[r["user_id"]] = (r["n_events"], r["sum_value"])
+    want = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in W.stateful_user_totals(batch_events(spark, events_dir)).collect()
+    }
+    assert last == want
+
+
+def test_late_data_dropped_with_watermark(spark, events_dir):
+    """Append-mode tumbling agg with watermark emits only finalized
+    windows; with availableNow over one bounded input the final
+    watermark covers all but the tail — emitted windows must MATCH the
+    batch result for those windows (prefix-correctness)."""
+    stream = W.tumbling_counts(
+        W.with_watermark(stream_events(spark, events_dir), "1 hour")
+    )
+    got = run_stream(spark, stream, output_mode="append")
+    batch = {
+        (str(r["window_start"]), r["event_type"]): (r["n"], r["sum_value"])
+        for r in W.tumbling_counts(batch_events(spark, events_dir)).collect()
+    }
+    assert len(got) > 0
+    for r in got:
+        key = (str(r["window_start"]), r["event_type"])
+        assert batch[key] == (r["n"], r["sum_value"]), key
