@@ -1,0 +1,71 @@
+"""Multimodal plumbing + MLlib retrieval-model tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rc_rag_spark.operators import multimodal as MM
+from rc_rag_spark.operators import retrieval as R
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return MM.synthesize_media(spark, n=48).cache()
+
+
+def test_feature_extraction_schema_and_determinism(media):
+    f1 = MM.extract_features(media).collect()
+    f2 = MM.extract_features(media).collect()
+    assert len(f1) == 48
+    by_id = {r["media_id"]: r for r in f1}
+    by_id2 = {r["media_id"]: r for r in f2}
+    for i in by_id:
+        assert by_id[i]["feature"] == by_id2[i]["feature"]
+        assert len(by_id[i]["feature"]) == 8
+        assert by_id[i]["n_bytes"] == 128 + i
+
+
+def test_frame_sampling_only_video(media):
+    frames = MM.sample_frames(media, every_ms=1000).collect()
+    kinds = {r["media_id"] % 3 for r in frames}
+    assert kinds == {2}  # only kind == 'video' rows (i % 3 == 2)
+    per_media = {}
+    for r in frames:
+        per_media.setdefault(r["media_id"], []).append(r["frame_idx"])
+    for mid, idxs in per_media.items():
+        assert sorted(idxs) == list(range(len(idxs)))
+
+
+def test_metadata_pruning_before_decode(media):
+    """Filters on the meta struct must prune before mapInPandas."""
+    small = media.where(F.col("meta.width") < 70)
+    out = MM.extract_features(small).count()
+    assert 0 < out < 48
+
+
+def test_media_stats(media):
+    stats = MM.media_stats(MM.extract_features(media)).collect()
+    assert {r["kind"] for r in stats} == {"image", "audio", "video"}
+
+
+def test_decode_stubs_raise():
+    with pytest.raises(NotImplementedError):
+        MM._decode_image(b"x")
+    with pytest.raises(NotImplementedError):
+        MM._decode_audio(b"x")
+
+
+def test_retrieval_model_separates_pos_neg(spark, sf_dir):
+    pairs = R.synthesize_training_pairs(spark, sf_dir, limit=200)
+    model = R.train_relevance_model(pairs)
+    scored = R.score_pairs(model, pairs)
+    agg = (
+        scored.groupBy("label")
+        .agg(F.avg("relevance").alias("avg_rel"))
+        .collect()
+    )
+    by_label = {r["label"]: r["avg_rel"] for r in agg}
+    assert by_label[1.0] > by_label[0.0] + 0.2, by_label
+    cols = set(scored.columns)
+    assert {"pair_id", "question", "passage", "label", "relevance"} <= cols
