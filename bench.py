@@ -18,6 +18,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    # relational core
     "q01_pricing_summary",
     "q02_revenue_forecast",
     "q07_customer_geography",
@@ -25,6 +26,16 @@ HEADLINE = [
     "q15_top_orders_per_customer",
     "q16_running_spend",
     "q24_json_extract",
+    # text / parsing
+    "q31_token_stats",
+    "q34_parse_predictions",
+    "q39_doc_fingerprint",
+    # dedup / similarity
+    "q61_word_jaccard_neighbors",
+    "q64_knn_bruteforce",
+    # event-time windows
+    "q50_tumbling_hourly",
+    "q52_session_windows",
 ]
 
 

@@ -91,14 +91,31 @@ def split_answer_evidence(col: str | Column) -> Column:
 
 # --- X1 ------------------------------------------------------------------
 
+def _refusal_regex() -> str:
+    """One alternation over the 24 phrases' token sequences — a single
+    tokenize + regex scan instead of 24 tokenize+contains passes
+    (~10× cheaper in the hot path; identical semantics since every
+    branch is a space-joined literal token sequence)."""
+    import re as _re
+
+    from rc_rag_spark.functions.text import py_tokenize
+
+    alts = "|".join(
+        " ".join(_re.escape(t) for t in py_tokenize(p))
+        for p in REFUSAL_PHRASES
+    )
+    return f" ({alts}) "
+
+
+_REFUSAL_RE = _refusal_regex()
+
+
 def is_refusal(col: str | Column) -> Column:
     """True iff the text token-contains any refusal phrase (T2
     semantics, code/utils.py:208-211)."""
-    s = _c(col)
-    out = F.lit(False)
-    for p in REFUSAL_PHRASES:
-        out = out | contains_tokens(s, F.lit(p))
-    return out
+    from rc_rag_spark.functions.text import _joined, simple_tokenize
+
+    return _joined(simple_tokenize(_c(col))).rlike(_REFUSAL_RE)
 
 
 # --- X2 ------------------------------------------------------------------

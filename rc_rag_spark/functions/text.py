@@ -64,6 +64,17 @@ def simple_tokenize(col: str | Column) -> Column:
     )
 
 
+def py_tokenize(s: str) -> list[str]:
+    """Plan-build-time tokenizer for literal phrases (same pattern as
+    the column tokenizer; `regex` module ⇒ \\p-class parity)."""
+    import regex
+
+    pat = regex.compile(
+        TOKEN_PATTERN, flags=regex.IGNORECASE | regex.UNICODE
+    )
+    return [m.group().lower() for m in pat.finditer(s)]
+
+
 _exact_tokenize_udf = None
 
 
