@@ -1,3 +1,17 @@
-from rc_rag_spark.sources.registry import TABLES, load_tables, table
+from rc_rag_spark.sources.registry import (
+    BROADCAST_DIMS,
+    TABLES,
+    load_tables,
+    read_jsonl,
+    table,
+    write_jsonl,
+)
 
-__all__ = ["TABLES", "load_tables", "table"]
+__all__ = [
+    "BROADCAST_DIMS",
+    "TABLES",
+    "load_tables",
+    "read_jsonl",
+    "table",
+    "write_jsonl",
+]
