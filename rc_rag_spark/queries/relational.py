@@ -832,3 +832,210 @@ def q28_slice_scan(spark, sf_dir):
     return o.where(
         (F.col("o_orderkey") >= 100) & (F.col("o_orderkey") < 500)
     ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+# --- percentile / frames / predicates / misc ----------------------------
+
+@register(
+    "q29_quantity_percentiles",
+    sql="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 9) AS p50,
+           round(quantile_cont(l_quantity, 0.9), 9) AS p90,
+           MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "percentile"),
+)
+def q29_quantity_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (Spark `percentile` ==
+    DuckDB `quantile_cont`)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 9).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 9).alias("p90"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+@register(
+    "q43_range_frame_spend",
+    sql="""
+    SELECT o_custkey, o_orderkey,
+           CAST(COUNT(*) OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice
+               RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_similar_cheaper
+    FROM orders
+    """,
+    tags=("window", "range-frame"),
+)
+def q43_range_frame_spend(spark, sf_dir):
+    """RANGE frame over a numeric ordering (value-based window)."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-50000, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count("*").over(w).cast("bigint").alias("n_similar_cheaper"),
+    )
+
+
+@register(
+    "q44_approx_distinct",
+    tags=("agg", "approx"),
+)
+def q44_approx_distinct(spark, sf_dir):
+    """approx_count_distinct (HLL++) next to the exact count — sketch
+    aggregation surface; rows-only check (sketch estimates are
+    engine-specific), bounded-error asserted in pytest."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+    )
+
+
+@register(
+    "q45_predicate_surface",
+    sql="""
+    SELECT p_partkey,
+           p_type LIKE 'PRO%' AS is_promo,
+           p_type IN ('ECONOMY', 'STANDARD') AS is_cheap_tier,
+           p_size BETWEEN 10 AND 30 AS is_mid_size,
+           p_retailprice IS NULL AS no_price,
+           (p_size % 2 = 0 AND p_retailprice > 500.0)
+               OR p_brand = 'Brand#1' AS complex_pred,
+           NOT (p_type = 'PROMO') AS not_promo
+    FROM part
+    """,
+    tags=("filter", "predicates"),
+)
+def q45_predicate_surface(spark, sf_dir):
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_type").like("PRO%").alias("is_promo"),
+        F.col("p_type").isin("ECONOMY", "STANDARD").alias("is_cheap_tier"),
+        F.col("p_size").between(10, 30).alias("is_mid_size"),
+        F.col("p_retailprice").isNull().alias("no_price"),
+        (
+            ((F.col("p_size") % 2 == 0) & (F.col("p_retailprice") > 500.0))
+            | (F.col("p_brand") == "Brand#1")
+        ).alias("complex_pred"),
+        (~(F.col("p_type") == "PROMO")).alias("not_promo"),
+    )
+
+
+@register(
+    "q46_union_mixed_sources",
+    sql="""
+    SELECT 'order' AS src, o_orderkey AS key,
+           CAST(o_totalprice AS DECIMAL(12,2))::DOUBLE AS amount
+    FROM orders WHERE o_totalprice > 400000
+    UNION ALL
+    SELECT 'lineitem', l_orderkey,
+           CAST(l_extendedprice AS DECIMAL(12,2))::DOUBLE
+    FROM lineitem WHERE l_extendedprice > 99000
+    """,
+    tags=("setop", "union"),
+)
+def q46_union_mixed_sources(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    a = o.where(F.col("o_totalprice") > 400000).select(
+        F.lit("order").alias("src"),
+        F.col("o_orderkey").alias("key"),
+        dec("o_totalprice", 12, 2).cast("double").alias("amount"),
+    )
+    b = li.where(F.col("l_extendedprice") > 99000).select(
+        F.lit("lineitem").alias("src"),
+        F.col("l_orderkey").alias("key"),
+        dec("l_extendedprice", 12, 2).cast("double").alias("amount"),
+    )
+    return a.unionByName(b)
+
+
+@register(
+    "q47_date_trunc_grid",
+    sql="""
+    SELECT date_trunc('week', o_orderdate) AS wk,
+           date_trunc('month', o_orderdate) AS mo,
+           date_trunc('quarter', o_orderdate) AS qtr,
+           date_trunc('year', o_orderdate) AS yr,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY 1, 2, 3, 4
+    """,
+    tags=("scalar", "datetime"),
+)
+def q47_date_trunc_grid(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.date_trunc("week", "o_orderdate").alias("wk"),
+        F.date_trunc("month", "o_orderdate").alias("mo"),
+        F.date_trunc("quarter", "o_orderdate").alias("qtr"),
+        F.date_trunc("year", "o_orderdate").alias("yr"),
+    ).agg(F.count("*").alias("n"))
+
+
+@register(
+    "q48_string_agg",
+    sql="""
+    SELECT n_regionkey,
+           array_to_string(list_sort(list(n_name)), ',') AS nations,
+           COUNT(*) AS n
+    FROM nation GROUP BY n_regionkey
+    """,
+    tags=("agg", "collect"),
+)
+def q48_string_agg(spark, sf_dir):
+    """Order-canonicalized string aggregation (collect_list is
+    unordered in a distributed agg — always sort before joining)."""
+    n = table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+            "nations"
+        ),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "q49_conditional_aggs",
+    sql="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS open_value,
+           CAST(MAX(CASE WHEN o_orderstatus = 'P'
+                    THEN o_totalprice END) AS DOUBLE) AS max_pending,
+           round(avg(CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END), 9)
+               AS finished_ratio
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg", "conditional"),
+)
+def q49_conditional_aggs(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+        F.sum(
+            F.when(F.col("o_orderstatus") == "O", dec("o_totalprice", 12, 2))
+        )
+        .cast("double")
+        .alias("open_value"),
+        F.max(
+            F.when(F.col("o_orderstatus") == "P", F.col("o_totalprice"))
+        )
+        .cast("double")
+        .alias("max_pending"),
+        F.round(
+            F.avg(F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0)), 9
+        ).alias("finished_ratio"),
+    )
