@@ -1,0 +1,103 @@
+"""Skew- and layout-management utilities (100 TB posture).
+
+AQE's skew-join splitting handles most cases at runtime; these are the
+explicit tools for when the key distribution is known ahead of time:
+
+  salted_join       replicate the small side S ways, salt the big
+                    side's key — a hot key fans out over S reducers
+  key_histogram     find hot keys cheaply (sampled count-by-key)
+  write_bucketed    persist bucketBy(sort) tables so repeated joins
+                    on the key are co-located (no shuffle at read)
+  repartition_by    explicit pre-partitioning helper to reuse one
+                    shuffle across several downstream operators
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def key_histogram(df: DataFrame, key: str, fraction: float = 0.01,
+                  top: int = 20, seed: int = 42) -> DataFrame:
+    """Approximate hot-key histogram from a sample (one narrow pass +
+    tiny agg; use before choosing a salting factor)."""
+    return (
+        df.sample(fraction=fraction, seed=seed)
+        .groupBy(key)
+        .agg(F.count("*").alias("sampled_n"))
+        .orderBy(F.col("sampled_n").desc())
+        .limit(top)
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: the big side gets a random salt in
+    [0, S); the small side is exploded S× with every salt value. The
+    join key becomes (key, salt) so one hot key spreads over S
+    reducers. Correct for inner/left joins on an equi-key.
+
+    The S× replication is the price — use only for genuinely skewed
+    keys (salt the hot keys alone by filtering them into this path and
+    unioning with a plain join for the rest)."""
+    salted_big = big.withColumn(
+        "_salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    salted_small = small.withColumn(
+        "_salt",
+        F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])),
+    )
+    out = salted_big.join(salted_small, [key, "_salt"], how)
+    return out.drop("_salt")
+
+
+def split_salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    hot_keys: list,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Hybrid: salt ONLY the listed hot keys, plain-join the rest, and
+    union. This is the production pattern — pay replication only where
+    the skew is."""
+    hot = F.col(key).isin(hot_keys)
+    plain = big.where(~hot).join(small.where(~hot), key, how)
+    salted = salted_join(big.where(hot), small.where(hot), key,
+                         salt_buckets, how)
+    return plain.unionByName(salted)
+
+
+def repartition_by(df: DataFrame, *keys: str | Column,
+                   num_partitions: int | None = None) -> DataFrame:
+    """Explicit hash pre-partitioning; downstream groupBy/join on the
+    same keys reuses this shuffle (exchange reuse)."""
+    if num_partitions:
+        return df.repartition(num_partitions, *[F.col(k) if isinstance(k, str) else k for k in keys])
+    return df.repartition(*[F.col(k) if isinstance(k, str) else k for k in keys])
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    bucket_key: str,
+    num_buckets: int = 16,
+    sort_key: str | None = None,
+    path: str | None = None,
+) -> None:
+    """Persist as a bucketed (optionally sorted) table: two tables
+    bucketed identically on the join key join WITHOUT a shuffle."""
+    writer = df.write.mode("overwrite").format("parquet")
+    if path:
+        writer = writer.option("path", path)
+    writer = writer.bucketBy(num_buckets, bucket_key)
+    if sort_key:
+        writer = writer.sortBy(sort_key)
+    writer.saveAsTable(name)

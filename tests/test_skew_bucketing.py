@@ -1,0 +1,68 @@
+"""Skew utilities + bucketed-layout tests: salted joins must be
+result-identical to plain joins; bucketed tables must join without an
+exchange."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rc_rag_spark.operators import skew as SK
+from rc_rag_spark.sources import table
+
+
+def _canon(df, cols):
+    return sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    plain = li.join(o, "l_orderkey")
+    salted = SK.salted_join(li, o, "l_orderkey", salt_buckets=4)
+    cols = ["l_orderkey", "l_quantity", "o_totalprice"]
+    assert _canon(salted, cols) == _canon(plain, cols)
+
+
+def test_split_salted_join_equals_plain(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    hot = [r["l_orderkey"] for r in SK.key_histogram(li, "l_orderkey", fraction=0.5, top=5).collect()]
+    assert hot
+    plain = li.join(o, "l_orderkey")
+    hybrid = SK.split_salted_join(li, o, "l_orderkey", hot_keys=hot)
+    cols = ["l_orderkey", "l_quantity", "o_totalprice"]
+    assert _canon(hybrid, cols) == _canon(plain, cols)
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    SK.write_bucketed(
+        o, "b_orders", "o_orderkey", 8, path=str(tmp_path / "b_orders")
+    )
+    SK.write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem", "o_orderkey", 8, path=str(tmp_path / "b_li"),
+    )
+    joined = spark.table("b_lineitem").join(
+        spark.table("b_orders").hint("merge"), "o_orderkey"
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:2000]
+    assert joined.count() == li.count()
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    import rc_rag_spark.queries as q
+
+    rows = q.REGISTRY["q44_approx_distinct"].fn(spark, sf_dir).collect()
+    for r in rows:
+        rel_err = abs(r["approx_parts"] - r["exact_parts"]) / max(r["exact_parts"], 1)
+        assert rel_err < 0.1, (r["l_returnflag"], rel_err)
