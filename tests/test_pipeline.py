@@ -153,3 +153,19 @@ def test_safety_and_prompt_fusion_run(spark, sf_dir):
         out = D.run_pipeline(samples, backend="mock", fusion_strategy=strategy)
         vals = {r["pred_decision"] for r in out.select("pred_decision").collect()}
         assert vals <= {"keep", "discard"}, (strategy, vals)
+
+
+def test_pipeline_two_iterations_matches_golden(spark, sf_dir):
+    """D3 loop with num_iteration=2: early-exit rows keep their frozen
+    branch state; continuing rows re-prompt."""
+    samples = samples_from_documents(spark, sf_dir, limit=30)
+    out = D.run_pipeline(samples, backend="mock", num_iteration=2,
+                         fusion_strategy="probability")
+    rows = {r["id"]: r.asDict(recursive=True) for r in out.collect()}
+    srows = {r["id"]: r.asDict() for r in samples.collect()}
+    for sid, sample in srows.items():
+        want = golden_pipeline(sample, num_iteration=2)
+        got = rows[sid]
+        assert got["cf_use"]["pred_decision"] == want["cf_use_decision"], sid
+        assert got["cf_quality"]["pred_decision"] == want["cf_quality_decision"], sid
+        assert got["pred_decision"] == want["pred_decision"], sid

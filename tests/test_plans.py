@@ -1,0 +1,55 @@
+"""Physical-plan regression guards: the scale-critical plan properties
+(pushdown, broadcast, partial agg, top-k) must not silently degrade."""
+
+from __future__ import annotations
+
+import pytest
+
+import rc_rag_spark.queries as q
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = q.REGISTRY[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q02_revenue_forecast")
+    # plan toString truncates the filter list — presence of pushed
+    # predicates on the scan is the guard
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q07_customer_geography")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_partial_aggregation_before_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q01_pricing_summary")
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_global_topk_avoids_full_sort(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q19_top20_orders")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_column_pruning(spark, sf_dir):
+    """A 3-column projection must not scan all 11 lineitem columns."""
+    plan = plan_of(spark, sf_dir, "q28_slice_scan")
+    scan_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_extendedprice" not in scan_line
+    assert "l_shipdate" not in scan_line
+
+
+def test_semi_and_anti_join_operators(spark, sf_dir):
+    assert "LeftSemi" in plan_of(spark, sf_dir, "q10_big_spenders")
+    assert "LeftAnti" in plan_of(spark, sf_dir, "q11_inactive_customers")
+
+
+def test_no_cartesian_in_nonequi_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q14_premium_lineitems")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
