@@ -478,3 +478,52 @@ def q39_doc_fingerprint(spark, sf_dir):
         F.md5(T.normalize_answer("text")).alias("fingerprint"),
         F.length("text").cast("bigint").alias("text_len"),
     )
+
+
+# --- T6 (pandas UDF — engine-specific, rows-only) ------------------------
+
+@register("q56_rouge_scores", tags=("text", "t6"))
+def q56_rouge_scores(spark, sf_dir):
+    """ROUGE-L recall between constructed pred/ref pairs (Arrow-batched
+    LCS UDF; golden-tested in test_text_functions.py)."""
+    d = table(spark, sf_dir, "documents")
+    w = lambda i: F.split_part(F.col("text"), F.lit(" "), F.lit(i))  # noqa: E731
+    pred = F.concat_ws(" ", w(1), w(2), w(3), w(4))
+    refs = F.array(
+        F.concat_ws(" ", w(1), w(2), w(5)),
+        F.concat_ws(" ", w(3), w(4)),
+    )
+    return d.select(
+        "doc_id", F.round(T.rouge_l_recall(refs, pred), 9).alias("rouge_l")
+    )
+
+
+# --- P4: paragraph splitter ----------------------------------------------
+
+@register(
+    "q57_paragraph_split",
+    sql="""
+    WITH src AS (
+        SELECT doc_id,
+               substr(text, 1, 30) || chr(10) || chr(10) || '  ' || chr(10)
+               || substr(text, 31, 30) || chr(10) || lang AS multi
+        FROM documents
+    )
+    SELECT doc_id,
+           list_transform(
+               list_filter(string_split(multi, chr(10)),
+                           t -> trim(t) != ''),
+               t -> ': ' || t) AS paras
+    FROM src
+    """,
+    tags=("text", "p4"),
+)
+def q57_paragraph_split(spark, sf_dir):
+    """str2paras (reference code/utils.py:342-349): split on newline,
+    drop blank lines, prefix ': '."""
+    d = table(spark, sf_dir, "documents")
+    multi = F.concat(
+        F.substring("text", 1, 30), F.lit("\n\n  \n"),
+        F.substring("text", 31, 30), F.lit("\n"), F.col("lang"),
+    )
+    return d.select("doc_id", T.str2paras(multi).alias("paras"))
