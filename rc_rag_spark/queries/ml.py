@@ -40,3 +40,55 @@ def q74_video_frame_sample(spark, sf_dir):
         F.count("*").alias("n_frames"),
         F.sum(F.length("frame_payload")).cast("bigint").alias("total_bytes"),
     )
+
+
+@register("q75_knn_ivf", tags=("ml", "similarity", "ivf"))
+def q75_knn_ivf(spark, sf_dir):
+    """IVF (KMeans cells + probe) approximate top-5 — recall vs the
+    brute-force q64 asserted in tests."""
+    from rc_rag_spark.operators.ann import ivf_topk
+    from rc_rag_spark.sources import table
+
+    e = table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = e.where(F.col("vec_id") >= 5)
+    out = ivf_topk(corpus, queries, k=5, n_clusters=8, n_probe=4)
+    return out.select(
+        "query_id", "neighbor_id",
+        F.round("similarity", 9).alias("similarity"), "rank",
+    )
+
+
+@register(
+    "q76_quality_zscore",
+    sql="""
+    WITH t AS (
+        SELECT lang, CAST(n_chars AS DOUBLE) AS n_chars FROM documents
+    ),
+    s AS (
+        SELECT lang, n_chars,
+               AVG(n_chars) OVER (PARTITION BY lang) AS mu,
+               STDDEV_SAMP(n_chars) OVER (PARTITION BY lang) AS sigma,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM t
+    )
+    SELECT lang, n_chars,
+           round(CASE WHEN n < 2 OR sigma = 0 OR sigma IS NULL THEN 0.0
+                      ELSE (n_chars - mu) / sigma END, 6) AS zscore
+    FROM s
+    """,
+    tags=("groupmap", "stats"),
+)
+def q76_quality_zscore(spark, sf_dir):
+    """Per-language z-score of doc length via grouped-map
+    applyInPandas (oracle: the native window formulation in SQL)."""
+    from rc_rag_spark.operators.groupstats import zscore_grouped_map
+    from rc_rag_spark.sources import table
+
+    d = table(spark, sf_dir, "documents").select(
+        "lang", F.col("n_chars").cast("double").alias("n_chars")
+    )
+    out = zscore_grouped_map(d, ["lang"], "n_chars")
+    return out.withColumn("zscore", F.round("zscore", 6))

@@ -118,3 +118,45 @@ def test_exact_and_fingerprint_dedup(spark, sf_dir):
 def test_rows_only_queries_run(spark, sf_dir, name):
     df = q.REGISTRY[name].fn(spark, sf_dir)
     assert df.count() > 0
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    import rc_rag_spark.queries as q
+
+    exact = q.REGISTRY["q64_knn_bruteforce"].fn(spark, sf_dir).collect()
+    approx = q.REGISTRY["q75_knn_ivf"].fn(spark, sf_dir).collect()
+    es, as_ = {}, {}
+    for r in exact:
+        es.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in approx:
+        as_.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(es[k] & as_.get(k, set())) / len(es[k]) for k in es]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_zscore_grouped_map_matches_native(spark, sf_dir):
+    from rc_rag_spark.operators.groupstats import (
+        zscore_grouped_map,
+        zscore_native,
+    )
+    from rc_rag_spark.sources import table
+    from pyspark.sql import functions as F
+
+    d = table(spark, sf_dir, "documents").select(
+        "lang", F.col("n_chars").cast("double").alias("n_chars"),
+        "doc_id",
+    )
+    gm = zscore_grouped_map(
+        d.select("lang", "n_chars", "doc_id"), ["lang", "doc_id"], "n_chars"
+    )
+    # singleton groups → all zeros
+    assert all(r["zscore"] == 0.0 for r in gm.collect())
+    by_lang_gm = {
+        (r["lang"], r["n_chars"]): round(r["zscore"], 9)
+        for r in zscore_grouped_map(d.select("lang", "n_chars"), ["lang"], "n_chars").collect()
+    }
+    by_lang_native = {
+        (r["lang"], r["n_chars"]): round(r["zscore"], 9)
+        for r in zscore_native(d.select("lang", "n_chars"), ["lang"], "n_chars").collect()
+    }
+    assert by_lang_gm == by_lang_native
