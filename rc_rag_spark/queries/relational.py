@@ -280,9 +280,9 @@ def q08_regional_revenue(spark, sf_dir):
     sql="""
     SELECT c.c_mktsegment,
            COUNT(*) AS n_cust,
-           CAST(SUM(o.cnt) AS BIGINT) AS n_orders,
-           CAST(SUM(CASE WHEN o.cnt = 0 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_inactive
+           CAST(SUM(COALESCE(o.cnt, 0)) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN COALESCE(o.cnt, 0) = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_inactive
     FROM customer c
     LEFT JOIN (
         SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey
