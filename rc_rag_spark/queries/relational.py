@@ -1039,3 +1039,156 @@ def q49_conditional_aggs(spark, sf_dir):
             F.avg(F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0)), 9
         ).alias("finished_ratio"),
     )
+
+
+@register(
+    "q58_array_operations",
+    sql="""
+    WITH src AS (
+        SELECT doc_id, string_split(text, ' ')[1:8] AS words FROM documents
+    )
+    SELECT doc_id,
+           len(words) AS n_words,
+           list_sort(list_distinct(words)) AS sorted_distinct,
+           array_to_string(list_reverse(words), '|') AS reversed_join,
+           CAST(list_position(words, 'spark') AS INTEGER) AS spark_pos,
+           list_filter(words, w -> length(w) > 4) AS long_words,
+           list_transform(words, w -> upper(w)) AS upper_words,
+           words[2] AS second_word,
+           coalesce(len(list_filter(words, w -> w = 'the')) > 0, false)
+               AS has_the
+    FROM src
+    """,
+    tags=("scalar", "array"),
+)
+def q58_array_operations(spark, sf_dir):
+    """Array-function surface: slice/sort/distinct/reverse/position/
+    filter/transform/indexing/contains."""
+    d = table(spark, sf_dir, "documents")
+    words = F.slice(F.split("text", " "), 1, 8)
+    return d.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.array_sort(F.array_distinct(words)).alias("sorted_distinct"),
+        F.array_join(F.reverse(words), "|").alias("reversed_join"),
+        F.array_position(words, "spark").cast("int").alias("spark_pos"),
+        F.filter(words, lambda w: F.length(w) > 4).alias("long_words"),
+        F.transform(words, lambda w: F.upper(w)).alias("upper_words"),
+        F.element_at(words, 2).alias("second_word"),
+        F.array_contains(words, "the").alias("has_the"),
+    )
+
+
+@register(
+    "q59_first_last_values",
+    sql="""
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_order,
+           LAST_VALUE(o_orderkey) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS last_order,
+           CAST(NTH_VALUE(o_orderkey, 2) OVER w AS BIGINT) AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("window", "first-last"),
+)
+def q59_first_last_values(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(w).cast("bigint").alias("second_order"),
+    )
+
+
+@register(
+    "q77_shipping_priority",
+    sql="""
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+               AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+    tags=("join", "topk"),
+)
+def q77_shipping_priority(spark, sf_dir):
+    """TPC-H-Q3 shape: selective dim filter → join → agg → top-k
+    (TakeOrdered, no global sort)."""
+    c = table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    revenue = dec("l_extendedprice", 12, 2) * (F.lit(1) - dec("l_discount", 3, 2))
+    return (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q78_returned_items",
+    sql="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+               AS revenue,
+           COUNT(*) AS n_items
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    tags=("join", "topk"),
+)
+def q78_returned_items(spark, sf_dir):
+    """TPC-H-Q10 shape: returned-item revenue per customer."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    revenue = dec("l_extendedprice", 12, 2) * (F.lit(1) - dec("l_discount", 3, 2))
+    return (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .select("c_custkey", "c_name", "n_name", "revenue", "n_items")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
