@@ -1192,3 +1192,60 @@ def q78_returned_items(spark, sf_dir):
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
+
+
+# --- SQL-entry-path queries: ONE ANSI-SQL string runs verbatim on both
+# Spark SQL and DuckDB (exercises the engine's SQL front door).
+
+_Q79_SQL = """
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 45
+    )
+"""
+
+
+@register("q79_sql_exists", sql=_Q79_SQL, tags=("sql", "subquery"))
+def q79_sql_exists(spark, sf_dir):
+    load_tables(spark, sf_dir, register_views=True)
+    return spark.sql(_Q79_SQL)
+
+
+_Q80_SQL = """
+    SELECT o_orderpriority, COUNT(*) AS n
+    FROM orders
+    WHERE o_custkey IN (
+        SELECT c_custkey FROM customer WHERE c_acctbal < 0
+    )
+    GROUP BY o_orderpriority
+"""
+
+
+@register("q80_sql_in_subquery", sql=_Q80_SQL, tags=("sql", "subquery"))
+def q80_sql_in_subquery(spark, sf_dir):
+    load_tables(spark, sf_dir, register_views=True)
+    return spark.sql(_Q80_SQL)
+
+
+_Q81_SQL = """
+    WITH bal AS (
+        SELECT c_nationkey,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM customer GROUP BY c_nationkey
+    ),
+    ranked AS (
+        SELECT n.n_name, b.total,
+               CAST(RANK() OVER (ORDER BY b.total DESC, n.n_name) AS INTEGER)
+                   AS rnk
+        FROM bal b JOIN nation n ON n.n_nationkey = b.c_nationkey
+    )
+    SELECT n_name, total, rnk FROM ranked WHERE rnk <= 10
+"""
+
+
+@register("q81_sql_cte_rank", sql=_Q81_SQL, tags=("sql", "cte"))
+def q81_sql_cte_rank(spark, sf_dir):
+    load_tables(spark, sf_dir, register_views=True)
+    return spark.sql(_Q81_SQL)
