@@ -125,3 +125,28 @@ def test_late_data_dropped_with_watermark(spark, events_dir):
     for r in got:
         key = (str(r["window_start"]), r["event_type"])
         assert batch[key] == (r["n"], r["sum_value"]), key
+
+
+def test_session_append_mode_prefix_correct(spark, events_dir):
+    """Session windows in append mode (watermark-finalized sessions
+    only) must be a subset of the batch sessions with equal aggregates."""
+    stream = W.session_aggregate(
+        W.with_watermark(stream_events(spark, events_dir), "30 minutes"),
+        "10 minutes",
+    )
+    got = run_stream(spark, stream, output_mode="append")
+    batch = {
+        (r["user_id"], str(r["session_start"])): (
+            str(r["session_end"]), r["n_events"], r["sum_value"]
+        )
+        for r in W.session_aggregate(
+            batch_events(spark, events_dir), "10 minutes"
+        ).collect()
+    }
+    assert len(got) > 0
+    for r in got:
+        key = (r["user_id"], str(r["session_start"]))
+        assert key in batch, key
+        assert batch[key] == (
+            str(r["session_end"]), r["n_events"], r["sum_value"]
+        ), key

@@ -203,3 +203,25 @@ def test_str2paras(spark):
     )
     got = collect_map(df, T.str2paras("txt"))
     assert got[0] == [": line one", ": line two"]
+
+
+def test_exact_tokenizer_random_unicode_parity(spark):
+    """Exact tokenizer vs golden on deterministic pseudo-random strings
+    spanning Latin, accents, CJK, combining marks, punctuation."""
+    import random
+
+    rng = random.Random(42)
+    pool = (
+        "abcdefgh ABCDEFGH 0123456789 .,;:!?-_#$%&@ "
+        "àáâäçèéêëñöü ÀÉÎÕÜ ㄱㄴㄷ 日本語中文 ”“«» ́̈ \t\n"
+    )
+    cases = [
+        "".join(rng.choice(pool) for _ in range(rng.randint(0, 80)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "idx int, txt string"
+    )
+    got = collect_map(df, T.exact_tokenize("txt"))
+    for i, c in enumerate(cases):
+        assert got[i] == G.tokenize(c), f"case {i}: {c!r}"
