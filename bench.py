@@ -47,7 +47,14 @@ def main() -> None:
     from rc_rag_spark.session import build_session
     import rc_rag_spark.queries as q
 
-    spark = build_session(app_name="rc-rag-spark-bench")
+    # Size shuffle parallelism to the data: sf0.1 shuffles are a few MB,
+    # where 32 reduce tasks are pure scheduling overhead. At cluster
+    # scale this knob is per-job (AQE coalesces downward, not upward).
+    shuffle_parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8")
+    spark = build_session(
+        app_name="rc-rag-spark-bench",
+        extra_conf={"spark.sql.shuffle.partitions": shuffle_parts},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     names = [n for n in HEADLINE if n in q.REGISTRY]

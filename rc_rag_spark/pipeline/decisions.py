@@ -152,10 +152,17 @@ def counterfactual_branch(df: DataFrame, branch: str, backend: str = "mock",
                 ).otherwise(F.col(msgs_col)),
             )
         # NULL messages for settled rows ⇒ the batched UDF skips them.
-        # Materialize first: the UDF input must be a leaf column (the
-        # planner cannot evaluate subexpression proxies feeding a
-        # Python UDF), and the LLM stage must never re-execute.
-        df = _materialize(df.withColumn("_live_msgs", F.when(active, F.col(msgs_col))))
+        # Iteration 0: every row is active and the conversation is a
+        # plain expression over checkpointed leaves — feed the UDF
+        # directly. Later iterations gate on the branch struct (whose
+        # CASE/struct rebuilds produce subexpression proxies the
+        # planner cannot feed into a Python UDF) — materialize first.
+        if i == 0:
+            df = df.withColumn("_live_msgs", F.col(msgs_col))
+        else:
+            df = _materialize(
+                df.withColumn("_live_msgs", F.when(active, F.col(msgs_col)))
+            )
         df = _materialize(df.withColumn("_resp", llm_call("_live_msgs", backend, **backend_kw)))
 
         df = df.withColumn("_parsed", P.parse_prediction("_resp"))
