@@ -35,6 +35,46 @@ DEFAULT_CONF = {
 }
 
 
+_PKG_ZIP: str | None = None
+_SHIPPED_CONTEXTS: set[int] = set()
+
+
+def _package_zip() -> str:
+    """Zip this package so executors can import it regardless of the
+    driver process's cwd/sys.path (UDF closures unpickle module refs
+    on the workers)."""
+    global _PKG_ZIP
+    if _PKG_ZIP is None:
+        import tempfile
+        import zipfile
+
+        import rc_rag_spark
+
+        pkg_dir = os.path.dirname(os.path.abspath(rc_rag_spark.__file__))
+        zpath = os.path.join(tempfile.gettempdir(), "rc_rag_spark_pkg.zip")
+        with zipfile.ZipFile(zpath, "w") as z:
+            for root, _, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        z.write(full, rel)
+        _PKG_ZIP = zpath
+    return _PKG_ZIP
+
+
+def ensure_worker_imports(spark: SparkSession) -> None:
+    """Make rc_rag_spark importable on executor Python workers."""
+    try:
+        sc = spark.sparkContext
+        if id(sc) in _SHIPPED_CONTEXTS:
+            return
+        sc.addPyFile(_package_zip())
+        _SHIPPED_CONTEXTS.add(id(sc))
+    except Exception:
+        pass
+
+
 def build_session(
     app_name: str = "rc-rag-spark",
     master: str | None = None,
@@ -52,12 +92,15 @@ def build_session(
         conf.update(extra_conf)
     for k, v in conf.items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    ensure_worker_imports(spark)
+    return spark
 
 
 def tune_runtime(spark: SparkSession) -> None:
     """Apply runtime-settable engine conf to an externally-built session
     (the correctness driver hands us its own session)."""
+    ensure_worker_imports(spark)
     for key in (
         "spark.sql.session.timeZone",
         "spark.sql.adaptive.enabled",
