@@ -1249,3 +1249,92 @@ _Q81_SQL = """
 def q81_sql_cte_rank(spark, sf_dir):
     load_tables(spark, sf_dir, register_views=True)
     return spark.sql(_Q81_SQL)
+
+
+@register(
+    "q82_explode_words",
+    sql="""
+    SELECT doc_id, w.word, CAST(w.pos AS INTEGER) AS pos
+    FROM documents,
+         LATERAL (SELECT unnest(string_split(text, ' ')[1:6]) AS word,
+                         generate_subscripts(string_split(text, ' ')[1:6], 1)
+                             AS pos) w
+    WHERE w.word != ''
+    """,
+    tags=("reshape", "explode"),
+)
+def q82_explode_words(spark, sf_dir):
+    """posexplode (lateral flatten) — one row per array element with
+    its 1-based position."""
+    d = table(spark, sf_dir, "documents")
+    words = F.slice(F.split("text", " "), 1, 6)
+    return (
+        d.select("doc_id", F.posexplode(words).alias("pos0", "word"))
+        .where(F.col("word") != "")
+        .select("doc_id", "word", (F.col("pos0") + 1).cast("int").alias("pos"))
+    )
+
+
+@register(
+    "q83_unpivot_balances",
+    sql="""
+    SELECT n_regionkey, metric, CAST(val AS DOUBLE) AS val
+    FROM (
+        SELECT n_regionkey,
+               CAST(COUNT(*) AS DOUBLE) AS n_nations,
+               CAST(MIN(n_nationkey) AS DOUBLE) AS min_key,
+               CAST(MAX(n_nationkey) AS DOUBLE) AS max_key
+        FROM nation GROUP BY n_regionkey
+    ) UNPIVOT (val FOR metric IN (n_nations, min_key, max_key))
+    """,
+    tags=("reshape", "unpivot"),
+)
+def q83_unpivot_balances(spark, sf_dir):
+    """Wide→long unpivot (melt)."""
+    n = table(spark, sf_dir, "nation")
+    wide = n.groupBy("n_regionkey").agg(
+        F.count("*").cast("double").alias("n_nations"),
+        F.min("n_nationkey").cast("double").alias("min_key"),
+        F.max("n_nationkey").cast("double").alias("max_key"),
+    )
+    return wide.unpivot(
+        ["n_regionkey"], ["n_nations", "min_key", "max_key"], "metric", "val"
+    )
+
+
+@register(
+    "q84_date_spine_gapfill",
+    sql="""
+    WITH spine AS (
+        SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                      TIMESTAMP '2024-01-30 00:00:00',
+                                      INTERVAL 1 DAY)) AS day
+    ),
+    daily AS (
+        SELECT date_trunc('day', ts) AS day, COUNT(*) AS n
+        FROM events GROUP BY date_trunc('day', ts)
+    )
+    SELECT s.day, CAST(COALESCE(d.n, 0) AS BIGINT) AS n_events
+    FROM spine s LEFT JOIN daily d ON d.day = s.day
+    """,
+    tags=("reshape", "gapfill"),
+)
+def q84_date_spine_gapfill(spark, sf_dir):
+    """Gap-filled daily counts: generated date spine LEFT JOIN actuals
+    (F.sequence + explode — the idiomatic Spark date spine)."""
+    e = table(spark, sf_dir, "events")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("timestamp"),
+                F.lit("2024-01-30").cast("timestamp"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    return spine.join(daily, "day", "left").select(
+        "day", F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events")
+    )
