@@ -113,9 +113,9 @@ _REFUSAL_RE = _refusal_regex()
 def is_refusal(col: str | Column) -> Column:
     """True iff the text token-contains any refusal phrase (T2
     semantics, code/utils.py:208-211)."""
-    from rc_rag_spark.functions.text import _joined, simple_tokenize
+    from rc_rag_spark.functions.text import joined_tokens
 
-    return _joined(simple_tokenize(_c(col))).rlike(_REFUSAL_RE)
+    return joined_tokens(_c(col)).rlike(_REFUSAL_RE)
 
 
 # --- X2 ------------------------------------------------------------------
