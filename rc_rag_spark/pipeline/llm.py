@@ -125,6 +125,56 @@ def _openai_chat_factory(endpoint: str, model: str, api_key: str,
     return call
 
 
+def _vllm_chat_factory(model_path: str, temperature: float = 0.0,
+                       max_tokens: int = 256):
+    """In-process vLLM backend (reference code/llm_ours.py:60-65).
+    The vllm package is not installed in this container — the factory
+    import-gates and raises clearly; the call shape (one engine per
+    Python worker, batched generate) is the real design."""
+    try:
+        from vllm import LLM, SamplingParams  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - lib absent here
+        raise NotImplementedError(
+            "vllm is not available in this environment; use the "
+            "'openai' backend against a vLLM server instead"
+        ) from exc
+
+    llm = LLM(model=model_path)  # pragma: no cover
+    params = SamplingParams(temperature=temperature, max_tokens=max_tokens)
+
+    def call(messages: list[dict]) -> str | None:  # pragma: no cover
+        out = llm.chat(messages, params)
+        return out[0].outputs[0].text if out else None
+
+    return call
+
+
+def _http_chat_factory(url: str, max_retries: int = 5, timeout: int = 120):
+    """Generic JSON-POST chat backend (reference's internal HTTP
+    service shape, code/llm_ours.py:68-82): POST {messages:[...]} →
+    {text: "..."} with bounded backoff."""
+
+    def call(messages: list[dict]) -> str | None:
+        import json
+        import time
+        import urllib.request
+
+        body = json.dumps({"messages": messages}).encode()
+        for attempt in range(max_retries):
+            try:
+                req = urllib.request.Request(
+                    url, data=body,
+                    headers={"Content-Type": "application/json"},
+                )
+                with urllib.request.urlopen(req, timeout=timeout) as resp:
+                    return json.loads(resp.read()).get("text")
+            except Exception:
+                time.sleep(min(2 ** attempt, 30))
+        return None
+
+    return call
+
+
 BACKENDS: dict[str, Callable[..., Callable[[list[dict]], str | None]]] = {
     "mock": lambda **kw: mock_chat,
     "echo": lambda **kw: (
@@ -134,6 +184,8 @@ BACKENDS: dict[str, Callable[..., Callable[[list[dict]], str | None]]] = {
         )
     ),
     "openai": _openai_chat_factory,
+    "vllm": _vllm_chat_factory,
+    "http": _http_chat_factory,
 }
 
 

@@ -85,3 +85,22 @@ def read_jsonl(
 def write_jsonl(df: DataFrame, path: str, mode: str = "append") -> None:
     """JSONL append sink (reference S2)."""
     df.write.mode(mode).json(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    mode: str = "overwrite",
+    max_records_per_file: int = 1_000_000,
+) -> None:
+    """Partitioned parquet sink (the at-scale S2): directory-partition
+    on low-cardinality keys so downstream reads get partition pruning
+    (PartitionFilters in the scan), with per-file record caps to avoid
+    giant files."""
+    (
+        df.write.mode(mode)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )

@@ -55,3 +55,37 @@ def test_jsonl_roundtrip(spark, sf_dir, workdir):
     # append semantics (reference S2 appends one line per record)
     write_jsonl(src.limit(5), path, mode="append")
     assert read_jsonl(spark, path, schema=src.schema).count() == src.count() + 5
+
+
+def test_partitioned_sink_prunes(spark, sf_dir, workdir):
+    from rc_rag_spark.sources.registry import write_partitioned
+
+    o = table(spark, sf_dir, "orders")
+    path = f"{workdir}/orders_part"
+    write_partitioned(o, path, ["o_orderstatus"])
+    back = spark.read.parquet(path)
+    assert back.count() == o.count()
+    pruned = back.where(F.col("o_orderstatus") == "F")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan, plan[:800]
+    want = o.where(F.col("o_orderstatus") == "F").count()
+    assert pruned.count() == want
+
+
+def test_unknown_llm_backend_raises(spark):
+    import pytest as _pytest
+
+    from rc_rag_spark.pipeline.llm import BACKENDS, llm_call
+
+    assert set(BACKENDS) == {"mock", "echo", "openai", "vllm", "http"}
+    with _pytest.raises(KeyError):
+        llm_call("x", backend="nope")
+
+
+def test_vllm_backend_stub_raises():
+    import pytest as _pytest
+
+    from rc_rag_spark.pipeline.llm import _vllm_chat_factory
+
+    with _pytest.raises(NotImplementedError):
+        _vllm_chat_factory("/no/model")
