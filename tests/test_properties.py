@@ -18,13 +18,13 @@ TEXT = st.text(
 )
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=30, deadline=None, derandomize=True)
 @given(TEXT)
 def test_normalize_idempotent_python(s):
     assert G.normalize(G.normalize(s)) == G.normalize(s)
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=30, deadline=None, derandomize=True)
 @given(TEXT)
 def test_tokenize_self_containment(s):
     """has_answer(x, x) == 1 whenever x produces any tokens."""
@@ -33,7 +33,7 @@ def test_tokenize_self_containment(s):
         assert G.has_answer([s], s) == 1
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=30, deadline=None, derandomize=True)
 @given(TEXT.filter(lambda s: G.normalize(s) != ""))
 def test_em_implies_f1(s):
     assert G.f1([s], s) == 1.0
