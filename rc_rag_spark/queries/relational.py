@@ -1338,3 +1338,57 @@ def q84_date_spine_gapfill(spark, sf_dir):
     return spine.join(daily, "day", "left").select(
         "day", F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events")
     )
+
+
+@register(
+    "q85_statistical_aggs",
+    sql="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+           round(stddev_samp(l_quantity), 6) AS qty_stddev,
+           round(var_samp(l_quantity), 6) AS qty_var
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def q85_statistical_aggs(spark, sf_dir):
+    """Statistical moments (corr/covar/stddev/var). Both engines
+    accumulate doubles in different orders — results agree to ~1e-12
+    relative, rounded well above that. (skewness is deliberately
+    absent: Spark computes population g1, DuckDB the bias-corrected
+    sample G1 — different definitions, not float noise.)"""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_covar"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
+        F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
+    )
+
+
+@register(
+    "q86_rank_distributions",
+    sql="""
+    SELECT o_orderkey,
+           round(PERCENT_RANK() OVER w, 9) AS pct_rank,
+           round(CUME_DIST() OVER w, 9) AS cume,
+           CAST(DENSE_RANK() OVER (
+               PARTITION BY o_orderstatus ORDER BY o_orderpriority
+           ) AS INTEGER) AS prio_dense_rank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+    tags=("window", "rank"),
+)
+def q86_rank_distributions(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    wd = Window.partitionBy("o_orderstatus").orderBy("o_orderpriority")
+    return o.select(
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+        F.dense_rank().over(wd).cast("int").alias("prio_dense_rank"),
+    )

@@ -160,3 +160,29 @@ def test_zscore_grouped_map_matches_native(spark, sf_dir):
         for r in zscore_native(d.select("lang", "n_chars"), ["lang"], "n_chars").collect()
     }
     assert by_lang_gm == by_lang_native
+
+
+def test_simhash_band_join_is_complete(spark, sf_dir):
+    """Pigeonhole completeness: for hamming distance < num_bands the
+    band-bucket join must find EXACTLY the brute-force pair set."""
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    sh = d.select("doc_id", DD.simhash64("text").alias("sh")).cache()
+    a, b = sh.alias("a"), sh.alias("b")
+    brute = {
+        (r["ia"], r["ib"])
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("ia"),
+            F.col("b.doc_id").alias("ib"),
+            DD.hamming64(F.col("a.sh"), F.col("b.sh")).alias("h"),
+        )
+        .where(F.col("h") <= 3)
+        .collect()
+    }
+    banded = {
+        (r["id_a"], r["id_b"])
+        for r in DD.simhash_near_dup_pairs(
+            d, "doc_id", "text", max_hamming=3, num_bands=4
+        ).collect()
+    }
+    assert banded == brute
