@@ -1,0 +1,73 @@
+"""Self-tests of the oracle-parity harness: a gate that cannot fail is
+not a gate. Deliberately perturbed results must be rejected."""
+
+from __future__ import annotations
+
+import pytest
+
+import rc_rag_spark.queries as q
+from tests.oracle import assert_parity, canonicalize, run_oracle
+
+
+def test_harness_rejects_wrong_values(spark, sf_dir):
+    spec = q.REGISTRY["q01_pricing_summary"]
+
+    class Mutated:
+        sql = spec.sql
+
+        @staticmethod
+        def fn(spark, sf_dir):
+            from pyspark.sql import functions as F
+
+            return spec.fn(spark, sf_dir).withColumn(
+                "sum_qty", F.col("sum_qty") + 0.01
+            )
+
+    with pytest.raises(AssertionError, match="row mismatches"):
+        assert_parity(spark, "q01_mutated", Mutated, sf_dir)
+
+
+def test_harness_rejects_missing_rows(spark, sf_dir):
+    spec = q.REGISTRY["q03_distinct_parts"]
+
+    class Truncated:
+        sql = spec.sql
+
+        @staticmethod
+        def fn(spark, sf_dir):
+            return spec.fn(spark, sf_dir).limit(1)
+
+    with pytest.raises(AssertionError, match="row count"):
+        assert_parity(spark, "q03_truncated", Truncated, sf_dir)
+
+
+def test_harness_rejects_renamed_columns(spark, sf_dir):
+    spec = q.REGISTRY["q03_distinct_parts"]
+
+    class Renamed:
+        sql = spec.sql
+
+        @staticmethod
+        def fn(spark, sf_dir):
+            return spec.fn(spark, sf_dir).withColumnRenamed("n", "count")
+
+    with pytest.raises(AssertionError, match="column mismatch"):
+        assert_parity(spark, "q03_renamed", Renamed, sf_dir)
+
+
+def test_canonicalize_float_rounding():
+    import pandas as pd
+
+    a = canonicalize(pd.DataFrame({"x": [1.0000000001]}))
+    b = canonicalize(pd.DataFrame({"x": [1.0000000002]}))
+    c = canonicalize(pd.DataFrame({"x": [1.001]}))
+    assert a == b  # below 1e-9 → equal after rounding
+    assert a != c
+
+
+def test_oracle_runner_registers_all_views(sf_dir):
+    df = run_oracle(
+        "SELECT (SELECT COUNT(*) FROM region) AS r,"
+        " (SELECT COUNT(*) FROM embeddings) AS e", sf_dir
+    )
+    assert df["r"][0] == 5 and df["e"][0] > 0
