@@ -285,10 +285,34 @@ def q69_token_counts(spark, sf_dir):
     )
 
 
-@register("q70_language_id", tags=("textstats", "langid"))
+def _langid_sql() -> str:
+    """DuckDB mirror of textstats.language_id: per-language marker-hit
+    ratios, argmax with alphabetical-first tie-break, 'und' when all
+    zero."""
+    toks = "regexp_extract_all(lower(text), '[\\pL\\pN\\pM]+|[^\\pZ\\pC]')"
+    ratios = []
+    for lang in sorted(TS.LANG_MARKERS):
+        markers = ", ".join(f"'{m}'" for m in TS.LANG_MARKERS[lang])
+        ratios.append(
+            f"CAST(len(list_filter(toks, x -> x IN ({markers}))) AS DOUBLE)"
+            f" / greatest(len(toks), 1) AS s_{lang}"
+        )
+    langs = sorted(TS.LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN s_{lg} = {best} THEN '{lg}'" for lg in langs
+    ) + " ELSE 'und' END"
+    return f"""
+    WITH t AS (SELECT doc_id, lang, {toks} AS toks FROM documents),
+    r AS (SELECT doc_id, lang, {', '.join(ratios)} FROM t)
+    SELECT doc_id, lang, {case} AS lang_pred FROM r
+    """
+
+
+@register("q70_language_id", sql=_langid_sql(), tags=("textstats", "langid"))
 def q70_language_id(spark, sf_dir):
-    """Heuristic language ID (marker-ratio argmax). Rows-only driver
-    check; determinism + marker behavior tested in pytest."""
+    """Heuristic language ID (marker-ratio argmax), oracle-checked
+    against an independent SQL formulation."""
     d = table(spark, sf_dir, "documents")
     return d.select(
         "doc_id", "lang", TS.language_id("text").alias("lang_pred")

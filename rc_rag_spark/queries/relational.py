@@ -888,16 +888,25 @@ def q43_range_frame_spend(spark, sf_dir):
 
 @register(
     "q44_approx_distinct",
+    sql="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           abs(approx_count_distinct(l_partkey) - COUNT(DISTINCT l_partkey))
+               <= 0.05 * COUNT(DISTINCT l_partkey) AS within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
     tags=("agg", "approx"),
 )
 def q44_approx_distinct(spark, sf_dir):
-    """approx_count_distinct (HLL++) next to the exact count — sketch
-    aggregation surface; rows-only check (sketch estimates are
-    engine-specific), bounded-error asserted in pytest."""
+    """approx_count_distinct (HLL) next to the exact count. Raw sketch
+    estimates are engine-specific, so the oracle checks the CONTRACT:
+    each engine's own estimate lands within 5% of the exact count."""
     li = table(spark, sf_dir, "lineitem")
+    approx = F.approx_count_distinct("l_partkey", rsd=0.02)
+    exact = F.count_distinct("l_partkey")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.count_distinct("l_partkey").alias("exact_parts"),
+        exact.alias("exact_parts"),
+        (F.abs(approx - exact) <= 0.05 * exact).alias("within_5pct"),
     )
 
 
