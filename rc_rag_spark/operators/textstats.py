@@ -127,6 +127,23 @@ def quality_score(col: str | Column) -> Column:
     )
 
 
+def rolling_md5_fingerprint(col: str | Column, window: int = 16) -> Column:
+    """Portable winnowing fingerprint: lexicographic min of md5 hex
+    over character windows of the normalized text (engine-agnostic —
+    md5 strings compare identically everywhere; use
+    rolling_hash_fingerprint/xxhash64 for the cheaper scale path)."""
+    from rc_rag_spark.functions.text import normalize_answer
+
+    s = normalize_answer(col)
+    n = F.length(s) - (window - 1)
+    grams = F.when(n <= 0, F.array(s)).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n), lambda i: F.substring(s, i, window)
+        )
+    )
+    return F.array_min(F.transform(grams, lambda g: F.md5(g)))
+
+
 def rolling_hash_fingerprint(col: str | Column, window: int = 16) -> Column:
     """Winnowing-style document fingerprint: min xxhash64 over
     character n-gram windows of the normalized text (native; one value

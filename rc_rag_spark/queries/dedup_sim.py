@@ -319,11 +319,32 @@ def q70_language_id(spark, sf_dir):
     )
 
 
-@register("q71_rolling_fingerprint", tags=("textstats", "fingerprint"))
+_Q71_NORM = (
+    "trim(regexp_replace(regexp_replace(regexp_replace("
+    "lower(text), '[[:punct:]]', '', 'g'),"
+    " '\\b(a|an|the)\\b', ' ', 'g'), '\\s+', ' ', 'g'))"
+)
+
+
+@register(
+    "q71_rolling_fingerprint",
+    sql=f"""
+    WITH t AS (SELECT doc_id, {_Q71_NORM} AS s FROM documents)
+    SELECT doc_id,
+           CASE WHEN length(s) - 15 <= 0 THEN md5(s)
+                ELSE list_aggregate(list_transform(
+                         generate_series(1, length(s) - 15),
+                         i -> md5(substr(s, i, 16))), 'min')
+           END AS fingerprint
+    FROM t
+    """,
+    tags=("textstats", "fingerprint"),
+)
 def q71_rolling_fingerprint(spark, sf_dir):
-    """Winnowing-style min-hash-over-windows fingerprint (xxhash64 is
-    Spark-specific — rows-only check; determinism tested in pytest)."""
+    """Winnowing-style fingerprint: min md5 over 16-char windows of
+    the normalized text (portable variant; xxhash64 variant is the
+    cheaper engine-internal path)."""
     d = table(spark, sf_dir, "documents")
     return d.select(
-        "doc_id", TS.rolling_hash_fingerprint("text").alias("fingerprint")
+        "doc_id", TS.rolling_md5_fingerprint("text").alias("fingerprint")
     )
