@@ -63,6 +63,7 @@ def test_approx_distinct_error_bound(spark, sf_dir):
     import rc_rag_spark.queries as q
 
     rows = q.REGISTRY["q44_approx_distinct"].fn(spark, sf_dir).collect()
+    assert rows
     for r in rows:
-        rel_err = abs(r["approx_parts"] - r["exact_parts"]) / max(r["exact_parts"], 1)
-        assert rel_err < 0.1, (r["l_returnflag"], rel_err)
+        assert r["within_5pct"] is True, r["l_returnflag"]
+        assert r["exact_parts"] > 0
