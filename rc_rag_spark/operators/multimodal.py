@@ -72,10 +72,19 @@ FRAME_SCHEMA = StructType(
 
 
 def _decode_image(payload: bytes) -> "object":
-    """STUB: real implementation would use PIL/opencv (absent here)."""
-    raise NotImplementedError(
-        "image decode requires PIL/opencv — not available in this container"
-    )
+    """Import-gated image decode: uses PIL when present (not in this
+    container), else raises — the mapInPandas plumbing around it is
+    real either way."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image decode requires PIL/opencv — not available in this "
+            "container"
+        ) from exc
+    return Image.open(io.BytesIO(payload))
 
 
 def _decode_audio(payload: bytes) -> "object":

@@ -33,6 +33,12 @@ TEXTS = [
     "no digits here",
     "The answer is Passage-7 and Passage-3 together",
     "multi ## first ## and ## second ## groups",
+    # X4 9-char-window boundary (utils.py:261-263,271-273): a mention
+    # with NO char after the 9-char window is not captured
+    "ends with Passage-5",
+    "ends with Passage-5.",
+    "two Passage-1 then tail Passage-2",
+    "two mentions at end Passage-1 Passage-2",
 ]
 
 REFS = [
