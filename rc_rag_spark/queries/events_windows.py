@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from rc_rag_spark.queries.core import register, sql_dsum
+from rc_rag_spark.queries.core import dec, register, sql_dsum
 from rc_rag_spark.sources import table
 from rc_rag_spark.streaming import windows as W
 
@@ -135,3 +135,106 @@ def q55_user_totals(spark, sf_dir):
     """Per-user running totals — the batch twin of the
     applyInPandasWithState streaming operator."""
     return W.stateful_user_totals(table(spark, sf_dir, "events"))
+
+
+@register(
+    "q56_event_anomalies",
+    sql="""
+    WITH stats AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(value AS DECIMAL(14,2))
+                        * CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS s2
+        FROM events GROUP BY event_type
+    ),
+    m AS (
+        SELECT event_type, n, s1 / n AS mu,
+               greatest(s2 / n - (s1 / n) * (s1 / n), 0.0) AS var_pop
+        FROM stats
+    )
+    SELECT e.event_id, e.event_type,
+           round((e.value - m.mu) / sqrt(m.var_pop), 6) AS zscore,
+           abs(e.value - m.mu) > 2 * sqrt(m.var_pop) AS is_anomaly
+    FROM events e JOIN m ON m.event_type = e.event_type
+    """,
+    tags=("streaming", "anomaly"),
+)
+def q56_event_anomalies(spark, sf_dir):
+    """Z-score anomaly flags per event_type with EXACT moment sums
+    (decimal Σx, Σx² → population variance is order-independent, so
+    the flag boundary is deterministic under any partitioning)."""
+    e = table(spark, sf_dir, "events")
+    v = dec("value", 14, 2)
+    stats = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(v).cast("double").alias("s1"),
+        F.sum(v * v).cast("double").alias("s2"),
+    )
+    m = stats.select(
+        "event_type",
+        (F.col("s1") / F.col("n")).alias("mu"),
+        F.greatest(
+            F.col("s2") / F.col("n")
+            - (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n")),
+            F.lit(0.0),
+        ).alias("var_pop"),
+    )
+    return e.join(F.broadcast(m), "event_type").select(
+        "event_id",
+        "event_type",
+        F.round((F.col("value") - F.col("mu")) / F.sqrt("var_pop"), 6).alias(
+            "zscore"
+        ),
+        (F.abs(F.col("value") - F.col("mu")) > 2 * F.sqrt("var_pop")).alias(
+            "is_anomaly"
+        ),
+    )
+
+
+@register(
+    "q57_funnel_stages",
+    sql="""
+    WITH per_user AS (
+        SELECT user_id,
+               MIN(ts) FILTER (WHERE event_type = 'view') AS first_view,
+               MIN(ts) FILTER (WHERE event_type = 'click') AS first_click,
+               MIN(ts) FILTER (WHERE event_type = 'purchase') AS first_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           CAST(SUM(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS viewed,
+           CAST(SUM(CASE WHEN first_view IS NOT NULL
+                         AND first_click > first_view THEN 1 ELSE 0 END)
+                AS BIGINT) AS clicked_after_view,
+           CAST(SUM(CASE WHEN first_view IS NOT NULL
+                         AND first_click > first_view
+                         AND first_purchase > first_click
+                    THEN 1 ELSE 0 END) AS BIGINT) AS purchased_after_click
+    FROM per_user
+    """,
+    tags=("streaming", "funnel"),
+)
+def q57_funnel_stages(spark, sf_dir):
+    """view→click→purchase funnel: per-user first-event times
+    (conditional MIN — one hash agg), then ordered-stage counts."""
+    e = table(spark, sf_dir, "events")
+
+    def first(evt):
+        return F.min(F.when(F.col("event_type") == evt, F.col("ts")))
+
+    per_user = e.groupBy("user_id").agg(
+        first("view").alias("first_view"),
+        first("click").alias("first_click"),
+        first("purchase").alias("first_purchase"),
+    )
+    viewed = F.col("first_view").isNotNull()
+    clicked = viewed & (F.col("first_click") > F.col("first_view"))
+    purchased = clicked & (F.col("first_purchase") > F.col("first_click"))
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.sum(viewed.cast("int")).cast("bigint").alias("viewed"),
+        F.sum(clicked.cast("int")).cast("bigint").alias("clicked_after_view"),
+        F.sum(purchased.cast("int")).cast("bigint").alias("purchased_after_click"),
+    )
