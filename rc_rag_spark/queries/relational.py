@@ -1401,3 +1401,45 @@ def q86_rank_distributions(spark, sf_dir):
         F.round(F.cume_dist().over(w), 9).alias("cume"),
         F.dense_rank().over(wd).cast("int").alias("prio_dense_rank"),
     )
+
+
+@register(
+    "q87_map_functions",
+    sql="""
+    WITH src AS (
+        SELECT doc_id,
+               map(string_split(text, ' ')[1:3],
+                   [1 * CAST(doc_id AS INTEGER),
+                    2 * CAST(doc_id AS INTEGER),
+                    3 * CAST(doc_id AS INTEGER)]) AS m,
+               string_split(text, ' ')[2] AS probe_key
+        FROM documents
+        WHERE len(list_distinct(string_split(text, ' ')[1:3])) = 3
+    )
+    SELECT doc_id,
+           list_sort(map_keys(m)) AS keys_sorted,
+           CAST(cardinality(m) AS INTEGER) AS map_size,
+           map_extract(m, probe_key)[1] AS probe_value
+    FROM src
+    """,
+    tags=("scalar", "map"),
+)
+def q87_map_functions(spark, sf_dir):
+    """Map-type surface: construct from arrays, keys/size/lookup.
+    (Rows with duplicate first-3 words are excluded — map key
+    uniqueness; output keys are sorted since map iteration order is
+    engine-specific.)"""
+    d = table(spark, sf_dir, "documents")
+    words3 = F.slice(F.split("text", " "), 1, 3)
+    k = F.col("doc_id").cast("int")
+    m = F.map_from_arrays(words3, F.array(k, 2 * k, 3 * k))
+    probe = F.element_at(F.split("text", " "), 2)
+    return (
+        d.where(F.size(F.array_distinct(words3)) == 3)
+        .select(
+            "doc_id",
+            F.array_sort(F.map_keys(m)).alias("keys_sorted"),
+            F.size(m).cast("int").alias("map_size"),
+            F.element_at(m, probe).alias("probe_value"),
+        )
+    )
