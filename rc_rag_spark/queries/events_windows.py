@@ -138,7 +138,7 @@ def q55_user_totals(spark, sf_dir):
 
 
 @register(
-    "q56_event_anomalies",
+    "q88_event_anomalies",
     sql="""
     WITH stats AS (
         SELECT event_type,
@@ -160,7 +160,7 @@ def q55_user_totals(spark, sf_dir):
     """,
     tags=("streaming", "anomaly"),
 )
-def q56_event_anomalies(spark, sf_dir):
+def q88_event_anomalies(spark, sf_dir):
     """Z-score anomaly flags per event_type with EXACT moment sums
     (decimal Σx, Σx² → population variance is order-independent, so
     the flag boundary is deterministic under any partitioning)."""
@@ -193,7 +193,7 @@ def q56_event_anomalies(spark, sf_dir):
 
 
 @register(
-    "q57_funnel_stages",
+    "q89_funnel_stages",
     sql="""
     WITH per_user AS (
         SELECT user_id,
@@ -216,7 +216,7 @@ def q56_event_anomalies(spark, sf_dir):
     """,
     tags=("streaming", "funnel"),
 )
-def q57_funnel_stages(spark, sf_dir):
+def q89_funnel_stages(spark, sf_dir):
     """view→click→purchase funnel: per-user first-event times
     (conditional MIN — one hash agg), then ordered-stage counts."""
     e = table(spark, sf_dir, "events")
