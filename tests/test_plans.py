@@ -53,3 +53,22 @@ def test_no_cartesian_in_nonequi_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q14_premium_lineitems")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_exchange_reuse_on_identical_subplans(spark, sf_dir):
+    """A self-join over the identical aggregate subplan must execute
+    ONE shuffle and reuse it (ReusedExchange / reused ShuffleQueryStage).
+    (Two *different* aggregates over the same base do NOT reuse — column
+    pruning specializes each scan, which is the better trade.)"""
+    from pyspark.sql import functions as F
+
+    from rc_rag_spark.sources import table
+
+    o = table(spark, sf_dir, "orders")
+    agg = o.groupBy("o_custkey").agg(F.count("*").alias("n"))
+    left = agg.alias("l")
+    right = agg.withColumnRenamed("n", "n2").alias("r")
+    j = left.join(right.hint("merge"), "o_custkey")
+    j.collect()  # finalize the adaptive plan
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan or "reuse" in plan.lower(), plan[:1500]

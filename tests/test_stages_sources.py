@@ -89,3 +89,32 @@ def test_vllm_backend_stub_raises():
 
     with _pytest.raises(NotImplementedError):
         _vllm_chat_factory("/no/model")
+
+
+def test_cli_end_to_end(spark, sf_dir, workdir, capsys):
+    import json as _json
+    import os as _os
+
+    from rc_rag_spark import cli
+    from rc_rag_spark.queries.rag import samples_from_documents
+    from rc_rag_spark.sources import write_jsonl
+
+    samples = samples_from_documents(spark, sf_dir, limit=20).withColumnRenamed(
+        "ctxs", "dense_ctxs"
+    )
+    samples = samples.withColumn("sparse_ctxs", F.col("dense_ctxs")).withColumn(
+        "gold_ctxs", F.col("dense_ctxs")
+    )
+    src = f"{workdir}/samples_jsonl"
+    write_jsonl(samples, src, mode="overwrite")
+
+    wd = f"{workdir}/cli_wd"
+    cli.main(["--samples", src, "--workdir", wd, "--fusion", "safety"])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    ev = _json.loads(out)
+    assert ev["AK"] + ev["AD"] + ev["UK"] + ev["UD"] == 20
+    assert _os.path.exists(f"{wd}/inference_jsonl")
+    # entry point 3: fusion-only recompute from stage tables
+    cli.main(["--samples", src, "--workdir", wd, "--refusion-safety"])
+    ev2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert ev2["AK"] + ev2["AD"] + ev2["UK"] + ev2["UD"] == 20
