@@ -228,17 +228,32 @@ def q67_lang_stats(spark, sf_dir):
                len(regexp_extract_all(text, '[[:punct:]]')) AS n_punct,
                len(regexp_extract_all(text, '[0-9]')) AS n_digit
         FROM documents
+    ),
+    r AS (
+        SELECT doc_id,
+               CAST(len(toks) AS INTEGER) AS n_tokens,
+               round(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1), 6)
+                   AS punct_ratio,
+               round(CAST(n_digit AS DOUBLE) / greatest(n_chars, 1), 6)
+                   AS digit_ratio,
+               round(CAST(len(list_filter(toks,
+                   x -> list_contains({{stop}}, x))) AS DOUBLE)
+                   / greatest(len(toks), 1), 6) AS stopword_ratio,
+               round(CAST(coalesce(list_sum(list_transform(
+                       list_filter(toks, x -> regexp_matches(x, '^[\\pL\\pN]')),
+                       x -> length(x))), 0) AS DOUBLE)
+                   / greatest(len(list_filter(toks,
+                       x -> regexp_matches(x, '^[\\pL\\pN]'))), 1), 6)
+                   AS mean_token_len
+        FROM t
     )
-    SELECT doc_id,
-           CAST(len(toks) AS INTEGER) AS n_tokens,
-           round(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1), 6)
-               AS punct_ratio,
-           round(CAST(n_digit AS DOUBLE) / greatest(n_chars, 1), 6)
-               AS digit_ratio,
-           round(CAST(len(list_filter(toks,
-               x -> list_contains({{stop}}, x))) AS DOUBLE)
-               / greatest(len(toks), 1), 6) AS stopword_ratio
-    FROM t
+    SELECT doc_id, n_tokens, punct_ratio, digit_ratio, stopword_ratio,
+           mean_token_len,
+           round(0.4 * least(n_tokens / 100.0, 1.0)
+                 + 0.4 * greatest(0.0, 1.0 - 4.0 * (punct_ratio + digit_ratio))
+                 + 0.2 * CAST(mean_token_len >= 2.5 AND mean_token_len <= 9.0
+                              AS DOUBLE), 6) AS quality
+    FROM r
     """.format(
         toks="regexp_extract_all(lower(text), '[\\pL\\pN\\pM]+|[^\\pZ\\pC]')",
         stop="[" + ", ".join(f"'{w}'" for w in TS.STOPWORDS) + "]",
@@ -254,6 +269,8 @@ def q68_quality_scores(spark, sf_dir):
         q.getField("punct_ratio").alias("punct_ratio"),
         q.getField("digit_ratio").alias("digit_ratio"),
         q.getField("stopword_ratio").alias("stopword_ratio"),
+        q.getField("mean_token_len").alias("mean_token_len"),
+        TS.quality_score("text").alias("quality"),
     )
 
 
