@@ -60,7 +60,11 @@ def main() -> None:
     names = [n for n in HEADLINE if n in q.REGISTRY]
     extra = os.environ.get("RC_RAG_BENCH_QUERIES")
     if extra:
-        names = [n for n in extra.split(",") if n in q.REGISTRY]
+        names = [n for n in (s.strip() for s in extra.split(",")) if n in q.REGISTRY]
+    if not names:
+        print(json.dumps({"error": "no matching queries", "metric": "total_sec",
+                          "value": -1.0, "unit": "sec", "queries": {}, "sf": sf}))
+        return
 
     timings: dict[str, float] = {}
     # warm up the JVM + parquet footer caches on the smallest query

@@ -59,7 +59,7 @@ def main(argv=None) -> None:
     spark = build_session(app_name="rc-rag-pipeline")
     spark.sparkContext.setLogLevel("ERROR")
 
-    samples = read_jsonl(spark, args.samples, schema=None)
+    samples = read_jsonl(spark, args.samples, schema=SAMPLE_SCHEMA)
     ctx_col = RA_COLUMNS[args.ra]
     samples = samples.select(
         "id", "question", "reference", F.col(ctx_col).alias("ctxs")

@@ -38,10 +38,13 @@ def _c(col: str | Column) -> Column:
 #         collapse whitespace) -------------------------------------------
 
 def normalize_answer(col: str | Column) -> Column:
+    """(?U) makes Java's \\b and \\s Unicode-aware, matching the
+    Python reference (re.sub's \\b treats 'ñ' as a word char — without
+    it 'año' would lose its leading 'a' as an 'article')."""
     s = F.lower(_c(col))
     s = F.regexp_replace(s, r"[\p{Punct}]", "")  # == string.punctuation
-    s = F.regexp_replace(s, r"\b(a|an|the)\b", " ")
-    return F.trim(F.regexp_replace(s, r"\s+", " "))
+    s = F.regexp_replace(s, r"(?U)\b(a|an|the)\b", " ")
+    return F.trim(F.regexp_replace(s, r"(?U)\s+", " "))
 
 
 def norm_tokens(col: str | Column) -> Column:

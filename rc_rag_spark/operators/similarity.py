@@ -37,8 +37,11 @@ def brute_force_topk(
 
     Plan shape: broadcast-nested-loop join (queries are broadcast —
     they must be small), similarity evaluated in codegen, then a
-    row_number window partitioned by query. At 100 TB the corpus never
-    shuffles; only (n_queries × corpus_partition) local top-k rows do.
+    row_number window partitioned by query. The corpus itself never
+    shuffles, but all n_queries × n_corpus scored candidate rows do
+    flow into the per-query window — this is the exact baseline; use
+    lsh_topk_join / ann.ivf_topk when that candidate volume is the
+    bottleneck.
     """
     q = F.broadcast(
         queries.select(
@@ -123,12 +126,16 @@ def embedding_near_dup(
     exact cosine verifies. Returns (id_a, id_b, similarity)."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
 
-    normed = df.select(
-        F.col(id_col),
-        F.transform(
-            F.col(vec_col).cast("array<double>"),
-            lambda x: x / l2_norm(F.col(vec_col)),
-        ).alias("_unit"),
+    # compute the norm ONCE per row — an aggregate inside the
+    # per-element transform lambda would re-fold the whole array for
+    # every element (O(d²))
+    normed = (
+        df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v64"))
+        .withColumn("_norm", l2_norm(F.col("_v64")))
+        .select(
+            F.col(id_col),
+            F.transform(F.col("_v64"), lambda x: x / F.col("_norm")).alias("_unit"),
+        )
     )
     c = _to_ml_vector(normed, "_unit", "_v")
     lsh = BucketedRandomProjectionLSH(

@@ -68,7 +68,10 @@ def split_salted_join(
     """Hybrid: salt ONLY the listed hot keys, plain-join the rest, and
     union. This is the production pattern — pay replication only where
     the skew is."""
-    hot = F.col(key).isin(hot_keys)
+    # NULL-safe split: isin() yields NULL for NULL keys, and where(~NULL)
+    # drops the row — NULL-keyed rows must stay on the plain-join side
+    # (they never match an equi-join but must survive a left join).
+    hot = F.coalesce(F.col(key).isin(hot_keys), F.lit(False))
     plain = big.where(~hot).join(small.where(~hot), key, how)
     salted = salted_join(big.where(hot), small.where(hot), key,
                          salt_buckets, how)

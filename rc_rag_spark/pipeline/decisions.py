@@ -188,7 +188,14 @@ def counterfactual_branch(df: DataFrame, branch: str, backend: str = "mock",
             rl=F.col("_rl_evi"),
         )
         ans_cmp = _truthy(parsed.getField("answer")) & _truthy(F.col("rag.answer"))
-        metrics = F.when(ans_cmp, m_ans).otherwise(m_evi)
+        evi_cmp = (
+            ~parsed.getField("reject")
+            & _truthy(parsed.getField("evidence"))
+            & _truthy(F.col("rag.evidence"))
+        )
+        # neither comparable ⇒ the reference never calls match() and the
+        # branch metrics stay unset — NULL struct here (no otherwise)
+        metrics = F.when(ans_cmp, m_ans).when(evi_cmp, m_evi)
         decision = _decide(parsed, F.col("rag"), m_ans, m_evi)
         df = df.withColumn(
             branch,

@@ -189,16 +189,33 @@ BACKENDS: dict[str, Callable[..., Callable[[list[dict]], str | None]]] = {
 }
 
 
+# Per-worker-process client cache: the pandas UDF body runs once per
+# Arrow BATCH, so client construction must be memoized or a heavy
+# backend (vLLM engine, HTTP session) would be rebuilt every 10k rows.
+_WORKER_CLIENTS: dict = {}
+
+
+def _get_client(backend: str, backend_kw: dict):
+    key = (backend, tuple(sorted(backend_kw.items())))
+    client = _WORKER_CLIENTS.get(key)
+    if client is None:
+        client = BACKENDS[backend](**backend_kw)
+        _WORKER_CLIENTS[key] = client
+    return client
+
+
 def llm_call(messages_col: str | Column, backend: str = "mock", **backend_kw) -> Column:
     """Column expression: conversation array → model response (string,
     NULL on failure). Arrow-batched; the backend client is constructed
-    once per Python worker, not per row."""
+    once per Python worker process (memoized across batches), not per
+    row or batch."""
     col = F.col(messages_col) if isinstance(messages_col, str) else messages_col
-    factory = BACKENDS[backend]
+    if backend not in BACKENDS:
+        raise KeyError(backend)
 
     @pandas_udf("string")
     def _udf(msgs: pd.Series) -> pd.Series:
-        call = factory(**backend_kw)
+        call = _get_client(backend, backend_kw)
 
         def run(conv):
             if conv is None:

@@ -45,24 +45,29 @@ class StagedPipeline:
         return self.load(stage)
 
     def annotate(self, samples: DataFrame, backend: str = "mock",
-                 force: bool = False, **kw) -> DataFrame:
+                 num_passage: int = 3, force: bool = False,
+                 **backend_kw) -> DataFrame:
         """Stage 1 (rag + label). Reused unless force — the reference's
         do_annotate=False path (run_llm_ours.py:217-218,236-238)."""
         if self.has(ANNOTATED) and not force:
             return self.load(ANNOTATED)
-        df = D.rag_annotate(samples, backend, **kw)
+        df = D.rag_annotate(samples, backend, num_passage, **backend_kw)
         return self._save(df, ANNOTATED)
 
     def infer(self, samples: DataFrame, backend: str = "mock",
               num_iteration: int = 1, fusion_strategy: str = "probability",
-              force: bool = False, **kw) -> DataFrame:
-        """Stages 2+3 on top of (possibly cached) annotation."""
+              num_passage: int = 3, force: bool = False,
+              **backend_kw) -> DataFrame:
+        """Stages 2+3 on top of (possibly cached) annotation.
+        ``backend_kw`` reaches ONLY the LLM backend factory — pipeline
+        knobs are explicit parameters, never forwarded."""
         if self.has(DECISIONS) and not force:
             return self.load(DECISIONS)
-        df = self.annotate(samples, backend, force=force, **kw)
-        df = D.counterfactual_branch(df, "cf_use", backend, num_iteration, **kw)
-        df = D.counterfactual_branch(df, "cf_quality", backend, num_iteration, **kw)
-        df = D.fuse(df, fusion_strategy, backend, **kw)
+        df = self.annotate(samples, backend, num_passage=num_passage,
+                           force=force, **backend_kw)
+        df = D.counterfactual_branch(df, "cf_use", backend, num_iteration, **backend_kw)
+        df = D.counterfactual_branch(df, "cf_quality", backend, num_iteration, **backend_kw)
+        df = D.fuse(df, fusion_strategy, backend, **backend_kw)
         out = df.select(
             "id", "rag", "cf_use", "cf_quality", "label_decision",
             "pred_decision",

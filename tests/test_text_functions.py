@@ -39,6 +39,11 @@ TEXTS = [
     "ends with Passage-5.",
     "two Passage-1 then tail Passage-2",
     "two mentions at end Passage-1 Passage-2",
+    # Unicode word-boundary: 'a' adjacent to non-ASCII letters must NOT
+    # be stripped as an article (Java needs (?U) to match Python's \b)
+    "el año pasado a thing añejo",
+    "anémie the célèbre",
+    "non breaking space the test",
 ]
 
 REFS = [
