@@ -1,15 +1,17 @@
 """Similarity search over embedding columns (north-star extension,
 SURVEY §2.2 'Similarity search').
 
-  brute_force_topk   exact top-k cosine/dot: broadcast the (small)
-                     query set against the corpus, per-query window
-                     top-k. One broadcast, one shuffle of
-                     O(n_queries·k) candidate rows after per-partition
-                     pruning — no corpus-side cross shuffle.
-  lsh_topk_join      approximate: BucketedRandomProjectionLSH
-                     candidate join, exact re-rank of candidates.
-  embedding_near_dup cosine-threshold near-duplicate pairs via LSH
-                     candidates + exact verify.
+  brute_force_topk        exact top-k cosine/dot: broadcast query set,
+                          codegen'd scoring, per-query window (all
+                          scored rows reach the window — the small-n
+                          exact baseline).
+  brute_force_topk_pruned exact top-k at scale: per-partition NumPy
+                          block scoring + local top-k, the final
+                          window sees O(partitions·queries·k) rows.
+  lsh_topk_join           approximate: BucketedRandomProjectionLSH
+                          candidate join, exact re-rank of candidates.
+  embedding_near_dup      cosine-threshold near-duplicate pairs via
+                          LSH candidates + exact verify.
 
 All exact math is native Catalyst (functions/vectors.py) — sequential
 folds, deterministic, codegen'd.
@@ -155,4 +157,71 @@ def embedding_near_dup(
         )
         .where(F.col("id_a") < F.col("id_b"))
         .where(F.col("similarity") >= cosine_threshold)
+    )
+
+
+def brute_force_topk_pruned(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k with per-partition pruning — the 100 TB shape of
+    brute_force_topk: each corpus partition scores its block against
+    the (small) query matrix with one NumPy matmul and emits only its
+    LOCAL top-k per query, so the final per-query window sees
+    O(partitions × queries × k) rows instead of O(corpus × queries).
+    Results are identical to brute_force_topk up to float-summation
+    order in the similarity values (neighbor sets match on non-tied
+    data)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    q_pdf = queries.select(
+        F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).toPandas()
+    q_ids = q_pdf["qid"].to_numpy()
+    q_mat = np.array([np.asarray(v, dtype=np.float64) for v in q_pdf["qv"]])
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat, q_norm))
+
+    def local_topk(batches):
+        q_ids_b, q_mat_b, q_norm_b = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c_mat = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            c_norm = np.linalg.norm(c_mat, axis=1)
+            sims = (c_mat @ q_mat_b.T) / np.outer(c_norm, q_norm_b)
+            ids = pdf[id_col].to_numpy()
+            out_q, out_n, out_s = [], [], []
+            for j, qid in enumerate(q_ids_b):
+                col = sims[:, j]
+                top = np.argsort(-col, kind="stable")[:k]
+                out_q.extend([qid] * len(top))
+                out_n.extend(ids[top])
+                out_s.extend(col[top])
+            yield pd.DataFrame(
+                {
+                    query_id_col: out_q,
+                    "neighbor_id": out_n,
+                    "similarity": out_s,
+                }
+            )
+
+    local = corpus.select(id_col, vec_col).mapInPandas(
+        local_topk,
+        schema=f"{query_id_col} long, neighbor_id long, similarity double",
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("similarity").desc(), F.col("neighbor_id")
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
     )

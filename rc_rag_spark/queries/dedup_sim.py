@@ -365,3 +365,19 @@ def q71_rolling_fingerprint(spark, sf_dir):
     return d.select(
         "doc_id", TS.rolling_md5_fingerprint("text").alias("fingerprint")
     )
+
+
+@register("q90_knn_pruned", tags=("similarity", "knn", "pruned"))
+def q90_knn_pruned(spark, sf_dir):
+    """Exact top-5 via the per-partition-pruned scale path (NumPy block
+    scoring + local heaps; set-equivalence to q64 asserted in tests)."""
+    e = table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = e.where(F.col("vec_id") >= 5)
+    out = SIM.brute_force_topk_pruned(corpus, queries, k=5)
+    return out.select(
+        "query_id", "neighbor_id",
+        F.round("similarity", 6).alias("similarity"), "rank",
+    )

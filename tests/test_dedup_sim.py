@@ -186,3 +186,18 @@ def test_simhash_band_join_is_complete(spark, sf_dir):
         ).collect()
     }
     assert banded == brute
+
+
+def test_pruned_topk_matches_bruteforce(spark, sf_dir):
+    """Per-partition-pruned exact top-k must return the same neighbor
+    sets as the windowed brute force."""
+    e = table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = e.where(F.col("vec_id") >= 5).repartition(6)
+    a = SIM.brute_force_topk(corpus, queries, k=5)
+    b = SIM.brute_force_topk_pruned(corpus, queries, k=5)
+    sa = {(r["query_id"], r["neighbor_id"]) for r in a.collect()}
+    sb = {(r["query_id"], r["neighbor_id"]) for r in b.collect()}
+    assert sa == sb
