@@ -167,6 +167,7 @@ def brute_force_topk_pruned(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    metric: str = "cosine",
 ) -> DataFrame:
     """Exact top-k with per-partition pruning — the 100 TB shape of
     brute_force_topk: each corpus partition scores its block against
@@ -179,6 +180,8 @@ def brute_force_topk_pruned(
     import numpy as np
     import pandas as pd
 
+    if metric not in ("cosine", "dot"):
+        raise ValueError(f"unknown metric: {metric}")
     spark = corpus.sparkSession
     q_pdf = queries.select(
         F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv")
@@ -186,23 +189,29 @@ def brute_force_topk_pruned(
     q_ids = q_pdf["qid"].to_numpy()
     q_mat = np.array([np.asarray(v, dtype=np.float64) for v in q_pdf["qv"]])
     q_norm = np.linalg.norm(q_mat, axis=1)
-    bc = spark.sparkContext.broadcast((q_ids, q_mat, q_norm))
+    bc = spark.sparkContext.broadcast((q_ids, q_mat, q_norm, metric))
 
     def local_topk(batches):
-        q_ids_b, q_mat_b, q_norm_b = bc.value
+        q_ids_b, q_mat_b, q_norm_b, metric_b = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             c_mat = np.array(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
-            c_norm = np.linalg.norm(c_mat, axis=1)
-            sims = (c_mat @ q_mat_b.T) / np.outer(c_norm, q_norm_b)
+            sims = c_mat @ q_mat_b.T
+            if metric_b == "cosine":
+                c_norm = np.linalg.norm(c_mat, axis=1)
+                sims = sims / np.outer(c_norm, q_norm_b)
             ids = pdf[id_col].to_numpy()
             out_q, out_n, out_s = [], [], []
             for j, qid in enumerate(q_ids_b):
                 col = sims[:, j]
-                top = np.argsort(-col, kind="stable")[:k]
+                # tie-break on id asc (mirrors the final window ordering
+                # — without it, tied similarities at the k boundary keep
+                # partition-order ids and the global result diverges
+                # from brute_force_topk)
+                top = np.lexsort((ids, -col))[:k]
                 out_q.extend([qid] * len(top))
                 out_n.extend(ids[top])
                 out_s.extend(col[top])
@@ -214,9 +223,12 @@ def brute_force_topk_pruned(
                 }
             )
 
+    # derive output id types from the inputs — ids need not be bigint
+    qid_type = dict(queries.dtypes)[query_id_col]
+    nid_type = dict(corpus.dtypes)[id_col]
     local = corpus.select(id_col, vec_col).mapInPandas(
         local_topk,
-        schema=f"{query_id_col} long, neighbor_id long, similarity double",
+        schema=f"{query_id_col} {qid_type}, neighbor_id {nid_type}, similarity double",
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("similarity").desc(), F.col("neighbor_id")

@@ -127,34 +127,33 @@ def quality_score(col: str | Column) -> Column:
     )
 
 
-def rolling_md5_fingerprint(col: str | Column, window: int = 16) -> Column:
-    """Portable winnowing fingerprint: lexicographic min of md5 hex
-    over character windows of the normalized text (engine-agnostic —
-    md5 strings compare identically everywhere; use
-    rolling_hash_fingerprint/xxhash64 for the cheaper scale path)."""
+def _rolling_grams(col: str | Column, window: int) -> Column:
+    """Character windows of the normalized text (shared by both
+    fingerprint variants; whole text as single gram when shorter than
+    one window)."""
     from rc_rag_spark.functions.text import normalize_answer
 
     s = normalize_answer(col)
     n = F.length(s) - (window - 1)
-    grams = F.when(n <= 0, F.array(s)).otherwise(
+    return F.when(n <= 0, F.array(s)).otherwise(
         F.transform(
             F.sequence(F.lit(1), n), lambda i: F.substring(s, i, window)
         )
     )
-    return F.array_min(F.transform(grams, lambda g: F.md5(g)))
+
+
+def rolling_md5_fingerprint(col: str | Column, window: int = 16) -> Column:
+    """Portable winnowing fingerprint: lexicographic min of md5 hex
+    over character windows (engine-agnostic — md5 strings compare
+    identically everywhere)."""
+    return F.array_min(
+        F.transform(_rolling_grams(col, window), lambda g: F.md5(g))
+    )
 
 
 def rolling_hash_fingerprint(col: str | Column, window: int = 16) -> Column:
     """Winnowing-style document fingerprint: min xxhash64 over
-    character n-gram windows of the normalized text (native; one value
-    per doc — cheap near-exact dup key)."""
-    from rc_rag_spark.functions.text import normalize_answer
-
-    s = normalize_answer(col)
-    n = F.length(s) - (window - 1)
-    grams = F.when(n <= 0, F.array(s)).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n), lambda i: F.substring(s, i, window)
-        )
+    character windows (native i64 — the cheap scale path)."""
+    return F.array_min(
+        F.transform(_rolling_grams(col, window), lambda g: F.xxhash64(g))
     )
-    return F.array_min(F.transform(grams, lambda g: F.xxhash64(g)))

@@ -126,6 +126,10 @@ def counterfactual_branch(df: DataFrame, branch: str, backend: str = "mock",
                           num_iteration: int = 1, **backend_kw) -> DataFrame:
     """One counterfactual branch (cf_use / cf_quality) as a driver loop
     of whole-DataFrame passes with a shrinking active set (D3)."""
+    if num_iteration < 1:
+        # with zero iterations the branch struct would stay NULL and
+        # safety fusion's otherwise('keep') would bless every row
+        raise ValueError("num_iteration must be >= 1")
     msgs_col = f"_{branch}_msgs"
     cf_prompt = PR.build_prompt(branch)
 

@@ -54,6 +54,28 @@ class StagedPipeline:
         df = D.rag_annotate(samples, backend, num_passage, **backend_kw)
         return self._save(df, ANNOTATED)
 
+    def _params_path(self) -> str:
+        return os.path.join(self.workdir, "pipeline_params.json")
+
+    def _check_params(self, params: dict, force: bool) -> None:
+        """A cached decisions stage is only valid for the parameters it
+        was computed with — on mismatch, demand force rather than
+        silently serving stale-strategy results."""
+        import json
+
+        os.makedirs(self.workdir, exist_ok=True)
+        if os.path.exists(self._params_path()):
+            with open(self._params_path()) as f:
+                prior = json.load(f)
+            if prior != params and self.has(DECISIONS) and not force:
+                raise ValueError(
+                    f"decisions stage in {self.workdir} was computed with "
+                    f"{prior}, requested {params}; pass force=True to "
+                    "recompute"
+                )
+        with open(self._params_path(), "w") as f:
+            json.dump(params, f)
+
     def infer(self, samples: DataFrame, backend: str = "mock",
               num_iteration: int = 1, fusion_strategy: str = "probability",
               num_passage: int = 3, force: bool = False,
@@ -61,6 +83,15 @@ class StagedPipeline:
         """Stages 2+3 on top of (possibly cached) annotation.
         ``backend_kw`` reaches ONLY the LLM backend factory — pipeline
         knobs are explicit parameters, never forwarded."""
+        self._check_params(
+            {
+                "backend": backend,
+                "num_iteration": num_iteration,
+                "fusion_strategy": fusion_strategy,
+                "num_passage": num_passage,
+            },
+            force,
+        )
         if self.has(DECISIONS) and not force:
             return self.load(DECISIONS)
         df = self.annotate(samples, backend, num_passage=num_passage,

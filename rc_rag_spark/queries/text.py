@@ -25,7 +25,12 @@ DUCK_TOKEN_PATTERN = r"[\pL\pN\pM]+|[^\pZ\pC]"
 
 
 def _sql_norm(expr: str) -> str:
-    """DuckDB mirror of functions.text.normalize_answer."""
+    """DuckDB mirror of functions.text.normalize_answer.
+
+    NOTE: RE2's \\b is ASCII-only while the engine uses (?U)\\b — the
+    two diverge on non-ASCII text ('año' would lose its leading 'a'
+    here). Valid as an oracle only because every documents fixture is
+    pure ASCII; revisit if non-ASCII fixtures appear."""
     return (
         "trim(regexp_replace(regexp_replace(regexp_replace("
         f"lower({expr}), '[[:punct:]]', '', 'g'),"
@@ -42,10 +47,7 @@ def _sql_tokpad(expr: str) -> str:
 
 
 def _py_tokens(s: str) -> list[str]:
-    import regex
-
-    pat = regex.compile(T.TOKEN_PATTERN, flags=regex.IGNORECASE | regex.UNICODE)
-    return [m.group().lower() for m in pat.finditer(s)]
+    return T.py_tokenize(s)
 
 
 def _sql_refusal(expr: str) -> str:

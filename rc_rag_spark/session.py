@@ -36,7 +36,7 @@ DEFAULT_CONF = {
 
 
 _PKG_ZIP: str | None = None
-_SHIPPED_CONTEXTS: set[int] = set()
+_SHIPPED_CONTEXTS: set[str] = set()  # keyed by applicationId (id() can be reused)
 
 
 def _package_zip() -> str:
@@ -67,10 +67,11 @@ def ensure_worker_imports(spark: SparkSession) -> None:
     """Make rc_rag_spark importable on executor Python workers."""
     try:
         sc = spark.sparkContext
-        if id(sc) in _SHIPPED_CONTEXTS:
+        app_id = sc.applicationId
+        if app_id in _SHIPPED_CONTEXTS:
             return
         sc.addPyFile(_package_zip())
-        _SHIPPED_CONTEXTS.add(id(sc))
+        _SHIPPED_CONTEXTS.add(app_id)
     except Exception:
         pass
 

@@ -73,41 +73,22 @@ def test_oracle_runner_registers_all_views(sf_dir):
     assert df["r"][0] == 5 and df["e"][0] > 0
 
 
-def test_decimal_sums_partition_invariant(spark, sf_dir):
+def test_decimal_sums_partition_invariant(spark, sf_dir, tmp_path):
     """The determinism discipline's core claim: aggregate results are
-    bit-identical regardless of physical partitioning."""
+    bit-identical regardless of physical partitioning. Runs the REAL
+    registered query against re-partitioned copies of lineitem."""
     from rc_rag_spark.sources import table
 
     li = table(spark, sf_dir, "lineitem")
     spec = q.REGISTRY["q01_pricing_summary"]
-
-    def run(df):
-        df.createOrReplaceTempView("__t")
-        return canonicalize(spec.fn(spark, sf_dir).toPandas())
-
     base = canonicalize(spec.fn(spark, sf_dir).toPandas())
     for parts in (1, 7, 32):
-        li.repartition(parts).createOrReplaceTempView("lineitem_rep")
-        from pyspark.sql import functions as F
-        from rc_rag_spark.queries.core import davg, dec, dsum
+        d = str(tmp_path / f"rep{parts}")
+        import os
 
-        rep = spark.table("lineitem_rep")
-        price = dec("l_extendedprice", 12, 2)
-        disc_price = price * (F.lit(1) - dec("l_discount", 3, 2))
-        charge = disc_price.cast("decimal(14,4)") * (F.lit(1) + dec("l_tax", 3, 2))
-        got = canonicalize(
-            rep.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-            .groupBy("l_returnflag", "l_linestatus")
-            .agg(
-                dsum("l_quantity", "sum_qty"),
-                dsum("l_extendedprice", "sum_base_price"),
-                F.sum(disc_price).cast("double").alias("sum_disc_price"),
-                F.sum(charge).cast("double").alias("sum_charge"),
-                davg("l_quantity", "avg_qty"),
-                davg("l_extendedprice", "avg_price"),
-                davg("l_discount", "avg_disc"),
-                F.count("*").alias("count_order"),
-            )
-            .toPandas()
+        os.makedirs(d, exist_ok=True)
+        li.repartition(parts).write.mode("overwrite").parquet(
+            f"{d}/lineitem.parquet"
         )
+        got = canonicalize(spec.fn(spark, d).toPandas())
         assert got == base, f"partitioning {parts} changed results"
