@@ -201,3 +201,18 @@ def test_pruned_topk_matches_bruteforce(spark, sf_dir):
     sa = {(r["query_id"], r["neighbor_id"]) for r in a.collect()}
     sb = {(r["query_id"], r["neighbor_id"]) for r in b.collect()}
     assert sa == sb
+
+
+def test_pruned_topk_tiebreak_on_duplicate_vectors(spark):
+    """Tied similarities at the k boundary must resolve by smallest
+    neighbor_id in BOTH exact variants (8 identical vectors, k=3)."""
+    rows = [(10 + i, [1.0, 2.0, 3.0]) for i in range(8)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "query_id long, embedding array<float>"
+    )
+    a = SIM.brute_force_topk(corpus.repartition(4), queries, k=3)
+    b = SIM.brute_force_topk_pruned(corpus.repartition(4), queries, k=3)
+    ids_a = sorted(r["neighbor_id"] for r in a.collect())
+    ids_b = sorted(r["neighbor_id"] for r in b.collect())
+    assert ids_a == ids_b == [10, 11, 12]

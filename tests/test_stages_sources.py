@@ -118,3 +118,16 @@ def test_cli_end_to_end(spark, sf_dir, workdir, capsys):
     cli.main(["--samples", src, "--workdir", wd, "--refusion-safety"])
     ev2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert ev2["AK"] + ev2["AD"] + ev2["UK"] + ev2["UD"] == 20
+
+
+def test_stage_cache_param_mismatch_raises(spark, sf_dir, workdir):
+    import pytest as _pytest
+
+    samples = samples_from_documents(spark, sf_dir, limit=10)
+    sp = StagedPipeline(spark, workdir)
+    sp.infer(samples, fusion_strategy="safety")
+    with _pytest.raises(ValueError, match="computed with"):
+        sp.infer(samples, fusion_strategy="probability")
+    # force recomputes and updates the fingerprint
+    out = sp.infer(samples, fusion_strategy="probability", force=True)
+    assert out.count() == 10
