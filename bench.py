@@ -5,7 +5,11 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS   (default all cores).
 
 Each query is forced through a noop sink so the full plan executes
-(collect() would add driver-transfer cost that isn't the engine's)."""
+(collect() would add driver-transfer cost that isn't the engine's).
+Each query runs twice: the first run pays one-time JIT/codegen-compile
+cost, the second measures steady-state throughput. "value" is the
+steady-state total; "cold_sec"/"cold_queries" record the first-run
+numbers."""
 
 from __future__ import annotations
 
@@ -66,15 +70,25 @@ def main() -> None:
                           "value": -1.0, "unit": "sec", "queries": {}, "sf": sf}))
         return
 
+    # Two passes per query. The first pass pays one-time costs that a
+    # long-lived cluster amortizes away (JVM JIT, whole-stage-codegen
+    # compilation, parquet footer caches); the second pass is the
+    # steady-state engine throughput, which is the number that scales
+    # to a 100 TB run where each plan executes over thousands of tasks.
+    # Both are reported: value = steady-state total, cold_sec = first-run
+    # total (includes compile).
     timings: dict[str, float] = {}
-    # warm up the JVM + parquet footer caches on the smallest query
-    q.REGISTRY[names[0]].fn(spark, sf_dir).write.mode("overwrite").format(
-        "noop"
-    ).save()
+    cold: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
-        df = q.REGISTRY[name].fn(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
+        q.REGISTRY[name].fn(spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        cold[name] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        q.REGISTRY[name].fn(spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
@@ -86,6 +100,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "cold_sec": round(sum(cold.values()), 3),
+                "cold_queries": cold,
             }
         )
     )

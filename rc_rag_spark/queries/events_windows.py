@@ -238,3 +238,92 @@ def q89_funnel_stages(spark, sf_dir):
         F.sum(clicked.cast("int")).cast("bigint").alias("clicked_after_view"),
         F.sum(purchased.cast("int")).cast("bigint").alias("purchased_after_click"),
     )
+
+
+@register(
+    "q91_click_attribution_asof",
+    sql="""
+    WITH c AS (SELECT event_id, user_id, ts AS click_ts FROM events
+               WHERE event_type = 'click'),
+         v AS (SELECT event_id AS view_event_id, user_id, ts AS view_ts
+               FROM events WHERE event_type = 'view')
+    SELECT c.event_id, c.user_id, c.click_ts, v.view_event_id, v.view_ts,
+           COALESCE(c.click_ts - v.view_ts <= INTERVAL 10 MINUTE, FALSE)
+               AS attributed
+    FROM c ASOF LEFT JOIN v
+        ON c.user_id = v.user_id AND c.click_ts >= v.view_ts
+    """,
+    tags=("temporal", "asof"),
+)
+def q91_click_attribution_asof(spark, sf_dir):
+    """As-of join (operators/temporal.py): each click gets the most
+    recent at-or-before view by the same user; attribution flag when
+    the view is within 10 minutes. One union-shuffle + window sort —
+    the DuckDB oracle uses its native ASOF JOIN, spelled entirely
+    differently."""
+    from rc_rag_spark.operators.temporal import asof_join
+
+    e = table(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts").alias("click_ts")
+    )
+    views = e.where(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_event_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    out = asof_join(
+        clicks, views, on=["user_id"],
+        left_time="click_ts", right_time="view_ts", how="left",
+    )
+    attributed = F.coalesce(
+        F.col("click_ts") - F.col("view_ts") <= F.expr("INTERVAL 10 MINUTES"),
+        F.lit(False),
+    )
+    return out.select(
+        "event_id", "user_id", "click_ts", "view_event_id", "view_ts",
+        attributed.alias("attributed"),
+    )
+
+
+@register(
+    "q92_error_click_band_join",
+    sql="""
+    WITH e AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'error'),
+         c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+    SELECT e.event_id,
+           COUNT(c.ts) AS n_prior_clicks
+    FROM e LEFT JOIN c
+        ON c.user_id = e.user_id
+       AND c.ts >= e.ts - INTERVAL 5 MINUTE AND c.ts < e.ts
+    GROUP BY e.event_id
+    """,
+    tags=("temporal", "range-join"),
+)
+def q92_error_click_band_join(spark, sf_dir):
+    """Banded range join (operators/temporal.py): clicks in the 5
+    minutes before each error, same user. The engine runs the bucketed
+    equi-join formulation (shuffle on (user_id, time-bucket), band as
+    residual); the oracle spells the naive theta join."""
+    from rc_rag_spark.operators.temporal import banded_range_join
+
+    e = table(spark, sf_dir, "events")
+    errors = e.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    pairs = banded_range_join(
+        errors, clicks, on=["user_id"],
+        left_time="ts", right_time="click_ts",
+        lower_seconds=-300, upper_seconds=0,
+    )
+    counts = pairs.groupBy("event_id").agg(
+        F.count("*").alias("n_prior_clicks")
+    )
+    return errors.join(counts, "event_id", "left").select(
+        "event_id",
+        F.coalesce("n_prior_clicks", F.lit(0)).alias("n_prior_clicks"),
+    )

@@ -1,0 +1,185 @@
+"""asof_join / banded_range_join semantics: ties, tolerance, direction,
+join modes, tiebreaks, theta-join equivalence, and plan shape (the
+banded join must stay an equi-join — no nested-loop fallback)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from rc_rag_spark.operators.temporal import asof_join, banded_range_join
+from rc_rag_spark.sources import table
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), "l0"),
+            (1, _ts("2024-01-01 10:30:00"), "l1"),
+            (2, _ts("2024-01-01 09:00:00"), "l2"),
+            (3, _ts("2024-01-01 12:00:00"), "l3"),
+        ],
+        "k int, t timestamp, lv string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 09:59:00"), "r0"),
+            (1, _ts("2024-01-01 10:30:00"), "r1"),  # exact tie with l1
+            (2, _ts("2024-01-01 11:00:00"), "r2"),  # after l2 only
+        ],
+        "k int, rt timestamp, rv string",
+    )
+    return left, right
+
+
+def test_asof_backward_basic_and_ties(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, ["k"], "t", "rt").orderBy("lv")
+    rows = {r["lv"]: (r["rv"], r["rt"]) for r in out.collect()}
+    assert rows["l0"][0] == "r0"
+    # equal timestamp matches (>= semantics)
+    assert rows["l1"] == ("r1", _ts("2024-01-01 10:30:00"))
+    assert rows["l2"] == (None, None)  # only future right rows
+    assert rows["l3"] == (None, None)  # key absent from right
+
+
+def test_asof_inner_drops_unmatched(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, ["k"], "t", "rt", how="inner")
+    assert sorted(r["lv"] for r in out.collect()) == ["l0", "l1"]
+
+
+def test_asof_forward(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, ["k"], "t", "rt", direction="forward")
+    rows = {r["lv"]: r["rv"] for r in out.collect()}
+    assert rows["l0"] == "r1"  # earliest right at-or-after 10:00
+    assert rows["l1"] == "r1"  # tie matches forward too
+    assert rows["l2"] == "r2"
+    assert rows["l3"] is None
+
+
+def test_asof_tolerance(spark):
+    left, right = _frames(spark)
+    out = asof_join(
+        left, right, ["k"], "t", "rt",
+        tolerance_expr="INTERVAL 5 MINUTES",
+    )
+    rows = {r["lv"]: r["rv"] for r in out.collect()}
+    assert rows["l0"] == "r0"  # 1 minute back: inside tolerance
+    assert rows["l1"] == "r1"  # 0 back
+    # inner + tolerance drops the nulled matches
+    inner = asof_join(
+        left, right, ["k"], "t", "rt", how="inner",
+        tolerance_expr="INTERVAL 30 SECONDS",
+    )
+    assert sorted(r["lv"] for r in inner.collect()) == ["l1"]
+
+
+def test_asof_tiebreak_deterministic(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"))], "k int, t timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 09:00:00"), 10, "low"),
+            (1, _ts("2024-01-01 09:00:00"), 20, "high"),
+        ],
+        "k int, rt timestamp, pri int, rv string",
+    )
+    out = asof_join(
+        left, right, ["k"], "t", "rt", right_tiebreak="pri"
+    )
+    assert out.collect()[0]["rv"] == "high"  # greatest tiebreak wins
+
+
+def test_asof_name_collision_suffix(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), "L")], "k int, t timestamp, v string"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 09:00:00"), "R")], "k int, t timestamp, v string"
+    )
+    out = asof_join(left, right, ["k"], "t", "t")
+    row = out.collect()[0]
+    assert row["v"] == "L" and row["v_right"] == "R"
+    assert row["t_right"] == _ts("2024-01-01 09:00:00")
+
+
+def test_banded_matches_theta_join(spark, sf_dir):
+    """Bucketed formulation ≡ naive theta join, for several bucket
+    widths (narrower buckets = more fan-out, same result)."""
+    e = table(spark, sf_dir, "events")
+    errors = e.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    naive = (
+        errors.alias("e")
+        .join(
+            clicks.alias("c"),
+            (F.col("c.user_id") == F.col("e.user_id"))
+            & (F.col("c.click_ts") >= F.col("e.ts") - F.expr("INTERVAL 5 MINUTES"))
+            & (F.col("c.click_ts") < F.col("e.ts")),
+        )
+        .select("e.event_id", "c.click_ts")
+    )
+    expected = sorted((r["event_id"], r["click_ts"]) for r in naive.collect())
+    for bucket in (None, 60, 47):
+        got = banded_range_join(
+            errors, clicks, ["user_id"], "ts", "click_ts",
+            lower_seconds=-300, upper_seconds=0, bucket_seconds=bucket,
+        ).select("event_id", "click_ts")
+        assert (
+            sorted((r["event_id"], r["click_ts"]) for r in got.collect())
+            == expected
+        )
+
+
+def test_banded_plan_is_equi_join(spark, sf_dir):
+    """The scale contract: a hash/sort-merge equi-join, never a
+    cartesian or broadcast-nested-loop theta join."""
+    e = table(spark, sf_dir, "events")
+    errors = e.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    plan = (
+        banded_range_join(
+            errors, clicks, ["user_id"], "ts", "click_ts",
+            lower_seconds=-300, upper_seconds=0,
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_single_shuffle(spark, sf_dir):
+    """asof_join adds exactly one exchange over the union (plus scans):
+    the window sort reuses the same hash partitioning."""
+    e = table(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts").alias("click_ts")
+    )
+    views = e.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts")
+    )
+    plan = (
+        asof_join(clicks, views, ["user_id"], "click_ts", "view_ts")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
