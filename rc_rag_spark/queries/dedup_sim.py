@@ -218,26 +218,35 @@ def q67_lang_stats(spark, sf_dir):
     )
 
 
-@register(
-    "q68_quality_scores",
-    sql=f"""
-    WITH t AS (
-        SELECT doc_id,
-               {{toks}} AS toks,
+_TOKS_SQL = "regexp_extract_all(lower(text), '[\\pL\\pN\\pM]+|[^\\pZ\\pC]')"
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in TS.STOPWORDS) + "]"
+
+_QUALITY_EXPR_SQL = """round(0.4 * least(n_tokens / 100.0, 1.0)
+                 + 0.4 * greatest(0.0, 1.0 - 4.0 * (punct_ratio + digit_ratio))
+                 + 0.2 * CAST(mean_token_len >= 2.5 AND mean_token_len <= 9.0
+                              AS DOUBLE), 6)"""
+
+
+def _sql_quality_ctes(src: str = "documents", carry: str = "") -> str:
+    """CTE pair (t, r): the q68 quality features over `src`; `carry`
+    threads extra columns through (e.g. ", lang, text")."""
+    return f"""t AS (
+        SELECT doc_id{carry},
+               {_TOKS_SQL} AS toks,
                length(text) AS n_chars,
                len(regexp_extract_all(text, '[[:punct:]]')) AS n_punct,
                len(regexp_extract_all(text, '[0-9]')) AS n_digit
-        FROM documents
+        FROM {src}
     ),
     r AS (
-        SELECT doc_id,
+        SELECT doc_id{carry},
                CAST(len(toks) AS INTEGER) AS n_tokens,
                round(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1), 6)
                    AS punct_ratio,
                round(CAST(n_digit AS DOUBLE) / greatest(n_chars, 1), 6)
                    AS digit_ratio,
                round(CAST(len(list_filter(toks,
-                   x -> list_contains({{stop}}, x))) AS DOUBLE)
+                   x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
                    / greatest(len(toks), 1), 6) AS stopword_ratio,
                round(CAST(coalesce(list_sum(list_transform(
                        list_filter(toks, x -> regexp_matches(x, '^[\\pL\\pN]')),
@@ -246,18 +255,18 @@ def q67_lang_stats(spark, sf_dir):
                        x -> regexp_matches(x, '^[\\pL\\pN]'))), 1), 6)
                    AS mean_token_len
         FROM t
-    )
+    )"""
+
+
+@register(
+    "q68_quality_scores",
+    sql=f"""
+    WITH {_sql_quality_ctes()}
     SELECT doc_id, n_tokens, punct_ratio, digit_ratio, stopword_ratio,
            mean_token_len,
-           round(0.4 * least(n_tokens / 100.0, 1.0)
-                 + 0.4 * greatest(0.0, 1.0 - 4.0 * (punct_ratio + digit_ratio))
-                 + 0.2 * CAST(mean_token_len >= 2.5 AND mean_token_len <= 9.0
-                              AS DOUBLE), 6) AS quality
+           {_QUALITY_EXPR_SQL} AS quality
     FROM r
-    """.format(
-        toks="regexp_extract_all(lower(text), '[\\pL\\pN\\pM]+|[^\\pZ\\pC]')",
-        stop="[" + ", ".join(f"'{w}'" for w in TS.STOPWORDS) + "]",
-    ),
+    """,
     tags=("textstats", "quality"),
 )
 def q68_quality_scores(spark, sf_dir):
@@ -302,11 +311,9 @@ def q69_token_counts(spark, sf_dir):
     )
 
 
-def _langid_sql() -> str:
-    """DuckDB mirror of textstats.language_id: per-language marker-hit
-    ratios, argmax with alphabetical-first tie-break, 'und' when all
-    zero."""
-    toks = "regexp_extract_all(lower(text), '[\\pL\\pN\\pM]+|[^\\pZ\\pC]')"
+def _langid_ratio_exprs() -> list[str]:
+    """Per-language marker-hit-ratio select expressions over a `toks`
+    column (the q70 language-ID features)."""
     ratios = []
     for lang in sorted(TS.LANG_MARKERS):
         markers = ", ".join(f"'{m}'" for m in TS.LANG_MARKERS[lang])
@@ -314,15 +321,27 @@ def _langid_sql() -> str:
             f"CAST(len(list_filter(toks, x -> x IN ({markers}))) AS DOUBLE)"
             f" / greatest(len(toks), 1) AS s_{lang}"
         )
+    return ratios
+
+
+def _langid_case_expr() -> str:
+    """Argmax over the s_<lang> ratios, alphabetical-first tie-break,
+    'und' when all zero."""
     langs = sorted(TS.LANG_MARKERS)
     best = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
-    case = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+    return "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
         f"WHEN s_{lg} = {best} THEN '{lg}'" for lg in langs
     ) + " ELSE 'und' END"
+
+
+def _langid_sql() -> str:
+    """DuckDB mirror of textstats.language_id: per-language marker-hit
+    ratios, argmax with alphabetical-first tie-break, 'und' when all
+    zero."""
     return f"""
-    WITH t AS (SELECT doc_id, lang, {toks} AS toks FROM documents),
-    r AS (SELECT doc_id, lang, {', '.join(ratios)} FROM t)
-    SELECT doc_id, lang, {case} AS lang_pred FROM r
+    WITH t AS (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents),
+    r AS (SELECT doc_id, lang, {', '.join(_langid_ratio_exprs())} FROM t)
+    SELECT doc_id, lang, {_langid_case_expr()} AS lang_pred FROM r
     """
 
 
@@ -380,4 +399,121 @@ def q90_knn_pruned(spark, sf_dir):
     return out.select(
         "query_id", "neighbor_id",
         F.round("similarity", 6).alias("similarity"), "rank",
+    )
+
+
+@register(
+    "q94_char_ngram_jaccard",
+    sql="""
+    WITH g AS (
+        SELECT doc_id,
+               CASE WHEN len(text) < 3 THEN [text]
+                    ELSE list_distinct([substr(text, i, 3)
+                         for i in generate_series(1, len(text) - 2)])
+               END AS grams
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CASE WHEN len(list_distinct(list_concat(a.grams, b.grams))) = 0
+                      THEN 0.0
+                      ELSE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                           / len(list_distinct(list_concat(a.grams, b.grams)))
+                 END, 9) AS jaccard
+    FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+    """,
+    tags=("dedup", "jaccard", "ngram"),
+)
+def q94_char_ngram_jaccard(spark, sf_dir):
+    """Character-3-gram (shingle) Jaccard between neighboring docs —
+    the n-gram flavor of q61's word-set Jaccard; the same shingling
+    that feeds MinHash (q62), checked here exactly."""
+    d = table(spark, sf_dir, "documents")
+    grams = F.when(F.length("text") < 3, F.array(F.col("text"))).otherwise(
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, length(text) - 2),"
+                " i -> substring(text, i, 3))"
+            )
+        )
+    )
+    t = d.select("doc_id", grams.alias("grams"))
+    a, b = t.alias("a"), t.alias("b")
+    return a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.round(DD.jaccard(F.col("a.grams"), F.col("b.grams")), 9).alias(
+            "jaccard"
+        ),
+    )
+
+
+_Q95_CORPUS_SQL = """corpus AS (
+        SELECT doc_id, lang, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, lang, text FROM documents
+        WHERE doc_id % 20 = 0
+    )"""
+
+
+@register(
+    "q95_corpus_curation",
+    sql=f"""
+    WITH {_Q95_CORPUS_SQL},
+    {_sql_quality_ctes(src="corpus", carry=", lang, text")},
+    lr AS (SELECT doc_id, {', '.join(_langid_ratio_exprs())} FROM t),
+    lp AS (SELECT doc_id, {_langid_case_expr()} AS lang_pred FROM lr),
+    dk AS (SELECT doc_id,
+                  CAST(row_number() OVER (
+                      PARTITION BY md5(text) ORDER BY doc_id)
+                  AS INTEGER) AS dup_rank
+           FROM corpus),
+    scored AS (
+        SELECT r.doc_id, lp.lang_pred, {_QUALITY_EXPR_SQL} AS quality,
+               dk.dup_rank
+        FROM r JOIN lp USING (doc_id) JOIN dk USING (doc_id)
+    )
+    SELECT doc_id, lang_pred, quality, dup_rank,
+           CASE WHEN dup_rank > 1 THEN 'duplicate'
+                WHEN quality < 0.75 THEN 'low_quality'
+                WHEN lang_pred = 'und' THEN 'und_language'
+           END AS drop_reason,
+           (dup_rank <= 1 AND quality >= 0.75 AND lang_pred <> 'und') AS keep
+    FROM scored
+    """,
+    tags=("dedup", "textstats", "curation"),
+)
+def q95_corpus_curation(spark, sf_dir):
+    """End-to-end training-corpus curation: exact-dedup (planted exact
+    copies of every 20th doc), quality-score filter, language-ID filter
+    — every per-doc decision tagged with its drop reason. One scan +
+    one window shuffle on the fingerprint; at 100 TB each stage stays a
+    narrow map except the dedup window (hash-partitioned on md5, no
+    skew: fingerprints are uniform)."""
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    planted = d.where(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "lang", "text"
+    )
+    corpus = d.unionByName(planted)
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    scored = corpus.select(
+        "doc_id",
+        TS.language_id("text").alias("lang_pred"),
+        TS.quality_score("text").alias("quality"),
+        F.row_number().over(w).cast("int").alias("dup_rank"),
+    )
+    drop = (
+        F.when(F.col("dup_rank") > 1, "duplicate")
+        .when(F.col("quality") < 0.75, "low_quality")
+        .when(F.col("lang_pred") == "und", "und_language")
+    )
+    return scored.select(
+        "doc_id", "lang_pred", "quality", "dup_rank",
+        drop.alias("drop_reason"),
+        (
+            (F.col("dup_rank") <= 1)
+            & (F.col("quality") >= 0.75)
+            & (F.col("lang_pred") != "und")
+        ).alias("keep"),
     )

@@ -327,3 +327,64 @@ def q92_error_click_band_join(spark, sf_dir):
         "event_id",
         F.coalesce("n_prior_clicks", F.lit(0)).alias("n_prior_clicks"),
     )
+
+
+@register(
+    "q93_multires_rollup",
+    sql=f"""
+    SELECT 'minute' AS granularity, date_trunc('minute', ts) AS bucket_start,
+           COUNT(*) AS n_events, {sql_dsum('value', 'sum_value')}
+    FROM events GROUP BY date_trunc('minute', ts)
+    UNION ALL
+    SELECT 'hour', date_trunc('hour', ts), COUNT(*),
+           {sql_dsum('value', 'sum_value')}
+    FROM events GROUP BY date_trunc('hour', ts)
+    UNION ALL
+    SELECT 'day', date_trunc('day', ts), COUNT(*),
+           {sql_dsum('value', 'sum_value')}
+    FROM events GROUP BY date_trunc('day', ts)
+    """,
+    tags=("temporal", "rollup"),
+)
+def q93_multires_rollup(spark, sf_dir):
+    """Hypertable-style continuous aggregate at three granularities
+    from ONE scan: aggregate to minute buckets, then re-aggregate the
+    minute table to hours and the hour table to days (decimal partial
+    sums stay exact under re-aggregation).
+
+    Scale note: this cascading shape beats both (a) three separate
+    scans (3× the I/O) and (b) a GROUPING SETS/Expand plan (3× the
+    pre-aggregation row stream through the first shuffle). The second
+    and third aggregations run over already-tiny bucket tables."""
+    e = table(spark, sf_dir, "events")
+    minute = e.groupBy(
+        F.date_trunc("minute", "ts").alias("bucket_start")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(dec("value")).alias("_sv"),
+    )
+
+    def up(df, gran):
+        return df.groupBy(
+            F.date_trunc(gran, "bucket_start").alias("bucket_start")
+        ).agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("_sv").alias("_sv"),
+        )
+
+    hour = up(minute, "hour")
+    day = up(hour, "day")
+
+    def out(df, gran):
+        return df.select(
+            F.lit(gran).alias("granularity"),
+            "bucket_start",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("_sv").cast("double").alias("sum_value"),
+        )
+
+    return (
+        out(minute, "minute")
+        .unionByName(out(hour, "hour"))
+        .unionByName(out(day, "day"))
+    )

@@ -72,3 +72,16 @@ def test_exchange_reuse_on_identical_subplans(spark, sf_dir):
     j.collect()  # finalize the adaptive plan
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan or "reuse" in plan.lower(), plan[:1500]
+
+
+def test_multires_rollup_reuses_cascade_stages(spark, sf_dir):
+    """q93's three union branches share the minute-agg lineage; AQE
+    must execute the scan + minute shuffle ONCE and reuse it (and the
+    hour shuffle) instead of re-scanning per branch."""
+    import rc_rag_spark.queries as q
+
+    df = q.REGISTRY["q93_multires_rollup"].fn(spark, sf_dir)
+    df.collect()  # finalize the adaptive plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert plan.count("ReusedExchange") >= 2, plan[:1500]
