@@ -34,12 +34,15 @@ HEADLINE = [
     "q31_token_stats",
     "q34_parse_predictions",
     "q39_doc_fingerprint",
-    # dedup / similarity
+    # dedup / similarity / curation
     "q61_word_jaccard_neighbors",
     "q64_knn_bruteforce",
-    # event-time windows
+    "q95_corpus_curation",
+    # event-time windows / temporal joins
     "q50_tumbling_hourly",
     "q52_session_windows",
+    "q91_click_attribution_asof",
+    "q93_multires_rollup",
 ]
 
 

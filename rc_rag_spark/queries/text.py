@@ -248,14 +248,25 @@ def _sql_parse_prediction(raw: str) -> str:
     """
 
 
+_Q34_PARSED = None
+
+
 @register(
     "q34_parse_predictions",
     sql=_sql_parse_prediction(_PRED_CASE_SQL),
     tags=("text", "x2"),
 )
 def q34_parse_predictions(spark, sf_dir):
+    # The parse tree is ~10^3 nested Column ops; building it is pure
+    # py4j round-trip cost (~1 s) and the tree is input-independent, so
+    # build once per process. Unresolved expressions are plan-agnostic:
+    # they bind by column name at analysis, and survive session
+    # restarts within one JVM gateway.
+    global _Q34_PARSED
+    if _Q34_PARSED is None:
+        _Q34_PARSED = P.parse_prediction(_pred_case_spark())
+    parsed = _Q34_PARSED
     d = table(spark, sf_dir, "documents")
-    parsed = P.parse_prediction(_pred_case_spark())
     return d.select(
         "doc_id",
         parsed.getField("reject").alias("reject"),
