@@ -183,3 +183,57 @@ def test_asof_single_shuffle(spark, sf_dir):
         .toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    """Randomized pin against an independent implementation:
+    pandas.merge_asof(by=key, direction=backward/forward) on frames
+    with unique (key, time) pairs (both sides resolve exact-duplicate
+    ties arbitrarily, so the generator avoids them)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(42)
+    for trial in range(3):
+        def mk(n, tag):
+            keys = rng.integers(0, 5, n)
+            times = rng.choice(
+                np.arange(0, 10_000, 7), size=n, replace=False
+            )
+            return pd.DataFrame(
+                {
+                    "k": keys.astype("int64"),
+                    "t": pd.to_datetime(times * 1_000_000_0),
+                    f"{tag}v": np.arange(n, dtype="int64"),
+                }
+            )
+
+        lpdf, rpdf = mk(80, "l"), mk(60, "r")
+        for direction in ("backward", "forward"):
+            expected = pd.merge_asof(
+                lpdf.sort_values("t"),
+                rpdf.sort_values("t").rename(columns={"t": "rt"}),
+                left_on="t",
+                right_on="rt",
+                by="k",
+                direction=direction,
+            ).sort_values("lv")
+            got = (
+                asof_join(
+                    spark.createDataFrame(lpdf),
+                    spark.createDataFrame(rpdf.rename(columns={"t": "rt"})),
+                    ["k"],
+                    "t",
+                    "rt",
+                    direction=direction,
+                )
+                .orderBy("lv")
+                .toPandas()
+            )
+            exp_pairs = list(
+                zip(expected["lv"], expected["rv"].fillna(-1).astype("int64"))
+            )
+            got_pairs = list(
+                zip(got["lv"], got["rv"].fillna(-1).astype("int64"))
+            )
+            assert got_pairs == exp_pairs, (trial, direction)
