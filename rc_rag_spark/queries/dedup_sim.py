@@ -517,3 +517,40 @@ def q95_corpus_curation(spark, sf_dir):
             & (F.col("lang_pred") != "und")
         ).alias("keep"),
     )
+
+
+@register(
+    "q96_hash_split",
+    sql="""
+    WITH b AS (
+        SELECT doc_id,
+               CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) % 100 AS INTEGER) AS bucket
+        FROM documents
+    )
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+    tags=("curation", "split"),
+)
+def q96_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment by hashing the stable
+    key (md5-prefix mod 100 → 80/10/10) — reproducible across engines,
+    runs, and partitionings, unlike RNG sampling. A narrow per-row
+    expression: no shuffle, no state, any scale."""
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    ).cast("int")
+    return d.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
