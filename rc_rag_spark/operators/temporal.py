@@ -86,6 +86,15 @@ def asof_join(
     on = list(on)
     if not on:
         raise ValueError("asof_join: need at least one key column")
+    missing_l = [c for c in on if c not in left.columns]
+    missing_r = [c for c in on if c not in right.columns]
+    if missing_l or missing_r:
+        raise ValueError(
+            f"asof_join: key columns missing (left: {missing_l}, "
+            f"right: {missing_r})"
+        )
+    if left_time not in left.columns:
+        raise ValueError("asof_join: left_time must be a left column")
 
     payload_cols = [c for c in right.columns if c not in on]
     if right_time not in payload_cols:
@@ -93,9 +102,24 @@ def asof_join(
     out_names = {
         c: (c + suffix if c in left.columns else c) for c in payload_cols
     }
+    clashes = [
+        n for n in out_names.values()
+        if n in left.columns or list(out_names.values()).count(n) > 1
+    ]
+    if clashes:
+        raise ValueError(
+            f"asof_join: suffixed output name(s) still collide: {clashes}"
+        )
 
     tb = [F.col(right_tiebreak).alias("_asof_tb")] if right_tiebreak else []
-    r = right.select(
+    # SQL equality semantics: a NULL key equals nothing, so NULL-key
+    # right rows can never be matched — drop them up front. NULL-key
+    # left rows then share a partition containing no right rows and
+    # come out unmatched, exactly like ASOF LEFT JOIN ON l.k = r.k.
+    null_free = right
+    for c in on:
+        null_free = null_free.where(F.col(c).isNotNull())
+    r = null_free.select(
         *[F.col(c) for c in on],
         F.col(right_time).alias(_T),
         F.lit(0).alias(_SIDE),
@@ -190,21 +214,54 @@ def banded_range_join(
         raise ValueError("banded_range_join: bucket_seconds must be > 0")
     bucket_us = bucket * 1_000_000
 
+    missing_l = [c for c in on if c not in left.columns]
+    missing_r = [c for c in on if c not in right.columns]
+    if missing_l or missing_r:
+        raise ValueError(
+            f"banded_range_join: key columns missing (left: {missing_l}, "
+            f"right: {missing_r})"
+        )
+    if left_time not in left.columns:
+        raise ValueError("banded_range_join: left_time must be a left column")
+    if right_time not in right.columns or right_time in on:
+        raise ValueError("banded_range_join: right_time must be a non-key "
+                         "right column")
+
     payload_cols = [c for c in right.columns if c not in on]
     out_names = {
         c: (c + "_right" if c in left.columns else c) for c in payload_cols
     }
+    clashes = [
+        n for n in out_names.values()
+        if n in left.columns or list(out_names.values()).count(n) > 1
+    ]
+    if clashes:
+        raise ValueError(
+            f"banded_range_join: suffixed output name(s) still collide: "
+            f"{clashes}"
+        )
+
+    def bucket_of(us: Column) -> Column:
+        # exact floor division on integers: bigint/bigint in Spark is a
+        # DOUBLE division, which rounds above 2^53 µs (~year 2255) and
+        # could put a row one bucket off; (x - pmod(x, b)) is an exact
+        # multiple of b, so dividing via DECIMAL stays integral.
+        return (
+            ((us - F.pmod(us, F.lit(bucket_us))).cast("decimal(30,0)")
+             / bucket_us)
+            .cast("long")
+        )
 
     r = right.select(
         *on,
-        F.floor(F.unix_micros(F.col(right_time)) / bucket_us).alias("_band_b"),
+        bucket_of(F.unix_micros(F.col(right_time))).alias("_band_b"),
         *[F.col(c).alias(out_names[c]) for c in payload_cols],
     )
     lt_us = F.unix_micros(F.col(left_time))
-    lo_b = F.floor((lt_us + lower_seconds * 1_000_000) / bucket_us)
+    lo_b = bucket_of(lt_us + lower_seconds * 1_000_000)
     # upper bound is exclusive: the last reachable right time is
     # upper - 1 microsecond
-    hi_b = F.floor((lt_us + upper_seconds * 1_000_000 - 1) / bucket_us)
+    hi_b = bucket_of(lt_us + upper_seconds * 1_000_000 - 1)
     l = left.withColumn("_band_b", F.explode(F.sequence(lo_b, hi_b)))
 
     rt_us = F.unix_micros(F.col(out_names[right_time]))

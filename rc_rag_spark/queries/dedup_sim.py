@@ -450,7 +450,7 @@ def q94_char_ngram_jaccard(spark, sf_dir):
 _Q95_CORPUS_SQL = """corpus AS (
         SELECT doc_id, lang, text FROM documents
         UNION ALL
-        SELECT doc_id + 1000000 AS doc_id, lang, text FROM documents
+        SELECT -doc_id - 1 AS doc_id, lang, text FROM documents
         WHERE doc_id % 20 = 0
     )"""
 
@@ -459,12 +459,12 @@ _Q95_CORPUS_SQL = """corpus AS (
     "q95_corpus_curation",
     sql=f"""
     WITH {_Q95_CORPUS_SQL},
-    {_sql_quality_ctes(src="corpus", carry=", lang, text")},
+    {_sql_quality_ctes(src="corpus")},
     lr AS (SELECT doc_id, {', '.join(_langid_ratio_exprs())} FROM t),
     lp AS (SELECT doc_id, {_langid_case_expr()} AS lang_pred FROM lr),
     dk AS (SELECT doc_id,
                   CAST(row_number() OVER (
-                      PARTITION BY md5(text) ORDER BY doc_id)
+                      PARTITION BY md5(text) ORDER BY abs(doc_id))
                   AS INTEGER) AS dup_rank
            FROM corpus),
     scored AS (
@@ -484,19 +484,21 @@ _Q95_CORPUS_SQL = """corpus AS (
 )
 def q95_corpus_curation(spark, sf_dir):
     """End-to-end training-corpus curation: exact-dedup (planted exact
-    copies of every 20th doc), quality-score filter, language-ID filter
-    — every per-doc decision tagged with its drop reason. One scan +
-    one window shuffle on the fingerprint; at 100 TB each stage stays a
-    narrow map except the dedup window (hash-partitioned on md5, no
-    skew: fingerprints are uniform)."""
+    copies of every 20th doc, in the negative-id namespace so no corpus
+    size can collide with real ids), quality-score filter, language-ID
+    filter — every per-doc decision tagged with its drop reason. The
+    dedup window orders by abs(doc_id) so the original always outranks
+    its planted copy. One scan + one window shuffle on the fingerprint;
+    at 100 TB each stage stays a narrow map except the dedup window
+    (hash-partitioned on md5, no skew: fingerprints are uniform)."""
     from pyspark.sql.window import Window
 
     d = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     planted = d.where(F.col("doc_id") % 20 == 0).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"), "lang", "text"
+        (-F.col("doc_id") - 1).alias("doc_id"), "lang", "text"
     )
     corpus = d.unionByName(planted)
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    w = Window.partitionBy(F.md5("text")).orderBy(F.abs(F.col("doc_id")))
     scored = corpus.select(
         "doc_id",
         TS.language_id("text").alias("lang_pred"),

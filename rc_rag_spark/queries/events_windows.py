@@ -245,8 +245,10 @@ def q89_funnel_stages(spark, sf_dir):
     sql="""
     WITH c AS (SELECT event_id, user_id, ts AS click_ts FROM events
                WHERE event_type = 'click'),
-         v AS (SELECT event_id AS view_event_id, user_id, ts AS view_ts
-               FROM events WHERE event_type = 'view')
+         v AS (SELECT MAX(event_id) AS view_event_id, user_id,
+                      ts AS view_ts
+               FROM events WHERE event_type = 'view'
+               GROUP BY user_id, ts)
     SELECT c.event_id, c.user_id, c.click_ts, v.view_event_id, v.view_ts,
            COALESCE(c.click_ts - v.view_ts <= INTERVAL 10 MINUTE, FALSE)
                AS attributed
@@ -260,7 +262,10 @@ def q91_click_attribution_asof(spark, sf_dir):
     recent at-or-before view by the same user; attribution flag when
     the view is within 10 minutes. One union-shuffle + window sort —
     the DuckDB oracle uses its native ASOF JOIN, spelled entirely
-    differently."""
+    differently. Ties on (user_id, ts) are pinned to the greatest
+    view_event_id on both sides (right_tiebreak here, pre-ASOF
+    MAX-group in the oracle) so the comparison stays deterministic
+    even if the fixture ever grows duplicate view timestamps."""
     from rc_rag_spark.operators.temporal import asof_join
 
     e = table(spark, sf_dir, "events")
@@ -275,6 +280,7 @@ def q91_click_attribution_asof(spark, sf_dir):
     out = asof_join(
         clicks, views, on=["user_id"],
         left_time="click_ts", right_time="view_ts", how="left",
+        right_tiebreak="view_event_id",
     )
     attributed = F.coalesce(
         F.col("click_ts") - F.col("view_ts") <= F.expr("INTERVAL 10 MINUTES"),

@@ -237,3 +237,43 @@ def test_asof_matches_pandas_merge_asof(spark):
                 zip(got["lv"], got["rv"].fillna(-1).astype("int64"))
             )
             assert got_pairs == exp_pairs, (trial, direction)
+
+
+def test_asof_null_keys_never_match(spark):
+    """SQL equality semantics: NULL keys equal nothing — a NULL-key
+    left row comes out unmatched even when NULL-key right rows exist
+    (DuckDB ASOF LEFT JOIN ON l.k = r.k behaves identically)."""
+    left = spark.createDataFrame(
+        [(None, _ts("2024-01-01 10:00:00"), "l0"),
+         (1, _ts("2024-01-01 10:00:00"), "l1")],
+        "k int, t timestamp, lv string",
+    )
+    right = spark.createDataFrame(
+        [(None, _ts("2024-01-01 09:00:00"), "r_null"),
+         (1, _ts("2024-01-01 09:00:00"), "r1")],
+        "k int, rt timestamp, rv string",
+    )
+    rows = {r["lv"]: r["rv"] for r in
+            asof_join(left, right, ["k"], "t", "rt").collect()}
+    assert rows == {"l0": None, "l1": "r1"}
+
+
+def test_temporal_joins_validate_inputs(spark):
+    import pytest
+
+    left, right = _frames(spark)
+    with pytest.raises(ValueError, match="key columns missing"):
+        asof_join(left.drop("k"), right, ["k"], "t", "rt")
+    with pytest.raises(ValueError, match="left_time"):
+        asof_join(left, right, ["k"], "nope", "rt")
+    with pytest.raises(ValueError, match="collide"):
+        # left has rv AND rv_right: right's rv suffixes to rv_right,
+        # which still collides — must fail fast, not emit duplicates
+        asof_join(
+            left.withColumn("rv", F.lit(1)).withColumn("rv_right", F.lit(1)),
+            right, ["k"], "t", "rt",
+        )
+    with pytest.raises(ValueError, match="key columns missing"):
+        banded_range_join(
+            left.drop("k"), right, ["k"], "t", "rt", -60, 0
+        )
