@@ -2,8 +2,10 @@ from rc_rag_spark.sources.registry import (
     BROADCAST_DIMS,
     TABLES,
     load_tables,
+    read_csv,
     read_jsonl,
     table,
+    write_csv,
     write_jsonl,
 )
 
@@ -11,7 +13,9 @@ __all__ = [
     "BROADCAST_DIMS",
     "TABLES",
     "load_tables",
+    "read_csv",
     "read_jsonl",
     "table",
+    "write_csv",
     "write_jsonl",
 ]

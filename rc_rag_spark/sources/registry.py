@@ -87,6 +87,46 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "append") -> None:
     df.write.mode(mode).json(path)
 
 
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    header: bool = True,
+    delimiter: str = ",",
+) -> DataFrame:
+    """CSV scan (SURVEY §2.2 scans row). Schema-on-read when provided —
+    at scale inference triggers a full extra pass, so callers should
+    always pass one; header=True only consumes the first line per
+    file."""
+    reader = (
+        spark.read.option("header", header)
+        .option("delimiter", delimiter)
+        .option("mode", "FAILFAST")
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    header: bool = True,
+    delimiter: str = ",",
+) -> None:
+    """CSV sink (interchange format only — parquet is the at-scale
+    sink; CSV carries no types, no stats, no pruning)."""
+    (
+        df.write.mode(mode)
+        .option("header", header)
+        .option("delimiter", delimiter)
+        .csv(path)
+    )
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,

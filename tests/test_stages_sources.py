@@ -131,3 +131,22 @@ def test_stage_cache_param_mismatch_raises(spark, sf_dir, workdir):
     # force recomputes and updates the fingerprint
     out = sp.infer(samples, fusion_strategy="probability", force=True)
     assert out.count() == 10
+
+
+def test_csv_roundtrip_with_schema(spark, sf_dir, tmp_path):
+    """CSV sink → schema'd CSV scan reproduces values and types for a
+    mixed-type projection (strings with commas get quoted)."""
+    from rc_rag_spark.sources import read_csv, write_csv
+
+    src = (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+        .limit(50)
+    )
+    path = str(tmp_path / "orders_csv")
+    write_csv(src, path)
+    back = read_csv(spark, path, schema=src.schema)
+    assert back.schema == src.schema
+    a = sorted(map(tuple, src.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
