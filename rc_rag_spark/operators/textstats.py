@@ -69,10 +69,16 @@ def language_scores(col: str | Column) -> Column:
     )
 
 
-def language_id(col: str | Column) -> Column:
-    """Argmax language over marker ratios; 'und' when all zero.
-    Deterministic tie-break: language-code order."""
-    scores = language_scores(col)
+def language_id_from_scores(scores: Column) -> Column:
+    """Argmax language over a precomputed `language_scores` struct;
+    'und' when all zero. Deterministic tie-break: language-code order.
+
+    Take the struct as a NAMED column (not an inline expression) in
+    multi-use contexts: the argmax references the struct ~10×, and each
+    reference textually duplicates an inline subtree — a ~10× blowup in
+    analysis/codegen work that Catalyst only avoids when the struct is
+    an alias used more than once (CollapseProject then keeps the
+    projections staged)."""
     langs = sorted(LANG_MARKERS)
     best = F.greatest(*[scores.getField(lg) for lg in langs])
     out = F.lit("und")
@@ -81,6 +87,11 @@ def language_id(col: str | Column) -> Column:
             (scores.getField(lg) == best) & (best > 0), F.lit(lg)
         ).otherwise(out)
     return out
+
+
+def language_id(col: str | Column) -> Column:
+    """Argmax language over marker ratios; 'und' when all zero."""
+    return language_id_from_scores(language_scores(col))
 
 
 def quality_features(col: str | Column) -> Column:
@@ -97,7 +108,14 @@ def quality_features(col: str | Column) -> Column:
         F.aggregate(alnum, F.lit(0), lambda a, t: a + F.length(t)).cast("double")
         / F.greatest(F.size(alnum), F.lit(1))
     )
-    count_re = lambda pat: F.size(F.regexp_extract_all(s, F.lit(pat), 0))  # noqa: E731
+    # Count single-char class matches as length(s) - length(s with the
+    # class deleted): same value as counting regexp matches, but no
+    # per-character array materialization (these run per-row in the
+    # 100 TB hot path; the array variant allocates one single-char
+    # string per matching character).
+    count_re = lambda pat: (  # noqa: E731
+        n_chars - F.length(F.regexp_replace(s, pat, ""))
+    )
     return F.struct(
         n_chars.cast("int").alias("n_chars"),
         n_tok.cast("int").alias("n_tokens"),
@@ -111,10 +129,10 @@ def quality_features(col: str | Column) -> Column:
     )
 
 
-def quality_score(col: str | Column) -> Column:
-    """Composite [0,1] quality score: rewards mid-length docs with low
-    punct/digit noise and a sane mean token length."""
-    q = quality_features(col)
+def quality_score_from_features(q: Column) -> Column:
+    """Composite [0,1] quality score from a precomputed
+    `quality_features` struct (same staging rationale as
+    `language_id_from_scores`: the score references the struct 4×)."""
     length_score = F.least(q.getField("n_tokens").cast("double") / 100.0, F.lit(1.0))
     noise = q.getField("punct_ratio") + q.getField("digit_ratio")
     noise_score = F.greatest(F.lit(0.0), F.lit(1.0) - 4.0 * noise)
@@ -125,6 +143,12 @@ def quality_score(col: str | Column) -> Column:
     return F.round(
         0.4 * length_score + 0.4 * noise_score + 0.2 * len_ok, 6
     )
+
+
+def quality_score(col: str | Column) -> Column:
+    """Composite [0,1] quality score: rewards mid-length docs with low
+    punct/digit noise and a sane mean token length."""
+    return quality_score_from_features(quality_features(col))
 
 
 def _rolling_grams(col: str | Column, window: int) -> Column:

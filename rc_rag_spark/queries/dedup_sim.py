@@ -16,7 +16,7 @@ from rc_rag_spark.operators import dedup as DD
 from rc_rag_spark.operators import similarity as SIM
 from rc_rag_spark.operators import textstats as TS
 from rc_rag_spark.queries.core import register
-from rc_rag_spark.sources import table
+from rc_rag_spark.sources import table, wide_table
 
 
 @register(
@@ -493,17 +493,29 @@ def q95_corpus_curation(spark, sf_dir):
     (hash-partitioned on md5, no skew: fingerprints are uniform)."""
     from pyspark.sql.window import Window
 
-    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    d = wide_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
     planted = d.where(F.col("doc_id") % 20 == 0).select(
         (-F.col("doc_id") - 1).alias("doc_id"), "lang", "text"
     )
     corpus = d.unionByName(planted)
     w = Window.partitionBy(F.md5("text")).orderBy(F.abs(F.col("doc_id")))
-    scored = corpus.select(
+    # Stage the marker-score and quality-feature structs as named
+    # columns before the argmax/composite-score expressions reference
+    # them repeatedly — keeps the analyzed tree linear instead of
+    # duplicating the tokenizer subtree ~10×.
+    feats = corpus.select(
         "doc_id",
-        TS.language_id("text").alias("lang_pred"),
-        TS.quality_score("text").alias("quality"),
+        TS.language_scores("text").alias("ls"),
+        TS.quality_features("text").alias("qf"),
         F.row_number().over(w).cast("int").alias("dup_rank"),
+    )
+    scored = feats.select(
+        "doc_id",
+        TS.language_id_from_scores(F.col("ls")).alias("lang_pred"),
+        TS.quality_score_from_features(F.col("qf")).alias("quality"),
+        "dup_rank",
     )
     drop = (
         F.when(F.col("dup_rank") > 1, "duplicate")

@@ -17,7 +17,7 @@ from rc_rag_spark.functions import parsing as P
 from rc_rag_spark.functions import prompts as PR
 from rc_rag_spark.functions import text as T
 from rc_rag_spark.queries.core import register
-from rc_rag_spark.sources import table
+from rc_rag_spark.sources import table, wide_table
 
 # --- DuckDB SQL fragment generators -------------------------------------
 
@@ -266,12 +266,19 @@ def q34_parse_predictions(spark, sf_dir):
     if _Q34_PARSED is None:
         _Q34_PARSED = P.parse_prediction(_pred_case_spark())
     parsed = _Q34_PARSED
-    d = table(spark, sf_dir, "documents")
-    return d.select(
+    # wide_table: the parse tree is ~10^3 regex/string ops per row — the
+    # per-row work dwarfs the 0.6 MB rebalance shuffle, and the local
+    # single-row-group fixture would otherwise run it on one core.
+    d = wide_table(spark, sf_dir, "documents")
+    # Stage the parse struct as a named column: three inline getFields
+    # would each duplicate the ~10^3-node parse subtree in the analyzed
+    # plan (CollapseProject keeps staged projections apart only when the
+    # alias is referenced more than once — which this is).
+    return d.select("doc_id", parsed.alias("p")).select(
         "doc_id",
-        parsed.getField("reject").alias("reject"),
-        parsed.getField("answer").alias("answer"),
-        parsed.getField("evidence").alias("evidence"),
+        F.col("p").getField("reject").alias("reject"),
+        F.col("p").getField("answer").alias("answer"),
+        F.col("p").getField("evidence").alias("evidence"),
     )
 
 

@@ -5,6 +5,7 @@ from rc_rag_spark.sources.registry import (
     read_csv,
     read_jsonl,
     table,
+    wide_table,
     write_csv,
     write_jsonl,
 )
@@ -16,6 +17,7 @@ __all__ = [
     "read_csv",
     "read_jsonl",
     "table",
+    "wide_table",
     "write_csv",
     "write_jsonl",
 ]

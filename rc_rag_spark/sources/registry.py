@@ -59,6 +59,21 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def wide_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """`table()` plus a round-robin rebalance to the session's core
+    count. For expression-dense narrow pipelines (regex parsing, quality
+    scoring) over the local fixtures: each sf fixture is ONE parquet
+    file with ONE row group, so the scan — and every narrow transform
+    chained on it — executes as a single task no matter how many cores
+    the session has. On a real cluster the input is thousands of
+    splittable files and this helper is a no-op-shaped extra exchange of
+    a few hundred KB; locally it is the difference between 1-core and
+    32-core execution of the expensive projection. Only use it when the
+    downstream per-row work dwarfs a tiny shuffle."""
+    df = table(spark, sf_dir, name)
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, register_views: bool = False
 ) -> dict[str, DataFrame]:
