@@ -270,16 +270,18 @@ def _sql_quality_ctes(src: str = "documents", carry: str = "") -> str:
     tags=("textstats", "quality"),
 )
 def q68_quality_scores(spark, sf_dir):
-    d = table(spark, sf_dir, "documents")
-    q = TS.quality_features("text")
-    return d.select(
+    d = wide_table(spark, sf_dir, "documents")
+    # Stage the features struct once; six getFields plus the composite
+    # score would otherwise each inline the tokenizer subtree.
+    q = F.col("q")
+    return d.select("doc_id", TS.quality_features("text").alias("q")).select(
         "doc_id",
         q.getField("n_tokens").alias("n_tokens"),
         q.getField("punct_ratio").alias("punct_ratio"),
         q.getField("digit_ratio").alias("digit_ratio"),
         q.getField("stopword_ratio").alias("stopword_ratio"),
         q.getField("mean_token_len").alias("mean_token_len"),
-        TS.quality_score("text").alias("quality"),
+        TS.quality_score_from_features(q).alias("quality"),
     )
 
 
@@ -349,9 +351,13 @@ def _langid_sql() -> str:
 def q70_language_id(spark, sf_dir):
     """Heuristic language ID (marker-ratio argmax), oracle-checked
     against an independent SQL formulation."""
-    d = table(spark, sf_dir, "documents")
+    d = wide_table(spark, sf_dir, "documents")
     return d.select(
-        "doc_id", "lang", TS.language_id("text").alias("lang_pred")
+        "doc_id", "lang", TS.language_scores("text").alias("ls")
+    ).select(
+        "doc_id",
+        "lang",
+        TS.language_id_from_scores(F.col("ls")).alias("lang_pred"),
     )
 
 
