@@ -109,6 +109,99 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_hash(j: Column | int, s: Column) -> Column:
+    """Deterministic MinHash hash function j applied to shingle s:
+    first 15 hex chars (60 bits) of md5("<j>:<s>") as a signed long.
+    md5 is available identically in DuckDB
+    (CAST('0x'||substr(md5(j||':'||s),1,15) AS BIGINT)), so signatures
+    are oracle-checkable — unlike MLlib's MinHashLSH, whose seeded
+    random coefficients exist only JVM-side."""
+    jc = F.lit(j) if isinstance(j, int) else j
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(jc.cast("string"), F.lit(":"), s)), 1, 15
+        ),
+        16, 10,
+    ).cast("long")
+
+
+def minhash_signature(
+    shingles: Column, num_hashes: int = 8
+) -> Column:
+    """MinHash signature: per hash function, the min of minhash_hash
+    over the (distinct) shingle array. Pure native array ops — one
+    projection, no shuffle, codegen'd."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda j: F.array_min(
+            F.transform(shingles, lambda s: minhash_hash(j, s))
+        ),
+    )
+
+
+def minhash_det_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Deterministic MinHash-LSH near-duplicate pairs, fully
+    oracle-checkable: shingle → md5-minhash signature → band join
+    (one band per hash, OR-construction) → exact-Jaccard verify.
+
+    Scale shape: the candidate join is an equi-join on
+    (band_idx, signature_value) — shuffle O(n·num_hashes), never the
+    O(n²) cross product; the verify re-joins shingle arrays by id so
+    the band shuffle moves only (id, band, sig) triples.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and
+    jaccard >= jaccard_threshold, for pairs colliding on >= 1 band.
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(word_shingles(text_col, shingle_n)).alias(
+            "_shingles"
+        ),
+    ).where(F.size("_shingles") > 0)
+    sig = sh.select(
+        "_id", minhash_signature(F.col("_shingles"), num_hashes).alias("_sig")
+    )
+    bands = sig.select(
+        "_id",
+        F.posexplode("_sig").alias("_band_idx", "_band_sig"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._band_idx") == F.col("b._band_idx"))
+            & (F.col("a._band_sig") == F.col("b._band_sig"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = sh.select(
+        F.col("_id").alias("id_a"), F.col("_shingles").alias("_sha")
+    )
+    sb = sh.select(
+        F.col("_id").alias("id_b"), F.col("_shingles").alias("_shb")
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a", "id_b",
+            jaccard(F.col("_sha"), F.col("_shb")).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
 _simhash_udf = None
 
 

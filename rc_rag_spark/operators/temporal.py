@@ -40,6 +40,19 @@ _SIDE = "_asof_is_left"
 _PAYLOAD = "_asof_payload"
 
 
+def _check_reserved(op, names, left, right):
+    """Inputs must not already use our internal column names — catching
+    it here gives a clear error instead of a duplicate-column analysis
+    failure deep inside the plan."""
+    for side, df in (("left", left), ("right", right)):
+        hit = [c for c in names if c in df.columns]
+        if hit:
+            raise ValueError(
+                f"{op}: {side} input uses reserved internal column "
+                f"name(s) {hit}; rename them before joining"
+            )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -95,6 +108,8 @@ def asof_join(
         )
     if left_time not in left.columns:
         raise ValueError("asof_join: left_time must be a left column")
+    _check_reserved("asof_join", (_T, _SIDE, _PAYLOAD, "_asof_tb"),
+                    left, right)
 
     payload_cols = [c for c in right.columns if c not in on]
     if right_time not in payload_cols:
@@ -116,7 +131,10 @@ def asof_join(
     # right rows can never be matched — drop them up front. NULL-key
     # left rows then share a partition containing no right rows and
     # come out unmatched, exactly like ASOF LEFT JOIN ON l.k = r.k.
-    null_free = right
+    # A NULL right TIME likewise compares false against every left time
+    # (DuckDB ASOF / merge_asof never match NULL timestamps), so those
+    # rows are dropped too.
+    null_free = right.where(F.col(right_time).isNotNull())
     for c in on:
         null_free = null_free.where(F.col(c).isNotNull())
     r = null_free.select(
@@ -138,8 +156,14 @@ def asof_join(
     # Sort so every right row a left row may match precedes it:
     # backward = ascending time; right (side 0) before left (side 1) on
     # equal times so >= matches include ties. Forward flips the time
-    # order only.
-    t_order = F.col(_T).asc() if direction == "backward" else F.col(_T).desc()
+    # order only. NULLs sort FIRST in both directions: right NULL-time
+    # rows are already gone, so a NULL left-time row precedes every
+    # right row and sees no match — NULL time comparisons never match.
+    t_order = (
+        F.col(_T).asc_nulls_first()
+        if direction == "backward"
+        else F.col(_T).desc_nulls_first()
+    )
     order = [t_order, F.col(_SIDE).asc()]
     if right_tiebreak:
         order.append(F.col("_asof_tb").asc_nulls_first())
@@ -226,6 +250,7 @@ def banded_range_join(
     if right_time not in right.columns or right_time in on:
         raise ValueError("banded_range_join: right_time must be a non-key "
                          "right column")
+    _check_reserved("banded_range_join", ("_band_b",), left, right)
 
     payload_cols = [c for c in right.columns if c not in on]
     out_names = {

@@ -72,12 +72,71 @@ def q61_word_jaccard_neighbors(spark, sf_dir):
     )
 
 
-@register("q62_minhash_near_dup", tags=("dedup", "lsh"))
+def _sql_minhash_grams(text: str, n: int = 3) -> str:
+    """DuckDB word-shingle expression matching DD.word_shingles:
+    simple_tokenize then space-joined n-grams (distinct)."""
+    toks = f"regexp_extract_all(lower({text}), '[\\pL\\pN\\pM]+|[^\\pZ\\pC]')"
+    gram = " || ' ' || ".join(f"tk[i+{j}]" for j in range(n))
+    return (
+        f"list_distinct((SELECT CASE WHEN len(tk) < {n} THEN []::VARCHAR[] "
+        f"ELSE [{gram} for i in generate_series(1, len(tk) - {n - 1})] END "
+        f"FROM (SELECT {toks} AS tk)))"
+    )
+
+
+@register(
+    "q62_minhash_near_dup",
+    sql=f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+               array_to_string(
+                   string_split(text, ' ')[1:greatest(
+                       len(string_split(text, ' ')) - 3, 1)], ' ') AS text
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    sh AS (
+        SELECT doc_id, {_sql_minhash_grams("text")} AS grams FROM corpus
+    ),
+    sig AS (
+        SELECT doc_id, grams,
+               [list_min(list_transform(grams, s ->
+                    CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || s),
+                                         1, 15)) AS BIGINT)))
+                for j in generate_series(0, 7)] AS sig
+        FROM sh WHERE len(grams) > 0
+    ),
+    cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.grams AS ga, b.grams AS gb
+        FROM sig a JOIN sig b
+          ON a.doc_id < b.doc_id
+         AND len(list_filter(generate_series(1, 8),
+                             i -> a.sig[i] = b.sig[i])) > 0
+    )
+    SELECT id_a, id_b,
+           round(CASE WHEN len(list_distinct(list_concat(ga, gb))) = 0
+                      THEN 0.0
+                      ELSE CAST(len(list_intersect(ga, gb)) AS DOUBLE)
+                           / len(list_distinct(list_concat(ga, gb)))
+                 END, 9) AS jaccard
+    FROM cand
+    WHERE CASE WHEN len(list_distinct(list_concat(ga, gb))) = 0
+               THEN 0.0
+               ELSE CAST(len(list_intersect(ga, gb)) AS DOUBLE)
+                    / len(list_distinct(list_concat(ga, gb)))
+          END >= 0.5
+    """,
+    tags=("dedup", "lsh"),
+)
 def q62_minhash_near_dup(spark, sf_dir):
-    """MinHash-LSH near-duplicate candidates over documents ∪ mutated
-    copies (the fixture corpus has no natural dups, so we plant
-    deterministic near-dups: every 10th doc with its last 3 words
-    dropped)."""
+    """MinHash-LSH near-duplicate pairs over documents ∪ mutated copies
+    (the fixture corpus has no natural dups, so we plant deterministic
+    near-dups: every 10th doc with its last 3 words dropped). Uses the
+    deterministic md5-based MinHash (operators/dedup.py) so the full
+    signature → band-collision → exact-Jaccard-verify pipeline is
+    hash-checked against DuckDB."""
     d = table(spark, sf_dir, "documents")
     words = F.split("text", " ")
     mutated = (
@@ -88,18 +147,59 @@ def q62_minhash_near_dup(spark, sf_dir):
         )
     )
     corpus = d.select("doc_id", "text").unionByName(mutated)
-    pairs = DD.minhash_lsh_pairs(
+    pairs = DD.minhash_det_pairs(
         corpus, "doc_id", "text", shingle_n=3,
-        num_hash_tables=8, jaccard_threshold=0.5,
+        num_hashes=8, jaccard_threshold=0.5,
     )
     return pairs.select(
-        "id_a", "id_b", F.round("jaccard_distance", 6).alias("jaccard_distance")
+        "id_a", "id_b", F.round("jaccard", 9).alias("jaccard")
     )
 
 
-@register("q63_simhash_near_dup", tags=("dedup", "simhash"))
+def _sql_simhash64(text: str) -> str:
+    """DuckDB expression computing the same 64-bit SimHash as
+    DD.simhash64: md5 of each whitespace token, first 8 bytes
+    big-endian, per-bit majority vote. Returned as UBIGINT (the signed
+    reinterpretation only matters for storage, not for XOR/popcount)."""
+    hs = (
+        f"list_transform(regexp_extract_all(lower({text}), '[^\\s]+'), "
+        f"t -> CAST(('0x' || substr(md5(t), 1, 16)) AS UBIGINT))"
+    )
+    # DuckDB's << checks signed overflow at bit 63 — emit the power of
+    # two as a UBIGINT decimal literal instead
+    bit = (
+        "(CASE WHEN 2 * coalesce(list_sum(list_transform(hs, "
+        "h -> CAST((h >> {b}) & 1 AS BIGINT))), 0) > len(hs) "
+        "THEN CAST('{p}' AS UBIGINT) ELSE CAST(0 AS UBIGINT) END)"
+    )
+    total = " + ".join(bit.format(b=b, p=1 << b) for b in range(64))
+    return f"(SELECT {total} FROM (SELECT {hs} AS hs))"
+
+
+@register(
+    "q63_simhash_near_dup",
+    sql=f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+               array_to_string(
+                   string_split(text, ' ')[1:greatest(
+                       len(string_split(text, ' ')) - 2, 1)], ' ') AS text
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    sh AS (SELECT doc_id, {_sql_simhash64("text")} AS s FROM corpus)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.s, b.s)) <= 3
+    """,
+    tags=("dedup", "simhash"),
+)
 def q63_simhash_near_dup(spark, sf_dir):
-    """SimHash band-bucketed near-dup pairs on the same planted corpus."""
+    """SimHash band-bucketed near-dup pairs on the same planted corpus.
+    max_hamming(3) < num_bands(4) makes the band join exhaustive
+    (pigeonhole), so the all-pairs Hamming filter is an exact oracle."""
     d = table(spark, sf_dir, "documents")
     words = F.split("text", " ")
     mutated = (
@@ -110,7 +210,8 @@ def q63_simhash_near_dup(spark, sf_dir):
         )
     )
     corpus = d.select("doc_id", "text").unionByName(mutated)
-    return DD.simhash_near_dup_pairs(corpus, "doc_id", "text", max_hamming=3)
+    out = DD.simhash_near_dup_pairs(corpus, "doc_id", "text", max_hamming=3)
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
 @register(
@@ -392,10 +493,35 @@ def q71_rolling_fingerprint(spark, sf_dir):
     )
 
 
-@register("q90_knn_pruned", tags=("similarity", "knn", "pruned"))
+@register(
+    "q90_knn_pruned",
+    sql="""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id, embedding::DOUBLE[] AS cv
+               FROM embeddings WHERE vec_id >= 5),
+         scored AS (
+           SELECT q.query_id, c.vec_id AS neighbor_id,
+                  list_dot_product(c.cv, q.qv)
+                  / (sqrt(list_dot_product(c.cv, c.cv))
+                     * sqrt(list_dot_product(q.qv, q.qv))) AS similarity
+           FROM c CROSS JOIN q
+         )
+    SELECT query_id, neighbor_id, round(similarity, 6) AS similarity,
+           CAST(rank AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY query_id
+              ORDER BY similarity DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+    tags=("similarity", "knn", "pruned"),
+)
 def q90_knn_pruned(spark, sf_dir):
     """Exact top-5 via the per-partition-pruned scale path (NumPy block
-    scoring + local heaps; set-equivalence to q64 asserted in tests)."""
+    scoring + local heaps; set-equivalence to q64 asserted in tests).
+    Same oracle as q64, rounded at 1e-6: the NumPy float64 matmul and
+    the SQL sequential fold differ only in summation order."""
     e = table(spark, sf_dir, "embeddings")
     queries = e.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -470,7 +596,7 @@ _Q95_CORPUS_SQL = """corpus AS (
     lp AS (SELECT doc_id, {_langid_case_expr()} AS lang_pred FROM lr),
     dk AS (SELECT doc_id,
                   CAST(row_number() OVER (
-                      PARTITION BY md5(text) ORDER BY abs(doc_id))
+                      PARTITION BY md5(text) ORDER BY abs(doc_id), doc_id)
                   AS INTEGER) AS dup_rank
            FROM corpus),
     scored AS (
@@ -506,7 +632,12 @@ def q95_corpus_curation(spark, sf_dir):
         (-F.col("doc_id") - 1).alias("doc_id"), "lang", "text"
     )
     corpus = d.unionByName(planted)
-    w = Window.partitionBy(F.md5("text")).orderBy(F.abs(F.col("doc_id")))
+    # abs(doc_id) can tie (planted copy of doc d has abs id d+1, same as
+    # natural doc d+1 if both texts collide) — doc_id breaks the tie
+    # identically on both engine and oracle.
+    w = Window.partitionBy(F.md5("text")).orderBy(
+        F.abs(F.col("doc_id")), F.col("doc_id")
+    )
     # Stage the marker-score and quality-feature structs as named
     # columns before the argmax/composite-score expressions reference
     # them repeatedly — keeps the analyzed tree linear instead of

@@ -1058,11 +1058,14 @@ def q49_conditional_aggs(spark, sf_dir):
     )
     SELECT doc_id,
            len(words) AS n_words,
-           list_sort(list_distinct(words)) AS sorted_distinct,
+           array_to_string(list_sort(list_distinct(words)), '|')
+               AS sorted_distinct,
            array_to_string(list_reverse(words), '|') AS reversed_join,
            CAST(list_position(words, 'spark') AS INTEGER) AS spark_pos,
-           list_filter(words, w -> length(w) > 4) AS long_words,
-           list_transform(words, w -> upper(w)) AS upper_words,
+           array_to_string(list_filter(words, w -> length(w) > 4), '|')
+               AS long_words,
+           array_to_string(list_transform(words, w -> upper(w)), '|')
+               AS upper_words,
            words[2] AS second_word,
            coalesce(len(list_filter(words, w -> w = 'the')) > 0, false)
                AS has_the
@@ -1078,11 +1081,17 @@ def q58_array_operations(spark, sf_dir):
     return d.select(
         "doc_id",
         F.size(words).alias("n_words"),
-        F.array_sort(F.array_distinct(words)).alias("sorted_distinct"),
+        F.array_join(F.array_sort(F.array_distinct(words)), "|").alias(
+            "sorted_distinct"
+        ),
         F.array_join(F.reverse(words), "|").alias("reversed_join"),
         F.array_position(words, "spark").cast("int").alias("spark_pos"),
-        F.filter(words, lambda w: F.length(w) > 4).alias("long_words"),
-        F.transform(words, lambda w: F.upper(w)).alias("upper_words"),
+        F.array_join(
+            F.filter(words, lambda w: F.length(w) > 4), "|"
+        ).alias("long_words"),
+        F.array_join(
+            F.transform(words, lambda w: F.upper(w)), "|"
+        ).alias("upper_words"),
         F.element_at(words, 2).alias("second_word"),
         F.array_contains(words, "the").alias("has_the"),
     )
@@ -1417,7 +1426,7 @@ def q86_rank_distributions(spark, sf_dir):
         WHERE len(list_distinct(string_split(text, ' ')[1:3])) = 3
     )
     SELECT doc_id,
-           list_sort(map_keys(m)) AS keys_sorted,
+           array_to_string(list_sort(map_keys(m)), '|') AS keys_sorted,
            CAST(cardinality(m) AS INTEGER) AS map_size,
            map_extract(m, probe_key)[1] AS probe_value
     FROM src
@@ -1438,7 +1447,9 @@ def q87_map_functions(spark, sf_dir):
         d.where(F.size(F.array_distinct(words3)) == 3)
         .select(
             "doc_id",
-            F.array_sort(F.map_keys(m)).alias("keys_sorted"),
+            F.array_join(F.array_sort(F.map_keys(m)), "|").alias(
+                "keys_sorted"
+            ),
             F.size(m).cast("int").alias("map_size"),
             F.element_at(m, probe).alias("probe_value"),
         )

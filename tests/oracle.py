@@ -34,8 +34,14 @@ def canonicalize(pdf):
     for tup in pdf.itertuples(index=False, name=None):
         row = []
         for v in tup:
-            if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
-                row.append(str([x for x in v]))
+            if isinstance(v, (list, tuple, dict)) or type(v).__name__ == "ndarray":
+                # The driver's canonicalizer cannot sort/hash non-scalar
+                # cells (numpy.ndarray is unhashable) — fail loudly here
+                # so parity tests catch it before the driver does.
+                raise AssertionError(
+                    f"non-scalar value in oracle-checked output: {v!r} — "
+                    "join arrays to strings in both query and oracle SQL"
+                )
             elif isinstance(v, float):
                 if math.isnan(v):
                     row.append("NaN")

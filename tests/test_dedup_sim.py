@@ -28,6 +28,50 @@ def test_minhash_finds_planted_dups(spark, sf_dir):
     assert len(hit) >= 0.8 * len(planted), (len(hit), len(planted))
 
 
+def test_mllib_minhash_finds_planted_dups(spark, sf_dir):
+    """The MLlib MinHashLSH variant (library path for when approximate
+    banding at scale matters more than oracle determinism) must also
+    recall planted near-dups."""
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    words = F.split("text", " ")
+    mutated = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(
+            F.slice(words, 1, F.greatest(F.size(words) - 3, F.lit(1))), " "
+        ).alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(mutated)
+    pairs = DD.minhash_lsh_pairs(
+        corpus, "doc_id", "text", shingle_n=3,
+        num_hash_tables=8, jaccard_threshold=0.5,
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    planted = {
+        (r["doc_id"], r["doc_id"] + 1_000_000)
+        for r in d.where(F.col("doc_id") % 10 == 0).select("doc_id").collect()
+    }
+    hit = planted & found
+    assert len(hit) >= 0.8 * len(planted), (len(hit), len(planted))
+
+
+def test_det_minhash_band_recall(spark):
+    """Deterministic md5 MinHash: identical texts collide on every
+    band; disjoint texts collide on none (w.h.p. for 60-bit hashes)."""
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "one two three four five six seven"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.minhash_det_pairs(
+            df, "doc_id", "text", jaccard_threshold=0.5
+        ).collect()
+    }
+    assert pairs == {(0, 1): 1.0}
+
+
 def test_simhash_finds_planted_dups(spark, sf_dir):
     pairs = q.REGISTRY["q63_simhash_near_dup"].fn(spark, sf_dir).collect()
     found = {(r["id_a"], r["id_b"]) for r in pairs}

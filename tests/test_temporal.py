@@ -258,6 +258,48 @@ def test_asof_null_keys_never_match(spark):
     assert rows == {"l0": None, "l1": "r1"}
 
 
+def test_asof_null_times_never_match(spark):
+    """NULL time comparisons never match (DuckDB ASOF / merge_asof
+    parity): a NULL-time RIGHT row is never a match candidate — even
+    when it would sort adjacent to a left row — and a NULL-time LEFT
+    row matches nothing, in both directions."""
+    left = spark.createDataFrame(
+        [(1, None, "l_null"),
+         (1, _ts("2024-01-01 10:00:00"), "l1"),
+         (2, _ts("2024-01-01 10:00:00"), "l2")],
+        "k int, t timestamp, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, None, "r_null"),          # must never match anything
+         (1, _ts("2024-01-01 09:00:00"), "r1"),
+         (2, None, "r_null2")],        # k=2's only right row
+        "k int, rt timestamp, rv string",
+    )
+    for direction, want_l1 in (("backward", "r1"), ("forward", None)):
+        rows = {
+            r["lv"]: r["rv"]
+            for r in asof_join(
+                left, right, ["k"], "t", "rt", direction=direction
+            ).collect()
+        }
+        assert rows == {"l_null": None, "l1": want_l1, "l2": None}, direction
+
+
+def test_temporal_joins_reject_reserved_names(spark):
+    import pytest
+
+    left, right = _frames(spark)
+    with pytest.raises(ValueError, match="reserved internal column"):
+        asof_join(left.withColumn("_asof_t", F.lit(1)), right,
+                  ["k"], "t", "rt")
+    with pytest.raises(ValueError, match="reserved internal column"):
+        asof_join(left, right.withColumn("_asof_payload", F.lit(1)),
+                  ["k"], "t", "rt")
+    with pytest.raises(ValueError, match="reserved internal column"):
+        banded_range_join(left.withColumn("_band_b", F.lit(1)), right,
+                          ["k"], "t", "rt", -60, 0)
+
+
 def test_temporal_joins_validate_inputs(spark):
     import pytest
 
