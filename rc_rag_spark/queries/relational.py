@@ -249,10 +249,17 @@ def q07_customer_geography(spark, sf_dir):
 def q08_regional_revenue(spark, sf_dir):
     """TPC-H-Q5 shape. The orders⋈lineitem join is the only real
     shuffle (both sides hashed on orderkey); supplier/nation/region are
-    broadcast. AQE will coalesce the post-join partitions."""
+    broadcast. AQE will coalesce the post-join partitions.
+
+    shuffle_hash hint on lineitem: the fact table must never be the
+    broadcast build side — locally its file size sits under the
+    broadcast threshold and Catalyst would otherwise build a 600k-row
+    hash relation in one task per run; at cluster scale a shuffled hash
+    join on orderkey is the right strategy anyway (no sort of the big
+    side, AQE skew-split still applies)."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem").hint("shuffle_hash")
     s = F.broadcast(table(spark, sf_dir, "supplier"))
     n = F.broadcast(table(spark, sf_dir, "nation"))
     r = F.broadcast(table(spark, sf_dir, "region"))
