@@ -160,6 +160,63 @@ def embedding_near_dup(
     )
 
 
+def exact_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cosine_threshold: float = 0.8,
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs — the ground-truth
+    baseline for embedding_near_dup (LSH): every pair (a < b) with
+    cosine >= threshold.
+
+    Physical shape mirrors brute_force_topk_pruned: the full normalized
+    matrix is broadcast (it must fit on an executor — the exact path is
+    for ground-truth/verification corpora; use embedding_near_dup when
+    n is web-scale), each corpus partition scores its block against the
+    matrix with one float64 matmul and emits only above-threshold
+    pairs, so nothing quadratic is ever shuffled or collected.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    pdf = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).toPandas()
+    ids = pdf["id"].to_numpy()
+    mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, mat, cosine_threshold))
+
+    def block_pairs(batches):
+        ids_b, mat_b, thr = bc.value
+        order = {i: k for k, i in enumerate(ids_b)}
+        for pdf_b in batches:
+            if len(pdf_b) == 0:
+                continue
+            rows = [order[i] for i in pdf_b[id_col]]
+            sims = mat_b[rows] @ mat_b.T
+            out_a, out_b, out_s = [], [], []
+            for r, sim_row in zip(rows, sims):
+                hit = np.nonzero(sim_row >= thr)[0]
+                for c in hit:
+                    # emit each pair once, from the smaller-id side
+                    if ids_b[r] < ids_b[c]:
+                        out_a.append(ids_b[r])
+                        out_b.append(ids_b[c])
+                        out_s.append(sim_row[c])
+            yield pd.DataFrame(
+                {"id_a": out_a, "id_b": out_b, "similarity": out_s}
+            )
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(id_col).mapInPandas(
+        block_pairs,
+        schema=f"id_a {id_type}, id_b {id_type}, similarity double",
+    )
+
+
 def brute_force_topk_pruned(
     corpus: DataFrame,
     queries: DataFrame,

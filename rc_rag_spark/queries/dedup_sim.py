@@ -705,3 +705,48 @@ def q96_hash_split(spark, sf_dir):
         .otherwise("test")
         .alias("split"),
     )
+
+
+@register(
+    "q97_embedding_near_dup",
+    sql="""
+    WITH corpus AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000 AS vec_id,
+               list_transform(embedding::DOUBLE[], x -> x * 1.001) AS v
+        FROM embeddings WHERE vec_id % 25 = 0
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 6) AS similarity
+    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v))) >= 0.8
+    """,
+    tags=("dedup", "similarity", "embedding"),
+)
+def q97_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs over embeddings ∪ planted
+    scaled copies (cosine is scale-invariant, so every planted copy
+    pairs with its source at sim≈1; random 64-dim vectors never reach
+    0.8). Exact blocked-matmul ground truth (exact_near_dup_pairs);
+    the LSH candidate path (embedding_near_dup) is the web-scale
+    variant, recall-tested in test_dedup_sim.py. Rounded at 1e-6:
+    NumPy matmul vs SQL fold differ only in summation order."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    planted = e.where(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.transform("v", lambda x: x * 1.001).alias("v"),
+    )
+    corpus = e.unionByName(planted)
+    pairs = SIM.exact_near_dup_pairs(
+        corpus, id_col="vec_id", vec_col="v", cosine_threshold=0.8
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("similarity", 6).alias("similarity")
+    )

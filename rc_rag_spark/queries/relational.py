@@ -1461,3 +1461,49 @@ def q87_map_functions(spark, sf_dir):
             F.element_at(m, probe).alias("probe_value"),
         )
     )
+
+
+@register(
+    "q98_small_quantity_revenue",
+    sql="""
+    SELECT p.p_brand,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+               / 7.0 AS avg_yearly,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (
+        SELECT l_partkey, 0.2 * AVG(l_quantity) AS qty_limit
+        FROM lineitem GROUP BY l_partkey
+    ) t ON t.l_partkey = l.l_partkey
+    WHERE l.l_quantity < t.qty_limit
+    GROUP BY p.p_brand
+    """,
+    tags=("join", "subquery"),
+)
+def q98_small_quantity_revenue(spark, sf_dir):
+    """TPC-H-Q17 shape: per-part average-quantity scalar subquery
+    decorrelated into an aggregate + equi-join (what Catalyst produces
+    for the correlated form). The per-part aggregate collapses lineitem
+    to one row per part BEFORE the join, so the join's right side is
+    |part| rows at any scale; the fact side shuffle-hashes on partkey
+    (never broadcast-built)."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    limits = (
+        li.groupBy("l_partkey")
+        .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_limit"))
+        .withColumnRenamed("l_partkey", "t_partkey")
+    )
+    return (
+        li.hint("shuffle_hash")
+        .join(limits, li.l_partkey == limits.t_partkey)
+        .where(F.col("l_quantity") < F.col("qty_limit"))
+        .join(p, p.p_partkey == li.l_partkey)
+        .groupBy("p_brand")
+        .agg(
+            (F.sum(dec("l_extendedprice", 12, 2)).cast("double") / 7.0)
+            .alias("avg_yearly"),
+            F.count("*").alias("n_items"),
+        )
+    )
