@@ -154,6 +154,60 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     return media.mapInPandas(run, FRAME_SCHEMA)
 
 
+def resize_images(
+    media: DataFrame, width: int = 32, height: int = 32
+) -> DataFrame:
+    """Image resize over binary payloads (task-list op: decode →
+    resize → re-encode). The decode/resample kernel is import-gated on
+    PIL (absent here — falls back to a deterministic fake that scales
+    the payload length by the pixel ratio); batching, schema, and the
+    metadata rewrite are the real Spark-side contract: meta.width/
+    height reflect the target size so downstream filters keep pruning
+    before any decode."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            import io
+
+            from PIL import Image  # noqa: F401
+
+            have_pil = True
+        except ImportError:
+            have_pil = False
+        for pdf in batches:
+            out = {
+                "media_id": [], "kind": [], "payload": [], "meta": [],
+            }
+            for _, row in pdf.iterrows():
+                if row["kind"] != "image" or row["payload"] is None:
+                    continue
+                meta = dict(row["meta"])
+                if have_pil:
+                    img = Image.open(io.BytesIO(row["payload"]))
+                    img = img.resize((width, height))
+                    buf = io.BytesIO()
+                    img.save(buf, format="PNG")
+                    payload = buf.getvalue()
+                else:
+                    # deterministic fake: payload length scales with the
+                    # pixel ratio (floor, min 1 byte)
+                    src_px = max(
+                        1, (meta["width"] or 1) * (meta["height"] or 1)
+                    )
+                    n = max(1, len(row["payload"]) * width * height // src_px)
+                    blob = row["payload"]
+                    reps = -(-n // len(blob))
+                    payload = (bytes(blob) * reps)[:n]
+                meta["width"], meta["height"] = width, height
+                out["media_id"].append(row["media_id"])
+                out["kind"].append(row["kind"])
+                out["payload"].append(payload)
+                out["meta"].append(meta)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, MEDIA_SCHEMA)
+
+
 def synthesize_media(spark, n: int = 64) -> DataFrame:
     """Deterministic synthetic media table (documents stand-ins) for
     exercising the plumbing."""

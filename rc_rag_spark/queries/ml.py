@@ -42,6 +42,22 @@ def q74_video_frame_sample(spark, sf_dir):
     )
 
 
+@register("q99_image_resize", tags=("multimodal",))
+def q99_image_resize(spark, sf_dir):
+    """Resize pipeline over image rows: metadata-pruned decode →
+    resize → re-encode (kernel import-gated on PIL, deterministic fake
+    otherwise), then a relational stage over the rewritten metadata —
+    the downstream proof that meta travels with the payload."""
+    media = MM.synthesize_media(spark, n=96)
+    resized = MM.resize_images(media, width=32, height=32)
+    return resized.groupBy("kind").agg(
+        F.count("*").alias("n"),
+        F.min(F.col("meta.width")).cast("int").alias("min_w"),
+        F.max(F.col("meta.height")).cast("int").alias("max_h"),
+        F.sum(F.length("payload")).cast("bigint").alias("total_bytes"),
+    )
+
+
 @register("q75_knn_ivf", tags=("ml", "similarity", "ivf"))
 def q75_knn_ivf(spark, sf_dir):
     """IVF (KMeans cells + probe) approximate top-5 — recall vs the

@@ -81,3 +81,30 @@ def test_retrieval_model_separates_pos_neg(spark, sf_dir):
     assert by_label[1.0] > by_label[0.0] + 0.2, by_label
     cols = set(scored.columns)
     assert {"pair_id", "question", "passage", "label", "relevance"} <= cols
+
+
+def test_resize_images_rewrites_meta_and_payload(spark):
+    from rc_rag_spark.operators import multimodal as MM
+    from pyspark.sql import functions as F
+
+    media = MM.synthesize_media(spark, n=30)
+    rows = MM.resize_images(media, width=32, height=32).collect()
+    # only image rows survive, every meta rewritten to the target size
+    assert rows and all(r["kind"] == "image" for r in rows)
+    assert all(
+        r["meta"]["width"] == 32 and r["meta"]["height"] == 32 for r in rows
+    )
+    assert all(len(r["payload"]) >= 1 for r in rows)
+    # deterministic across runs
+    again = MM.resize_images(media, width=32, height=32).collect()
+    assert sorted(len(r["payload"]) for r in rows) == sorted(
+        len(r["payload"]) for r in again
+    )
+
+
+def test_q99_image_resize_runs(spark, sf_dir):
+    import rc_rag_spark.queries as q
+
+    out = q.REGISTRY["q99_image_resize"].fn(spark, sf_dir).collect()
+    assert len(out) == 1 and out[0]["kind"] == "image"
+    assert out[0]["min_w"] == 32 and out[0]["max_h"] == 32

@@ -85,3 +85,13 @@ def test_multires_rollup_reuses_cascade_stages(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert plan.count("ReusedExchange") >= 2, plan[:1500]
+
+
+def test_fact_table_never_broadcast_built(spark, sf_dir):
+    """q08/q98 pin shuffle_hash on lineitem: the fact table must join
+    via ShuffledHashJoin, never become a broadcast build side (locally
+    its file size sits under the broadcast threshold and Catalyst
+    would otherwise build the whole fact hash relation in one task)."""
+    for name in ("q08_regional_revenue", "q98_small_quantity_revenue"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "ShuffledHashJoin" in plan, name
