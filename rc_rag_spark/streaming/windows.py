@@ -148,6 +148,49 @@ def stateful_user_totals(df: DataFrame) -> DataFrame:
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_time: str,
+    right_time: str,
+    lower_seconds: int,
+    upper_seconds: int,
+    left_watermark: str = "10 minutes",
+    right_watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream (or batch) interval equi-join: pairs with equal
+    keys and ``right_time ∈ [left_time + lower, left_time + upper)``.
+
+    In streaming mode both inputs get event-time watermarks and the
+    interval condition itself bounds join state: Spark retains only
+    rows inside watermark + interval, so state is O(rate × interval),
+    independent of history. In batch mode the same expression runs as
+    an ordinary join — for large batch inputs prefer
+    operators.temporal.banded_range_join, which rewrites this exact
+    predicate as a bucketed equi-join (the two are equivalence-tested
+    in tests/test_streaming.py)."""
+    l = (
+        left.withWatermark(left_time, left_watermark)
+        if left.isStreaming else left
+    )
+    r = (
+        right.withWatermark(right_time, right_watermark)
+        if right.isStreaming else right
+    )
+    cond = None
+    for k in on:
+        c = l[k] == r[k]
+        cond = c if cond is None else (cond & c)
+    lt, rt = l[left_time], r[right_time]
+    cond = (
+        cond
+        & (rt >= lt + F.expr(f"INTERVAL {lower_seconds} SECONDS"))
+        & (rt < lt + F.expr(f"INTERVAL {upper_seconds} SECONDS"))
+    )
+    return l.join(r, cond, "inner")
+
+
 def read_stream_dir(spark, path: str, schema) -> DataFrame:
     """File-source streaming read of a parquet directory with an
     explicit schema (file streams require one — no inference pass)."""

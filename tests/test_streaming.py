@@ -150,3 +150,37 @@ def test_session_append_mode_prefix_correct(spark, events_dir):
         assert batch[key] == (
             str(r["session_end"]), r["n_events"], r["sum_value"]
         ), key
+
+
+def test_stream_stream_interval_join_matches_banded(spark, events_dir):
+    """Equivalence triangle: the streaming interval join, the same
+    expression in batch, and the bucketed banded_range_join must all
+    produce the same (error, prior-click) pair multiset."""
+    from rc_rag_spark.operators.temporal import banded_range_join
+
+    def split(df):
+        errors = df.where(F.col("event_type") == "error").select(
+            "event_id", F.col("user_id").alias("user_id"), "ts"
+        )
+        clicks = df.where(F.col("event_type") == "click").select(
+            F.col("user_id").alias("user_id"), F.col("ts").alias("click_ts")
+        )
+        return errors, clicks
+
+    # batch: banded (bucketed equi-join) formulation
+    be, bc = split(batch_events(spark, events_dir))
+    banded = banded_range_join(
+        be, bc, on=["user_id"], left_time="ts", right_time="click_ts",
+        lower_seconds=-300, upper_seconds=0,
+    ).select("event_id", "click_ts")
+
+    # streaming: interval join over two streams of the same source
+    se, sc = split(stream_events(spark, events_dir))
+    joined = W.interval_join(
+        se, sc, on=["user_id"], left_time="ts", right_time="click_ts",
+        lower_seconds=-300, upper_seconds=0,
+    ).select("event_id", "click_ts")
+    stream_rows = run_stream(spark, joined, output_mode="append")
+
+    cols = ["event_id", "click_ts"]
+    assert canon(stream_rows, cols) == canon(banded.collect(), cols)
