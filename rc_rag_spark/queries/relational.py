@@ -1507,3 +1507,53 @@ def q98_small_quantity_revenue(spark, sf_dir):
             F.count("*").alias("n_items"),
         )
     )
+
+
+@register(
+    "q100_top_revenue_supplier",
+    sql="""
+    WITH rev AS (
+        SELECT l_suppkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+                   AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_rev
+    FROM supplier s
+    JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+    tags=("join", "subquery", "view"),
+)
+def q100_top_revenue_supplier(spark, sf_dir):
+    """TPC-H-Q15 shape: quarterly per-supplier revenue view, the
+    supplier(s) hitting its max. The view aggregate collapses lineitem
+    to |supplier| rows before anything joins; the max is a one-row
+    broadcast (no global sort, no second scan of lineitem); equality
+    on the DECIMAL-exact revenue is deterministic, so ties surface
+    identically on engine and oracle."""
+    li = table(spark, sf_dir, "lineitem")
+    s = F.broadcast(table(spark, sf_dir, "supplier"))
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(dec("l_extendedprice", 12, 2)
+                  * (F.lit(1) - dec("l_discount", 3, 2)))
+            .cast("double")
+            .alias("total_rev")
+        )
+    )
+    mx = rev.agg(F.max("total_rev").alias("_mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_rev == mx._mx)
+        .join(s, rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+    )

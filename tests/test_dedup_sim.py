@@ -260,3 +260,25 @@ def test_pruned_topk_tiebreak_on_duplicate_vectors(spark):
     ids_a = sorted(r["neighbor_id"] for r in a.collect())
     ids_b = sorted(r["neighbor_id"] for r in b.collect())
     assert ids_a == ids_b == [10, 11, 12]
+
+
+def test_det_minhash_pairs_sound_and_complete_vs_bruteforce(spark, sf_dir):
+    """Soundness: every emitted pair really has jaccard >= threshold.
+    Conservative completeness: identical shingle sets collide on every
+    band, so jaccard == 1 pairs are always found."""
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    corpus = d.select("doc_id", "text").unionByName(
+        d.where(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 500).alias("doc_id"), "text"
+        )
+    )
+    pairs = DD.minhash_det_pairs(
+        corpus, "doc_id", "text", jaccard_threshold=0.5
+    ).collect()
+    assert all(r["jaccard"] >= 0.5 for r in pairs)
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    identical = {
+        (r["doc_id"], r["doc_id"] + 500)
+        for r in d.where(F.col("doc_id") % 7 == 0).select("doc_id").collect()
+    }
+    assert identical <= found, identical - found
