@@ -4,10 +4,13 @@ from rc_rag_spark.sources.registry import (
     load_tables,
     read_csv,
     read_jsonl,
+    read_orc,
     table,
     wide_table,
     write_csv,
     write_jsonl,
+    write_orc,
+    write_partitioned,
 )
 
 __all__ = [
@@ -16,8 +19,11 @@ __all__ = [
     "load_tables",
     "read_csv",
     "read_jsonl",
+    "read_orc",
     "table",
     "wide_table",
     "write_csv",
     "write_jsonl",
+    "write_orc",
+    "write_partitioned",
 ]

@@ -159,3 +159,19 @@ def write_partitioned(
         .partitionBy(*partition_by)
         .parquet(path)
     )
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """ORC scan (columnar alternative to parquet; same pushdown/pruning
+    machinery in Catalyst — PushedFilters/ReadSchema apply)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink."""
+    df.write.mode(mode).orc(path)

@@ -195,3 +195,23 @@ def read_stream_dir(spark, path: str, schema) -> DataFrame:
     """File-source streaming read of a parquet directory with an
     explicit schema (file streams require one — no inference pass)."""
     return spark.readStream.schema(schema).parquet(path)
+
+
+def foreach_batch_sink(
+    stream_df: DataFrame,
+    batch_fn,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Production sink pattern: route each micro-batch through an
+    arbitrary BATCH writer (upserts, partitioned parquet, JDBC — the
+    sinks Structured Streaming lacks natively). batch_fn(df, batch_id)
+    runs on the driver per micro-batch with a normal batch DataFrame;
+    exactly-once comes from the checkpoint + an idempotent batch_fn
+    (key on batch_id). Returns the started StreamingQuery."""
+    writer = stream_df.writeStream.foreachBatch(batch_fn).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

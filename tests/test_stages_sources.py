@@ -150,3 +150,16 @@ def test_csv_roundtrip_with_schema(spark, sf_dir, tmp_path):
     a = sorted(map(tuple, src.collect()))
     b = sorted(map(tuple, back.collect()))
     assert a == b
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    from rc_rag_spark.sources import read_orc, table, write_orc
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    path = str(tmp_path / "docs_orc")
+    write_orc(d, path)
+    back = read_orc(spark, path)
+    assert back.schema == d.schema
+    assert sorted(r["doc_id"] for r in back.collect()) == sorted(
+        r["doc_id"] for r in d.collect()
+    )

@@ -184,3 +184,26 @@ def test_stream_stream_interval_join_matches_banded(spark, events_dir):
 
     cols = ["event_id", "click_ts"]
     assert canon(stream_rows, cols) == canon(banded.collect(), cols)
+
+
+def test_foreach_batch_sink_writes_batches(spark, events_dir, tmp_path):
+    """foreachBatch routes micro-batches through a batch writer: the
+    union of written batches must equal the input."""
+    from rc_rag_spark.streaming.windows import foreach_batch_sink
+
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(df, batch_id):
+        df.write.mode("append").parquet(out_dir)
+
+    stream = stream_events(spark, events_dir).select("event_id", "user_id")
+    q = foreach_batch_sink(stream, write_batch, ckpt)
+    q.awaitTermination(120)
+    q.stop()
+    got = sorted(r["event_id"] for r in spark.read.parquet(out_dir).collect())
+    want = sorted(
+        r["event_id"]
+        for r in batch_events(spark, events_dir).select("event_id").collect()
+    )
+    assert got == want
