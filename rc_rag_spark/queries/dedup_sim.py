@@ -188,7 +188,10 @@ def _sql_simhash64(text: str) -> str:
                        len(string_split(text, ' ')) - 2, 1)], ' ') AS text
         FROM documents WHERE doc_id % 10 = 0
     ),
-    sh AS (SELECT doc_id, {_sql_simhash64("text")} AS s FROM corpus)
+    -- NULL text: Spark simhash64 yields NULL (never pairs); exclude
+    -- here so the oracle can't emit a pair the engine doesn't
+    sh AS (SELECT doc_id, {_sql_simhash64("text")} AS s FROM corpus
+           WHERE text IS NOT NULL)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
     FROM sh a JOIN sh b ON a.doc_id < b.doc_id

@@ -259,14 +259,16 @@ _Q34_PARSED: dict = {}
 def q34_parse_predictions(spark, sf_dir):
     # The parse tree is ~10^3 nested Column ops; building it is pure
     # py4j round-trip cost (~1 s) and the tree is input-independent, so
-    # build once per JVM gateway. Keyed on the gateway identity (not a
-    # bare global): a Column holds py4j refs, so a recreated gateway —
-    # or a Spark Connect session — must not reuse a stale tree.
+    # build once per JVM gateway. Keyed on the gateway OBJECT (held
+    # strongly, compared by identity): a Column holds py4j refs, so a
+    # recreated gateway — or a Spark Connect session — must not reuse a
+    # stale tree, and holding the key object rules out id() reuse after
+    # the old gateway is garbage-collected.
     try:
-        gw_key = id(spark.sparkContext._gateway)
+        gw_key = spark.sparkContext._gateway
     except Exception:  # Spark Connect: no py4j gateway, Columns are safe
-        gw_key = id(spark)
-    if _Q34_PARSED.get("key") != gw_key:
+        gw_key = spark
+    if _Q34_PARSED.get("key") is not gw_key:
         _Q34_PARSED.update(
             key=gw_key, col=P.parse_prediction(_pred_case_spark())
         )

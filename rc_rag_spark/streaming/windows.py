@@ -170,6 +170,10 @@ def interval_join(
     operators.temporal.banded_range_join, which rewrites this exact
     predicate as a bucketed equi-join (the two are equivalence-tested
     in tests/test_streaming.py)."""
+    if upper_seconds <= lower_seconds:
+        raise ValueError("interval_join: need lower < upper")
+    if not on:
+        raise ValueError("interval_join: need at least one key column")
     l = (
         left.withWatermark(left_time, left_watermark)
         if left.isStreaming else left
