@@ -40,8 +40,20 @@ def fingerprint_dedup(df: DataFrame, text_col: str) -> DataFrame:
 
 
 def word_shingles(col: str | Column, n: int = 3) -> Column:
-    """n-gram word shingles as an array of strings (native)."""
-    toks = simple_tokenize(col)
+    """n-gram word shingles as an array of strings (native).
+
+    PERF: the token expression is inlined n+1 times into the transform
+    lambda. Higher-order functions are interpreted (no whole-stage
+    codegen, no common-subexpression elimination), so if `col` is an
+    *expression* the tokenizer re-runs per shingle element. Callers on
+    a hot path must stage the token array as a real column first and
+    pass shingles_from_tokens that attribute — see minhash_det_pairs."""
+    return shingles_from_tokens(simple_tokenize(col), n)
+
+
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """n-gram shingles over an already-materialized token array column
+    (attribute references are cheap inside HOF lambdas)."""
     k = F.size(toks) - (n - 1)
     return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
         F.transform(
@@ -82,10 +94,19 @@ def minhash_lsh_pairs(
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    shingled = df.select(
-        F.col(id_col).alias("_id"),
-        word_shingles(text_col, shingle_n).alias("_shingles"),
-    ).where(F.size("_shingles") > 0)
+    shingled = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            simple_tokenize(text_col).alias("_toks"),
+        )
+        .select(
+            "_id",
+            shingles_from_tokens(F.col("_toks"), shingle_n).alias(
+                "_shingles"
+            ),
+        )
+        .where(F.size("_shingles") > 0)
+    )
     tf = HashingTF(
         inputCol="_shingles", outputCol="_features",
         numFeatures=num_features, binary=True,
@@ -109,34 +130,53 @@ def minhash_lsh_pairs(
     )
 
 
-def minhash_hash(j: Column | int, s: Column) -> Column:
-    """Deterministic MinHash hash function j applied to shingle s:
-    first 15 hex chars (60 bits) of md5("<j>:<s>") as a signed long.
-    md5 is available identically in DuckDB
-    (CAST('0x'||substr(md5(j||':'||s),1,15) AS BIGINT)), so signatures
-    are oracle-checkable — unlike MLlib's MinHashLSH, whose seeded
-    random coefficients exist only JVM-side."""
-    jc = F.lit(j) if isinstance(j, int) else j
-    return F.conv(
-        F.substring(
-            F.md5(F.concat(jc.cast("string"), F.lit(":"), s)), 1, 15
-        ),
-        16, 10,
-    ).cast("long")
+# Universal-hash family for MinHash: h_j(x) = (a_j*x + b_j) mod p over
+# a 32-bit md5-prefix base hash. p = 2^31-1 (Mersenne prime); a_j*x
+# stays < 2^63 so the arithmetic is exact signed-64 on both Spark and
+# DuckDB — the whole construction is oracle-checkable, unlike MLlib's
+# MinHashLSH whose seeded coefficients exist only JVM-side.
+MINHASH_P = 2_147_483_647
+
+
+def _mh_params(j: int) -> tuple[int, int]:
+    return 1_000_003 * (j + 1) + 12_345, 7_919 * (j + 1) + 17
+
+
+def shingle_base_hash(shingles: Column) -> Column:
+    """32-bit base hash per shingle: first 8 hex chars of md5 (DuckDB:
+    CAST('0x'||substr(md5(s),1,8) AS BIGINT)). md5 runs ONCE per
+    shingle; the per-hash-function work is cheap arithmetic."""
+    return F.transform(
+        shingles,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+    )
 
 
 def minhash_signature(
-    shingles: Column, num_hashes: int = 8
+    shingle_hashes: Column, num_hashes: int = 8
 ) -> Column:
-    """MinHash signature: per hash function, the min of minhash_hash
-    over the (distinct) shingle array. Pure native array ops — one
-    projection, no shuffle, codegen'd."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda j: F.array_min(
-            F.transform(shingles, lambda s: minhash_hash(j, s))
-        ),
-    )
+    """MinHash signature over a STAGED base-hash array column: per
+    hash function j, min over (a_j*x + b_j) mod p. Native array ops —
+    one projection, no shuffle.
+
+    The hash functions are UNROLLED into num_hashes separate array
+    elements instead of a transform over sequence(0, n-1): a lambda
+    over the sequence references the input only once syntactically, so
+    CollapseProject would inline the (expensive) upstream expression
+    into the lambda and interpreted HOF eval would rebuild it once per
+    hash function per row. Unrolling keeps the staged column
+    materialized (n syntactic references)."""
+    # single-parameter closures: F.transform infers lambda arity from
+    # the Python signature, so default-arg tricks would silently bind
+    # the element INDEX to the extra parameter
+    def _h(a: int, b: int):
+        return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_P)
+
+    cols = []
+    for j in range(num_hashes):
+        a, b = _mh_params(j)
+        cols.append(F.array_min(F.transform(shingle_hashes, _h(a, b))))
+    return F.array(*cols)
 
 
 def minhash_det_pairs(
@@ -159,14 +199,36 @@ def minhash_det_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b and
     jaccard >= jaccard_threshold, for pairs colliding on >= 1 band.
     """
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(word_shingles(text_col, shingle_n)).alias(
-            "_shingles"
-        ),
-    ).where(F.size("_shingles") > 0)
+    # Stage tokens → shingles → signature as separate projections so
+    # each HOF lambda folds over a materialized array attribute
+    # (interpreted HOF eval has no common-subexpression elimination —
+    # an inlined tokenizer re-runs per array element; measured 50×+
+    # slowdown). The emptiness filter tests size(_toks) — filtering on
+    # size(_shingles) would be pushed below the shingle projection and
+    # re-inline the shingle expression into the Filter. localCheckpoint
+    # materializes the shingled corpus once for its three consumers
+    # (signatures + both verify sides) — at cluster scale this is the
+    # persisted candidate table any LSH pipeline stages anyway.
+    sh = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            simple_tokenize(text_col).alias("_toks"),
+        )
+        .where(F.size("_toks") >= shingle_n)
+        .select(
+            "_id",
+            F.array_distinct(
+                shingles_from_tokens(F.col("_toks"), shingle_n)
+            ).alias("_shingles"),
+        )
+        .select(
+            "_id", "_shingles",
+            shingle_base_hash(F.col("_shingles")).alias("_hs"),
+        )
+        .localCheckpoint(eager=True)
+    )
     sig = sh.select(
-        "_id", minhash_signature(F.col("_shingles"), num_hashes).alias("_sig")
+        "_id", minhash_signature(F.col("_hs"), num_hashes).alias("_sig")
     )
     bands = sig.select(
         "_id",

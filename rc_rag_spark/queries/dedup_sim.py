@@ -99,13 +99,19 @@ def _sql_minhash_grams(text: str, n: int = 3) -> str:
     sh AS (
         SELECT doc_id, {_sql_minhash_grams("text")} AS grams FROM corpus
     ),
+    hs AS (
+        SELECT doc_id, grams,
+               list_transform(grams, s ->
+                   CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)) AS h
+        FROM sh WHERE len(grams) > 0
+    ),
     sig AS (
         SELECT doc_id, grams,
-               [list_min(list_transform(grams, s ->
-                    CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || s),
-                                         1, 15)) AS BIGINT)))
+               [list_min(list_transform(h, x ->
+                    ((1000003 * (j + 1) + 12345) * x + 7919 * (j + 1) + 17)
+                    % 2147483647))
                 for j in generate_series(0, 7)] AS sig
-        FROM sh WHERE len(grams) > 0
+        FROM hs
     ),
     cand AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,

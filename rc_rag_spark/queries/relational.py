@@ -1069,7 +1069,8 @@ def q49_conditional_aggs(spark, sf_dir):
                AS sorted_distinct,
            array_to_string(list_reverse(words), '|') AS reversed_join,
            CAST(list_position(words, 'spark') AS INTEGER) AS spark_pos,
-           array_to_string(list_filter(words, w -> length(w) > 4), '|')
+           coalesce(array_to_string(
+               list_filter(words, w -> length(w) > 4), '|'), '')
                AS long_words,
            array_to_string(list_transform(words, w -> upper(w)), '|')
                AS upper_words,
