@@ -15,7 +15,11 @@ def q72_retrieval_scoring(spark, sf_dir):
     """TF-IDF + overlap-feature logistic-regression relevance model:
     train on synthesized (question, passage, label) pairs, batch-score
     them (north-star 'MLlib retrieval model + batch inference')."""
-    pairs = R.synthesize_training_pairs(spark, sf_dir, limit=200)
+    # localCheckpoint: the IDF fits + LR iterations each re-trigger the
+    # input lineage; materialize the (small) training table once
+    pairs = R.synthesize_training_pairs(spark, sf_dir, limit=200).localCheckpoint(
+        eager=True
+    )
     model = R.train_relevance_model(pairs)
     return R.score_pairs(model, pairs).select(
         "pair_id", "label", (F.col("relevance") > 0.5).alias("predicted_relevant")
