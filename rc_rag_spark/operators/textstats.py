@@ -57,9 +57,13 @@ def _marker_hits(tokens: Column, markers: tuple[str, ...]) -> Column:
     return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
 
 
-def language_scores(col: str | Column) -> Column:
-    """Struct of per-language marker-hit ratios."""
-    toks = simple_tokenize(col)
+def language_scores_from_tokens(toks: Column) -> Column:
+    """Struct of per-language marker-hit ratios over a STAGED token
+    array column. The struct references `toks` ~6× (one filter per
+    language) and filter lambdas are interpreted with no
+    common-subexpression elimination — if `toks` is an inline tokenize
+    expression it re-runs per language per row. Stage it as a real
+    column first (see q95/q70)."""
     n = F.greatest(F.size(toks), F.lit(1))
     return F.struct(
         *[
@@ -67,6 +71,12 @@ def language_scores(col: str | Column) -> Column:
             for lang, m in LANG_MARKERS.items()
         ]
     )
+
+
+def language_scores(col: str | Column) -> Column:
+    """Struct of per-language marker-hit ratios (tokenizes inline —
+    prefer staging tokens + language_scores_from_tokens on hot paths)."""
+    return language_scores_from_tokens(simple_tokenize(col))
 
 
 def language_id_from_scores(scores: Column) -> Column:
@@ -95,10 +105,18 @@ def language_id(col: str | Column) -> Column:
 
 
 def quality_features(col: str | Column) -> Column:
-    """Struct of quality signals: n_chars, n_tokens, mean token len,
-    punct ratio, stopword ratio, digit ratio, uppercase ratio."""
+    """Struct of quality signals (tokenizes inline — prefer staging
+    tokens + quality_features_from_tokens on hot paths)."""
     s = _c(col)
-    toks = simple_tokenize(s)
+    return quality_features_from_tokens(s, simple_tokenize(s))
+
+
+def quality_features_from_tokens(col: str | Column, toks: Column) -> Column:
+    """Struct of quality signals: n_chars, n_tokens, mean token len,
+    punct ratio, stopword ratio, digit ratio, uppercase ratio —
+    `toks` should be a STAGED token array column (referenced 4× below,
+    through interpreted HOF lambdas)."""
+    s = _c(col)
     n_chars = F.length(s)
     safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
     n_tok = F.size(toks)

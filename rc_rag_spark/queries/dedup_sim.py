@@ -380,11 +380,18 @@ def _sql_quality_ctes(src: str = "documents", carry: str = "") -> str:
     tags=("textstats", "quality"),
 )
 def q68_quality_scores(spark, sf_dir):
+    from rc_rag_spark.functions.text import simple_tokenize
+
     d = wide_table(spark, sf_dir, "documents")
-    # Stage the features struct once; six getFields plus the composite
-    # score would otherwise each inline the tokenizer subtree.
+    # Stage tokens, then the features struct; six getFields plus the
+    # composite score would otherwise each inline the tokenizer subtree.
     q = F.col("q")
-    return d.select("doc_id", TS.quality_features("text").alias("q")).select(
+    return d.select(
+        "doc_id", "text", simple_tokenize("text").alias("_toks")
+    ).select(
+        "doc_id",
+        TS.quality_features_from_tokens("text", F.col("_toks")).alias("q"),
+    ).select(
         "doc_id",
         q.getField("n_tokens").alias("n_tokens"),
         q.getField("punct_ratio").alias("punct_ratio"),
@@ -461,13 +468,23 @@ def _langid_sql() -> str:
 def q70_language_id(spark, sf_dir):
     """Heuristic language ID (marker-ratio argmax), oracle-checked
     against an independent SQL formulation."""
+    from rc_rag_spark.functions.text import simple_tokenize
+
     d = wide_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id", "lang", TS.language_scores("text").alias("ls")
-    ).select(
-        "doc_id",
-        "lang",
-        TS.language_id_from_scores(F.col("ls")).alias("lang_pred"),
+    # stage tokens → scores → argmax: each struct references its staged
+    # input several times, which keeps CollapseProject from re-inlining
+    # the tokenizer into the interpreted filter lambdas
+    return (
+        d.select("doc_id", "lang", simple_tokenize("text").alias("_toks"))
+        .select(
+            "doc_id", "lang",
+            TS.language_scores_from_tokens(F.col("_toks")).alias("ls"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            TS.language_id_from_scores(F.col("ls")).alias("lang_pred"),
+        )
     )
 
 
@@ -647,14 +664,20 @@ def q95_corpus_curation(spark, sf_dir):
     w = Window.partitionBy(F.md5("text")).orderBy(
         F.abs(F.col("doc_id")), F.col("doc_id")
     )
-    # Stage the marker-score and quality-feature structs as named
-    # columns before the argmax/composite-score expressions reference
-    # them repeatedly — keeps the analyzed tree linear instead of
-    # duplicating the tokenizer subtree ~10×.
+    # Stage tokens, then the marker-score and quality-feature structs,
+    # as named columns before the argmax/composite-score expressions
+    # reference them repeatedly — each staged alias is referenced
+    # several times downstream, so CollapseProject can't re-inline the
+    # tokenizer into the interpreted filter lambdas (which would re-run
+    # it ~9× per row).
+    from rc_rag_spark.functions.text import simple_tokenize
+
     feats = corpus.select(
+        "doc_id", "text", simple_tokenize("text").alias("_toks")
+    ).select(
         "doc_id",
-        TS.language_scores("text").alias("ls"),
-        TS.quality_features("text").alias("qf"),
+        TS.language_scores_from_tokens(F.col("_toks")).alias("ls"),
+        TS.quality_features_from_tokens("text", F.col("_toks")).alias("qf"),
         F.row_number().over(w).cast("int").alias("dup_rank"),
     )
     scored = feats.select(
