@@ -74,6 +74,12 @@ def samples_from_documents(spark, sf_dir, limit: int | None = None):
     passages are word-slices of the text, gold answers are drawn from
     passage words (so the mock backend's passage-derived answers are
     sometimes right, sometimes wrong, deterministically)."""
+    # NOTE: the fixture scan is one partition, so the 5 LLM UDF stages
+    # run as one python task each. A wide_table rebalance here measured
+    # SLOWER end-to-end at fixture scale (5 stages × 32 tasks of ~16
+    # rows each — per-task Arrow/python overhead dominates); on a real
+    # corpus the input arrives multi-partition and the stages
+    # parallelize naturally.
     d = table(spark, sf_dir, "documents")
     if limit:
         d = d.where(F.col("doc_id") < limit)
