@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from rc_rag_spark.queries.core import davg, dec, dsum, register, sql_davg, sql_dsum
-from rc_rag_spark.sources import load_tables, table
+from rc_rag_spark.sources import load_tables, table, wide_table
 
 
 # --- aggregation ---------------------------------------------------------
@@ -53,7 +53,7 @@ def q01_pricing_summary(spark, sf_dir):
     aggregation collapses each input partition to ≤6 rows before the
     shuffle — the shuffle moves O(partitions), not O(rows).
     """
-    li = table(spark, sf_dir, "lineitem")
+    li = wide_table(spark, sf_dir, "lineitem")
     price = dec("l_extendedprice", 12, 2)
     disc_price = price * (F.lit(1) - dec("l_discount", 3, 2))
     charge = disc_price.cast("decimal(14,4)") * (F.lit(1) + dec("l_tax", 3, 2))
