@@ -394,3 +394,64 @@ def q93_multires_rollup(spark, sf_dir):
         .unionByName(out(hour, "hour"))
         .unionByName(out(day, "day"))
     )
+
+
+@register(
+    "q101_error_recovery_asof_forward",
+    sql="""
+    WITH e AS (SELECT event_id, user_id, ts AS err_ts FROM events
+               WHERE event_type = 'error'),
+         p AS (SELECT MAX(event_id) AS rec_event_id, user_id,
+                      ts AS rec_ts
+               FROM events WHERE event_type = 'purchase'
+               GROUP BY user_id, ts),
+         j AS (
+           SELECT e.event_id, e.user_id, e.err_ts,
+                  p.rec_event_id, p.rec_ts,
+                  ROW_NUMBER() OVER (
+                      PARTITION BY e.event_id
+                      ORDER BY p.rec_ts, p.rec_event_id DESC) AS rn
+           FROM e LEFT JOIN p
+             ON p.user_id = e.user_id
+            AND p.rec_ts >= e.err_ts
+            AND p.rec_ts <= e.err_ts + INTERVAL 30 MINUTE
+         )
+    SELECT event_id, user_id, err_ts, rec_event_id, rec_ts,
+           rec_ts IS NOT NULL AS recovered
+    FROM j WHERE rn = 1
+    """,
+    tags=("temporal", "asof", "forward"),
+)
+def q101_error_recovery_asof_forward(spark, sf_dir):
+    """FORWARD as-of with tolerance (operators/temporal.py): each
+    error event gets the next purchase by the same user at-or-after
+    it, nulled when farther than 30 minutes — 'did the user recover?'.
+    Same union + window last(ignorenulls) shape as backward (one hash
+    exchange, no per-key cross product); the oracle spells the naive
+    theta join + row_number, an entirely different formulation. Ties
+    on (user_id, ts) pin to the GREATEST rec_event_id on both sides —
+    with right_tiebreak ascending, last() picks the max among tied
+    timestamps (same convention as q91's backward join) — hence the
+    MAX-group in the oracle."""
+    from rc_rag_spark.operators.temporal import asof_join
+
+    e = table(spark, sf_dir, "events")
+    errors = e.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.col("ts").alias("err_ts")
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("rec_event_id"),
+        F.col("ts").alias("rec_ts"),
+    )
+    out = asof_join(
+        errors, purchases, on=["user_id"],
+        left_time="err_ts", right_time="rec_ts", how="left",
+        direction="forward",
+        tolerance_expr="INTERVAL 30 MINUTES",
+        right_tiebreak="rec_event_id",
+    )
+    return out.select(
+        "event_id", "user_id", "err_ts", "rec_event_id", "rec_ts",
+        F.col("rec_ts").isNotNull().alias("recovered"),
+    )

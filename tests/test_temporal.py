@@ -319,3 +319,29 @@ def test_temporal_joins_validate_inputs(spark):
         banded_range_join(
             left.drop("k"), right, ["k"], "t", "rt", -60, 0
         )
+
+
+def test_asof_forward_tolerance_tiebreak(spark):
+    """Forward + tolerance + right_tiebreak: tied right timestamps pin
+    to the greatest tiebreak value; matches beyond tolerance null out."""
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), "l1"),
+         (1, _ts("2024-01-01 12:00:00"), "l2")],
+        "k int, t timestamp, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:05:00"), 7, "rA"),
+         (1, _ts("2024-01-01 10:05:00"), 9, "rB"),   # tie: larger id wins
+         (1, _ts("2024-01-01 13:30:00"), 1, "rC")],  # 90min after l2
+        "k int, rt timestamp, rid int, rv string",
+    )
+    rows = {
+        r["lv"]: (r["rv"], r["rid"])
+        for r in asof_join(
+            left, right, ["k"], "t", "rt",
+            direction="forward", tolerance_expr="INTERVAL 30 MINUTES",
+            right_tiebreak="rid",
+        ).collect()
+    }
+    assert rows["l1"] == ("rB", 9)
+    assert rows["l2"] == (None, None)
