@@ -13,9 +13,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def build_pair_features(pairs: DataFrame, text_cols=("question", "passage")):
+def build_pair_features(
+    pairs: DataFrame,
+    text_cols=("question", "passage"),
+    num_features: int = 1 << 12,
+):
     """Tokenize + hash-TF + IDF each text column, assemble features.
-    Returns (pipeline_stages, feature_col)."""
+    Returns (pipeline_stages, feature_col).
+
+    num_features sizes the hashing space AND the LR gradient (every
+    iteration tree-aggregates a dense vector of 2*num_features+2
+    doubles): 4096 covers a few-thousand-token vocabulary with few
+    collisions; raise it for real corpora."""
     from pyspark.ml.feature import (
         HashingTF,
         IDF,
@@ -35,7 +44,7 @@ def build_pair_features(pairs: DataFrame, text_cols=("question", "passage")):
         stages.append(
             HashingTF(
                 inputCol=f"_{c}_toks", outputCol=f"_{c}_tf",
-                numFeatures=1 << 15,
+                numFeatures=num_features,
             )
         )
         stages.append(IDF(inputCol=f"_{c}_tf", outputCol=f"_{c}_tfidf"))
