@@ -264,6 +264,68 @@ def minhash_det_pairs(
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-duplicate PAIR graph — the step
+    that turns candidate pairs (minhash/simhash/embedding) into dedup
+    GROUPS. Returns (id, cluster_id) where cluster_id is the minimum
+    member id of the component, for every id appearing in a pair.
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes the min of its own label and its neighbors' labels; converges
+    in O(component diameter) rounds (near-dup graphs are shallow:
+    mostly stars around a canonical doc). Each round is two equi-joins
+    + a groupBy, all hash-partitioned on node id — no driver-side graph,
+    no quadratic step; localCheckpoint bounds lineage across rounds
+    (the same loop shape as the reference-free D3 counterfactual loop).
+    """
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+            .select(
+                labels["id"].alias("id"),
+                F.least(
+                    labels["label"],
+                    F.coalesce(F.col("nbr_min"), labels["label"]),
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
 _simhash_udf = None
 
 

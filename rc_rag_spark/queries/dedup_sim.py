@@ -84,10 +84,10 @@ def _sql_minhash_grams(text: str, n: int = 3) -> str:
     )
 
 
-@register(
-    "q62_minhash_near_dup",
-    sql=f"""
-    WITH corpus AS (
+# CTE chain ending in pairs(id_a, id_b, jaccard) — the deterministic
+# minhash pipeline over documents ∪ planted mutations; shared by q62
+# (pair listing) and q102 (cluster formation).
+_Q62_PAIRS_CTES = f"""corpus AS (
         SELECT doc_id, text FROM documents
         UNION ALL
         SELECT doc_id + 1000000 AS doc_id,
@@ -120,19 +120,24 @@ def _sql_minhash_grams(text: str, n: int = 3) -> str:
           ON a.doc_id < b.doc_id
          AND len(list_filter(generate_series(1, 8),
                              i -> a.sig[i] = b.sig[i])) > 0
-    )
-    SELECT id_a, id_b,
-           round(CASE WHEN len(list_distinct(list_concat(ga, gb))) = 0
-                      THEN 0.0
-                      ELSE CAST(len(list_intersect(ga, gb)) AS DOUBLE)
-                           / len(list_distinct(list_concat(ga, gb)))
-                 END, 9) AS jaccard
-    FROM cand
-    WHERE CASE WHEN len(list_distinct(list_concat(ga, gb))) = 0
-               THEN 0.0
-               ELSE CAST(len(list_intersect(ga, gb)) AS DOUBLE)
-                    / len(list_distinct(list_concat(ga, gb)))
-          END >= 0.5
+    ),
+    pj AS (
+        SELECT id_a, id_b,
+               CASE WHEN len(list_distinct(list_concat(ga, gb))) = 0
+                    THEN 0.0
+                    ELSE CAST(len(list_intersect(ga, gb)) AS DOUBLE)
+                         / len(list_distinct(list_concat(ga, gb)))
+               END AS jaccard
+        FROM cand
+    ),
+    pairs AS (SELECT * FROM pj WHERE jaccard >= 0.5)"""
+
+
+@register(
+    "q62_minhash_near_dup",
+    sql=f"""
+    WITH {_Q62_PAIRS_CTES}
+    SELECT id_a, id_b, round(jaccard, 9) AS jaccard FROM pairs
     """,
     tags=("dedup", "lsh"),
 )
@@ -159,6 +164,63 @@ def q62_minhash_near_dup(spark, sf_dir):
     )
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 9).alias("jaccard")
+    )
+
+
+@register(
+    "q102_dedup_clusters",
+    sql=f"""
+    WITH RECURSIVE {_Q62_PAIRS_CTES},
+    edges AS (
+        SELECT id_a AS s, id_b AS d FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, lab) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT e.s, r.lab FROM edges e JOIN reach r ON r.id = e.d
+    ),
+    comp AS (SELECT id, MIN(lab) AS cluster_id FROM reach GROUP BY id)
+    SELECT id AS doc_id, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS INTEGER)
+               AS cluster_size
+    FROM comp
+    """,
+    tags=("dedup", "clusters"),
+)
+def q102_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTER formation: the q62 pair graph collapsed into
+    connected components (operators/dedup.py dedup_clusters — iterative
+    min-label propagation, O(diameter) rounds of equi-joins). The
+    oracle computes the same components via a recursive transitive
+    closure, an entirely different formulation. cluster_id = min doc_id
+    of the component — the canonical survivor a dedup pass would keep."""
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    mutated = (
+        d.where(F.col("doc_id") % 10 == 0)
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.array_join(
+                F.slice(words, 1, F.greatest(F.size(words) - 3, F.lit(1))),
+                " ",
+            ).alias("text"),
+        )
+    )
+    corpus = d.select("doc_id", "text").unionByName(mutated)
+    pairs = DD.minhash_det_pairs(
+        corpus, "doc_id", "text", shingle_n=3,
+        num_hashes=8, jaccard_threshold=0.5,
+    )
+    labels = DD.dedup_clusters(pairs)
+    w = Window.partitionBy("cluster_id")
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        "cluster_id",
+        F.count("*").over(w).cast("int").alias("cluster_size"),
     )
 
 

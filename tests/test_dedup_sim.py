@@ -282,3 +282,26 @@ def test_det_minhash_pairs_sound_and_complete_vs_bruteforce(spark, sf_dir):
         for r in d.where(F.col("doc_id") % 7 == 0).select("doc_id").collect()
     }
     assert identical <= found, identical - found
+
+
+def test_dedup_clusters_components(spark):
+    """Min-label propagation over a chain (needs multiple rounds), a
+    star, and an isolated pair — every node labeled with its
+    component's min id."""
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4), (4, 5),   # chain: all -> 1
+            (10, 11), (10, 12), (10, 13),     # star: all -> 10
+            (20, 21),                         # pair -> 20
+        ],
+        "id_a bigint, id_b bigint",
+    )
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in DD.dedup_clusters(pairs).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+        10: 10, 11: 10, 12: 10, 13: 10,
+        20: 20, 21: 20,
+    }
