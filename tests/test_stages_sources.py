@@ -163,3 +163,32 @@ def test_orc_roundtrip(spark, sf_dir, tmp_path):
     assert sorted(r["doc_id"] for r in back.collect()) == sorted(
         r["doc_id"] for r in d.collect()
     )
+
+
+def test_overwrite_changed_partitions(spark, sf_dir, tmp_path):
+    """Dynamic partition overwrite: rewriting one partition's data must
+    not touch sibling partitions."""
+    from pyspark.sql import functions as F
+
+    from rc_rag_spark.sources import overwrite_changed_partitions, table
+
+    path = str(tmp_path / "events_by_type")
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    overwrite_changed_partitions(ev, path, ["event_type"])
+    before = spark.read.parquet(path)
+    n_total = before.count()
+    n_click = before.where(F.col("event_type") == "click").count()
+
+    # reprocess ONLY the click partition: halve its rows
+    clicks_half = (
+        table(spark, sf_dir, "events")
+        .where((F.col("event_type") == "click") & (F.col("event_id") % 2 == 0))
+        .select("event_id", "event_type", "value")
+    )
+    n_half = clicks_half.count()
+    overwrite_changed_partitions(clicks_half, path, ["event_type"])
+
+    after = spark.read.parquet(path)
+    assert after.where(F.col("event_type") == "click").count() == n_half
+    # every other partition untouched
+    assert after.count() == n_total - n_click + n_half
