@@ -320,9 +320,18 @@ def dedup_clusters(
             .where(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        # dropping the reference releases the superseded checkpoint
+        # blocks via the ContextCleaner once GC runs — storage stays
+        # O(2 copies), not O(rounds)
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"dedup_clusters: not converged after {max_iter} rounds "
+            f"({changed} labels still changing) — a component's diameter "
+            "exceeds max_iter; raise max_iter"
+        )
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 

@@ -133,6 +133,27 @@ _Q62_PAIRS_CTES = f"""corpus AS (
     pairs AS (SELECT * FROM pj WHERE jaccard >= 0.5)"""
 
 
+def _q62_corpus_pairs(spark, sf_dir):
+    """documents ∪ planted mutations → deterministic minhash pairs —
+    the Spark twin of _Q62_PAIRS_CTES, shared by q62 and q102 (the
+    mutation recipe and LSH parameters must stay in lockstep with the
+    SQL)."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    mutated = (
+        d.where(F.col("doc_id") % 10 == 0)
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.array_join(F.slice(words, 1, F.greatest(F.size(words) - 3, F.lit(1))), " ").alias("text"),
+        )
+    )
+    corpus = d.select("doc_id", "text").unionByName(mutated)
+    return DD.minhash_det_pairs(
+        corpus, "doc_id", "text", shingle_n=3,
+        num_hashes=8, jaccard_threshold=0.5,
+    )
+
+
 @register(
     "q62_minhash_near_dup",
     sql=f"""
@@ -148,20 +169,7 @@ def q62_minhash_near_dup(spark, sf_dir):
     deterministic md5-based MinHash (operators/dedup.py) so the full
     signature → band-collision → exact-Jaccard-verify pipeline is
     hash-checked against DuckDB."""
-    d = table(spark, sf_dir, "documents")
-    words = F.split("text", " ")
-    mutated = (
-        d.where(F.col("doc_id") % 10 == 0)
-        .select(
-            (F.col("doc_id") + 1_000_000).alias("doc_id"),
-            F.array_join(F.slice(words, 1, F.greatest(F.size(words) - 3, F.lit(1))), " ").alias("text"),
-        )
-    )
-    corpus = d.select("doc_id", "text").unionByName(mutated)
-    pairs = DD.minhash_det_pairs(
-        corpus, "doc_id", "text", shingle_n=3,
-        num_hashes=8, jaccard_threshold=0.5,
-    )
+    pairs = _q62_corpus_pairs(spark, sf_dir)
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 9).alias("jaccard")
     )
@@ -198,24 +206,7 @@ def q102_dedup_clusters(spark, sf_dir):
     of the component — the canonical survivor a dedup pass would keep."""
     from pyspark.sql.window import Window
 
-    d = table(spark, sf_dir, "documents")
-    words = F.split("text", " ")
-    mutated = (
-        d.where(F.col("doc_id") % 10 == 0)
-        .select(
-            (F.col("doc_id") + 1_000_000).alias("doc_id"),
-            F.array_join(
-                F.slice(words, 1, F.greatest(F.size(words) - 3, F.lit(1))),
-                " ",
-            ).alias("text"),
-        )
-    )
-    corpus = d.select("doc_id", "text").unionByName(mutated)
-    pairs = DD.minhash_det_pairs(
-        corpus, "doc_id", "text", shingle_n=3,
-        num_hashes=8, jaccard_threshold=0.5,
-    )
-    labels = DD.dedup_clusters(pairs)
+    labels = DD.dedup_clusters(_q62_corpus_pairs(spark, sf_dir))
     w = Window.partitionBy("cluster_id")
     return labels.select(
         F.col("id").alias("doc_id"),

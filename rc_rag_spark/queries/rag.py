@@ -110,16 +110,18 @@ def _mock_pipeline_run(spark, sf_dir):
     ends in a localCheckpoint, so memoizing it per (gateway, sf_dir)
     means the 5 LLM stages execute once per session instead of once
     per query — the output is deterministic either way."""
-    try:
-        gw = spark.sparkContext._gateway
-    except Exception:
-        gw = spark
+    # Keyed on the SparkContext INSTANCE (not the py4j gateway): the
+    # cached DataFrame holds localCheckpoint blocks owned by the
+    # context, and PySpark reuses the gateway/JVM across
+    # stop()/rebuild — a context-lifetime object needs a
+    # context-identity key.
+    sc = spark.sparkContext
     cached = _PIPELINE_CACHE.get(sf_dir)
-    if cached is None or cached[0] is not gw:
+    if cached is None or cached[0] is not sc:
         samples = samples_from_documents(spark, sf_dir)
         out = D.run_pipeline(samples, backend="mock", num_iteration=1,
                              fusion_strategy="probability")
-        cached = (gw, out)
+        cached = (sc, out)
         _PIPELINE_CACHE[sf_dir] = cached
     return cached[1]
 

@@ -52,6 +52,11 @@ def q01_pricing_summary(spark, sf_dir):
     (returnflag, linestatus) grouping has cardinality 6, so partial
     aggregation collapses each input partition to ≤6 rows before the
     shuffle — the shuffle moves O(partitions), not O(rows).
+
+    wide_table's rebalance is CONDITIONAL: it fires only on the local
+    single-row-group fixture (where the decimal fold would otherwise
+    run as one task) and adds no exchange on a splittable multi-file
+    layout, so the O(partitions) shuffle story above holds at scale.
     """
     li = wide_table(spark, sf_dir, "lineitem")
     price = dec("l_extendedprice", 12, 2)

@@ -60,18 +60,22 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def wide_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """`table()` plus a round-robin rebalance to the session's core
-    count. For expression-dense narrow pipelines (regex parsing, quality
-    scoring) over the local fixtures: each sf fixture is ONE parquet
-    file with ONE row group, so the scan — and every narrow transform
-    chained on it — executes as a single task no matter how many cores
-    the session has. On a real cluster the input is thousands of
-    splittable files and this helper is a no-op-shaped extra exchange of
-    a few hundred KB; locally it is the difference between 1-core and
-    32-core execution of the expensive projection. Only use it when the
-    downstream per-row work dwarfs a tiny shuffle."""
+    """`table()` plus a CONDITIONAL round-robin rebalance: applied only
+    when the scan yields far fewer partitions than the session has
+    cores. Each local sf fixture is ONE parquet file with ONE row
+    group, so the scan — and every narrow transform chained on it —
+    would execute as a single task no matter how many cores the session
+    has; the rebalance is the difference between 1-core and 32-core
+    execution of an expression-dense projection (regex parsing, quality
+    scoring, decimal-heavy aggregation). On a real cluster the input is
+    thousands of splittable files, the partition count exceeds the
+    threshold, and NO exchange is added — the fact table is never
+    round-robin-shuffled at scale."""
     df = table(spark, sf_dir, name)
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    parallelism = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 >= parallelism:
+        return df
+    return df.repartition(parallelism)
 
 
 def load_tables(
@@ -185,11 +189,12 @@ def overwrite_changed_partitions(
     (spark.sql.sources.partitionOverwriteMode=dynamic scoped to this
     write). This is the parquet-level upsert a daily/hourly pipeline
     uses at 100 TB: reprocess one day -> rewrite one directory, no
-    full-table rewrite, readers keep partition pruning."""
-    spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    full-table rewrite, readers keep partition pruning. The mode is a
+    per-WRITE option (not a session conf mutation), so concurrent
+    writers in the same session keep their own semantics."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )

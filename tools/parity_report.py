@@ -57,7 +57,8 @@ def main() -> None:
                     n_rows_only += 1
             except Exception as exc:  # noqa: BLE001
                 kind = "duckdb" if spec.sql else "rows-only"
-                result = f"FAIL: {str(exc)[:80]}"
+                msg = " ".join(str(exc).split()).replace("|", "\\|")[:80]
+                result = f"FAIL: {msg}"
                 n_fail += 1
             dt = time.perf_counter() - t0
             lines.append(f"| {name} | {kind} | {result} | {dt:.1f} |")
