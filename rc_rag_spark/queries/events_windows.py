@@ -455,3 +455,73 @@ def q101_error_recovery_asof_forward(spark, sf_dir):
         "event_id", "user_id", "err_ts", "rec_event_id", "rec_ts",
         F.col("rec_ts").isNotNull().alias("recovered"),
     )
+
+
+@register(
+    "q103_rule_sessionize",
+    sql="""
+    WITH o AS (
+        SELECT user_id, event_id, ts, event_type, value,
+               lag(ts) OVER w AS prev_ts,
+               lag(event_type) OVER w AS prev_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    f AS (
+        SELECT *,
+               CASE WHEN prev_ts IS NULL
+                         OR ts - prev_ts > INTERVAL 10 MINUTE
+                         OR prev_type = 'purchase'
+                    THEN 1 ELSE 0 END AS brk
+        FROM o
+    ),
+    s AS (
+        SELECT *,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM f
+    )
+    SELECT user_id, CAST(sid AS INTEGER) AS session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM s
+    GROUP BY user_id, sid
+    """,
+    tags=("window", "sessionize", "rule"),
+)
+def q103_rule_sessionize(spark, sf_dir):
+    """Rule-based sessionization — breaks on inactivity gap OR a
+    business rule (session ends after a purchase), which
+    F.session_window cannot express. The lag → boundary-flag →
+    cumulative-sum pattern is one window shuffle on user_id (both
+    window specs share the partitioning, so Catalyst plans a single
+    exchange + sort) followed by a partial+final agg. Ties ordered by
+    (ts, event_id) so session numbering is deterministic on both
+    engines."""
+    from pyspark.sql.window import Window
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = (
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL 10 MINUTES"))
+        | (F.lag("event_type").over(w) == "purchase")
+    ).cast("int")
+    sid = F.sum(brk).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        e.select("user_id", "ts", "value", sid.alias("sid"))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.sum(dec("value", 12, 2)).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id", F.col("sid").cast("int").alias("session_id"),
+            "session_start", "session_end", "n_events", "sum_value",
+        )
+    )
