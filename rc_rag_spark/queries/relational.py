@@ -1563,3 +1563,56 @@ def q100_top_revenue_supplier(spark, sf_dir):
         .join(s, rev.l_suppkey == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_rev")
     )
+
+
+@register(
+    "q104_null_functions",
+    sql="""
+    WITH src AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_acctbal END
+                   AS bal,
+               CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_mktsegment END
+                   AS seg
+        FROM customer
+    )
+    SELECT c_custkey,
+           coalesce(bal, 0.0) AS bal_or_zero,
+           nullif(seg, 'BUILDING') AS seg_not_building,
+           coalesce(seg, 'UNKNOWN') AS seg_or_unknown,
+           CASE WHEN bal IS NULL THEN 'missing'
+                WHEN bal < 0 THEN 'negative' ELSE 'ok' END AS bal_class,
+           (bal IS NULL) AS bal_missing,
+           (bal IS NOT NULL AND seg IS NOT NULL) AS complete,
+           CASE WHEN bal IS NOT NULL THEN round(bal, 1) END AS bal_rounded,
+           coalesce(CAST(bal AS VARCHAR), seg, 'neither') AS first_present
+    FROM src
+    """,
+    tags=("scalar", "null"),
+)
+def q104_null_functions(spark, sf_dir):
+    """NULL-handling scalar surface: coalesce/nullif/conditional
+    classification/IS [NOT] NULL algebra over synthesized NULLs (the
+    fixture has none). Narrow per-row expressions — codegen'd, no
+    shuffle."""
+    c = table(spark, sf_dir, "customer")
+    bal = F.when(F.col("c_custkey") % 3 != 0, F.col("c_acctbal"))
+    seg = F.when(F.col("c_custkey") % 5 != 0, F.col("c_mktsegment"))
+    src = c.select("c_custkey", bal.alias("bal"), seg.alias("seg"))
+    b, s = F.col("bal"), F.col("seg")
+    return src.select(
+        "c_custkey",
+        F.coalesce(b, F.lit(0.0)).alias("bal_or_zero"),
+        F.nullif(s, F.lit("BUILDING")).alias("seg_not_building"),
+        F.coalesce(s, F.lit("UNKNOWN")).alias("seg_or_unknown"),
+        F.when(b.isNull(), "missing")
+        .when(b < 0, "negative")
+        .otherwise("ok")
+        .alias("bal_class"),
+        b.isNull().alias("bal_missing"),
+        (b.isNotNull() & s.isNotNull()).alias("complete"),
+        F.when(b.isNotNull(), F.round(b, 1)).alias("bal_rounded"),
+        F.coalesce(b.cast("string"), s, F.lit("neither")).alias(
+            "first_present"
+        ),
+    )
