@@ -158,9 +158,13 @@ def interval_join(
     upper_seconds: int,
     left_watermark: str = "10 minutes",
     right_watermark: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream (or batch) interval equi-join: pairs with equal
     keys and ``right_time ∈ [left_time + lower, left_time + upper)``.
+    ``how``: inner or left_outer — outer rows emit with NULL right
+    columns once the watermark passes their join interval (batch mode
+    emits them immediately).
 
     In streaming mode both inputs get event-time watermarks and the
     interval condition itself bounds join state: Spark retains only
@@ -174,6 +178,8 @@ def interval_join(
         raise ValueError("interval_join: need lower < upper")
     if not on:
         raise ValueError("interval_join: need at least one key column")
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"interval_join: how must be inner|left_outer, got {how!r}")
     l = (
         left.withWatermark(left_time, left_watermark)
         if left.isStreaming else left
@@ -192,7 +198,7 @@ def interval_join(
         & (rt >= lt + F.expr(f"INTERVAL {lower_seconds} SECONDS"))
         & (rt < lt + F.expr(f"INTERVAL {upper_seconds} SECONDS"))
     )
-    return l.join(r, cond, "inner")
+    return l.join(r, cond, how)
 
 
 def read_stream_dir(spark, path: str, schema) -> DataFrame:
