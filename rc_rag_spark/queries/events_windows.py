@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from rc_rag_spark.queries.core import dec, register, sql_dsum
+from rc_rag_spark.queries.core import dec, dsum, register, sql_dsum
 from rc_rag_spark.sources import table
 from rc_rag_spark.streaming import windows as W
 
@@ -459,7 +459,7 @@ def q101_error_recovery_asof_forward(spark, sf_dir):
 
 @register(
     "q103_rule_sessionize",
-    sql="""
+    sql=f"""
     WITH o AS (
         SELECT user_id, event_id, ts, event_type, value,
                lag(ts) OVER w AS prev_ts,
@@ -484,7 +484,7 @@ def q101_error_recovery_asof_forward(spark, sf_dir):
     SELECT user_id, CAST(sid AS INTEGER) AS session_id,
            MIN(ts) AS session_start, MAX(ts) AS session_end,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+           {sql_dsum('value', 'sum_value')}
     FROM s
     GROUP BY user_id, sid
     """,
@@ -518,7 +518,7 @@ def q103_rule_sessionize(spark, sf_dir):
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             F.count("*").alias("n_events"),
-            F.sum(dec("value", 12, 2)).cast("double").alias("sum_value"),
+            dsum("value", "sum_value"),
         )
         .select(
             "user_id", F.col("sid").cast("int").alias("session_id"),

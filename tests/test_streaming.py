@@ -218,10 +218,10 @@ def test_stream_stream_left_outer_interval_join(spark, events_dir):
 
     def split(df):
         errors = df.where(F.col("event_type") == "error").select(
-            "event_id", F.col("user_id").alias("user_id"), "ts"
+            "event_id", "user_id", "ts"
         )
         clicks = df.where(F.col("event_type") == "click").select(
-            F.col("user_id").alias("user_id"), F.col("ts").alias("click_ts")
+            "user_id", F.col("ts").alias("click_ts")
         )
         return errors, clicks
 
