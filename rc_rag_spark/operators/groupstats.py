@@ -11,6 +11,8 @@ source), never a handful of giant groups.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -55,3 +57,34 @@ def zscore_native(
             std.isNull() | (std == 0), F.lit(0.0)
         ).otherwise((F.col(value_col) - mean) / std),
     )
+
+
+_trimmed_mean_udf = None
+
+
+def trimmed_mean(value_col, trim: float = 0.1):
+    """Grouped-AGG pandas UDF (the third pandas-UDF flavor next to
+    scalar and grouped-map): per-group mean after dropping
+    floor(n*trim) values from each end of the SORTED group. Spark has
+    no native trimmed mean; as a grouped-agg UDF it slots directly
+    into groupBy().agg() with partial Arrow batching — unlike
+    applyInPandas there is no per-group DataFrame materialization in
+    the output path. Deterministic: trimming by sorted position keeps
+    a well-defined multiset even with ties (equal values at the cut
+    contribute the same mean)."""
+    from pyspark.sql.functions import pandas_udf
+
+    global _trimmed_mean_udf
+    if _trimmed_mean_udf is None:
+
+        @pandas_udf("double")
+        def _udf(v: pd.Series) -> float:
+            a = np.sort(v.to_numpy(dtype=np.float64))
+            k = int(len(a) * 0.1)
+            return float(a[k: len(a) - k].mean()) if len(a) else float("nan")
+
+        _trimmed_mean_udf = _udf
+    if trim != 0.1:
+        raise ValueError("trimmed_mean: only trim=0.1 is compiled")
+    c = F.col(value_col) if isinstance(value_col, str) else value_col
+    return _trimmed_mean_udf(c)

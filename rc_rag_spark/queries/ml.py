@@ -112,3 +112,47 @@ def q76_quality_zscore(spark, sf_dir):
     )
     out = zscore_grouped_map(d, ["lang"], "n_chars")
     return out.withColumn("zscore", F.round("zscore", 6))
+
+
+@register(
+    "q105_trimmed_mean",
+    sql="""
+    WITH o AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_kept,
+           round(AVG(value), 6) AS trimmed_mean_value
+    FROM o
+    WHERE rn > CAST(floor(n * 0.1) AS BIGINT)
+      AND rn <= n - CAST(floor(n * 0.1) AS BIGINT)
+    GROUP BY event_type
+    """,
+    tags=("udf", "grouped-agg"),
+)
+def q105_trimmed_mean(spark, sf_dir):
+    """Grouped-agg pandas UDF surface: 10%-trimmed mean of value per
+    event_type (no native Spark aggregate). The oracle trims by sorted
+    row position — identical multiset since ties at the cut share the
+    same value. n_kept comes from a native count with the same trim
+    arithmetic. Spark disallows mixing a grouped-agg pandas UDF with
+    native aggregates in one agg(), so the two run as separate
+    aggregations joined on the (5-row) group key — both share the same
+    hash partitioning, and the tiny native side broadcasts."""
+    from rc_rag_spark.operators.groupstats import trimmed_mean
+    from rc_rag_spark.sources import table
+
+    e = table(spark, sf_dir, "events")
+    n = F.count("*")
+    k = F.floor(n * 0.1).cast("long")
+    counts = e.groupBy("event_type").agg((n - 2 * k).alias("n_kept"))
+    means = e.groupBy("event_type").agg(
+        F.round(trimmed_mean("value"), 6).alias("trimmed_mean_value")
+    )
+    return means.join(F.broadcast(counts), "event_type").select(
+        "event_type", "n_kept", "trimmed_mean_value"
+    )
