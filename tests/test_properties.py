@@ -91,3 +91,70 @@ def test_confusion_cells_partition(spark):
     assert c["AK"] == c["AD"] == c["UK"] == c["UD"] == 10
     m = D.risk_metrics(D.confusion_cells(df)).collect()[0]
     assert m["risk"] == 0.5 and m["coverage"] == 0.5 and m["alignment"] == 0.5
+
+
+def test_dedup_clusters_random_graphs_match_networkx_free_closure(spark):
+    """Randomized pin: min-label propagation == brute-force transitive
+    closure (pure-Python union-find) on random sparse pair graphs."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 40
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(25)
+        ]
+        edges = [(a, b) if a < b else (b, a) for a, b in edges if a != b]
+        # python union-find ground truth
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = sorted({x for e in edges for x in e})
+        want = {x: find(x) for x in nodes}
+
+        from rc_rag_spark.operators.dedup import dedup_clusters
+
+        df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+        got = {
+            r["id"]: r["cluster_id"] for r in dedup_clusters(df).collect()
+        }
+        assert got == want, (trial, got, want)
+
+
+def test_trimmed_mean_udf_matches_numpy(spark):
+    """Grouped-agg trimmed mean == numpy reference per group on random
+    frames (ties included)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (int(k), float(v))
+        for k in range(4)
+        for v in rng.choice(np.arange(0, 50, 0.5), size=37)
+    ]
+    df = spark.createDataFrame(rows, "k int, v double")
+    from rc_rag_spark.operators.groupstats import trimmed_mean
+
+    got = {
+        r["k"]: r["tm"]
+        for r in df.groupBy("k")
+        .agg(F.round(trimmed_mean("v"), 9).alias("tm"))
+        .collect()
+    }
+    by_k = {}
+    for k, v in rows:
+        by_k.setdefault(k, []).append(v)
+    for k, vs in by_k.items():
+        a = np.sort(np.array(vs, dtype=np.float64))
+        t = int(len(a) * 0.1)
+        want = round(float(a[t: len(a) - t].mean()), 9)
+        assert got[k] == want, (k, got[k], want)
