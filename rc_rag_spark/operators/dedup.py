@@ -303,6 +303,9 @@ def dedup_clusters(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_min"))
         )
+        # carry the did-it-change flag in the same row so convergence is
+        # read off the checkpointed blocks — no second join of new-vs-old
+        # labels (one fewer shuffle per round)
         new_labels = (
             labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
             .select(
@@ -311,19 +314,17 @@ def dedup_clusters(
                     labels["label"],
                     F.coalesce(F.col("nbr_min"), labels["label"]),
                 ).alias("label"),
+                F.coalesce(
+                    F.col("nbr_min") < labels["label"], F.lit(False)
+                ).alias("_changed"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        changed = new_labels.where("_changed").count()
         # dropping the reference releases the superseded checkpoint
         # blocks via the ContextCleaner once GC runs — storage stays
         # O(2 copies), not O(rounds)
-        labels = new_labels
+        labels = new_labels.drop("_changed")
         if changed == 0:
             break
     else:

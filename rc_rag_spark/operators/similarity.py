@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from rc_rag_spark.functions.vectors import cosine, dot, l2_norm
+from rc_rag_spark.functions.vectors import dot, l2_norm
 
 
 def brute_force_topk(
@@ -45,17 +45,31 @@ def brute_force_topk(
     lsh_topk_join / ann.ivf_topk when that candidate volume is the
     bottleneck.
     """
+    if metric not in ("cosine", "dot"):
+        raise ValueError(f"unknown metric: {metric}")
+    # Stage the norms BELOW the cross join: each is an interpreted HOF
+    # fold over the whole vector, so computing them per input row
+    # (n + q folds) instead of per scored pair (2·n·q folds) removes
+    # most of the non-codegen work. dot/(cn·qn) keeps the exact float
+    # op order of cosine(c, q), so results stay bit-identical.
+    want_norm = metric == "cosine"
     q = F.broadcast(
         queries.select(
-            F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec")
+            F.col(query_id_col).alias("_qid"),
+            F.col(vec_col).alias("_qvec"),
+            *([l2_norm(F.col(vec_col)).alias("_qn")] if want_norm else []),
         )
     )
-    sim = {"cosine": cosine, "dot": dot}[metric](
-        F.col(vec_col), F.col("_qvec")
+    c = corpus.select(
+        F.col(id_col).alias("_cid"),
+        F.col(vec_col).alias("_cvec"),
+        *([l2_norm(F.col(vec_col)).alias("_cn")] if want_norm else []),
     )
-    scored = corpus.crossJoin(q).select(
+    d = dot(F.col("_cvec"), F.col("_qvec"))
+    sim = d / (F.col("_cn") * F.col("_qn")) if want_norm else d
+    scored = c.crossJoin(q).select(
         F.col("_qid").alias(query_id_col),
-        F.col(id_col).alias("neighbor_id"),
+        F.col("_cid").alias("neighbor_id"),
         sim.alias("similarity"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
@@ -90,8 +104,14 @@ def lsh_topk_join(
     Recall is tunable via num_hash_tables / bucket_length / max_l2."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
 
-    c = _to_ml_vector(corpus, vec_col, "_v")
-    q = _to_ml_vector(queries, vec_col, "_v")
+    # stage norms below the candidate join (same rationale and float-op
+    # order as brute_force_topk)
+    c = _to_ml_vector(
+        corpus.withColumn("_n", l2_norm(F.col(vec_col))), vec_col, "_v"
+    )
+    q = _to_ml_vector(
+        queries.withColumn("_n", l2_norm(F.col(vec_col))), vec_col, "_v"
+    )
     lsh = BucketedRandomProjectionLSH(
         inputCol="_v", outputCol="_h",
         bucketLength=bucket_length, numHashTables=num_hash_tables, seed=seed,
@@ -101,9 +121,10 @@ def lsh_topk_join(
     scored = cand.select(
         F.col(f"datasetB.{query_id_col}").alias(query_id_col),
         F.col(f"datasetA.{id_col}").alias("neighbor_id"),
-        cosine(F.col(f"datasetA.{vec_col}"), F.col(f"datasetB.{vec_col}")).alias(
-            "similarity"
-        ),
+        (
+            dot(F.col(f"datasetA.{vec_col}"), F.col(f"datasetB.{vec_col}"))
+            / (F.col("datasetA._n") * F.col("datasetB._n"))
+        ).alias("similarity"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("similarity").desc(), F.col("neighbor_id")
