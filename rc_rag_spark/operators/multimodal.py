@@ -96,15 +96,20 @@ def _decode_audio(payload: bytes) -> "object":
 
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
     """Deterministic fake 'embedding' of a binary payload (stands in
-    for the stubbed decoder so the Spark plumbing is fully testable)."""
+    for the stubbed decoder so the Spark plumbing is fully testable).
+    Hashes the payload's hex encoding + '-<i>' (text, not raw bytes) so
+    an external SQL oracle can recompute it — DuckDB's sha256() only
+    accepts VARCHAR."""
     import hashlib
 
-    out = []
-    h = payload or b""
-    for i in range(dim):
-        d = hashlib.sha256(h + bytes([i])).digest()
-        out.append(int.from_bytes(d[:4], "big") / 2**32)
-    return out
+    hx = (payload or b"").hex()
+    return [
+        int.from_bytes(
+            hashlib.sha256(f"{hx}-{i}".encode()).digest()[:4], "big"
+        )
+        / 2**32
+        for i in range(dim)
+    ]
 
 
 def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:

@@ -26,18 +26,73 @@ def q72_retrieval_scoring(spark, sf_dir):
     )
 
 
-@register("q73_media_features", tags=("multimodal",))
+# The q73/q74/q99 oracles recompute operators/multimodal.py's
+# DETERMINISTIC kernels from first principles in SQL — synthesize_media
+# payload byte j of media i is (i*31+j)%256, length 128+i, kinds cycle
+# image/audio/video, meta is pure i-arithmetic — so the Arrow-batched
+# mapInPandas plumbing is hash-checked end-to-end, not just rows-only.
+# The recipes here and in synthesize_media/_fake_feature/sample_frames/
+# resize_images must stay in lockstep.
+
+@register(
+    "q73_media_features",
+    sql="""
+    WITH hexes AS (
+        SELECT i, array_to_string(
+            [printf('%02x', (i*31 + j) % 256)
+             for j in generate_series(0, 127 + i)], '') AS hx
+        FROM generate_series(0, 95) t(i)
+    ),
+    feat AS (
+        SELECT CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                          ELSE 'video' END AS kind,
+               128 + i AS n_bytes,
+               -- _fake_feature f0: first 4 sha256 bytes of 'hex-0' as a
+               -- /2^32 fraction, stored by Spark as FLOAT32 — the cast
+               -- mirrors that truncation before averaging
+               CAST(CAST(('0x' || substr(sha256(hx || '-0'), 1, 8))
+                         AS BIGINT) / 4294967296.0 AS FLOAT) AS f0
+        FROM hexes
+    )
+    SELECT kind, COUNT(*) AS n, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           round(AVG(f0), 6) AS avg_f0
+    FROM feat GROUP BY kind
+    """,
+    tags=("multimodal",),
+)
 def q73_media_features(spark, sf_dir):
     """Multimodal plumbing: synthetic binary media → Arrow-batched
-    feature extraction → per-kind stats (decode kernels stubbed, Spark
-    path real)."""
+    feature extraction → per-kind stats. The decode kernel is a
+    deterministic fake (sha256 of the payload hex), so the oracle
+    recomputes the whole pipeline in SQL."""
     media = MM.synthesize_media(spark, n=96)
     return MM.media_stats(MM.extract_features(media))
 
 
-@register("q74_video_frame_sample", tags=("multimodal",))
+@register(
+    "q74_video_frame_sample",
+    sql="""
+    WITH m AS (
+      SELECT i AS media_id, 128 + i AS len,
+             greatest(1, (4000 + 500 * (i % 5)) // 1000) AS nf
+      FROM generate_series(0, 95) t(i) WHERE i % 3 = 2
+    ),
+    s AS (SELECT media_id, len, nf, greatest(1, len // nf) AS step FROM m),
+    fr AS (SELECT media_id, unnest(generate_series(0, nf - 1)) AS k,
+                  len, step
+           FROM s)
+    SELECT media_id, COUNT(*) AS n_frames,
+           CAST(SUM(greatest(0, least(len, (k+1)*step)
+                                - least(len, k*step))) AS BIGINT)
+               AS total_bytes
+    FROM fr GROUP BY media_id
+    """,
+    tags=("multimodal",),
+)
 def q74_video_frame_sample(spark, sf_dir):
-    """Frame-sampling explode pattern over video rows."""
+    """Frame-sampling explode pattern over video rows. Frames are
+    byte slices [k*step, (k+1)*step) of the payload; the oracle
+    reproduces the slice-length arithmetic per sampled frame."""
     media = MM.synthesize_media(spark, n=96)
     frames = MM.sample_frames(media, every_ms=1000)
     return frames.groupBy("media_id").agg(
@@ -46,12 +101,30 @@ def q74_video_frame_sample(spark, sf_dir):
     )
 
 
-@register("q99_image_resize", tags=("multimodal",))
+@register(
+    "q99_image_resize",
+    sql="""
+    WITH m AS (
+      SELECT i, 128 + i AS len,
+             greatest(1, (64 + i % 32) * (48 + i % 16)) AS src_px
+      FROM generate_series(0, 95) t(i) WHERE i % 3 = 0
+    )
+    SELECT 'image' AS kind, COUNT(*) AS n,
+           CAST(32 AS INTEGER) AS min_w, CAST(32 AS INTEGER) AS max_h,
+           CAST(SUM(greatest(1, len * 1024 // src_px)) AS BIGINT)
+               AS total_bytes
+    FROM m
+    """,
+    tags=("multimodal",),
+)
 def q99_image_resize(spark, sf_dir):
     """Resize pipeline over image rows: metadata-pruned decode →
     resize → re-encode (kernel import-gated on PIL, deterministic fake
     otherwise), then a relational stage over the rewritten metadata —
-    the downstream proof that meta travels with the payload."""
+    the downstream proof that meta travels with the payload. Synthetic
+    payloads are never decodable images, so both PIL and no-PIL
+    environments take the fake kernel (payload length scaled by the
+    32×32/src pixel ratio) that the oracle reproduces."""
     media = MM.synthesize_media(spark, n=96)
     resized = MM.resize_images(media, width=32, height=32)
     return resized.groupBy("kind").agg(
