@@ -1616,3 +1616,311 @@ def q104_null_functions(spark, sf_dir):
             "first_present"
         ),
     )
+
+
+# --- classic decorrelated-subquery shapes (TPC-H Q4/Q7/Q18/Q19/Q21/Q22) --
+
+@register(
+    "q106_late_shipment_priority",
+    sql="""
+    SELECT o.o_orderpriority, COUNT(*) AS n_late_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("join", "semi", "subquery"),
+)
+def q106_late_shipment_priority(spark, sf_dir):
+    """TPC-H-Q4 shape: correlated EXISTS with a non-equi residual
+    (l_shipdate > o_orderdate + 60 days), decorrelated to a left-semi
+    join. The semi join keeps the equi key (orderkey) as the hash key
+    and evaluates the date residual post-probe, so the shuffle is a
+    plain equi-exchange; the order-date filter pushes into the orders
+    scan and prunes before the join at any scale."""
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (li.l_orderkey == o.o_orderkey) & (
+        li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_late_orders"))
+    )
+
+
+@register(
+    "q107_large_volume_customers",
+    sql="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice,
+           CAST(t.sum_qty AS DOUBLE) AS sum_qty
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN (SELECT l_orderkey,
+                 SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey) t
+      ON t.l_orderkey = o.o_orderkey
+    WHERE t.sum_qty > 150
+    """,
+    tags=("join", "subquery", "having"),
+)
+def q107_large_volume_customers(spark, sf_dir):
+    """TPC-H-Q18 shape: orders whose total quantity clears a threshold
+    (the IN-subquery-with-HAVING form, decorrelated to agg + join).
+    The per-order aggregate collapses lineitem to |orders| rows and
+    the threshold prunes it BEFORE the joins, so customer/orders join
+    against a tiny filtered set; at scale only the per-orderkey agg
+    shuffles O(orders) pre-aggregated rows."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    t = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity", 18, 2)).alias("sum_qty"))
+        .where(F.col("sum_qty") > 150)
+    )
+    return (
+        o.join(t, o.o_orderkey == t.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_totalprice",
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "q108_waiting_sole_late_supplier",
+    sql="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM lineitem l1
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+                 AND o.o_orderstatus = 'F'
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate >
+                            o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s.s_name
+    """,
+    tags=("join", "semi", "anti", "subquery"),
+)
+def q108_waiting_sole_late_supplier(spark, sf_dir):
+    """TPC-H-Q21 shape: suppliers who were the ONLY late shipper on a
+    multi-supplier finished order — correlated EXISTS + NOT EXISTS on
+    the same fact table, decorrelated to a left-semi then a left-anti
+    join, both keyed on orderkey with suppkey/date residuals. All
+    three lineitem sides shuffle on the same key, so at scale the two
+    subquery probes co-partition with the base (one exchange shape,
+    reused); the anti join's date residual references the outer
+    order's date, which rides along from the first join."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    s = F.broadcast(table(spark, sf_dir, "supplier"))
+    late_cut = F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+
+    base = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o.select("o_orderkey", "o_orderdate"),
+              li.l_orderkey == o.o_orderkey)
+        .where(F.col("l_shipdate") > late_cut)
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("l2_orderkey"),
+        F.col("l_suppkey").alias("l2_suppkey"),
+    )
+    base = base.join(
+        l2,
+        (F.col("l2_orderkey") == F.col("l_orderkey"))
+        & (F.col("l2_suppkey") != F.col("l_suppkey")),
+        "left_semi",
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("l3_orderkey"),
+        F.col("l_suppkey").alias("l3_suppkey"),
+        F.col("l_shipdate").alias("l3_shipdate"),
+    )
+    base = base.join(
+        l3,
+        (F.col("l3_orderkey") == F.col("l_orderkey"))
+        & (F.col("l3_suppkey") != F.col("l_suppkey"))
+        & (F.col("l3_shipdate") > late_cut),
+        "left_anti",
+    )
+    return (
+        base.join(s, base.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+@register(
+    "q109_nation_trade_flows",
+    sql="""
+    SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+           CAST(YEAR(l.l_shipdate) AS INTEGER) AS ship_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+               AS revenue,
+           COUNT(*) AS n_lines
+    FROM customer c
+    JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+    WHERE n1.n_name <> n2.n_name
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n1.n_name, n2.n_name, YEAR(l.l_shipdate)
+    """,
+    tags=("join", "multiway", "agg"),
+)
+def q109_nation_trade_flows(spark, sf_dir):
+    """TPC-H-Q7 shape: cross-border revenue by (customer nation,
+    supplier nation, year). Five-way join with the SAME dimension
+    joined twice under different roles (nation as n1 and n2) — both
+    broadcast, as are supplier and (via customer's small size at this
+    SF in real TPC-H terms) the customer→nation side. The only
+    fact-fact exchange is orders⋈lineitem on orderkey; the nation
+    inequality is a post-broadcast residual; group cardinality is
+    |nations|²·years, so partial agg collapses everything map-side."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    n1 = F.broadcast(n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("cust_nation")
+    ))
+    n2 = F.broadcast(n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    ))
+    return (
+        li.join(o.select("o_orderkey", "o_custkey"),
+                li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(n1, F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+              li.l_suppkey == F.col("s_suppkey"))
+        .join(n2, F.col("s_nationkey") == F.col("n2_key"))
+        .where(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy(
+            "cust_nation", "supp_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(
+            F.sum(dec("l_extendedprice", 12, 2)
+                  * (F.lit(1) - dec("l_discount", 3, 2)))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q110_disjunctive_part_bands",
+    sql="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+               AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    tags=("join", "disjunctive", "pushdown"),
+)
+def q110_disjunctive_part_bands(spark, sf_dir):
+    """TPC-H-Q19 shape: OR-of-conjunctions over a join. The planner
+    splits the disjunction into single-side implied filters — part
+    rows must be one of the three brands, lineitem rows must be in
+    the union of quantity bands — which push into both scans, while
+    the full cross-side disjunction stays as a join residual. part
+    (pre-filtered to 3 brands) broadcasts; lineitem never shuffles."""
+    li = table(spark, sf_dir, "lineitem")
+    p = F.broadcast(table(spark, sf_dir, "part"))
+    q, brand, size = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((brand == "Brand#12") & size.between(1, 15) & q.between(1, 11))
+        | ((brand == "Brand#23") & size.between(1, 25) & q.between(10, 20))
+        | ((brand == "Brand#34") & size.between(1, 35) & q.between(20, 30))
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .where(cond)
+        .agg(
+            F.sum(dec("l_extendedprice", 12, 2)
+                  * (F.lit(1) - dec("l_discount", 3, 2)))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q111_rich_inactive_segments",
+    sql="""
+    WITH avg_bal AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS a
+        FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_mktsegment, COUNT(*) AS n_cust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_bal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT a FROM avg_bal)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("join", "anti", "scalar-subquery"),
+)
+def q111_rich_inactive_segments(spark, sf_dir):
+    """TPC-H-Q22 shape: above-average-balance customers with no
+    orders, by segment. The scalar average is a one-row broadcast (a
+    cross join against a single aggregated row — no second scan
+    pattern, no collect), the NOT EXISTS decorrelates to a left-anti
+    join on custkey. The average is computed with the exact-decimal
+    discipline so the > boundary is bit-identical on both engines."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    avg_bal = (
+        c.where(F.col("c_acctbal") > 0)
+        .agg((F.sum(dec("c_acctbal", 18, 2)).cast("double")
+              / F.count("*")).alias("_avg_bal"))
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_cust"),
+            dsum("c_acctbal", "total_bal", 2),
+        )
+    )

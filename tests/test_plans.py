@@ -95,3 +95,32 @@ def test_fact_table_never_broadcast_built(spark, sf_dir):
     for name in ("q08_regional_revenue", "q98_small_quantity_revenue"):
         plan = plan_of(spark, sf_dir, name)
         assert "ShuffledHashJoin" in plan, name
+
+
+def test_q108_decorrelated_exists_shapes(spark, sf_dir):
+    """Q21 shape: the EXISTS/NOT EXISTS pair must decorrelate into
+    LeftSemi + LeftAnti hash joins keyed on orderkey — never a
+    nested-loop over the fact table."""
+    plan = plan_of(spark, sf_dir, "q108_waiting_sole_late_supplier")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q110_disjunction_implies_scan_filters(spark, sf_dir):
+    """Q19 shape: the OR-of-conjunctions must contribute implied
+    single-side filters that push into the part scan (brand IN ...)
+    rather than evaluating the whole disjunction only post-join."""
+    plan = plan_of(spark, sf_dir, "q110_disjunctive_part_bands")
+    scan_lines = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("p_brand" in l for l in scan_lines), plan[:2000]
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q111_scalar_subquery_single_row_broadcast(spark, sf_dir):
+    """Q22 shape: the average-balance scalar must arrive via a one-row
+    broadcast join, and the NOT EXISTS via LeftAnti."""
+    plan = plan_of(spark, sf_dir, "q111_rich_inactive_segments")
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
