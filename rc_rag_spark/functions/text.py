@@ -264,9 +264,17 @@ def raw_substring_hit(refs: str | Column, pred: str | Column) -> Column:
 def match_metrics(
     refs: str | Column, pred: str | Column, rl: Column | None = None
 ) -> Column:
-    """Struct of (EM, F1, RL, has_answer, matched) — the reference's
-    match() with its metric side-effects materialized as columns
+    """Struct of (EM, F1, RL, has_answer) — the reference's match()
+    with its metric side-effects materialized as columns
     (code/utils.py:399-413). NULL pred ⇒ all-zero metrics.
+
+    The match PREDICATE itself is deliberately not a field: it would
+    re-inline the EM/F1 expression trees (each ~10²-10³ regex/HOF
+    nodes) a second time inside the same struct, which is what pushed
+    the decision pipeline's projections past the JVM codegen method
+    limit. Stage this struct as a named column, then apply
+    ``matched_expr`` to the staged attribute — field extraction on an
+    attribute is free.
 
     ``rl``: optionally a precomputed ROUGE-L column. The default calls
     the pandas UDF inline, which is fine at the top level of a select;
@@ -280,13 +288,25 @@ def match_metrics(
         rl = rouge_l_recall(refs, p)
     rl = F.when(p.isNull(), F.lit(0.0)).otherwise(rl)
     ha = raw_substring_hit(refs, p)
-    matched = (em == 1) | ha | (f1 > 0.7) | (rl > 0.7)
     return F.struct(
         em.alias("EM"),
         f1.alias("F1"),
         rl.alias("RL"),
         ha.alias("has_answer"),
-        matched.alias("matched"),
+    )
+
+
+def matched_expr(m: Column) -> Column:
+    """T7 threshold predicate over a STAGED match_metrics struct:
+    EM==1 OR raw containment OR F1>0.7 OR RL>0.7
+    (code/utils.py:409-411). Apply to an attribute, not an inline
+    struct — on an attribute each getField is a cheap extraction, so
+    the metric trees are computed exactly once per row."""
+    return (
+        (m.getField("EM") == 1)
+        | m.getField("has_answer")
+        | (m.getField("F1") > 0.7)
+        | (m.getField("RL") > 0.7)
     )
 
 

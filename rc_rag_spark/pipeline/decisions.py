@@ -77,6 +77,10 @@ def rag_annotate(samples: DataFrame, backend: str = "mock",
             "_rag_rl",
             T.rouge_l_recall("reference_exp", F.col("_rag_parsed.answer")),
         )
+        # Staged (referenced twice below: rag struct + label) so the
+        # EM/F1 trees exist ONCE in the plan; matched is derived from
+        # the staged attribute's fields, not re-inlined — together this
+        # keeps the projection inside the JVM codegen method limits.
         .withColumn(
             "_rag_metrics",
             T.match_metrics(
@@ -91,7 +95,9 @@ def rag_annotate(samples: DataFrame, backend: str = "mock",
         ),
     ).withColumn(
         "label_decision",
-        F.when(F.col("_rag_metrics.matched"), "keep").otherwise("discard"),
+        F.when(T.matched_expr(F.col("_rag_metrics")), "keep").otherwise(
+            "discard"
+        ),
     )
     return df.drop("_rag_parsed", "_rag_metrics", "_rag_rl")
 
@@ -102,7 +108,10 @@ def _decide(parsed: Column, rag: Column, metrics_ans: Column,
             metrics_evi: Column) -> Column:
     """D2: answers comparable → continue/discard on answer match; else
     evidence comparable (and not a rejection) → continue/discard on
-    evidence match; else discard."""
+    evidence match; else discard.
+
+    metrics_ans / metrics_evi MUST be staged attributes (see
+    match_metrics) — matched_expr extracts their fields cheaply."""
     ans_cmp = _truthy(parsed.getField("answer")) & _truthy(rag.getField("answer"))
     evi_cmp = (
         ~parsed.getField("reject")
@@ -112,11 +121,11 @@ def _decide(parsed: Column, rag: Column, metrics_ans: Column,
     return (
         F.when(
             ans_cmp,
-            F.when(metrics_ans.getField("matched"), "continue").otherwise("discard"),
+            F.when(T.matched_expr(metrics_ans), "continue").otherwise("discard"),
         )
         .when(
             evi_cmp,
-            F.when(metrics_evi.getField("matched"), "continue").otherwise("discard"),
+            F.when(T.matched_expr(metrics_evi), "continue").otherwise("discard"),
         )
         .otherwise("discard")
     )
@@ -183,14 +192,24 @@ def counterfactual_branch(df: DataFrame, branch: str, backend: str = "mock",
             ),
         )
         parsed = F.col("_parsed")
-        m_ans = T.match_metrics(
-            F.array(F.col("rag.answer")), parsed.getField("answer"),
-            rl=F.col("_rl_ans"),
+        # Stage both metric structs: each is consumed twice (the
+        # metrics CASE and the decision), and matched_expr reads the
+        # staged fields — without this the EM/F1 trees appeared 4× in
+        # one projection and blew the JVM codegen method limit.
+        df = df.withColumn(
+            "_m_ans",
+            T.match_metrics(
+                F.array(F.col("rag.answer")), parsed.getField("answer"),
+                rl=F.col("_rl_ans"),
+            ),
+        ).withColumn(
+            "_m_evi",
+            T.match_metrics(
+                F.array(F.col("rag.evidence")), parsed.getField("evidence"),
+                rl=F.col("_rl_evi"),
+            ),
         )
-        m_evi = T.match_metrics(
-            F.array(F.col("rag.evidence")), parsed.getField("evidence"),
-            rl=F.col("_rl_evi"),
-        )
+        m_ans, m_evi = F.col("_m_ans"), F.col("_m_evi")
         ans_cmp = _truthy(parsed.getField("answer")) & _truthy(F.col("rag.answer"))
         evi_cmp = (
             ~parsed.getField("reject")
@@ -206,7 +225,10 @@ def counterfactual_branch(df: DataFrame, branch: str, backend: str = "mock",
             F.when(active, _branch_struct(parsed, metrics, decision)).otherwise(
                 F.col(branch)
             ),
-        ).drop("_resp", "_live_msgs", "_parsed", "_rl_ans", "_rl_evi")
+        ).drop(
+            "_resp", "_live_msgs", "_parsed", "_rl_ans", "_rl_evi",
+            "_m_ans", "_m_evi",
+        )
 
     # terminal 'continue' ⇒ 'keep' (run_llm_ours.py:118-119,136-137).
     # Full struct rebuild, not withField: withField emits common-
@@ -279,19 +301,28 @@ def fuse(df: DataFrame, strategy: str = "probability", backend: str = "mock",
             df.withColumn("_p_use_resp", llm_call("_pm_use", backend, **backend_kw))
             .withColumn("_p_q_resp", llm_call("_pm_q", backend, **backend_kw))
         )
-        p_use = P.parse_fusion_probability(
-            P.parse_prediction("_p_use_resp").getField("answer")
+        # Stage each probability: the parse tree behind it is ~10³
+        # nodes and the when-chain reads each value twice — staged
+        # attributes keep both trees single-instanced in the plan.
+        df = df.withColumn(
+            "_p_use",
+            P.parse_fusion_probability(
+                P.parse_prediction("_p_use_resp").getField("answer")
+            ),
+        ).withColumn(
+            "_p_q",
+            P.parse_fusion_probability(
+                P.parse_prediction("_p_q_resp").getField("answer")
+            ),
         )
-        p_q = P.parse_fusion_probability(
-            P.parse_prediction("_p_q_resp").getField("answer")
-        )
+        p_use, p_q = F.col("_p_use"), F.col("_p_q")
         df = df.withColumn(
             "pred_decision",
             F.when(agree, use_dec)
             .when(p_use > p_q, use_dec)
             .when(p_use < p_q, q_dec)
             .otherwise(F.lit("discard")),
-        ).drop("_p_use_resp", "_p_q_resp", "_pm_use", "_pm_q")
+        ).drop("_p_use_resp", "_p_q_resp", "_pm_use", "_pm_q", "_p_use", "_p_q")
     else:
         raise ValueError(f"unknown fusion strategy: {strategy}")
 
