@@ -277,19 +277,37 @@ def banded_range_join(
             .cast("long")
         )
 
+    def epoch_us(df: DataFrame, name: str) -> Column:
+        # unix_micros only accepts TIMESTAMP; TIMESTAMP_NTZ columns
+        # (e.g. parquet written with isAdjustedToUTC=false) go through
+        # timestamp_diff against an NTZ epoch — timezone-free, so the
+        # band stays exact regardless of session timezone. Mixing an
+        # NTZ side with a TZ side interprets the NTZ wall clock as UTC.
+        if dict(df.dtypes)[name] == "timestamp_ntz":
+            epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+            return F.timestamp_diff("MICROSECOND", epoch, F.col(name))
+        return F.unix_micros(F.col(name))
+
     r = right.select(
         *on,
-        bucket_of(F.unix_micros(F.col(right_time))).alias("_band_b"),
+        bucket_of(epoch_us(right, right_time)).alias("_band_b"),
         *[F.col(c).alias(out_names[c]) for c in payload_cols],
     )
-    lt_us = F.unix_micros(F.col(left_time))
+    lt_us = epoch_us(left, left_time)
     lo_b = bucket_of(lt_us + lower_seconds * 1_000_000)
     # upper bound is exclusive: the last reachable right time is
     # upper - 1 microsecond
     hi_b = bucket_of(lt_us + upper_seconds * 1_000_000 - 1)
     l = left.withColumn("_band_b", F.explode(F.sequence(lo_b, hi_b)))
 
-    rt_us = F.unix_micros(F.col(out_names[right_time]))
+    if dict(right.dtypes)[right_time] == "timestamp_ntz":
+        rt_us = F.timestamp_diff(
+            "MICROSECOND",
+            F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+            F.col(out_names[right_time]),
+        )
+    else:
+        rt_us = F.unix_micros(F.col(out_names[right_time]))
     band = (rt_us >= lt_us + lower_seconds * 1_000_000) & (
         rt_us < lt_us + upper_seconds * 1_000_000
     )
