@@ -1924,3 +1924,404 @@ def q111_rich_inactive_segments(spark, sf_dir):
             dsum("c_acctbal", "total_bal", 2),
         )
     )
+
+
+# --- remaining classic shapes (TPC-H Q2/Q8/Q9/Q11/Q13/Q14/Q16/Q20),
+# adapted to the fixture star schema: there is no partsupp table, so
+# supply relationships and costs derive from lineitem's
+# (l_partkey, l_suppkey) pairs and exact-decimal revenue sums. ------------
+
+@register(
+    "q112_min_cost_supplier",
+    sql="""
+    WITH cost AS (
+        SELECT l_partkey, l_suppkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS tot
+        FROM lineitem GROUP BY l_partkey, l_suppkey)
+    SELECT p.p_partkey, p.p_name, s.s_name,
+           CAST(c.tot AS DOUBLE) AS supply_cost
+    FROM cost c
+    JOIN part p ON p.p_partkey = c.l_partkey
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    WHERE c.tot = (SELECT MIN(c2.tot) FROM cost c2
+                   WHERE c2.l_partkey = c.l_partkey)
+    """,
+    tags=("join", "scalar-subquery", "window"),
+)
+def q112_min_cost_supplier(spark, sf_dir):
+    """TPC-H-Q2 shape: per part, the supplier with the minimum total
+    supply cost (correlated scalar-MIN subquery in the oracle). The
+    engine decorrelates it into a window MIN over the aggregated
+    (part, supplier) table: one shuffle for the groupBy, and the
+    window's partitionBy(l_partkey) re-uses a prefix of that grouping
+    so AQE plans it off the already-reduced (~|part|x|supplier|) rows,
+    never a second pass over lineitem. part and supplier are broadcast
+    dims. Cost is an exact-decimal sum, so the = MIN() boundary (and
+    its ties, which both engines keep) is bit-identical."""
+    li = table(spark, sf_dir, "lineitem")
+    p = F.broadcast(table(spark, sf_dir, "part"))
+    s = F.broadcast(table(spark, sf_dir, "supplier"))
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(dec("l_extendedprice", 18, 2)).alias("_tot")
+    )
+    w = Window.partitionBy("l_partkey")
+    best = (
+        cost.withColumn("_min_tot", F.min("_tot").over(w))
+        .where(F.col("_tot") == F.col("_min_tot"))
+    )
+    return (
+        best.join(p, best.l_partkey == p.p_partkey)
+        .join(s, best.l_suppkey == s.s_suppkey)
+        .select(
+            "p_partkey", "p_name", "s_name",
+            F.col("_tot").cast("double").alias("supply_cost"),
+        )
+    )
+
+
+@register(
+    "q113_market_share",
+    sql="""
+    WITH vol AS (
+        SELECT year(o.o_orderdate) AS o_year,
+               CAST(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(3,2)))
+                    AS DECIMAL(18,4)) AS v,
+               sn.n_name AS supp_nation
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = cn.n_regionkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+        WHERE r.r_name = 'ASIA')
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN v
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+           / CAST(SUM(v) AS DOUBLE) AS mkt_share,
+           COUNT(*) AS n_lines
+    FROM vol GROUP BY o_year
+    """,
+    tags=("join", "agg", "ratio"),
+)
+def q113_market_share(spark, sf_dir):
+    """TPC-H-Q8 shape: NATION_7 suppliers' share of revenue to ASIA
+    customers, per order year. Plan: the two fact joins
+    (lineitem⋈orders on orderkey, ⋈customer on custkey) are the only
+    shuffles; nation/region/supplier are broadcasts, and the ASIA
+    filter is applied on the customer side BEFORE the fact join so
+    the shuffled build side shrinks ~5x. Numerator and denominator
+    are exact-decimal sums; the final share divides two
+    bit-identical doubles, so the ratio is deterministic."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    r = F.broadcast(table(spark, sf_dir, "region"))
+    s = F.broadcast(table(spark, sf_dir, "supplier"))
+    asia_cust = (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, (n.n_regionkey == r.r_regionkey) & (r.r_name == "ASIA"))
+        .select("c_custkey")
+    )
+    supp_nation = s.join(
+        n.withColumnRenamed("n_name", "supp_nation"),
+        s.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    v = dec("l_extendedprice", 12, 2) * (F.lit(1) - dec("l_discount", 3, 2))
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(asia_cust, o.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            v.cast("decimal(18,4)").alias("_v"),
+            "supp_nation",
+        )
+        .groupBy("o_year")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_7", F.col("_v"))
+                    .otherwise(zero)
+                ).cast("double")
+                / F.sum("_v").cast("double")
+            ).alias("mkt_share"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q114_profit_by_nation",
+    sql="""
+    SELECT sn.n_name AS nation, year(o.o_orderdate) AS o_year,
+           CAST(SUM(
+               CAST(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(3,2)))
+                    AS DECIMAL(18,6))
+               - CAST(CAST(p.p_retailprice AS DECIMAL(12,2))
+                      * CAST(l.l_quantity AS DECIMAL(12,2))
+                      * CAST(0.10 AS DECIMAL(3,2))
+                      AS DECIMAL(18,6))
+           ) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY sn.n_name, year(o.o_orderdate)
+    """,
+    tags=("join", "agg"),
+)
+def q114_profit_by_nation(spark, sf_dir):
+    """TPC-H-Q9 shape: widget-part profit by supplier nation and
+    order year. No partsupp in the fixtures, so unit supply cost is
+    modeled as 10% of p_retailprice — the join/agg topology (4-way
+    fact-dim star, two fact shuffles) is what the shape exercises.
+    The p_name filter prunes part BEFORE its broadcast, and because
+    the part join is inner, it implicitly prunes lineitem too —
+    Catalyst pushes nothing through a UDF here, it's all built-ins.
+    Every money term is exact DECIMAL(18,6) before the sum."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    p = F.broadcast(
+        table(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    )
+    s = F.broadcast(table(spark, sf_dir, "supplier"))
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    revenue = (
+        dec("l_extendedprice", 12, 2) * (F.lit(1) - dec("l_discount", 3, 2))
+    ).cast("decimal(18,6)")
+    supply_cost = (
+        dec("p_retailprice", 12, 2)
+        * dec("l_quantity", 12, 2)
+        * F.lit(0.10).cast("decimal(3,2)")
+    ).cast("decimal(18,6)")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(revenue - supply_cost).cast("double").alias("profit"))
+    )
+
+
+@register(
+    "q115_important_parts",
+    sql="""
+    WITH pv AS (
+        SELECT l_partkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS val
+        FROM lineitem GROUP BY l_partkey)
+    SELECT p.p_partkey, p.p_name, CAST(pv.val AS DOUBLE) AS part_value
+    FROM pv JOIN part p ON p.p_partkey = pv.l_partkey
+    WHERE pv.val > (SELECT SUM(val) * 0.00065 FROM pv)
+    """,
+    tags=("agg", "scalar-subquery"),
+)
+def q115_important_parts(spark, sf_dir):
+    """TPC-H-Q11 shape: parts whose revenue exceeds a fraction of the
+    GLOBAL total (uncorrelated scalar subquery). The per-part
+    aggregate is computed once and reused for both the threshold (a
+    one-row re-aggregation, broadcast via crossJoin — never collect)
+    and the filter — at 100 TB that reuse halves the fact-scan work
+    vs the naive two-pass SQL. Threshold compare stays in exact
+    decimal; only the output is a double."""
+    li = table(spark, sf_dir, "lineitem")
+    p = F.broadcast(table(spark, sf_dir, "part"))
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(dec("l_extendedprice", 18, 2)).alias("_val")
+    )
+    threshold = pv.agg(
+        (F.sum("_val") * F.lit(0.00065).cast("decimal(6,5)")).alias("_thr")
+    )
+    return (
+        pv.crossJoin(F.broadcast(threshold))
+        .where(F.col("_val") > F.col("_thr"))
+        .join(p, F.col("l_partkey") == p.p_partkey)
+        .select(
+            "p_partkey", "p_name",
+            F.col("_val").cast("double").alias("part_value"),
+        )
+    )
+
+
+@register(
+    "q116_order_count_distribution",
+    sql="""
+    WITH c_orders AS (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey)
+    SELECT c_count, COUNT(*) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+    tags=("join", "outer", "agg"),
+)
+def q116_order_count_distribution(spark, sf_dir):
+    """TPC-H-Q13 shape: the orders-per-customer histogram, keeping
+    zero-order customers via the left outer join (COUNT of the right
+    key, not COUNT(*)). Two cascaded aggs: the first shuffles on
+    custkey (same key as the join, so AQE coalesces into one
+    exchange), the second shuffles the tiny (c_count, custdist)
+    domain — O(distinct counts) rows, trivial at any scale."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count(o.o_orderkey).alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "q117_promo_revenue_share",
+    sql="""
+    SELECT CAST(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                    THEN CAST(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                         * (1 - CAST(l.l_discount AS DECIMAL(3,2)))
+                         AS DECIMAL(18,4))
+                    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+           / CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(3,2)))
+                    AS DECIMAL(18,4))) AS DOUBLE) AS DOUBLE)
+               AS promo_revenue_pct,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+    """,
+    tags=("join", "agg", "ratio"),
+)
+def q117_promo_revenue_share(spark, sf_dir):
+    """TPC-H-Q14 shape: PROMO-type revenue share for one ship month.
+    The month predicate pushes into the lineitem parquet scan
+    (row-group pruning on l_shipdate min/max at scale); part
+    broadcasts. Single-row output: partial aggregation collapses
+    every partition to one row pre-shuffle."""
+    li = table(spark, sf_dir, "lineitem")
+    p = F.broadcast(table(spark, sf_dir, "part"))
+    v = (
+        dec("l_extendedprice", 12, 2) * (F.lit(1) - dec("l_discount", 3, 2))
+    ).cast("decimal(18,4)")
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+        )
+        .join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", v).otherwise(zero)
+                ).cast("double")
+                / F.sum(v).cast("double")
+            ).alias("promo_revenue_pct"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q118_supplier_part_variety",
+    sql="""
+    SELECT p.p_brand, p.p_type,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type
+    """,
+    tags=("join", "anti", "distinct-agg"),
+)
+def q118_supplier_part_variety(spark, sf_dir):
+    """TPC-H-Q16 shape: distinct-supplier counts per (brand, type)
+    with a NOT IN exclusion list. NOT IN over a provably
+    NULL-free key column decorrelates to a left-anti join (broadcast
+    — the exclusion list is tiny); the brand/size filters prune part
+    before ITS broadcast. COUNT(DISTINCT) expands to a two-phase
+    agg (distinct on (brand,type,suppkey), then count) — Spark does
+    this rewrite itself; no explicit dropDuplicates needed."""
+    li = table(spark, sf_dir, "lineitem")
+    p = F.broadcast(
+        table(spark, sf_dir, "part").where(
+            (F.col("p_brand") != "Brand#1")
+            & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+        )
+    )
+    bad = table(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q119_excess_promo_shippers",
+    sql="""
+    WITH shipped AS (
+        SELECT l_suppkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_type = 'PROMO')
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_suppkey)
+    SELECT s.s_name, n.n_name AS nation, CAST(sh.qty AS DOUBLE) AS promo_qty
+    FROM shipped sh
+    JOIN supplier s ON s.s_suppkey = sh.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE sh.qty > 400
+    """,
+    tags=("join", "semi", "agg"),
+)
+def q119_excess_promo_shippers(spark, sf_dir):
+    """TPC-H-Q20 shape: suppliers who shipped an outsized quantity of
+    PROMO parts in 1996 (nested IN subqueries). The part IN-list
+    decorrelates to a broadcast left-semi join (prunes lineitem
+    before its only shuffle, the suppkey agg); the HAVING-style
+    threshold applies post-agg on ~|supplier| rows. Quantity sums
+    are exact decimal so the > 400 boundary can't flap."""
+    li = table(spark, sf_dir, "lineitem")
+    s = F.broadcast(table(spark, sf_dir, "supplier"))
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    promo = table(spark, sf_dir, "part").where(
+        F.col("p_type") == "PROMO"
+    ).select("p_partkey")
+    shipped = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(promo), li.l_partkey == promo.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum(dec("l_quantity", 18, 2)).alias("_qty"))
+        .where(F.col("_qty") > 400)
+    )
+    return (
+        shipped.join(s, shipped.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .select(
+            "s_name",
+            F.col("n_name").alias("nation"),
+            F.col("_qty").cast("double").alias("promo_qty"),
+        )
+    )

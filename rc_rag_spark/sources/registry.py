@@ -56,6 +56,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col, dtype in df.dtypes:
         if col == "ts" and dtype == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif dtype == "timestamp_ntz":
+            # Newer Spark reads TIMESTAMP(NANOS)/unadjusted parquet time
+            # as TIMESTAMP_NTZ, which streaming watermarks and
+            # unix_micros reject. The session timezone is pinned UTC
+            # (session.tune_runtime), so casting NTZ -> TIMESTAMP is a
+            # value-exact reinterpretation, not a shift.
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
