@@ -200,3 +200,135 @@ def q110_stratified_sample(spark, sf_dir):
             ",",
         ).alias("kept_ids"),
     )
+
+
+@register(
+    "q120_repetition_stats",
+    sql="""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents),
+    u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM u GROUP BY doc_id, tok),
+    ts AS (SELECT doc_id, MAX(c) AS max_c, SUM(c) AS n,
+                  COUNT(*) AS n_distinct
+           FROM tc GROUP BY doc_id),
+    bg AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(toks)),
+                                        i -> toks[i] || ' ' || toks[i+1]))
+                      AS bigram
+           FROM t),
+    bc AS (SELECT doc_id, bigram, COUNT(*) AS c
+           FROM bg GROUP BY doc_id, bigram),
+    bs AS (SELECT doc_id, MAX(c) AS max_bg, SUM(c) AS n_bg
+           FROM bc GROUP BY doc_id)
+    SELECT ts.doc_id,
+           CAST(ts.max_c AS DOUBLE) / ts.n AS top_token_frac,
+           CAST(ts.n_distinct AS DOUBLE) / ts.n AS distinct_ratio,
+           CAST(bs.max_bg AS DOUBLE) / bs.n_bg AS top_bigram_frac
+    FROM ts JOIN bs ON bs.doc_id = ts.doc_id
+    """,
+    tags=("corpus", "quality", "repetition"),
+)
+def q120_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition signals per document: most-frequent
+    token fraction, distinct-token ratio, most-frequent-bigram
+    fraction. Pure explode→groupBy — the shuffle key is
+    (doc_id, token), so at 100 TB this is an ordinary partial-agg
+    shuffle with no per-doc data ever concentrated on one task (unlike
+    a collect_list formulation, which would OOM on a pathological
+    doc). Counts are exact integers; each ratio divides the same two
+    integers on both engines, so hashes can't drift."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("_toks")
+    )
+    tok_stats = (
+        t.select("doc_id", F.explode("_toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").alias("max_c"),
+            F.sum("c").alias("n"),
+            F.count("*").alias("n_distinct"),
+        )
+    )
+    bigram_stats = (
+        t.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_toks) - 1),"
+                    " i -> concat(_toks[i-1], ' ', _toks[i]))"
+                )
+            ).alias("bigram"),
+        )
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_bg"), F.sum("c").alias("n_bg"))
+    )
+    return tok_stats.join(bigram_stats, "doc_id").select(
+        "doc_id",
+        (F.col("max_c").cast("double") / F.col("n")).alias("top_token_frac"),
+        (F.col("n_distinct").cast("double") / F.col("n"))
+        .alias("distinct_ratio"),
+        (F.col("max_bg").cast("double") / F.col("n_bg"))
+        .alias("top_bigram_frac"),
+    )
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"555-[0-9]{4}"
+
+
+@register(
+    "q121_pii_scrub",
+    sql=f"""
+    WITH payload AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com tel 555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+        FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '{_EMAIL_RE}')) AS INTEGER)
+               AS n_emails,
+           CAST(len(regexp_extract_all(raw, '{_PHONE_RE}')) AS INTEGER)
+               AS n_phones,
+           regexp_replace(regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+    FROM payload
+    """,
+    tags=("corpus", "pii"),
+)
+def q121_pii_scrub(spark, sf_dir):
+    """PII redaction pass: detect-and-replace emails and phone-shaped
+    strings, with per-doc match counts for audit. The fixture corpus
+    carries no real PII, so the payload plants one deterministic
+    email + phone per row — the operator under test is the scrub
+    itself (global regexp_replace; Spark replaces all matches by
+    default, the DuckDB twin needs the 'g' flag). Narrow per-row
+    projection: no shuffle at any scale."""
+    d = table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com tel 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    p = d.select("doc_id", raw.alias("_raw"))
+    return p.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("_raw", F.lit(_EMAIL_RE), F.lit(0)))
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("_raw", F.lit(_PHONE_RE), F.lit(0)))
+        .alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("_raw", _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ).alias("scrubbed"),
+    )
