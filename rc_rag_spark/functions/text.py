@@ -59,11 +59,17 @@ def norm_tokens(col: str | Column) -> Column:
 # --- T1: tokenizer -------------------------------------------------------
 
 def simple_tokenize(col: str | Column) -> Column:
-    """Native tokenizer: lowercased tokens by TOKEN_PATTERN.
-    Skips the reference's NFD pre-pass (see exact_tokenize)."""
-    return F.transform(
-        F.regexp_extract_all(_c(col), F.lit(TOKEN_PATTERN), 0),
-        lambda t: F.lower(t),
+    """Native tokenizer: lowercase the string, then extract by
+    TOKEN_PATTERN. Skips the reference's NFD pre-pass (see
+    exact_tokenize). Lowercasing FIRST (rather than per-token via a
+    transform lambda) keeps the whole expression inside codegen — a
+    HOF lambda would interpret per token — and matches the DuckDB
+    oracle twin (`lower(text)` before regexp_extract_all), so engine
+    and oracle agree even on case-folds that change string length
+    (e.g. İ → i + combining dot: the mark is in the token class, so
+    token boundaries are identical either way)."""
+    return F.regexp_extract_all(
+        F.lower(_c(col)), F.lit(TOKEN_PATTERN), 0
     )
 
 

@@ -71,7 +71,7 @@ def _sql_refusal(expr: str) -> str:
     tags=("text", "t3"),
 )
 def q30_normalize_text(spark, sf_dir):
-    d = table(spark, sf_dir, "documents")
+    d = wide_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         T.normalize_answer(F.substring("text", 1, 120)).alias("norm_text"),
@@ -92,7 +92,7 @@ def q30_normalize_text(spark, sf_dir):
     tags=("text", "t1"),
 )
 def q31_token_stats(spark, sf_dir):
-    d = table(spark, sf_dir, "documents")
+    d = wide_table(spark, sf_dir, "documents")
     toks = T.simple_tokenize("text")
     return d.select(
         "doc_id",
@@ -118,7 +118,7 @@ _PHRASES = ("batch stream", "merge sort", "the fast key")
     tags=("text", "t2"),
 )
 def q32_phrase_containment(spark, sf_dir):
-    d = table(spark, sf_dir, "documents")
+    d = wide_table(spark, sf_dir, "documents")
     cols = [
         T.contains_tokens("text", F.lit(p)).alias(f"has_{i}")
         for i, p in enumerate(_PHRASES)
@@ -159,7 +159,7 @@ def _refusal_case_spark():
     tags=("text", "x1"),
 )
 def q33_refusal_scan(spark, sf_dir):
-    d = table(spark, sf_dir, "documents")
+    d = wide_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id", P.is_refusal(_refusal_case_spark()).alias("is_refusal")
     )
@@ -330,7 +330,7 @@ def q34_parse_predictions(spark, sf_dir):
     tags=("text", "x6", "x7"),
 )
 def q35_fusion_parsing(spark, sf_dir):
-    o = table(spark, sf_dir, "orders")
+    o = wide_table(spark, sf_dir, "orders")
     k = F.col("o_orderkey")
     ptxt = (
         F.when(k % 4 == 0, F.concat(F.lit("Probability: "), F.round(F.col("o_totalprice") / 600000, 2).cast("string")))
@@ -377,7 +377,7 @@ def _sql_rag_prompt() -> str:
 
 @register("q36_prompt_render", sql=_sql_rag_prompt(), tags=("text", "p1"))
 def q36_prompt_render(spark, sf_dir):
-    d = table(spark, sf_dir, "documents")
+    d = wide_table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     ctxs = F.array(
         F.array_join(F.slice(words, 1, 5), " "),
@@ -417,7 +417,7 @@ def q36_prompt_render(spark, sf_dir):
 def q37_reference_expansion(spark, sf_dir):
     # Output is the '|'-joined sorted expansion (scalar string): the
     # driver's canonicalizer hashes scalar columns only.
-    d = table(spark, sf_dir, "documents")
+    d = wide_table(spark, sf_dir, "documents")
     refs = F.array(
         F.concat_ws(" or ", "lang", "source"),
         F.col("lang"),
@@ -477,7 +477,7 @@ def _sql_em_f1() -> str:
 
 @register("q38_qa_metrics", sql=_sql_em_f1(), tags=("text", "t4", "t5"))
 def q38_qa_metrics(spark, sf_dir):
-    d = table(spark, sf_dir, "documents")
+    d = wide_table(spark, sf_dir, "documents")
     w = lambda i: F.split_part(F.col("text"), F.lit(" "), F.lit(i))  # noqa: E731
     pred = F.concat(w(1), F.lit(" "), w(2))
     refs = F.array(
@@ -504,7 +504,7 @@ def q38_qa_metrics(spark, sf_dir):
     tags=("text", "fingerprint"),
 )
 def q39_doc_fingerprint(spark, sf_dir):
-    d = table(spark, sf_dir, "documents")
+    d = wide_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         F.md5(T.normalize_answer("text")).alias("fingerprint"),
@@ -580,7 +580,7 @@ def q56_rouge_scores(spark, sf_dir):
     LCS UDF; golden-tested in test_text_functions.py, and — since the
     pred/ref token lists here are tiny — oracle-checked against a
     recursive-CTE longest-match-chain LCS in DuckDB)."""
-    d = table(spark, sf_dir, "documents")
+    d = wide_table(spark, sf_dir, "documents")
     w = lambda i: F.split_part(F.col("text"), F.lit(" "), F.lit(i))  # noqa: E731
     pred = F.concat_ws(" ", w(1), w(2), w(3), w(4))
     refs = F.array(
@@ -616,7 +616,7 @@ def q57_paragraph_split(spark, sf_dir):
     """str2paras (reference code/utils.py:342-349): split on newline,
     drop blank lines, prefix ': '.  Paragraph list is joined with the
     unit separator (U+001F) so the driver hashes a scalar column."""
-    d = table(spark, sf_dir, "documents")
+    d = wide_table(spark, sf_dir, "documents")
     multi = F.concat(
         F.substring("text", 1, 30), F.lit("\n\n  \n"),
         F.substring("text", 31, 30), F.lit("\n"), F.col("lang"),
