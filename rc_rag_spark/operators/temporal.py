@@ -66,8 +66,10 @@ def asof_join(
     suffix: str = "_right",
 ) -> DataFrame:
     """As-of join: for every left row, attach the single right row with
-    the same key whose time is the nearest at-or-before (backward) or
-    at-or-after (forward) the left row's time.
+    the same key whose time is the nearest at-or-before (backward),
+    at-or-after (forward), or closest in either direction (nearest,
+    exact-distance ties going to the at-or-before match) relative to
+    the left row's time.
 
     Equal timestamps on opposite sides DO match (>= / <= semantics,
     matching DuckDB's ASOF JOIN and pandas.merge_asof defaults).
@@ -92,9 +94,10 @@ def asof_join(
     """
     if how not in ("left", "inner"):
         raise ValueError(f"asof_join: how must be left|inner, got {how!r}")
-    if direction not in ("backward", "forward"):
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
-            f"asof_join: direction must be backward|forward, got {direction!r}"
+            "asof_join: direction must be backward|forward|nearest, "
+            f"got {direction!r}"
         )
     on = list(on)
     if not on:
@@ -159,30 +162,50 @@ def asof_join(
     # order only. NULLs sort FIRST in both directions: right NULL-time
     # rows are already gone, so a NULL left-time row precedes every
     # right row and sees no match — NULL time comparisons never match.
-    t_order = (
-        F.col(_T).asc_nulls_first()
-        if direction == "backward"
-        else F.col(_T).desc_nulls_first()
-    )
-    order = [t_order, F.col(_SIDE).asc()]
-    if right_tiebreak:
-        order.append(F.col("_asof_tb").asc_nulls_first())
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = F.last(_PAYLOAD, ignorenulls=True).over(w)
-
-    if tolerance_expr:
-        tol = F.expr(tolerance_expr)
-        rt = matched.getField(right_time)
-        in_tol = (
-            (F.col(_T) - rt <= tol)
-            if direction == "backward"
-            else (rt - F.col(_T) <= tol)
+    def directional_match(d: str) -> Column:
+        t_order = (
+            F.col(_T).asc_nulls_first()
+            if d == "backward"
+            else F.col(_T).desc_nulls_first()
         )
-        matched = F.when(in_tol, matched)
+        order = [t_order, F.col(_SIDE).asc()]
+        if right_tiebreak:
+            order.append(F.col("_asof_tb").asc_nulls_first())
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        m = F.last(_PAYLOAD, ignorenulls=True).over(w)
+        if tolerance_expr:
+            tol = F.expr(tolerance_expr)
+            rt = m.getField(right_time)
+            in_tol = (
+                (F.col(_T) - rt <= tol)
+                if d == "backward"
+                else (rt - F.col(_T) <= tol)
+            )
+            m = F.when(in_tol, m)
+        return m
+
+    if direction == "nearest":
+        # Both directions from ONE hash exchange: the two windows share
+        # partitionBy(on), so Spark plans a single shuffle with two
+        # in-partition sorts (asc + desc) — never a self-join. Each
+        # side honors tolerance independently; the closer survivor
+        # wins, an exact distance tie going to the at-or-before match
+        # (merge_asof convention).
+        mb, mf = directional_match("backward"), directional_match("forward")
+        db = F.col(_T) - mb.getField(right_time)
+        df_fwd = mf.getField(right_time) - F.col(_T)
+        matched = (
+            F.when(mb.isNull(), mf)
+            .when(mf.isNull(), mb)
+            .when(df_fwd < db, mf)
+            .otherwise(mb)
+        )
+    else:
+        matched = directional_match(direction)
 
     out = (
         u.withColumn(_PAYLOAD, matched)

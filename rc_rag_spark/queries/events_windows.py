@@ -10,6 +10,7 @@ DuckDB oracles spell the window semantics independently:
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from rc_rag_spark.queries.core import dec, dsum, register, sql_dsum
 from rc_rag_spark.sources import table
@@ -524,4 +525,159 @@ def q103_rule_sessionize(spark, sf_dir):
             "user_id", F.col("sid").cast("int").alias("session_id"),
             "session_start", "session_end", "n_events", "sum_value",
         )
+    )
+
+
+@register(
+    "q122_interpolate_gaps",
+    sql="""
+    WITH m AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN event_id % 7 <> 0 THEN value END AS v,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS t_us
+        FROM events),
+    w AS (
+        SELECT user_id, event_id, ts, v,  t_us,
+               last_value(v IGNORE NULLS) OVER wb AS prev_v,
+               last_value(CASE WHEN v IS NOT NULL THEN t_us END
+                          IGNORE NULLS) OVER wb AS prev_t,
+               first_value(v IGNORE NULLS) OVER wf AS next_v,
+               first_value(CASE WHEN v IS NOT NULL THEN t_us END
+                           IGNORE NULLS) OVER wf AS next_t
+        FROM m
+        WINDOW wb AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT user_id, event_id, ts,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN prev_v IS NULL THEN next_v
+                WHEN next_v IS NULL THEN prev_v
+                WHEN next_t = prev_t THEN prev_v
+                ELSE prev_v + (next_v - prev_v)
+                     * (CAST(t_us - prev_t AS DOUBLE)
+                        / CAST(next_t - prev_t AS DOUBLE)) END AS value_filled,
+           (v IS NULL) AS was_missing
+    FROM w
+    """,
+    tags=("temporal", "window", "interpolation"),
+)
+def q122_interpolate_gaps(spark, sf_dir):
+    """Time-series gap repair: linear interpolation of missing sensor
+    values per user, time-weighted between the nearest non-null
+    neighbors (boundary rows take the single available neighbor).
+    Missingness is planted deterministically (event_id % 7) since the
+    fixture has no NULLs.
+
+    Two mirrored window frames over ONE sort: Spark computes both the
+    backward last(ignorenulls) and the forward first(ignorenulls)
+    from the same (user_id, ts, event_id) window sort — one shuffle,
+    one sort, no self-join. That is the 100 TB-safe formulation: the
+    naive alternative (join each missing row to its nearest non-null
+    neighbors) is a range self-join that explodes on long gaps. The
+    interpolation arithmetic is spelled identically on both engines
+    (double ratio of exact integer microsecond deltas), so hashes
+    match bit-for-bit."""
+    e = table(spark, sf_dir, "events")
+    v = F.when(F.col("event_id") % 7 != 0, F.col("value"))
+    t_us = F.unix_micros(F.col("ts"))
+    m = e.select(
+        "user_id", "event_id", "ts", v.alias("_v"), t_us.alias("_t_us")
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    t_at_v = F.when(F.col("_v").isNotNull(), F.col("_t_us"))
+    prev_v = F.last("_v", ignorenulls=True).over(wb)
+    prev_t = F.last(t_at_v, ignorenulls=True).over(wb)
+    next_v = F.first("_v", ignorenulls=True).over(wf)
+    next_t = F.first(t_at_v, ignorenulls=True).over(wf)
+    staged = m.select(
+        "user_id", "event_id", "ts", "_v", "_t_us",
+        prev_v.alias("_pv"), prev_t.alias("_pt"),
+        next_v.alias("_nv"), next_t.alias("_nt"),
+    )
+    frac = (
+        (F.col("_t_us") - F.col("_pt")).cast("double")
+        / (F.col("_nt") - F.col("_pt")).cast("double")
+    )
+    filled = (
+        F.when(F.col("_v").isNotNull(), F.col("_v"))
+        .when(F.col("_pv").isNull(), F.col("_nv"))
+        .when(F.col("_nv").isNull(), F.col("_pv"))
+        .when(F.col("_nt") == F.col("_pt"), F.col("_pv"))
+        .otherwise(
+            F.col("_pv") + (F.col("_nv") - F.col("_pv")) * frac
+        )
+    )
+    return staged.select(
+        "user_id", "event_id", "ts",
+        filled.alias("value_filled"),
+        F.col("_v").isNull().alias("was_missing"),
+    )
+
+
+@register(
+    "q123_nearest_view_match",
+    sql="""
+    WITH c AS (SELECT event_id, user_id, ts AS click_ts FROM events
+               WHERE event_type = 'click'),
+         v AS (SELECT user_id, event_id AS view_event_id, ts AS view_ts
+               FROM events WHERE event_type = 'view'),
+         j AS (
+           SELECT c.event_id, c.user_id, c.click_ts,
+                  v.view_event_id, v.view_ts,
+                  ROW_NUMBER() OVER (
+                      PARTITION BY c.event_id
+                      ORDER BY abs(epoch_us(CAST(v.view_ts AS TIMESTAMP))
+                                   - epoch_us(CAST(c.click_ts AS TIMESTAMP))),
+                               CASE WHEN v.view_ts <= c.click_ts
+                                    THEN 0 ELSE 1 END,
+                               v.view_event_id DESC) AS rn
+           FROM c LEFT JOIN v
+             ON v.user_id = c.user_id
+            AND v.view_ts >= c.click_ts - INTERVAL 15 MINUTE
+            AND v.view_ts <= c.click_ts + INTERVAL 15 MINUTE
+         )
+    SELECT event_id, user_id, click_ts, view_event_id, view_ts
+    FROM j WHERE rn = 1
+    """,
+    tags=("temporal", "asof", "nearest"),
+)
+def q123_nearest_view_match(spark, sf_dir):
+    """NEAREST as-of (operators/temporal.py): each click gets the
+    closest view by the same user in either direction, within a
+    ±15-minute tolerance — exact-distance ties go to the at-or-before
+    view, ties on (user_id, ts) to the greatest view_event_id. The
+    engine computes both directional matches from one hash exchange
+    (two in-partition window sorts, no self-join); the oracle spells
+    the naive banded theta join + row_number over absolute distance —
+    a completely different formulation that would blow up on hot keys
+    at scale, which is exactly why the operator exists."""
+    from rc_rag_spark.operators.temporal import asof_join
+
+    e = table(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts").alias("click_ts")
+    )
+    views = e.where(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_event_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    return asof_join(
+        clicks, views, on=["user_id"],
+        left_time="click_ts", right_time="view_ts", how="left",
+        direction="nearest",
+        tolerance_expr="INTERVAL 15 MINUTES",
+        right_tiebreak="view_event_id",
+    ).select(
+        "event_id", "user_id", "click_ts", "view_event_id", "view_ts"
     )

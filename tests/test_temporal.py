@@ -209,7 +209,7 @@ def test_asof_matches_pandas_merge_asof(spark):
             )
 
         lpdf, rpdf = mk(80, "l"), mk(60, "r")
-        for direction in ("backward", "forward"):
+        for direction in ("backward", "forward", "nearest"):
             expected = pd.merge_asof(
                 lpdf.sort_values("t"),
                 rpdf.sort_values("t").rename(columns={"t": "rt"}),
@@ -345,3 +345,70 @@ def test_asof_forward_tolerance_tiebreak(spark):
     }
     assert rows["l1"] == ("rB", 9)
     assert rows["l2"] == (None, None)
+
+
+def test_asof_nearest_picks_closer_and_breaks_ties_backward(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), "l0")], "k int, t timestamp, lv string"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 09:58:00"), "rb"),   # 2 min before
+            (1, _ts("2024-01-01 10:01:00"), "rf"),   # 1 min after (closer)
+        ],
+        "k int, rt timestamp, rv string",
+    )
+    got = asof_join(left, right, ["k"], "t", "rt", direction="nearest")
+    assert got.select("rv").first()[0] == "rf"
+
+    tie = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 09:59:00"), "rb"),
+            (1, _ts("2024-01-01 10:01:00"), "rf"),  # equal 1-min distance
+        ],
+        "k int, rt timestamp, rv string",
+    )
+    got = asof_join(left, tie, ["k"], "t", "rt", direction="nearest")
+    assert got.select("rv").first()[0] == "rb"  # tie -> at-or-before
+
+
+def test_asof_nearest_tolerance_each_side(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), "l0")], "k int, t timestamp, lv string"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 09:00:00"), "rb"),  # 60 min before
+            (1, _ts("2024-01-01 10:05:00"), "rf"),  # 5 min after
+        ],
+        "k int, rt timestamp, rv string",
+    )
+    got = asof_join(
+        left, right, ["k"], "t", "rt", direction="nearest",
+        tolerance_expr="INTERVAL 10 MINUTES",
+    )
+    # backward candidate is out of tolerance; forward survives
+    assert got.select("rv").first()[0] == "rf"
+    got = asof_join(
+        left, right, ["k"], "t", "rt", direction="nearest",
+        tolerance_expr="INTERVAL 1 MINUTE",
+    )
+    assert got.select("rv").first()[0] is None
+
+
+def test_asof_nearest_null_times_never_match(spark):
+    left = spark.createDataFrame(
+        [(1, None, "l0"), (1, _ts("2024-01-01 10:00:00"), "l1")],
+        "k int, t timestamp, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, None, "rnull"), (1, _ts("2024-01-01 10:02:00"), "r0")],
+        "k int, rt timestamp, rv string",
+    )
+    got = {
+        r["lv"]: r["rv"]
+        for r in asof_join(
+            left, right, ["k"], "t", "rt", direction="nearest"
+        ).collect()
+    }
+    assert got == {"l0": None, "l1": "r0"}
