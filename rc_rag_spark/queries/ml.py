@@ -229,3 +229,59 @@ def q105_trimmed_mean(spark, sf_dir):
     return means.join(F.broadcast(counts), "event_type").select(
         "event_type", "n_kept", "trimmed_mean_value"
     )
+
+
+@register(
+    "q124_grouped_linear_fit",
+    sql="""
+    WITH s AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sxx,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sxy
+        FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+               AS intercept
+    FROM s
+    """,
+    tags=("ml", "regression"),
+)
+def q124_grouped_linear_fit(spark, sf_dir):
+    """Closed-form OLS per group: extendedprice ~ quantity fit from
+    the normal equations, one distributed pass of exact-decimal moment
+    sums (n, Σx, Σy, Σx², Σxy) then driver-free scalar algebra. This
+    is the 100 TB shape for single-feature regression: no MLlib
+    iteration, no second scan, partial aggregation collapses each
+    partition to one moment row per group. The moment sums are exact
+    decimals cast to double, and slope/intercept are spelled with the
+    identical operation order on both engines, so results are
+    bit-deterministic."""
+    from rc_rag_spark.queries.core import dec
+    from rc_rag_spark.sources import wide_table
+
+    li = wide_table(spark, sf_dir, "lineitem")
+    x, y = dec("l_quantity", 18, 2), dec("l_extendedprice", 18, 2)
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy = F.col("sxx"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "l_returnflag", "n",
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+    )
