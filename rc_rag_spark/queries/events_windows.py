@@ -681,3 +681,49 @@ def q123_nearest_view_match(spark, sf_dir):
     ).select(
         "event_id", "user_id", "click_ts", "view_event_id", "view_ts"
     )
+
+
+@register(
+    "q125_rolling_distinct_users",
+    sql="""
+    WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS d FROM events),
+         du   AS (SELECT DISTINCT date_trunc('day', ts) AS d, user_id
+                  FROM events)
+    SELECT d1.d AS day, COUNT(DISTINCT du.user_id) AS users_7d
+    FROM days d1
+    JOIN du ON du.d BETWEEN d1.d - INTERVAL 6 DAY AND d1.d
+    GROUP BY d1.d
+    """,
+    tags=("window", "distinct", "sliding"),
+)
+def q125_rolling_distinct_users(spark, sf_dir):
+    """Trailing-7-day distinct users per active day. COUNT(DISTINCT)
+    over a sliding range frame doesn't exist as a window function in
+    Spark (or any engine, without sketches), and the naive range
+    self-join the oracle spells is quadratic in hot windows. The
+    scale formulation: dedup to (day, user) once, explode each pair
+    to the ≤7 window days it contributes to, dedup again, count —
+    three partial-agg shuffles of bounded fan-out, no theta join, no
+    per-day state. A day only appears if it is itself active
+    (semi-join against the day spine)."""
+    e = table(spark, sf_dir, "events")
+    du = e.select(
+        F.date_trunc("day", F.col("ts")).alias("d"), "user_id"
+    ).distinct()
+    days = du.select("d").distinct()
+    contrib = du.select(
+        F.explode(
+            F.sequence(
+                F.col("d"),
+                F.col("d") + F.expr("INTERVAL 6 DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
+        "user_id",
+    )
+    return (
+        contrib.join(days, contrib.day == days.d, "left_semi")
+        .distinct()
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("users_7d"))
+    )
