@@ -1,9 +1,11 @@
 """RAG decision-pipeline query corpus (SURVEY §2.1 D1–D5, A1–A2, L1).
 
 q40 exercises the A1/A2 aggregation shape against the DuckDB oracle on
-synthesized decisions. q41/q42 run the full mock-LLM pipeline — not
-SQL-expressible (driver-side iterative loop + UDF backend), so they get
-the rows-only check here and exact golden-simulation checks in
+synthesized decisions. q41/q42 run the full mock-LLM pipeline
+(driver-side iterative loop + pandas-UDF backend); with the mock
+backend every response is a deterministic function of the fixture row,
+so the ENTIRE pipeline is spelled as one DuckDB query in rag_oracle.py
+and both are hash-checked — plus exact golden-simulation checks in
 tests/test_pipeline.py.
 """
 
@@ -12,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from rc_rag_spark.pipeline import decisions as D
+from rc_rag_spark.queries import rag_oracle as RO
 from rc_rag_spark.queries.core import register
 from rc_rag_spark.sources import table
 
@@ -126,7 +129,8 @@ def _mock_pipeline_run(spark, sf_dir):
     return cached[1]
 
 
-@register("q41_rag_pipeline_mock", tags=("rag", "pipeline", "mock"))
+@register("q41_rag_pipeline_mock", sql=RO.sql_pipeline_output(),
+          tags=("rag", "pipeline", "mock"))
 def q41_rag_pipeline_mock(spark, sf_dir):
     """Full pipeline (rag → counterfactual ×2 → probability fusion →
     override) with the deterministic mock backend; flattened output."""
@@ -143,7 +147,8 @@ def q41_rag_pipeline_mock(spark, sf_dir):
     )
 
 
-@register("q42_pipeline_eval", tags=("rag", "pipeline", "mock"))
+@register("q42_pipeline_eval", sql=RO.sql_pipeline_eval(),
+          tags=("rag", "pipeline", "mock"))
 def q42_pipeline_eval(spark, sf_dir):
     """End-to-end eval record (A2 over the mock pipeline run) —
     reference entry point 3 (run_llm_ours.py:275-306). Reuses q41's
