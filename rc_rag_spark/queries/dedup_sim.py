@@ -835,3 +835,121 @@ def q97_embedding_near_dup(spark, sf_dir):
     return pairs.select(
         "id_a", "id_b", F.round("similarity", 6).alias("similarity")
     )
+
+
+@register(
+    "q126_edit_distance_pairs",
+    sql="""
+    WITH names AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+    FROM names a JOIN names b
+      ON a.p_name < b.p_name
+     AND abs(length(a.p_name) - length(b.p_name)) <= 2
+     AND levenshtein(a.p_name, b.p_name) <= 2
+    """,
+    tags=("dedup", "edit-distance", "blocking"),
+)
+def q126_edit_distance_pairs(spark, sf_dir):
+    """Edit-distance self-join (lev <= 2) over the part-name
+    dictionary, PassJoin-style: split each left name into k+1 = 3
+    segments — by pigeonhole, any match within 2 edits keeps at least
+    one segment intact, shifted by at most 2 — and have each right
+    name emit the substrings a matching segment could align to
+    (lengths within +-2, positions within +-2). Candidates come from
+    a plain EQUI-join on (length, segment-id, piece); the exact
+    levenshtein verifies only candidates. Fan-out per right name is
+    <= 5 lengths x 3 segments x 5 shifts (bounded), so at a 10^9-name
+    dictionary this is an ordinary hash-shuffle join — never the
+    O(n^2) theta join the oracle spells. Segment boundaries: earlier
+    segments take the remainder (ceil split), identically on both
+    sides."""
+    k = 2
+    names = table(spark, sf_dir, "part").select("p_name").distinct()
+
+    # segment start/len for a string of length L split into 3 pieces:
+    # lengths = ceil-split (first L%3 segments get base+1)
+    def seg_bounds(L, i):
+        base, rem = L / F.lit(3), L % 3
+        blen = F.floor(base).cast("int")
+        slen = F.when(F.lit(i) < rem, blen + 1).otherwise(blen)
+        start = (
+            F.least(F.lit(i), rem) * (blen + 1)
+            + F.greatest(F.lit(i) - rem, F.lit(0)) * blen
+        )
+        return start.cast("int"), slen.cast("int")
+
+    L = F.length("p_name")
+    seg_rows = []
+    for i in range(3):
+        st, ln = seg_bounds(L, i)
+        seg_rows.append(
+            F.struct(
+                F.lit(i).alias("i"), st.alias("st"), ln.alias("ln")
+            )
+        )
+    left = (
+        names.select(
+            F.col("p_name").alias("name_a"),
+            L.alias("la"),
+            F.explode(F.array(*seg_rows)).alias("s"),
+        )
+        .where(F.col("s.ln") > 0)
+        .select(
+            "name_a", "la", F.col("s.i").alias("i"),
+            F.substring(
+                F.col("name_a"), F.col("s.st") + 1, F.col("s.ln")
+            ).alias("piece"),
+        )
+    )
+    # right side probes every (candidate-left-length, segment, shift)
+    right = (
+        names.select(F.col("p_name").alias("name_b"), L.alias("lb"))
+        .select(
+            "name_b", "lb",
+            F.explode(
+                F.sequence(F.col("lb") - k, F.col("lb") + k)
+            ).alias("la"),
+        )
+        .where(F.col("la") >= 3)
+    )
+    probe_rows = []
+    for i in range(3):
+        st, ln = seg_bounds(F.col("la"), i)
+        probe_rows.append(
+            F.struct(F.lit(i).alias("i"), st.alias("st"), ln.alias("ln"))
+        )
+    right = (
+        right.select(
+            "name_b", "lb", "la",
+            F.explode(F.array(*probe_rows)).alias("s"),
+        )
+        .where(F.col("s.ln") > 0)
+        .select(
+            "name_b", "lb", "la", F.col("s.i").alias("i"),
+            F.col("s.ln").alias("ln"),
+            F.explode(
+                F.sequence(F.col("s.st") - k, F.col("s.st") + k)
+            ).alias("p"),
+        )
+        .where(
+            (F.col("p") >= 0) & (F.col("p") + F.col("ln") <= F.col("lb"))
+        )
+        .select(
+            "name_b", "la", "i",
+            F.substring(
+                F.col("name_b"), F.col("p") + 1, F.col("ln")
+            ).alias("piece"),
+        )
+        .distinct()
+    )
+    cand = (
+        left.join(right, ["la", "i", "piece"])
+        .where(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
+    )
+    return cand.select(
+        "name_a", "name_b",
+        F.levenshtein("name_a", "name_b").alias("dist"),
+    ).where(F.col("dist") <= k)
