@@ -124,3 +124,38 @@ def test_q111_scalar_subquery_single_row_broadcast(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q111_rich_inactive_segments")
     assert "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q112_single_fact_scan_window_reuses_agg(spark, sf_dir):
+    """Q2-shape: the correlated MIN decorrelates to a window over the
+    aggregated table — lineitem is scanned ONCE, and no join back to a
+    second lineitem pass exists."""
+    plan = plan_of(spark, sf_dir, "q112_min_cost_supplier")
+    assert plan.count("lineitem.parquet") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_q122_interpolation_single_exchange(spark, sf_dir):
+    """Gap interpolation: mirrored unbounded frames over one window
+    sort — exactly one hash exchange, never a self-join."""
+    plan = plan_of(spark, sf_dir, "q122_interpolate_gaps")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_q123_nearest_asof_single_exchange(spark, sf_dir):
+    """Nearest as-of: both directional matches from ONE exchange of
+    the union (two in-partition sorts are fine; a second shuffle or a
+    join is not)."""
+    plan = plan_of(spark, sf_dir, "q123_nearest_view_match")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_q125_q126_no_theta_join(spark, sf_dir):
+    """Sliding distinct and PassJoin: candidates come from equi-joins
+    with bounded explode fan-out — never a cartesian/nested-loop."""
+    for name in ("q125_rolling_distinct_users", "q126_edit_distance_pairs"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name

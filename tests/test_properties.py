@@ -158,3 +158,65 @@ def test_trimmed_mean_udf_matches_numpy(spark):
         t = int(len(a) * 0.1)
         want = round(float(a[t: len(a) - t].mean()), 9)
         assert got[k] == want, (k, got[k], want)
+
+
+def test_edit_distance_blocking_complete_random_mutations(spark):
+    """q126's PassJoin blocking must be COMPLETE: for random word
+    dictionaries with planted <=2-edit mutations, the blocked
+    candidate set must recover exactly the brute-force lev<=2 pairs."""
+    import itertools
+    import random
+
+    import rc_rag_spark.queries as q
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, x in enumerate(a, 1):
+            cur = [i] + [0] * len(b)
+            for j, y in enumerate(b, 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                             prev[j - 1] + (x != y))
+            prev = cur
+        return prev[-1]
+
+    rng = random.Random(7)
+    alpha = "abcdefg"
+    for trial in range(3):
+        base = [
+            "".join(rng.choice(alpha) for _ in range(rng.randint(5, 12)))
+            for _ in range(12)
+        ]
+        mutated = []
+        for w in base:
+            s = list(w)
+            for _ in range(rng.randint(1, 2)):
+                op = rng.choice("sid")
+                p = rng.randrange(len(s))
+                if op == "s":
+                    s[p] = rng.choice(alpha)
+                elif op == "i":
+                    s.insert(p, rng.choice(alpha))
+                elif len(s) > 5:
+                    del s[p]
+            mutated.append("".join(s))
+        names = sorted(set(base + mutated))
+        expected = sorted(
+            (a, b, lev(a, b))
+            for a, b in itertools.combinations(names, 2)
+            if lev(a, b) <= 2
+        )
+        # run the engine's q126 formulation on a temp "part" fixture
+        import os
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="rc_rag_editdist_")
+        spark.createDataFrame(
+            [(n,) for n in names], "p_name string"
+        ).write.mode("overwrite").parquet(os.path.join(d, "part.parquet"))
+        got = sorted(
+            (r["name_a"], r["name_b"], r["dist"])
+            for r in q.REGISTRY["q126_edit_distance_pairs"]
+            .fn(spark, d)
+            .collect()
+        )
+        assert got == expected, (trial, got, expected)
