@@ -1404,6 +1404,9 @@ def q85_statistical_aggs(spark, sf_dir):
     SELECT o_orderkey,
            round(PERCENT_RANK() OVER w, 9) AS pct_rank,
            round(CUME_DIST() OVER w, 9) AS cume,
+           CAST(RANK() OVER (
+               PARTITION BY o_orderstatus ORDER BY o_orderpriority
+           ) AS INTEGER) AS prio_rank,
            CAST(DENSE_RANK() OVER (
                PARTITION BY o_orderstatus ORDER BY o_orderpriority
            ) AS INTEGER) AS prio_dense_rank
@@ -1421,6 +1424,7 @@ def q86_rank_distributions(spark, sf_dir):
         "o_orderkey",
         F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 9).alias("cume"),
+        F.rank().over(wd).cast("int").alias("prio_rank"),
         F.dense_rank().over(wd).cast("int").alias("prio_dense_rank"),
     )
 
