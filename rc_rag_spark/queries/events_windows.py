@@ -727,3 +727,103 @@ def q125_rolling_distinct_users(spark, sf_dir):
         .groupBy("day")
         .agg(F.count_distinct("user_id").alias("users_7d"))
     )
+
+
+@register(
+    "q127_hourly_ohlc",
+    sql=f"""
+    WITH ranked AS (
+        SELECT user_id, date_trunc('hour', ts) AS bucket, value,
+               row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                  ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events)
+    SELECT user_id, bucket,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           COUNT(*) AS n_events,
+           {sql_dsum('value', 'volume')}
+    FROM ranked GROUP BY user_id, bucket
+    """,
+    tags=("temporal", "ohlc", "rollup"),
+)
+def q127_hourly_ohlc(spark, sf_dir):
+    """Candlestick (OHLC) resample per (user, hour) — the hypertable
+    downsampling shape. open/close are argmin/argmax by (ts,
+    event_id): ONE hash aggregation, no window sort — min_by/max_by
+    carry the (time, tiebreak, value) triple through the partial agg,
+    so at 100 TB this costs exactly what the plain min/max do. The
+    (ts, event_id) tiebreak makes open/close deterministic even with
+    duplicate timestamps."""
+    e = table(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        e.groupBy(
+            "user_id", F.date_trunc("hour", F.col("ts")).alias("bucket")
+        )
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count("*").alias("n_events"),
+            dsum("value", "volume"),
+        )
+    )
+
+
+@register(
+    "q128_time_weighted_average",
+    sql="""
+    WITH o AS (
+        SELECT user_id, ts, value,
+               lead(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS next_ts
+        FROM events),
+    seg AS (
+        SELECT user_id, value,
+               CAST(epoch_us(CAST(next_ts AS TIMESTAMP))
+                    - epoch_us(CAST(ts AS TIMESTAMP)) AS DOUBLE) AS dur
+        FROM o WHERE next_ts IS NOT NULL)
+    SELECT user_id,
+           SUM(value * dur) / SUM(dur) AS twap,
+           CAST(SUM(CAST(dur AS BIGINT)) AS DOUBLE) / 1e6
+               AS observed_seconds
+    FROM seg GROUP BY user_id
+    HAVING SUM(dur) > 0
+    """,
+    tags=("temporal", "twap", "window"),
+)
+def q128_time_weighted_average(spark, sf_dir):
+    """Time-weighted average value per user: each observation holds
+    until the next one (step interpolation), weight = holding
+    duration in microseconds. One window sort for lead(), one hash
+    agg — the integral ∫value·dt / ∫dt never materializes per-second
+    rows (the naive resample-to-grid formulation would be 10⁶× more
+    data at 100 TB). Weights are exact integer microsecond deltas;
+    the weighted sum is double but both engines fold the identical
+    (value, dur) stream grouped per user — the division is the only
+    float op, identical operand order both sides."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t_us = F.unix_micros(F.col("ts"))
+    o = e.select(
+        "user_id", "value",
+        t_us.alias("_t"),
+        F.lead(t_us).over(w).alias("_nt"),
+    ).where(F.col("_nt").isNotNull())
+    dur = (F.col("_nt") - F.col("_t")).cast("double")
+    seg = o.select("user_id", "value", dur.alias("_dur"))
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            (F.sum(F.col("value") * F.col("_dur")) / F.sum("_dur"))
+            .alias("twap"),
+            (F.sum(F.col("_dur").cast("bigint")).cast("double") / 1e6)
+            .alias("observed_seconds"),
+        )
+        .where(F.col("observed_seconds") > 0)
+    )
