@@ -67,3 +67,41 @@ def test_approx_distinct_error_bound(spark, sf_dir):
     for r in rows:
         assert r["within_5pct"] is True, r["l_returnflag"]
         assert r["exact_parts"] > 0
+
+
+def test_window_over_bucketed_scan_has_no_exchange(spark, sf_dir, tmp_path):
+    """A window partitioned on the bucket key runs exchange-FREE over
+    a bucketed scan; the as-of union, however, does not inherit the
+    distribution (Union output partitioning is unknown) and keeps its
+    single exchange — both facts pinned here because SCALE.md cites
+    them."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from rc_rag_spark.operators.temporal import asof_join
+    from rc_rag_spark.sources import table
+
+    spark.sql("DROP TABLE IF EXISTS b_ev_windowtest")
+    e = table(spark, sf_dir, "events")
+    SK.write_bucketed(
+        e, "b_ev_windowtest", "user_id", 8, path=str(tmp_path / "b_ev")
+    )
+    b = spark.table("b_ev_windowtest")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    plan = (
+        b.select("user_id", F.lag("ts").over(w).alias("prev"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 0
+
+    clicks = b.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts").alias("cts")
+    )
+    views = b.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("vts")
+    )
+    plan2 = (
+        asof_join(clicks, views, ["user_id"], "cts", "vts")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan2.count("Exchange hashpartitioning") == 1
