@@ -247,3 +247,53 @@ def media_stats(features: DataFrame) -> DataFrame:
         F.sum("n_bytes").cast("bigint").alias("total_bytes"),
         F.round(F.avg(F.element_at("feature", 1)), 6).alias("avg_f0"),
     )
+
+
+CHUNK_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("chunk_idx", IntegerType()),
+        StructField("chunk_payload", BinaryType()),
+        StructField("chunk_ms", IntegerType()),
+    ]
+)
+
+
+def chunk_audio(media: DataFrame, window_ms: int = 500) -> DataFrame:
+    """Fixed-duration chunking for audio rows: one output row per
+    window_ms slice. Like sample_frames the decode is stubbed — the
+    'chunk' is a deterministic byte slice proportional to the time
+    window — but the Spark shape (metadata-driven explode via
+    Arrow-batched mapInPandas, memory bounded per batch) is the real
+    100 TB path; a real decoder drops into the same slot. The final
+    chunk carries the remainder milliseconds."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, payloads, ms = [], [], [], []
+            for _, row in pdf.iterrows():
+                if row["kind"] != "audio" or row["payload"] is None:
+                    continue
+                dur = row["meta"]["duration_ms"] or 0
+                n_chunks = max(1, -(-dur // window_ms))  # ceil
+                blob = row["payload"]
+                step = max(1, len(blob) // n_chunks)
+                for k in range(n_chunks):
+                    ids.append(row["media_id"])
+                    idxs.append(k)
+                    payloads.append(blob[k * step : (k + 1) * step])
+                    ms.append(
+                        min(window_ms, dur - k * window_ms)
+                        if dur > 0
+                        else window_ms
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "chunk_idx": idxs,
+                    "chunk_payload": payloads,
+                    "chunk_ms": ms,
+                }
+            )
+
+    return media.mapInPandas(run, CHUNK_SCHEMA)

@@ -285,3 +285,40 @@ def q124_grouped_linear_fit(spark, sf_dir):
         slope.alias("slope"),
         ((sy - slope * sx) / n).alias("intercept"),
     )
+
+
+@register(
+    "q129_audio_chunking",
+    sql="""
+    WITH m AS (
+      SELECT i AS media_id, 128 + i AS len,
+             4000 + 500 * (i % 5) AS dur
+      FROM generate_series(0, 95) t(i) WHERE i % 3 = 1
+    ),
+    s AS (SELECT media_id, len, dur,
+                 greatest(1, CAST(ceil(dur / 500.0) AS BIGINT)) AS nc
+          FROM m),
+    ch AS (SELECT media_id, len, dur, nc,
+                  greatest(1, len // nc) AS step,
+                  unnest(generate_series(0, nc - 1)) AS k
+           FROM s)
+    SELECT media_id, COUNT(*) AS n_chunks,
+           CAST(SUM(greatest(0, least(len, (k+1)*step)
+                                - least(len, k*step))) AS BIGINT)
+               AS total_bytes,
+           CAST(SUM(least(500, dur - k*500)) AS BIGINT) AS total_ms
+    FROM ch GROUP BY media_id
+    """,
+    tags=("multimodal", "audio"),
+)
+def q129_audio_chunking(spark, sf_dir):
+    """Audio chunking explode pattern (500 ms windows) over the
+    synthetic media table; the oracle reproduces the ceil-division
+    chunk-count, byte-slice and remainder-ms arithmetic per chunk."""
+    media = MM.synthesize_media(spark, n=96)
+    chunks = MM.chunk_audio(media, window_ms=500)
+    return chunks.groupBy("media_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.length("chunk_payload")).cast("bigint").alias("total_bytes"),
+        F.sum("chunk_ms").cast("bigint").alias("total_ms"),
+    )
