@@ -784,14 +784,14 @@ def q127_hourly_ohlc(spark, sf_dir):
                               ORDER BY ts, event_id) AS next_ts
         FROM events),
     seg AS (
-        SELECT user_id, value,
-               CAST(epoch_us(CAST(next_ts AS TIMESTAMP))
-                    - epoch_us(CAST(ts AS TIMESTAMP)) AS DOUBLE) AS dur
+        SELECT user_id,
+               CAST(value AS DECIMAL(14,2)) AS v,
+               epoch_us(CAST(next_ts AS TIMESTAMP))
+                   - epoch_us(CAST(ts AS TIMESTAMP)) AS dur
         FROM o WHERE next_ts IS NOT NULL)
     SELECT user_id,
-           SUM(value * dur) / SUM(dur) AS twap,
-           CAST(SUM(CAST(dur AS BIGINT)) AS DOUBLE) / 1e6
-               AS observed_seconds
+           CAST(SUM(v * dur) AS DOUBLE) / CAST(SUM(dur) AS DOUBLE) AS twap,
+           CAST(SUM(dur) AS DOUBLE) / 1e6 AS observed_seconds
     FROM seg GROUP BY user_id
     HAVING SUM(dur) > 0
     """,
@@ -815,15 +815,22 @@ def q128_time_weighted_average(spark, sf_dir):
         t_us.alias("_t"),
         F.lead(t_us).over(w).alias("_nt"),
     ).where(F.col("_nt").isNotNull())
-    dur = (F.col("_nt") - F.col("_t")).cast("double")
-    seg = o.select("user_id", "value", dur.alias("_dur"))
+    # exact-decimal weighted sum: value(14,2) x integer-microsecond
+    # weight — a double SUM here would be accumulation-order-dependent
+    # and could flip hash parity under repartitioning
+    seg = o.select(
+        "user_id",
+        dec("value", 14, 2).alias("_v"),
+        (F.col("_nt") - F.col("_t")).alias("_dur"),
+    )
     return (
         seg.groupBy("user_id")
         .agg(
-            (F.sum(F.col("value") * F.col("_dur")) / F.sum("_dur"))
-            .alias("twap"),
-            (F.sum(F.col("_dur").cast("bigint")).cast("double") / 1e6)
-            .alias("observed_seconds"),
+            (
+                F.sum(F.col("_v") * F.col("_dur")).cast("double")
+                / F.sum("_dur").cast("double")
+            ).alias("twap"),
+            (F.sum("_dur").cast("double") / 1e6).alias("observed_seconds"),
         )
         .where(F.col("observed_seconds") > 0)
     )
