@@ -266,7 +266,12 @@ def chunk_audio(media: DataFrame, window_ms: int = 500) -> DataFrame:
     window — but the Spark shape (metadata-driven explode via
     Arrow-batched mapInPandas, memory bounded per batch) is the real
     100 TB path; a real decoder drops into the same slot. The final
-    chunk carries the remainder milliseconds."""
+    chunk extends to the end of the payload, so it carries BOTH the
+    remainder bytes and the remainder milliseconds — chunks always
+    reassemble to the whole blob. Rows with a NULL meta struct or a
+    non-positive/unknown duration are skipped: they can't be
+    time-chunked, and fabricating a window_ms stamp would overstate
+    covered time."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -274,19 +279,19 @@ def chunk_audio(media: DataFrame, window_ms: int = 500) -> DataFrame:
             for _, row in pdf.iterrows():
                 if row["kind"] != "audio" or row["payload"] is None:
                     continue
-                dur = row["meta"]["duration_ms"] or 0
+                meta = row["meta"]
+                dur = (meta["duration_ms"] if meta is not None else 0) or 0
+                if dur <= 0:
+                    continue
                 n_chunks = max(1, -(-dur // window_ms))  # ceil
                 blob = row["payload"]
                 step = max(1, len(blob) // n_chunks)
                 for k in range(n_chunks):
                     ids.append(row["media_id"])
                     idxs.append(k)
-                    payloads.append(blob[k * step : (k + 1) * step])
-                    ms.append(
-                        min(window_ms, dur - k * window_ms)
-                        if dur > 0
-                        else window_ms
-                    )
+                    end = len(blob) if k == n_chunks - 1 else (k + 1) * step
+                    payloads.append(blob[k * step : end])
+                    ms.append(min(window_ms, dur - k * window_ms))
             yield pd.DataFrame(
                 {
                     "media_id": ids,

@@ -258,9 +258,16 @@ def q120_repetition_stats(spark, sf_dir):
         t.select(
             "doc_id",
             F.explode(
+                # size(_toks)=1 would make sequence(1, 0) step DOWN and
+                # emit two phantom NULL bigrams; DuckDB's range(1, 1) is
+                # empty, so guard to an empty array (explode drops the
+                # row) and single-token docs fall out of the inner join
+                # on both engines.
                 F.expr(
-                    "transform(sequence(1, size(_toks) - 1),"
+                    "CASE WHEN size(_toks) >= 2 THEN"
+                    " transform(sequence(1, size(_toks) - 1),"
                     " i -> concat(_toks[i-1], ' ', _toks[i]))"
+                    " ELSE array() END"
                 )
             ).alias("bigram"),
         )

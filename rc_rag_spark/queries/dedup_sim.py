@@ -943,10 +943,41 @@ def q126_edit_distance_pairs(spark, sf_dir):
         )
         .distinct()
     )
+    # Pigeonhole needs 3 non-empty segments, so blocking is only
+    # complete for names of length >= 3 (and the probe side skips
+    # candidate lengths < 3). Names shorter than that get a dedicated
+    # brute-force arm: the short dictionary is bounded by the alphabet
+    # (|Σ|² entries at most), so broadcasting it against the full
+    # dictionary is a linear pass, never a real cross product.
+    # (Expressed as a length-bucket EQUI-join — each short name emits
+    # its <= 2k+1 candidate partner lengths — so the plan stays free
+    # of nested-loop/cartesian joins.)
+    short = names.where(F.length("p_name") < 3).select(
+        F.col("p_name").alias("s_name"),
+        F.explode(
+            F.sequence(
+                F.greatest(F.length("p_name") - k, F.lit(0)),
+                F.length("p_name") + k,
+            )
+        ).alias("lo"),
+    )
+    bf = (
+        names.select(
+            F.col("p_name").alias("o_name"),
+            F.length("p_name").alias("lo"),
+        )
+        .join(F.broadcast(short), "lo")
+        .where(F.col("s_name") != F.col("o_name"))
+        .select(
+            F.least("s_name", "o_name").alias("name_a"),
+            F.greatest("s_name", "o_name").alias("name_b"),
+        )
+    )
     cand = (
         left.join(right, ["la", "i", "piece"])
         .where(F.col("name_a") < F.col("name_b"))
         .select("name_a", "name_b")
+        .unionByName(bf)
         .distinct()
     )
     return cand.select(

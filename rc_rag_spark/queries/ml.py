@@ -248,9 +248,9 @@ def q105_trimmed_mean(spark, sf_dir):
                    AS sxy
         FROM lineitem GROUP BY l_returnflag)
     SELECT l_returnflag, n,
-           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
-           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
-               AS intercept
+           (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0) AS slope,
+           (sy - (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0) * sx)
+               / n AS intercept
     FROM s
     """,
     tags=("ml", "regression"),
@@ -279,7 +279,12 @@ def q124_grouped_linear_fit(spark, sf_dir):
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, sxy = F.col("sxx"), F.col("sxy")
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    # Zero x-variance makes the denominator 0.0: Spark's non-ANSI
+    # double division already yields NULL there, but DuckDB's IEEE
+    # division would give inf/nan — both sides now NULLIF/when-guard
+    # so degenerate groups emit NULL slope AND intercept identically.
+    denom = F.nullif(n * sxx - sx * sx, F.lit(0.0))
+    slope = (n * sxy - sx * sy) / denom
     return s.select(
         "l_returnflag", "n",
         slope.alias("slope"),
@@ -303,7 +308,8 @@ def q124_grouped_linear_fit(spark, sf_dir):
                   unnest(generate_series(0, nc - 1)) AS k
            FROM s)
     SELECT media_id, COUNT(*) AS n_chunks,
-           CAST(SUM(greatest(0, least(len, (k+1)*step)
+           CAST(SUM(greatest(0, (CASE WHEN k = nc - 1 THEN len
+                                 ELSE least(len, (k+1)*step) END)
                                 - least(len, k*step))) AS BIGINT)
                AS total_bytes,
            CAST(SUM(least(500, dur - k*500)) AS BIGINT) AS total_ms

@@ -26,6 +26,42 @@ def _docs(spark):
     return spark.createDataFrame(rows, "doc_id long, text string, lang string")
 
 
+def test_q120_single_token_docs_drop_on_both_engines(spark, sf_dir):
+    """Regression (r2 advice): a single-token document must produce NO
+    bigram rows — Spark's sequence(1, 0) would otherwise step DOWN and
+    emit two phantom NULL bigrams while DuckDB's range(1, 1) is empty.
+    Fixture overrides `documents` with one-token/empty/whitespace docs
+    and re-runs the full oracle parity."""
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="rc_rag_q120_")
+    from rc_rag_spark.sources import TABLES
+
+    for t in TABLES:
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        if t != "documents" and os.path.exists(src):
+            os.symlink(src, os.path.join(d, f"{t}.parquet"))
+    rows = [
+        (1, "solo", "en"),            # single token: no bigrams
+        (2, "  padded  ", "en"),      # whitespace-padded single token
+        (3, "two tokens", "en"),      # exactly one bigram
+        (4, "a b a b", "de"),         # repeated bigram
+    ]
+    import pandas as pd
+
+    # single-file parquet (pandas) so the DuckDB side of the oracle can
+    # read the same path a Spark directory-write would break
+    pd.DataFrame(rows, columns=["doc_id", "text", "lang"]).to_parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    spec = q.REGISTRY["q120_repetition_stats"]
+    assert_parity(spark, "q120_repetition_stats", spec, d)
+    got = {r["doc_id"]: r for r in spec.fn(spark, d).collect()}
+    assert set(got) == {3, 4}  # single-token docs dropped
+    assert got[4]["top_bigram_frac"] == pytest.approx(2 / 3)
+
+
 def test_inverted_index_postings(spark):
     out = {
         r["token"]: r

@@ -68,6 +68,41 @@ def test_decode_stubs_raise():
         MM._decode_audio(b"x")
 
 
+def test_chunk_audio_reassembles_whole_blob(media):
+    """The final chunk extends to the end of the payload: per-media
+    chunk bytes must sum to the full blob length and concatenate back
+    to the original payload."""
+    blobs = {
+        r["media_id"]: bytes(r["payload"])
+        for r in media.where(F.col("kind") == "audio").collect()
+    }
+    chunks = MM.chunk_audio(media, window_ms=500).collect()
+    per_media = {}
+    for r in chunks:
+        per_media.setdefault(r["media_id"], []).append(
+            (r["chunk_idx"], bytes(r["chunk_payload"]))
+        )
+    assert set(per_media) == set(blobs)
+    for mid, parts in per_media.items():
+        parts.sort()
+        assert b"".join(p for _, p in parts) == blobs[mid], mid
+
+
+def test_chunk_audio_skips_null_meta_and_zero_duration(spark):
+    """NULL meta structs must not crash the Arrow batch, and
+    zero/unknown-duration rows must not fabricate chunk_ms."""
+    rows = [
+        (0, "audio", b"0123456789", (1, 1, 1000, "fake")),  # normal
+        (1, "audio", b"0123456789", None),                  # NULL meta
+        (2, "audio", b"0123456789", (1, 1, 0, "fake")),     # zero dur
+        (3, "audio", b"0123456789", (1, 1, None, "fake")),  # NULL dur
+    ]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    out = MM.chunk_audio(media, window_ms=500).collect()
+    assert {r["media_id"] for r in out} == {0}
+    assert sum(r["chunk_ms"] for r in out) == 1000
+
+
 def test_retrieval_model_separates_pos_neg(spark, sf_dir):
     pairs = R.synthesize_training_pairs(spark, sf_dir, limit=200)
     model = R.train_relevance_model(pairs)

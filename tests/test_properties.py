@@ -199,7 +199,10 @@ def test_edit_distance_blocking_complete_random_mutations(spark):
                 elif len(s) > 5:
                     del s[p]
             mutated.append("".join(s))
-        names = sorted(set(base + mutated))
+        # short names (length < 3) exercise the brute-force arm —
+        # pigeonhole blocking alone cannot cover them
+        shorts = ["a", "ab", "ba", "cc", "b"]
+        names = sorted(set(base + mutated + shorts))
         expected = sorted(
             (a, b, lev(a, b))
             for a, b in itertools.combinations(names, 2)
