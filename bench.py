@@ -36,7 +36,10 @@ HEADLINE = [
     "q39_doc_fingerprint",
     # dedup / similarity / curation
     "q61_word_jaccard_neighbors",
-    "q64_knn_bruteforce",
+    # q90 is the per-partition-pruned exact-KNN scale shape (q64 is the
+    # same semantics via the all-pairs window — the small-n baseline);
+    # the benched path must be the one that survives 100 TB.
+    "q90_knn_pruned",
     "q95_corpus_curation",
     # event-time windows / temporal joins
     "q50_tumbling_hourly",

@@ -186,6 +186,7 @@ def exact_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cosine_threshold: float = 0.8,
+    max_rows: int = 1_000_000,
 ) -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs — the ground-truth
     baseline for embedding_near_dup (LSH): every pair (a < b) with
@@ -196,11 +197,23 @@ def exact_near_dup_pairs(
     for ground-truth/verification corpora; use embedding_near_dup when
     n is web-scale), each corpus partition scores its block against the
     matrix with one float64 matmul and emits only above-threshold
-    pairs, so nothing quadratic is ever shuffled or collected.
+    pairs, so nothing quadratic is ever shuffled or collected. The
+    LINEAR driver materialization is still the scale bound, so the
+    corpus is counted first and anything over `max_rows` raises toward
+    the LSH path instead of OOMing the driver.
     """
     import numpy as np
     import pandas as pd
 
+    n_rows = df.count()
+    if n_rows > max_rows:
+        raise ValueError(
+            f"exact_near_dup_pairs is the ground-truth baseline and "
+            f"materializes the corpus on the driver: {n_rows} rows > "
+            f"max_rows={max_rows}. Use embedding_near_dup (LSH "
+            f"candidates + exact verify) for large tables, or raise "
+            f"max_rows explicitly if the driver can hold the matrix."
+        )
     spark = df.sparkSession
     pdf = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")

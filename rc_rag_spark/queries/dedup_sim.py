@@ -984,3 +984,109 @@ def q126_edit_distance_pairs(spark, sf_dir):
         "name_a", "name_b",
         F.levenshtein("name_a", "name_b").alias("dist"),
     ).where(F.col("dist") <= k)
+
+
+_KNN_EXACT_TOPK_SQL = """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id, embedding::DOUBLE[] AS cv
+               FROM embeddings WHERE vec_id >= 5),
+         scored AS (
+           SELECT q.query_id, c.vec_id AS neighbor_id,
+                  list_dot_product(c.cv, q.qv)
+                  / (sqrt(list_dot_product(c.cv, c.cv))
+                     * sqrt(list_dot_product(q.qv, q.qv))) AS similarity
+           FROM c CROSS JOIN q
+         ),
+         topk AS (
+           SELECT query_id, neighbor_id
+           FROM (SELECT *, ROW_NUMBER() OVER (
+                     PARTITION BY query_id
+                     ORDER BY similarity DESC, neighbor_id) AS rank
+                 FROM scored)
+           WHERE rank <= 5
+         )
+    SELECT CAST(5 AS INTEGER) AS k,
+           CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+           CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+           TRUE AS recall_ok
+    FROM topk
+"""
+
+
+def _knn_recall_row(spark, sf_dir, approx, k=5, threshold=0.9):
+    """One-row recall@k summary of an approximate KNN result against
+    the exact pruned-brute-force neighbor set. n_queries/n_exact_pairs
+    are fully oracle-checkable from the parquet; recall_ok is the
+    hash-checked invariant — if the approximate path's recall drops
+    below `threshold`, the Spark side emits false and the driver's
+    value-hash diverges from the oracle's TRUE."""
+    e = table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = e.where(F.col("vec_id") >= 5)
+    exact = SIM.brute_force_topk_pruned(corpus, queries, k=k).select(
+        "query_id", "neighbor_id"
+    )
+    hits = approx.select(
+        "query_id", "neighbor_id", F.lit(1).alias("_hit")
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    return (
+        exact.join(hits, ["query_id", "neighbor_id"], "left")
+        .agg(
+            F.lit(k).cast("int").alias("k"),
+            F.count_distinct("query_id").alias("n_queries"),
+            F.count(F.lit(1)).alias("n_exact_pairs"),
+            (
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+                / F.count(F.lit(1))
+                >= threshold
+            ).alias("recall_ok"),
+        )
+    )
+
+
+@register(
+    "q130_lsh_recall_bound",
+    sql=_KNN_EXACT_TOPK_SQL,
+    tags=("similarity", "lsh", "recall"),
+)
+def q130_lsh_recall_bound(spark, sf_dir):
+    """Oracle-checkable recall bound for the q65 LSH path (r2 judge
+    item: the approximate variants were rows-only). Joins the LSH
+    top-5 (same parameters as q65) against the exact neighbor set and
+    emits recall >= 0.9 as a hash-checked scalar."""
+    e = table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = e.where(F.col("vec_id") >= 5)
+    approx = SIM.lsh_topk_join(
+        corpus, queries, k=5, bucket_length=4.0, num_hash_tables=6, max_l2=3.0
+    )
+    return _knn_recall_row(spark, sf_dir, approx)
+
+
+@register(
+    "q131_ivf_recall_bound",
+    sql=_KNN_EXACT_TOPK_SQL,
+    tags=("similarity", "ivf", "recall"),
+)
+def q131_ivf_recall_bound(spark, sf_dir):
+    """Oracle-checkable recall bound for the q75 IVF path: the IVF
+    top-5 (same parameters as q75) must recover >= 80% of the exact
+    neighbor pairs; emitted as a hash-checked scalar row. The bound is
+    0.8 (not 0.9 like LSH's q130) because the synthetic embeddings are
+    near-uniform — cell boundaries cut true neighborhoods — and the
+    measured recall with q75's parameters is 0.88–0.96 across gate
+    SFs; seeded KMeans makes the value deterministic per dataset."""
+    from rc_rag_spark.operators.ann import ivf_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = e.where(F.col("vec_id") >= 5)
+    approx = ivf_topk(corpus, queries, k=5, n_clusters=16, n_probe=10)
+    return _knn_recall_row(spark, sf_dir, approx, threshold=0.8)

@@ -147,7 +147,11 @@ def q75_knn_ivf(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     corpus = e.where(F.col("vec_id") >= 5)
-    out = ivf_topk(corpus, queries, k=5, n_clusters=8, n_probe=4)
+    # 16 cells / probe 10 rather than 8/4: the synthetic embeddings are
+    # near-uniform (no cluster structure), so coarse cells scatter true
+    # neighbors; this configuration holds recall >= 0.8 at every gate
+    # SF (bounded by q131) while still skipping ~40% of the corpus.
+    out = ivf_topk(corpus, queries, k=5, n_clusters=16, n_probe=10)
     return out.select(
         "query_id", "neighbor_id",
         F.round("similarity", 9).alias("similarity"), "rank",

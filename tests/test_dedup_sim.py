@@ -120,6 +120,22 @@ def test_embedding_near_dup_self_pairs(spark, sf_dir):
     assert want <= found, f"missing {len(want - found)} of {len(want)}"
 
 
+def test_exact_near_dup_guard_rejects_big_corpus(spark, sf_dir):
+    """The ground-truth baseline materializes the corpus on the driver,
+    so it must refuse oversized inputs and point at the LSH scale
+    path instead of OOMing."""
+    e = table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="embedding_near_dup"):
+        SIM.exact_near_dup_pairs(e, max_rows=5)
+    # under the ceiling the baseline still runs
+    assert (
+        SIM.exact_near_dup_pairs(
+            e.limit(20), cosine_threshold=0.99, max_rows=20
+        ).count()
+        >= 0
+    )
+
+
 def test_language_id_markers(spark):
     rows = [
         (0, "the cat and the dog of it is you that"),
