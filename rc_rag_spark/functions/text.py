@@ -215,14 +215,20 @@ def _lcs_len(a: list[str], b: list[str]) -> int:
 
 
 def _rouge_tokens(s: str) -> list[str]:
+    """Tokenize + Porter-stem (tokens longer than 3 chars), matching
+    the reference's HF ``rouge_scorer(use_stemmer=True)`` discipline
+    (/root/reference/code/utils.py:335-339); see functions/stemmer.py
+    for the documented original-vs-NLTK-extensions delta."""
     import re as _re
 
-    return _re.findall(r"[a-z0-9]+", s.lower()) if s else []
+    from rc_rag_spark.functions.stemmer import stem_tokens
+
+    return stem_tokens(_re.findall(r"[a-z0-9]+", s.lower())) if s else []
 
 
 def rouge_l_recall_py(refs: list[str] | None, pred: str | None) -> float:
     """Pure-Python ROUGE-L recall (max over refs); also the golden
-    oracle. recall = LCS(ref, pred) / len(ref)."""
+    oracle. recall = LCS(stem(ref), stem(pred)) / len(ref)."""
     if pred is None or refs is None:
         return 0.0
     best = 0.0

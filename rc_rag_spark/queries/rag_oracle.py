@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from rc_rag_spark.functions import parsing as P
 from rc_rag_spark.functions.prompts import TEMPLATES
+from rc_rag_spark.functions.stemmer import stem_tokens_cte_sql as _stem_cte
 from rc_rag_spark.pipeline.llm import (
     _MOCK_ANSWER_FORMS,
     _first_passage_words,
@@ -334,13 +335,18 @@ def sql_pipeline_output() -> str:
         SELECT id, 'cq_ans', 1, NULL, cq_answer, rag_answer FROM wide
         UNION ALL
         SELECT id, 'cq_evi', 1, NULL, cq_evidence, rag_evidence FROM wide),
-    ptoks AS (
+    ptoks0 AS (
         SELECT id, grp, CAST(ref_no AS INTEGER) AS ref_no,
                CASE WHEN grp = 'label'
                     THEN {_rtoks("refs_exp[ref_no]")}
                     ELSE {_rtoks("g_ref")} END AS rt,
                {_rtoks("p_ref")} AS pt
         FROM pairs),
+    -- Porter-stem ref and pred tokens (rouge_score use_stemmer
+    -- semantics, same staged chain q56's oracle uses; generated by
+    -- functions/stemmer.py)
+    {_stem_cte("ptoks0", ["id", "grp", "ref_no"], "rt", "ptoks1")},
+    {_stem_cte("ptoks1", ["id", "grp", "ref_no"], "pt", "ptoks")},
     m AS (
         SELECT id, grp, ref_no, ij[1] AS i, ij[2] AS j
         FROM (

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from rc_rag_spark.functions import parsing as P
 from rc_rag_spark.functions import prompts as PR
+from rc_rag_spark.functions import stemmer as _STEM
 from rc_rag_spark.functions import text as T
 from rc_rag_spark.queries.core import register
 from rc_rag_spark.sources import table, wide_table
@@ -518,7 +519,7 @@ def q39_doc_fingerprint(spark, sf_dir):
     "q56_rouge_scores",
     sql=r"""
     WITH RECURSIVE
-    predt AS (
+    predt0 AS (
       SELECT doc_id,
              regexp_extract_all(lower(concat_ws(' ',
                  split_part(text,' ',1), split_part(text,' ',2),
@@ -526,7 +527,7 @@ def q39_doc_fingerprint(spark, sf_dir):
                  '[a-z0-9]+') AS pt
       FROM documents
     ),
-    reft AS (
+    reft0 AS (
       SELECT doc_id, 1 AS ref_no,
              regexp_extract_all(lower(concat_ws(' ',
                  split_part(text,' ',1), split_part(text,' ',2),
@@ -539,6 +540,13 @@ def q39_doc_fingerprint(spark, sf_dir):
                  '[a-z0-9]+')
       FROM documents
     ),
+    -- Porter-stem both token lists (rouge_score use_stemmer semantics),
+    -- staged per-step over exploded tokens; generated by
+    -- functions/stemmer.py so the SQL stays one statement
+    """ + _STEM.stem_tokens_cte_sql("predt0", ["doc_id"], "pt", "predt")
+    + ",\n"
+    + _STEM.stem_tokens_cte_sql("reft0", ["doc_id", "ref_no"], "rt", "reft")
+    + r""",
     -- LCS as longest chain of match cells (i ref pos, j pred pos),
     -- strictly increasing in both: tractable because |ref|,|pred| <= 5
     m AS (
