@@ -729,6 +729,46 @@ def q125_rolling_distinct_users(spark, sf_dir):
     )
 
 
+@register("q132_rolling_distinct_hll", tags=("window", "distinct", "sketch"))
+def q132_rolling_distinct_hll(spark, sf_dir):
+    """Sketch twin of q125 (r2 judge item): trailing-7-day distinct
+    users via HLL. One Datasketches HLL per (day) — a partial-agg
+    shuffle of (day, sketch) rows — then each day's sketch is exploded
+    to the ≤7 window days it serves and union-merged. At 100× scale
+    this moves O(days × 7) fixed-size sketches where q125's exact
+    formulation moves O(days × users) pairs through the second
+    distinct; the price is ~1.6% relative error (lgConfigK=12),
+    bounded by the relative-error test and the rows-only driver check.
+    Not SQL-expressible: DuckDB's approx_count_distinct can't merge
+    pre-aggregated sketches across window days."""
+    e = table(spark, sf_dir, "events")
+    day_sk = (
+        e.select(F.date_trunc("day", F.col("ts")).alias("d"), "user_id")
+        .groupBy("d")
+        .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+    )
+    days = day_sk.select(F.col("d").alias("day"))
+    contrib = day_sk.select(
+        F.explode(
+            F.sequence(
+                F.col("d"),
+                F.col("d") + F.expr("INTERVAL 6 DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
+        "sk",
+    )
+    return (
+        contrib.join(days, "day", "left_semi")
+        .groupBy("day")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk"))
+            .cast("bigint")
+            .alias("users_7d_approx")
+        )
+    )
+
+
 @register(
     "q127_hourly_ohlc",
     sql=f"""

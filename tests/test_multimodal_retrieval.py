@@ -68,6 +68,34 @@ def test_decode_stubs_raise():
         MM._decode_audio(b"x")
 
 
+# minimal valid 1x1 PNG (public-domain byte sequence)
+_TINY_PNG = __import__("base64").b64decode(
+    "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mNkYPhf"
+    "DwAChwGA60e6kgAAAABJRU5ErkJggg=="
+)
+
+
+@pytest.mark.skipif(
+    not __import__("importlib.util", fromlist=["util"]).find_spec("PIL"),
+    reason="Pillow not installed — decode kernel import-gated",
+)
+def test_real_image_decode_smoke(spark):
+    """When Pillow IS present, the gated decode path must actually
+    decode: _decode_image returns a 1x1 image for a real PNG, and
+    resize_images takes the real-kernel branch (re-encoded PNG
+    payload, not the deterministic fake)."""
+    img = MM._decode_image(_TINY_PNG)
+    assert img.size == (1, 1)
+    media = spark.createDataFrame(
+        [(0, "image", _TINY_PNG, (1, 1, 0, "png"))], MM.MEDIA_SCHEMA
+    )
+    rows = MM.resize_images(media, width=4, height=4).collect()
+    assert len(rows) == 1
+    out = bytes(rows[0]["payload"])
+    assert out[:8] == b"\x89PNG\r\n\x1a\n"  # real re-encode, not fake
+    assert MM._decode_image(out).size == (4, 4)
+
+
 def test_chunk_audio_reassembles_whole_blob(media):
     """The final chunk extends to the end of the payload: per-media
     chunk bytes must sum to the full blob length and concatenate back

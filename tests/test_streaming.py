@@ -250,3 +250,71 @@ def test_stream_stream_left_outer_interval_join(spark, events_dir):
     # …and only a handful of watermark-tail rows may be withheld
     assert sum(missing.values()) <= 3, f"too many withheld: {list(missing)[:5]}"
     assert len(got) >= 0.95 * len(want)
+
+
+def test_session_late_event_beyond_watermark_dropped(spark):
+    """Explicit late-data drop (SURVEY §5.5): an event arriving in a
+    LATER micro-batch, with event time inside an already-finalized
+    session but behind the watermark, must be excluded from the
+    session's aggregate — batch mode (no watermark) would count it.
+
+    THREE parquet files processed as separate micro-batches
+    (maxFilesPerTrigger=1, mtime-ordered). File 1 carries the session
+    (10:00/10:02/10:04) plus a 14:00 watermark-driver event; file 2 a
+    second 14:01 driver event; file 3 only the 10:01 straggler. Spark
+    filters late rows with the PREVIOUS batch's watermark
+    (watermarkForLateEvents lags watermarkForEviction by one batch
+    since the 3.4 multi-stateful-operator rework), so the straggler
+    must land in batch 2 — where the late-events watermark is already
+    13:30, far past the session's 10:14 end — to be dropped; the
+    finalized session keeps n_events=3."""
+    import time
+
+    d = tempfile.mkdtemp(prefix="rc_rag_late_")
+    try:
+        schema = "event_id long, user_id long, ts timestamp, value double"
+
+        def write_one(rows):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(d)
+            time.sleep(1.1)  # distinct mtimes order the micro-batches
+
+        ts = lambda s: __import__("datetime").datetime.fromisoformat(s)  # noqa: E731
+        write_one(
+            [
+                (1, 1, ts("2024-01-01 10:00:00"), 1.0),
+                (2, 1, ts("2024-01-01 10:02:00"), 2.0),
+                (3, 1, ts("2024-01-01 10:04:00"), 3.0),
+                (4, 99, ts("2024-01-01 14:00:00"), 9.0),  # drives watermark
+            ]
+        )
+        write_one([(6, 99, ts("2024-01-01 14:01:00"), 9.0)])  # batch 1
+        write_one([(5, 1, ts("2024-01-01 10:01:00"), 50.0)])  # late straggler
+
+        src_schema = spark.read.parquet(d).schema
+        stream = (
+            spark.readStream.schema(src_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        sess = W.session_aggregate(
+            W.with_watermark(stream, "30 minutes"), "10 minutes"
+        )
+        got = run_stream(spark, sess, output_mode="append")
+        by_user = {r["user_id"]: r for r in got}
+        # the user-1 session finalized WITHOUT the straggler
+        assert 1 in by_user, got
+        assert by_user[1]["n_events"] == 3
+        assert by_user[1]["sum_value"] == pytest.approx(6.0)
+        # sanity: batch mode (no watermark) WOULD absorb the straggler
+        batch = {
+            r["user_id"]: r
+            for r in W.session_aggregate(
+                spark.read.parquet(d), "10 minutes"
+            ).collect()
+        }
+        assert batch[1]["n_events"] == 4
+        assert batch[1]["sum_value"] == pytest.approx(56.0)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

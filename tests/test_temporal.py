@@ -412,3 +412,27 @@ def test_asof_nearest_null_times_never_match(spark):
         ).collect()
     }
     assert got == {"l0": None, "l1": "r0"}
+
+
+def test_hll_rolling_distinct_within_sketch_error(spark, sf_dir):
+    """q132 (HLL sketch twin) must track the exact q125 within HLL
+    error bounds: lgConfigK=12 gives ~1.6% typical relative error, so
+    5% is a comfortable deterministic bound on the fixture."""
+    import rc_rag_spark.queries as q
+
+    exact = {
+        r["day"]: r["users_7d"]
+        for r in q.REGISTRY["q125_rolling_distinct_users"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    approx = {
+        r["day"]: r["users_7d_approx"]
+        for r in q.REGISTRY["q132_rolling_distinct_hll"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert set(exact) == set(approx)
+    for day, n in exact.items():
+        rel = abs(approx[day] - n) / max(n, 1)
+        assert rel <= 0.05, (day, n, approx[day], rel)
