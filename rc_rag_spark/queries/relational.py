@@ -871,6 +871,33 @@ def q29_quantity_percentiles(spark, sf_dir):
     )
 
 
+@register("q133_quantiles_sketch", tags=("agg", "percentile", "sketch"))
+def q133_quantiles_sketch(spark, sf_dir):
+    """Sketch twin of q29: approx_percentile builds a constant-memory
+    quantile summary per group instead of buffering every group value
+    the way exact `percentile` does — at 100 TB the exact aggregate
+    concentrates each group's full value multiset in one aggregation
+    buffer, while the sketch path stays O(accuracy) per group with
+    ordinary partial merges. accuracy=10000 bounds rank error at
+    1/10000; the relative-error test pins it against exact q29.
+    Rows-only driver check (DuckDB has no mergeable quantile sketch
+    to reproduce bit-for-bit)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr(
+            "approx_percentile(l_quantity, array(0.5, 0.9), 10000)"
+        ).alias("_q"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    ).select(
+        "l_returnflag",
+        F.col("_q")[0].alias("p50_approx"),
+        F.col("_q")[1].alias("p90_approx"),
+        "min_qty",
+        "max_qty",
+    )
+
+
 @register(
     "q43_range_frame_spend",
     sql="""

@@ -159,3 +159,20 @@ def test_q125_q126_no_theta_join(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_q132_hll_sketch_partial_agg(spark, sf_dir):
+    """HLL rolling distinct: sketches built and merged via the
+    aggregate path (partial per-day sketch, union merge), no
+    cartesian anywhere."""
+    plan = plan_of(spark, sf_dir, "q132_rolling_distinct_hll")
+    assert "CartesianProduct" not in plan
+    assert "hll_sketch_agg" in plan and "hll_union_agg" in plan
+
+
+def test_q72a_features_no_cartesian(spark, sf_dir):
+    """Feature build is explode->partial-agg joins; the only
+    nested-loop is the broadcast of the single-row pair count."""
+    plan = plan_of(spark, sf_dir, "q72a_retrieval_features")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1

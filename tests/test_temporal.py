@@ -436,3 +436,24 @@ def test_hll_rolling_distinct_within_sketch_error(spark, sf_dir):
     for day, n in exact.items():
         rel = abs(approx[day] - n) / max(n, 1)
         assert rel <= 0.05, (day, n, approx[day], rel)
+
+
+def test_quantile_sketch_tracks_exact(spark, sf_dir):
+    """q133 (approx_percentile sketch) must track exact q29 within
+    rank-error tolerance; with accuracy=10000 on the fixture the
+    medians should be near-identical."""
+    import rc_rag_spark.queries as q
+
+    exact = {
+        r["l_returnflag"]: (r["p50"], r["p90"])
+        for r in q.REGISTRY["q29_quantity_percentiles"].fn(spark, sf_dir).collect()
+    }
+    approx = {
+        r["l_returnflag"]: (r["p50_approx"], r["p90_approx"])
+        for r in q.REGISTRY["q133_quantiles_sketch"].fn(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for k, (p50, p90) in exact.items():
+        a50, a90 = approx[k]
+        assert abs(a50 - p50) <= max(0.02 * p50, 1.0), (k, p50, a50)
+        assert abs(a90 - p90) <= max(0.02 * p90, 1.0), (k, p90, a90)
