@@ -874,3 +874,46 @@ def q128_time_weighted_average(spark, sf_dir):
         )
         .where(F.col("observed_seconds") > 0)
     )
+
+
+@register(
+    "q134_salted_skew_join",
+    sql="""
+    WITH dim AS (
+        SELECT user_id, COUNT(*) AS n_user_events
+        FROM events GROUP BY user_id)
+    SELECT e.event_type,
+           COUNT(*) AS n,
+           CAST(SUM(d.n_user_events) AS BIGINT) AS sum_dim_counts
+    FROM events e JOIN dim d USING (user_id)
+    GROUP BY e.event_type
+    """,
+    tags=("skew", "join", "salted"),
+)
+def q134_salted_skew_join(spark, sf_dir):
+    """Skew-managed fact-dim enrich via split_salted_join
+    (operators/skew.py): the listed hot keys are salted S ways — the
+    big side's hot rows scatter over S reducers, the dim's hot rows
+    replicate S times — while every other key takes the plain
+    equi-join; the union must be EXACTLY the plain join, which is what
+    the oracle spells. Salt values come from a seeded rand and only
+    route rows, so the joined (and re-aggregated) result is
+    partitioning-independent and hash-stable. In production the hot
+    list comes from skew.key_histogram's sampled pass (or AQE's
+    runtime skew split); a static list here keeps the query
+    collect-free."""
+    from rc_rag_spark.operators import skew as SK
+
+    e = table(spark, sf_dir, "events")
+    dim = e.groupBy("user_id").agg(F.count("*").alias("n_user_events"))
+    joined = SK.split_salted_join(
+        e.select("user_id", "event_type"),
+        dim,
+        key="user_id",
+        hot_keys=[0, 1, 2, 3],
+        salt_buckets=8,
+    )
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("n_user_events").cast("bigint").alias("sum_dim_counts"),
+    )

@@ -176,3 +176,11 @@ def test_q72a_features_no_cartesian(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q72a_retrieval_features")
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_q134_salted_join_no_cartesian(spark, sf_dir):
+    """Salting must stay pure equi-join on (key, salt): the dim
+    explode is bounded S-way fan-out, never a nested loop."""
+    plan = plan_of(spark, sf_dir, "q134_salted_skew_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
