@@ -339,3 +339,46 @@ def q121_pii_scrub(spark, sf_dir):
             "<PHONE>",
         ).alias("scrubbed"),
     )
+
+
+@register(
+    "q135_chunk_documents",
+    sql="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    c AS (SELECT doc_id, toks,
+                 unnest(generate_series(1, len(toks), 24)) AS start
+          FROM t)
+    SELECT doc_id,
+           CAST((start - 1) / 24 AS INTEGER) AS chunk_idx,
+           CAST(len(toks[start:start + 31]) AS INTEGER) AS n_chunk_tokens,
+           array_to_string(toks[start:start + 31], ' ') AS chunk_text
+    FROM c
+    """,
+    tags=("corpus", "chunking"),
+)
+def q135_chunk_documents(spark, sf_dir):
+    """Training-corpus chunking: fixed 32-token windows with stride 24
+    (8-token overlap so no span is lost at a boundary), the standard
+    LLM-pretraining document split. Pure explode over per-row token
+    offsets — bounded fan-out ceil(n/stride) per doc, no shuffle at
+    all until a downstream groupBy, so at 100 TB this runs at scan
+    speed with chunk rows streaming straight to the sink. Exact
+    membership and ordering are hash-checked."""
+    d = table(spark, sf_dir, "documents")
+    chunk, stride = 32, 24
+    t = d.select("doc_id", F.split("text", " ").alias("toks"))
+    c = t.select(
+        "doc_id", "toks",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size("toks"), F.lit(1)),
+                       F.lit(stride))
+        ).alias("start"),
+    )
+    piece = F.slice("toks", F.col("start"), chunk)
+    return c.select(
+        "doc_id",
+        ((F.col("start") - 1) / stride).cast("int").alias("chunk_idx"),
+        F.size(piece).cast("int").alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

@@ -1090,3 +1090,76 @@ def q131_ivf_recall_bound(spark, sf_dir):
     corpus = e.where(F.col("vec_id") >= 5)
     approx = ivf_topk(corpus, queries, k=5, n_clusters=16, n_probe=10)
     return _knn_recall_row(spark, sf_dir, approx, threshold=0.8)
+
+
+@register(
+    "q136_dedup_retention",
+    sql=f"""
+    WITH RECURSIVE {_Q62_PAIRS_CTES},
+    edges AS (
+        SELECT id_a AS s, id_b AS d FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, lab) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT e.s, r.lab FROM edges e JOIN reach r ON r.id = e.d
+    ),
+    comp AS (SELECT id, MIN(lab) AS cluster_id FROM reach GROUP BY id),
+    dropped AS (SELECT id FROM comp WHERE id != cluster_id)
+    SELECT CAST((SELECT COUNT(*) FROM corpus) AS BIGINT) AS n_total,
+           CAST((SELECT COUNT(*) FROM corpus) -
+                (SELECT COUNT(*) FROM dropped) AS BIGINT) AS n_kept,
+           CAST((SELECT COUNT(*) FROM dropped) AS BIGINT) AS n_dropped,
+           (SELECT coalesce(array_to_string(
+                list_transform(list_sort(list(id)),
+                               x -> CAST(x AS VARCHAR)), ','), '')
+            FROM dropped) AS dropped_ids
+    """,
+    tags=("dedup", "retention"),
+)
+def q136_dedup_retention(spark, sf_dir):
+    """The APPLY step of near-dup dedup: q102 forms clusters, this
+    query enforces the retention policy — keep the canonical member
+    (min doc_id) of every cluster, anti-join the rest out of the
+    corpus. The exact dropped-id membership is part of the hash check,
+    not just counts. Scale shape: the pair graph and label propagation
+    are q102's bounded equi-joins; the final anti-join is one hash
+    shuffle on doc_id — the whole pass never materializes anything on
+    the driver."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    mutated = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(
+            F.slice(words, 1, F.greatest(F.size(words) - 3, F.lit(1))), " "
+        ).alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(mutated)
+    labels = DD.dedup_clusters(_q62_corpus_pairs(spark, sf_dir))
+    dropped = labels.where(F.col("id") != F.col("cluster_id")).select("id")
+    kept = corpus.join(
+        dropped, corpus.doc_id == dropped.id, "left_anti"
+    )
+    stats = corpus.agg(F.count("*").alias("n_total")).crossJoin(
+        kept.agg(F.count("*").alias("n_kept"))
+    )
+    drop_list = dropped.agg(
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ),
+            F.lit(""),
+        ).alias("dropped_ids")
+    )
+    return stats.crossJoin(drop_list).select(
+        "n_total",
+        "n_kept",
+        (F.col("n_total") - F.col("n_kept")).alias("n_dropped"),
+        "dropped_ids",
+    )
