@@ -382,3 +382,52 @@ def q135_chunk_documents(spark, sf_dir):
         F.size(piece).cast("int").alias("n_chunk_tokens"),
         F.array_join(piece, " ").alias("chunk_text"),
     )
+
+
+@register(
+    "q137_fixed_size_sample",
+    sql="""
+    WITH r AS (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents)
+    SELECT lang, COUNT(*) AS n_kept,
+           array_to_string(list_transform(list_sort(list(doc_id)),
+                                          x -> CAST(x AS VARCHAR)), ',')
+        AS kept_ids
+    FROM r WHERE rk <= 5 GROUP BY lang
+    """,
+    tags=("corpus", "sampling", "reservoir"),
+)
+def q137_fixed_size_sample(spark, sf_dir):
+    """Fixed-SIZE deterministic sample per stratum (q110 is
+    fixed-RATE): rank docs by md5(doc_id) within each language and
+    keep the first 5 — a deterministic, partition-independent
+    'reservoir' that any re-run reproduces exactly. Scale shape: one
+    window shuffle on the stratum key; at 100 TB replace the full
+    window sort with per-partition top-k then a final merge (the
+    brute_force_topk_pruned trick) — but the membership contract
+    stays identical, which is what the hash check pins."""
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    kept = d.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+    return (
+        kept.where(F.col("rk") <= 5)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("kept_ids"),
+        )
+    )

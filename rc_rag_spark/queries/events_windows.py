@@ -917,3 +917,50 @@ def q134_salted_skew_join(spark, sf_dir):
         F.count("*").alias("n"),
         F.sum("n_user_events").cast("bigint").alias("sum_dim_counts"),
     )
+
+
+@register(
+    "q138_cohort_retention",
+    sql="""
+    WITH first_seen AS (
+        SELECT user_id, MIN(date_trunc('day', ts)) AS cohort_day
+        FROM events GROUP BY user_id),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_day,
+               date_diff('day', f.cohort_day, date_trunc('day', e.ts))
+                   AS day_offset
+        FROM events e JOIN first_seen f USING (user_id))
+    SELECT cohort_day, CAST(day_offset AS INTEGER) AS day_offset,
+           COUNT(*) AS n_active
+    FROM activity
+    WHERE day_offset <= 7
+    GROUP BY cohort_day, day_offset
+    """,
+    tags=("window", "cohort", "retention"),
+)
+def q138_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-seen day, then
+    per (cohort, day-offset ≤ 7) distinct-active counts — the classic
+    product-analytics rollup. Two partial-agg shuffles on user_id and
+    one on (cohort, offset); the first-seen table is per-user narrow
+    and broadcastable when the user dimension is small relative to
+    events. No window sort, no self theta-join at any scale."""
+    e = table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    first_seen = e.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    activity = (
+        e.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(day, F.col("cohort_day")).alias("day_offset"),
+        )
+        .where(F.col("day_offset") <= 7)
+        .distinct()
+    )
+    return activity.groupBy("cohort_day", "day_offset").agg(
+        F.count("*").alias("n_active")
+    ).select(
+        "cohort_day", F.col("day_offset").cast("int").alias("day_offset"),
+        "n_active",
+    )
