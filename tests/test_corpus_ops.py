@@ -195,3 +195,42 @@ def test_stratified_sample_rejects_bad_rate(spark):
 )
 def test_corpus_query_oracle_parity(spark, sf_dir, name):
     assert_parity(spark, name, q.REGISTRY[name], sf_dir)
+
+
+def test_chunking_covers_every_token_with_overlap(spark, sf_dir):
+    """q135: stride 24 / width 32 ⇒ every token of every doc appears
+    in ≥1 chunk, consecutive chunks overlap by exactly 8 tokens (when
+    full), and concatenating the stride-prefixes reconstructs the
+    document."""
+    rows = q.REGISTRY["q135_chunk_documents"].fn(spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in table(spark, sf_dir, "documents").collect()
+    }
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        toks = docs[doc_id].split(" ")
+        # every chunk matches the slice it claims
+        rebuilt = []
+        for r in chunks:
+            start = r["chunk_idx"] * 24
+            assert r["chunk_text"].split(" ") == toks[start:start + 32]
+            rebuilt.extend(toks[start:start + 24])
+        # stride-prefix concatenation covers the doc exactly
+        assert rebuilt[: len(toks)] == toks
+
+
+def test_fixed_size_sample_deterministic_and_bounded(spark, sf_dir):
+    """q137: ≤5 docs per language, identical membership across runs."""
+    run = lambda: {  # noqa: E731
+        r["lang"]: r["kept_ids"]
+        for r in q.REGISTRY["q137_fixed_size_sample"].fn(spark, sf_dir).collect()
+    }
+    a, b = run(), run()
+    assert a == b
+    for lang, ids in a.items():
+        assert 1 <= len(ids.split(",")) <= 5
