@@ -446,3 +446,94 @@ def q129_audio_chunking(spark, sf_dir):
         F.sum(F.length("chunk_payload")).cast("bigint").alias("total_bytes"),
         F.sum("chunk_ms").cast("bigint").alias("total_ms"),
     )
+
+
+_PR_ITERS = 3
+_PR_DAMP = 0.85
+
+
+def _pr_oracle_sql() -> str:
+    """Unrolled-iteration DuckDB twin of q139's PageRank: identical
+    quantized arithmetic per step (contributions rounded to 12
+    decimals, summed exactly in DECIMAL, rank re-quantized), so the
+    float path is a single deterministic op sequence on both
+    engines."""
+    ctes = ["""
+    edges0 AS (
+        SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                        's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    edges AS (SELECT src, dst FROM edges0
+              UNION ALL SELECT dst, src FROM edges0),
+    deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM edges
+            GROUP BY src),
+    r0 AS (SELECT node, 1.0 AS rank FROM deg)"""]
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        ctes.append(f"""
+    r{i} AS (
+        SELECT e.dst AS node,
+               round(0.15 + {_PR_DAMP} * CAST(SUM(CAST(
+                   round(r.rank / d.outdeg, 12) AS DECIMAL(28,12)))
+                   AS DOUBLE), 12) AS rank
+        FROM edges e
+        JOIN {prev} r ON r.node = e.src
+        JOIN deg d ON d.node = e.src
+        GROUP BY e.dst)""")
+        prev = f"r{i}"
+    return (
+        "WITH " + ",".join(ctes)
+        + f" SELECT node, round(rank, 9) AS rank FROM {prev}"
+    )
+
+
+@register("q139_pagerank_trade_graph", sql=_pr_oracle_sql(),
+          tags=("graph", "iterative", "pagerank"))
+def q139_pagerank_trade_graph(spark, sf_dir):
+    """PageRank (3 iterations, d=0.85) over the undirected
+    customer↔supplier trade graph derived from orders⋈lineitem —
+    the 'iterative distributed algorithm' surface, HASH-CHECKED: each
+    iteration is one equi-join + partial-agg shuffle on the node key
+    (the standard scalable PageRank step; no driver-side state beyond
+    the loop counter), and determinism comes from quantizing each
+    contribution to 12 decimals and summing in exact DECIMAL, so
+    partitioning cannot reorder float addition. The oracle unrolls
+    the same three iterations as chained CTEs. At 100 TB the edge
+    list is the shuffle cost driver; pre-partitioning edges by src
+    lets every iteration reuse one exchange."""
+    from rc_rag_spark.sources import table
+
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    e0 = (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # one shuffle on src reused by every iteration's join
+    edges = edges.join(deg, "src").localCheckpoint(eager=True)
+    ranks = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("rank"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .select(
+                F.col("dst"),
+                F.round(F.col("rank") / F.col("outdeg"), 12)
+                .cast("decimal(28,12)")
+                .alias("c"),
+            )
+        )
+        ranks = contrib.groupBy("dst").agg(
+            F.round(
+                F.lit(0.15) + F.lit(_PR_DAMP) * F.sum("c").cast("double"),
+                12,
+            ).alias("rank")
+        ).select(F.col("dst").alias("node"), "rank")
+    return ranks.select("node", F.round("rank", 9).alias("rank"))
