@@ -2356,3 +2356,79 @@ def q119_excess_promo_shippers(spark, sf_dir):
             F.col("_qty").cast("double").alias("promo_qty"),
         )
     )
+
+
+@register(
+    "q140_copurchase_lift",
+    sql="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+    supp AS (SELECT l_partkey, COUNT(*) AS n_a FROM items
+             GROUP BY l_partkey),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               COUNT(*) AS n_ab
+        FROM items a JOIN items b
+          ON b.l_orderkey = a.l_orderkey
+         AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey)
+    SELECT part_a, part_b, n_ab,
+           round(CAST(n_ab AS DOUBLE) * n.n_orders
+                 / (sa.n_a * CAST(sb.n_a AS DOUBLE)), 9) AS lift
+    FROM pairs
+    JOIN supp sa ON sa.l_partkey = part_a
+    JOIN supp sb ON sb.l_partkey = part_b
+    CROSS JOIN n
+    WHERE n_ab >= 2
+    """,
+    tags=("basket", "cooccurrence"),
+)
+def q140_copurchase_lift(spark, sf_dir):
+    """Market-basket co-occurrence: part pairs appearing in the same
+    order, with lift = P(ab) / (P(a)·P(b)) = n_ab·N / (n_a·n_b).
+    The pair generation is a SELF EQUI-JOIN on orderkey — fan-out is
+    bounded by items-per-order (≤7 in this schema ⇒ ≤21 pairs/order),
+    so at 100 TB this shuffles O(orders·pairs_per_order), never a
+    cross product over the part dimension; the support tables are
+    part-keyed partial aggs and the tiny order-count attaches as a
+    broadcast scalar. min-support n_ab ≥ 2 prunes the long tail
+    before the lift join."""
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n = items.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    supp = items.groupBy("l_partkey").agg(F.count("*").alias("n_a"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("b.l_orderkey") == F.col("a.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= 2)
+    )
+    sa = supp.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_a").alias("na")
+    )
+    sb = supp.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_a").alias("nb")
+    )
+    return (
+        pairs.join(sa, "part_a")
+        .join(sb, "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a", "part_b", "n_ab",
+            F.round(
+                F.col("n_ab").cast("double") * F.col("n_orders")
+                / (F.col("na") * F.col("nb").cast("double")),
+                9,
+            ).alias("lift"),
+        )
+    )
