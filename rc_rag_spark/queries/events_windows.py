@@ -964,3 +964,31 @@ def q138_cohort_retention(spark, sf_dir):
         "cohort_day", F.col("day_offset").cast("int").alias("day_offset"),
         "n_active",
     )
+
+
+@register(
+    "q141_value_histogram",
+    sql="""
+    SELECT event_type,
+           CAST(floor(value / 25.0) AS INTEGER) AS bin,
+           COUNT(*) AS n,
+           round(MIN(value), 2) AS bin_min,
+           round(MAX(value), 2) AS bin_max
+    FROM events
+    GROUP BY event_type, floor(value / 25.0)
+    """,
+    tags=("profiling", "histogram"),
+)
+def q141_value_histogram(spark, sf_dir):
+    """Fixed-width value histogram per event type (bin = floor(v/25)):
+    the data-profiling primitive behind skew detection and bin-packed
+    visualization. One partial-agg shuffle on (type, bin) — histogram
+    cardinality is bounded by the bin grid, not the row count, so the
+    reduce side stays tiny at any scale."""
+    e = table(spark, sf_dir, "events")
+    b = F.floor(F.col("value") / 25.0).cast("int")
+    return e.groupBy("event_type", b.alias("bin")).agg(
+        F.count("*").alias("n"),
+        F.round(F.min("value"), 2).alias("bin_min"),
+        F.round(F.max("value"), 2).alias("bin_max"),
+    )

@@ -2432,3 +2432,74 @@ def q140_copurchase_lift(spark, sf_dir):
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "q142_referential_audit",
+    sql="""
+    SELECT 'lineitem_without_order' AS check_name,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_violations
+    UNION ALL
+    SELECT 'order_without_customer',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'customer_without_nation',
+           CAST((SELECT COUNT(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'supplier_without_nation',
+           CAST((SELECT COUNT(*) FROM supplier s
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = s.s_nationkey))
+                AS BIGINT)
+    """,
+    tags=("quality", "audit", "anti-join"),
+)
+def q142_referential_audit(spark, sf_dir):
+    """Referential-integrity audit across the star schema: each check
+    is a LEFT ANTI join (fact rows whose FK misses the dimension)
+    collapsed to a count. Anti joins broadcast the key column of the
+    smaller side where possible; each check is one shuffle at most,
+    and the four checks run as independent branches of one union —
+    the standard pre-ingest data-quality gate for a 100 TB load."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    s = table(spark, sf_dir, "supplier")
+
+    def check(name, big, dim, bk, dk, bcast=False):
+        d = dim.select(dk).distinct()
+        if bcast:
+            d = F.broadcast(d)
+        return (
+            big.join(d, big[bk] == d[dk], "left_anti")
+            .agg(F.count("*").alias("n_violations"))
+            .select(
+                F.lit(name).alias("check_name"),
+                F.col("n_violations"),
+            )
+        )
+
+    return (
+        check("lineitem_without_order", li, o, "l_orderkey", "o_orderkey")
+        .unionByName(
+            check("order_without_customer", o, c, "o_custkey", "c_custkey")
+        )
+        .unionByName(
+            check("customer_without_nation", c, n, "c_nationkey",
+                  "n_nationkey", bcast=True)
+        )
+        .unionByName(
+            check("supplier_without_nation", s, n, "s_nationkey",
+                  "n_nationkey", bcast=True)
+        )
+    )
