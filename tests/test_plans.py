@@ -184,3 +184,20 @@ def test_q134_salted_join_no_cartesian(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q134_salted_skew_join")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q138_cohort_retention",
+        "q139_pagerank_trade_graph",
+        "q140_copurchase_lift",
+        "q142_referential_audit",
+    ],
+)
+def test_round3_queries_no_cartesian(spark, sf_dir, name):
+    """Round-3 breadth queries: every join is an equi-join (the only
+    tolerated nested-loop is a broadcast single-row scalar attach)."""
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, name
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, name
