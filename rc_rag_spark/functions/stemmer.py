@@ -326,10 +326,13 @@ def stem_tokens_cte_sql(
         f" unnest(generate_series(1, len({list_col}))) AS _pos"
         f" FROM {src})"
     )
-    prev = f"{out}_e"
+    # stem the DISTINCT vocabulary only — the per-step regex cascade is
+    # the cost driver, and corpora repeat tokens heavily, so running it
+    # per distinct token then joining back to positions turns
+    # O(token_instances × regexes) into O(vocabulary × regexes)
     stages.append(
-        f"{out}_s0 AS (SELECT {ks}, _pos, _l[_pos] AS _tok,"
-        f" lower(_l[_pos]) AS w FROM {prev})"
+        f"{out}_s0 AS (SELECT _tok, lower(_tok) AS w FROM"
+        f" (SELECT DISTINCT _l[_pos] AS _tok FROM {out}_e))"
     )
     prev = f"{out}_s0"
     for i, expr in enumerate(stem_steps_sql("w"), 1):
@@ -342,22 +345,29 @@ def stem_tokens_cte_sql(
                 " ELSE '' END AS _ing"
             )
             stages.append(
-                f"{out}_s{i}p AS (SELECT {ks}, _pos, _tok, w{extra} FROM {prev})"
+                f"{out}_s{i}p AS (SELECT _tok, w{extra} FROM {prev})"
             )
             prev = f"{out}_s{i}p"
         stages.append(
-            f"{out}_s{i} AS (SELECT {ks}, _pos, _tok,"
+            f"{out}_s{i} AS (SELECT _tok,"
             f" CASE WHEN len(_tok) > 3 THEN ({expr}) ELSE w END AS w"
             f" FROM {prev})"
         )
         prev = f"{out}_s{i}"
     stages.append(
-        f"{out}_g AS (SELECT {ks}, list(CASE WHEN len(_tok) > 3 THEN w"
-        f" ELSE _tok END ORDER BY _pos) AS _stemmed"
-        f" FROM {prev} GROUP BY {ks})"
+        f"{out}_g AS (SELECT {ks},"
+        f" list(CASE WHEN len(e._tok) > 3 THEN v.w ELSE e._tok END"
+        f" ORDER BY e._pos) AS _stemmed"
+        f" FROM (SELECT {ks}, _pos, _l[_pos] AS _tok FROM {out}_e) e"
+        f" JOIN {prev} v ON v._tok = e._tok"
+        f" GROUP BY {ks})"
     )
+    # MATERIALIZED: downstream oracles reference the stemmed CTE more
+    # than once (LCS match grid + recall denominator); without it
+    # DuckDB inlines — and re-runs — the whole stemming cascade per
+    # reference
     stages.append(
-        f"{out} AS (SELECT s.* EXCLUDE ({list_col}),"
+        f"{out} AS MATERIALIZED (SELECT s.* EXCLUDE ({list_col}),"
         f" coalesce(g._stemmed, []) AS {list_col}"
         f" FROM {src} s LEFT JOIN {out}_g g USING ({ks}))"
     )

@@ -357,9 +357,12 @@ def sql_pipeline_output() -> str:
                                    for i in generate_series(1, len(rt))]))
                        AS ij
             FROM ptoks)),
+    -- recursive UNION (not UNION ALL): states dedup to (i, j, len)
+    -- triples, so repeated tokens (amplified by stemming) cost
+    -- O(n·m·len) states instead of enumerating every distinct chain
     chain AS (
         SELECT id, grp, ref_no, i, j, 1 AS len FROM m
-        UNION ALL
+        UNION
         SELECT mm.id, mm.grp, mm.ref_no, mm.i, mm.j, c.len + 1
         FROM chain c JOIN m mm
           ON mm.id = c.id AND mm.grp = c.grp AND mm.ref_no = c.ref_no

@@ -561,9 +561,11 @@ def q39_doc_fingerprint(spark, sf_dir):
         FROM reft r JOIN predt p ON p.doc_id = r.doc_id
       )
     ),
+    -- recursive UNION dedups chain states to (i, j, len) — polynomial
+    -- even when stemming makes tokens repeat (see rag_oracle.py)
     chain AS (
       SELECT doc_id, ref_no, i, j, 1 AS len FROM m
-      UNION ALL
+      UNION
       SELECT mm.doc_id, mm.ref_no, mm.i, mm.j, c.len + 1
       FROM chain c JOIN m mm
         ON mm.doc_id = c.doc_id AND mm.ref_no = c.ref_no
