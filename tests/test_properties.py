@@ -223,3 +223,34 @@ def test_edit_distance_blocking_complete_random_mutations(spark):
             .collect()
         )
         assert got == expected, (trial, got, expected)
+
+
+def test_hash_checked_results_partition_independent(spark, sf_dir):
+    """The determinism discipline (SCALE.md): hash-checked numeric
+    results must not depend on partitioning. Re-run a float-heavy
+    sample of the corpus under a different shuffle-partition count and
+    demand canonically identical output — exact-DECIMAL accumulation
+    and quantized iteration are what make this hold."""
+    from tests.oracle import canonicalize
+
+    names = [
+        "q01_pricing_summary",        # decimal sums
+        "q105_trimmed_mean",          # grouped-agg pandas UDF
+        "q124_grouped_linear_fit",    # moment sums -> OLS
+        "q128_time_weighted_average", # decimal-weighted TWAP
+        "q139_pagerank_trade_graph",  # iterative, quantized
+    ]
+    import rc_rag_spark.queries as q
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        low = {n: canonicalize(q.REGISTRY[n].fn(spark, sf_dir).toPandas())
+               for n in names}
+        spark.conf.set("spark.sql.shuffle.partitions", "29")
+        high = {n: canonicalize(q.REGISTRY[n].fn(spark, sf_dir).toPandas())
+                for n in names}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    for n in names:
+        assert low[n] == high[n], n
