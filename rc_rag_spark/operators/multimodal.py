@@ -302,3 +302,25 @@ def chunk_audio(media: DataFrame, window_ms: int = 500) -> DataFrame:
             )
 
     return media.mapInPandas(run, CHUNK_SCHEMA)
+
+
+def frame_features(frames: DataFrame) -> DataFrame:
+    """Per-frame feature extraction (second stage after sample_frames):
+    same deterministic fake kernel as extract_features, applied to the
+    frame payload — a real video model drops into this slot. Arrow
+    mapInPandas, one float per frame here (keyframe scoring)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "f0": [
+                        _fake_feature(bytes(p) if p is not None else b"", 1)[0]
+                        for p in pdf["frame_payload"]
+                    ],
+                }
+            )
+
+    return frames.mapInPandas(run, "media_id long, frame_idx int, f0 float")

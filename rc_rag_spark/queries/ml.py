@@ -537,3 +537,68 @@ def q139_pagerank_trade_graph(spark, sf_dir):
             ).alias("rank")
         ).select(F.col("dst").alias("node"), "rank")
     return ranks.select("node", F.round("rank", 9).alias("rank"))
+
+
+@register(
+    "q143_video_keyframes",
+    sql="""
+    WITH m AS (
+      SELECT i AS media_id, 128 + i AS len,
+             greatest(1, (4000 + 500 * (i % 5)) // 1000) AS nf
+      FROM generate_series(0, 95) t(i) WHERE i % 3 = 2
+    ),
+    s AS (SELECT media_id, len, nf, greatest(1, len // nf) AS step FROM m),
+    hexes AS (
+      SELECT i AS media_id, array_to_string(
+          [printf('%02x', (i*31 + j) % 256)
+           for j in generate_series(0, 127 + i)], '') AS hx
+      FROM generate_series(0, 95) t(i) WHERE i % 3 = 2
+    ),
+    fr0 AS (SELECT media_id, len, step, nf,
+                   unnest(generate_series(0, nf - 1)) AS k
+            FROM s),
+    fr AS (SELECT f.media_id, f.k, f.nf,
+                  substr(h.hx, 2 * f.k * f.step + 1,
+                         2 * (least(f.len, (f.k + 1) * f.step)
+                              - least(f.len, f.k * f.step))) AS fhx
+           FROM fr0 f JOIN hexes h USING (media_id)),
+    feat AS (SELECT media_id, k, nf,
+                    CAST(CAST(('0x' || substr(sha256(fhx || '-0'), 1, 8))
+                              AS BIGINT) / 4294967296.0 AS FLOAT) AS f0
+             FROM fr)
+    SELECT media_id, CAST(k AS INTEGER) AS best_frame,
+           round(f0, 9) AS best_f0, CAST(nf AS BIGINT) AS n_frames
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY media_id ORDER BY f0 DESC, k) AS rk
+          FROM feat)
+    WHERE rk = 1
+    """,
+    tags=("multimodal", "video", "keyframe"),
+)
+def q143_video_keyframes(spark, sf_dir):
+    """Keyframe selection: sample frames from each video, score each
+    frame (deterministic fake kernel — a CLIP-style scorer drops into
+    the same slot), keep the argmax frame per video. Exercises the
+    TWO-stage multimodal pipeline (mapInPandas explode → mapInPandas
+    score → window argmax) hash-checked end to end; the oracle
+    re-derives frame byte-slices as hex substrings and the sha256
+    feature from first principles. Scale shape: both UDF stages are
+    narrow Arrow passes, the argmax is one window shuffle on
+    media_id."""
+    from pyspark.sql.window import Window
+
+    frames = MM.sample_frames(MM.synthesize_media(spark, n=96), every_ms=1000)
+    feats = MM.frame_features(frames)
+    w = Window.partitionBy("media_id").orderBy(F.col("f0").desc(), "frame_idx")
+    wc = Window.partitionBy("media_id")
+    return (
+        feats.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_frames", F.count("*").over(wc))
+        .where(F.col("rk") == 1)
+        .select(
+            "media_id",
+            F.col("frame_idx").alias("best_frame"),
+            F.round("f0", 9).alias("best_f0"),
+            "n_frames",
+        )
+    )
