@@ -992,3 +992,47 @@ def q141_value_histogram(spark, sf_dir):
         F.round(F.min("value"), 2).alias("bin_min"),
         F.round(F.max("value"), 2).alias("bin_max"),
     )
+
+
+@register(
+    "q144_event_transitions",
+    sql="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events)
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n,
+           round(CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (PARTITION BY prev_type), 9) AS p
+    FROM ordered
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+    tags=("sequence", "markov", "window"),
+)
+def q144_event_transitions(spark, sf_dir):
+    """First-order event-transition matrix per the user clickstream:
+    lag() over each user's time-ordered events, then (prev, next)
+    counts and row-normalized transition probabilities — the Markov
+    sequence-mining primitive behind session modeling. One window
+    shuffle on user_id (state per user is its own partition slice),
+    one partial-agg shuffle on the 5x5 transition key, and the
+    normalizing row-sum rides a window over the tiny aggregate.
+    Tie-break on event_id makes lag() deterministic under equal
+    timestamps."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    counts = ordered.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").alias("n")
+    )
+    wn = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type", "next_type", "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wn), 9
+        ).alias("p"),
+    )
