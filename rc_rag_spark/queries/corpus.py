@@ -119,7 +119,9 @@ _PACK_BUDGET = 2000
     WITH RECURSIVE d AS (
         SELECT doc_id, lang, len({_TOKS_SQL}) AS n_tokens FROM documents
     ),
-    numbered AS (
+    -- MATERIALIZED: the recursive walk joins `numbered` once per
+    -- recursion level; inlining would re-tokenize the corpus each level
+    numbered AS MATERIALIZED (
         SELECT *, row_number() OVER (PARTITION BY lang ORDER BY doc_id)
             AS rn
         FROM d

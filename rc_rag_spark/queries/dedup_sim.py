@@ -105,7 +105,10 @@ _Q62_PAIRS_CTES = f"""corpus AS (
                    CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)) AS h
         FROM sh WHERE len(grams) > 0
     ),
-    sig AS (
+    -- MATERIALIZED: sig self-joins (a×b) and pairs feeds both edge
+    -- directions — without it DuckDB re-inlines the whole md5-minhash
+    -- pipeline per reference (measured 96 s -> oracle-side at sf0.1)
+    sig AS MATERIALIZED (
         SELECT doc_id, grams,
                [list_min(list_transform(h, x ->
                     ((1000003 * (j + 1) + 12345) * x + 7919 * (j + 1) + 17)
@@ -130,7 +133,7 @@ _Q62_PAIRS_CTES = f"""corpus AS (
                END AS jaccard
         FROM cand
     ),
-    pairs AS (SELECT * FROM pj WHERE jaccard >= 0.5)"""
+    pairs AS MATERIALIZED (SELECT * FROM pj WHERE jaccard >= 0.5)"""
 
 
 def _q62_corpus_pairs(spark, sf_dir):
