@@ -105,3 +105,52 @@ def test_window_over_bucketed_scan_has_no_exchange(spark, sf_dir, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan2.count("Exchange hashpartitioning") == 1
+
+
+def test_aqe_skew_join_engages_on_hot_key(spark):
+    """AQE's runtime skew-join split must actually engage on a
+    pathological key distribution — the automatic complement to the
+    explicit salting tools. One key carries ~95% of the rows; with the
+    skew thresholds lowered to fixture scale, the post-execution
+    adaptive plan must mark the sort-merge join skew=true."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.shuffle.partitions",
+        )
+    }
+    try:
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "8KB",
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        conf.set("spark.sql.shuffle.partitions", "8")
+        n = 60_000
+        big = spark.range(n).select(
+            F.when(F.col("id") % 20 != 0, F.lit(7)).otherwise(F.col("id"))
+            .alias("k"),
+            F.concat(F.lit("v"), F.col("id").cast("string")).alias("payload"),
+        )
+        small = spark.range(3_000).select(
+            F.col("id").alias("k"),
+            F.col("id").cast("string").alias("dim"),
+        )
+        joined = big.join(small, "k")
+        # collect() drives THIS DataFrame's QueryExecution (count()
+        # would build a different one whose final plan we can't read)
+        assert len(joined.collect()) > 0
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final[:2000]
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
