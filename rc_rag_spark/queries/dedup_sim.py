@@ -1166,3 +1166,64 @@ def q136_dedup_retention(spark, sf_dir):
         (F.col("n_total") - F.col("n_kept")).alias("n_dropped"),
         "dropped_ids",
     )
+
+
+@register(
+    "q145_curriculum_order",
+    sql=f"""
+    WITH {_sql_quality_ctes()},
+    scored AS (
+        SELECT doc_id, {_QUALITY_EXPR_SQL} AS quality FROM r),
+    thr AS (
+        SELECT quantile_cont(quality, 0.25) AS q1,
+               quantile_cont(quality, 0.50) AS q2,
+               quantile_cont(quality, 0.75) AS q3
+        FROM scored)
+    SELECT s.doc_id, s.quality,
+           CAST(CASE WHEN s.quality > t.q3 THEN 1
+                     WHEN s.quality > t.q2 THEN 2
+                     WHEN s.quality > t.q1 THEN 3
+                     ELSE 4 END AS INTEGER) AS stage,
+           CAST(s.doc_id % 8 AS INTEGER) AS shard
+    FROM scored s CROSS JOIN thr t
+    """,
+    tags=("corpus", "curriculum", "quality"),
+)
+def q145_curriculum_order(spark, sf_dir):
+    """Curriculum assignment for training: quality-quartile stages
+    (stage 1 = cleanest quartile first) plus a deterministic hash
+    shard. Deliberately NOT a global sort: the quartile thresholds
+    come from one exact-percentile aggregate (q29-proven identical to
+    DuckDB's quantile_cont) broadcast back over the corpus, so stage
+    assignment is a narrow per-row comparison at any scale — the
+    100 TB shape, vs the single-partition global-NTILE formulation
+    documented as a small-result-only operator (SCALE.md)."""
+    from rc_rag_spark.functions.text import simple_tokenize
+
+    d = wide_table(spark, sf_dir, "documents")
+    scored = (
+        d.select("doc_id", "text", simple_tokenize("text").alias("_toks"))
+        .select(
+            "doc_id",
+            TS.quality_features_from_tokens("text", F.col("_toks")).alias("q"),
+        )
+        .select(
+            "doc_id",
+            TS.quality_score_from_features(F.col("q")).alias("quality"),
+        )
+    )
+    thr = scored.agg(
+        F.expr("percentile(quality, 0.25)").alias("q1"),
+        F.expr("percentile(quality, 0.50)").alias("q2"),
+        F.expr("percentile(quality, 0.75)").alias("q3"),
+    )
+    return scored.crossJoin(F.broadcast(thr)).select(
+        "doc_id", "quality",
+        F.when(F.col("quality") > F.col("q3"), 1)
+        .when(F.col("quality") > F.col("q2"), 2)
+        .when(F.col("quality") > F.col("q1"), 3)
+        .otherwise(4)
+        .cast("int")
+        .alias("stage"),
+        (F.col("doc_id") % 8).cast("int").alias("shard"),
+    )
