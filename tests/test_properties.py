@@ -236,9 +236,11 @@ def test_hash_checked_results_partition_independent(spark, sf_dir):
     names = [
         "q01_pricing_summary",        # decimal sums
         "q105_trimmed_mean",          # grouped-agg pandas UDF
+        "q108_bm25_scores",           # decimal-summed BM25 terms
         "q124_grouped_linear_fit",    # moment sums -> OLS
         "q128_time_weighted_average", # decimal-weighted TWAP
         "q139_pagerank_trade_graph",  # iterative, quantized
+        "q145_curriculum_order",      # percentile thresholds broadcast
     ]
     import rc_rag_spark.queries as q
 
