@@ -1,0 +1,600 @@
+"""Round-3 analytics breadth: graph topology, time-decayed scores,
+warehouse maintenance (SCD merge), session funnels, robust outliers,
+equi-depth profiling, weighted sampling, and distribution entropy.
+
+Every query here is DuckDB-hash-checked. Determinism discipline follows
+queries/core.py: exact-integer counts wherever possible; doubles only
+via single IEEE ops (one multiply / one divide) with round(_, 9) on
+both engines; decayed sums quantize each term to DECIMAL before the
+order-independent exact SUM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from rc_rag_spark.queries.core import register
+from rc_rag_spark.sources import table
+
+
+# --------------------------------------------------------------------------
+# Shared co-purchase edge set (the q140 pair construction, min-support 2).
+# a < b orientation; support >= 2 keeps the edge set sparse enough that
+# the wedge join below is bounded at any scale where repeated co-purchase
+# is rare (random pairs almost never repeat).
+
+_EDGES_SQL = """
+    items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+        SELECT a.l_partkey AS a, b.l_partkey AS b
+        FROM items a JOIN items b
+          ON b.l_orderkey = a.l_orderkey
+         AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING COUNT(*) >= 2)
+"""
+
+
+def _copurchase_edges(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("b.l_orderkey") == F.col("a.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("a"),
+            F.col("b.l_partkey").alias("b"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= 2)
+        .select("a", "b")
+    )
+
+
+@register(
+    "q145_triangle_count",
+    sql=f"""
+    WITH {_EDGES_SQL},
+    wedges AS (
+        SELECT e1.a AS a, e1.b AS b, e2.b AS c
+        FROM edges e1 JOIN edges e2 ON e2.a = e1.b),
+    tris AS (
+        SELECT w.a, w.b, w.c FROM wedges w
+        JOIN edges e3 ON e3.a = w.a AND e3.b = w.c)
+    SELECT CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+           CAST((SELECT COUNT(*) FROM wedges) AS BIGINT) AS n_wedges,
+           CAST((SELECT COUNT(*) FROM tris) AS BIGINT) AS n_triangles
+    """,
+    tags=("graph", "triangle"),
+)
+def q145_triangle_count(spark, sf_dir):
+    """Triangle counting over the co-purchase graph (q140's edge set,
+    min-support 2). Classic two-equi-join formulation on the a<b<c
+    oriented edge list: wedges = edges ⋈ edges on the middle vertex,
+    triangles = wedges semi-joined against the closing edge. The a<b
+    orientation is exactly the degree-bounding trick that makes
+    distributed triangle counting feasible — every triangle is counted
+    once, and the wedge fan-out is sum(out-degree²) of the ORIENTED
+    graph, far below the unoriented degree² sum on skewed graphs. All
+    shuffles are equi-joins on vertex keys; counts are exact integers,
+    folded lazily (three scalar aggregates cross-joined — no driver
+    action inside the query)."""
+    edges = _copurchase_edges(spark, sf_dir)
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    wedges = e1.join(
+        e2, F.col("e2.a") == F.col("e1.b")
+    ).select(
+        F.col("e1.a").alias("a"),
+        F.col("e1.b").alias("b"),
+        F.col("e2.b").alias("c"),
+    )
+    tris = wedges.join(
+        edges.select(
+            F.col("a").alias("ta"), F.col("b").alias("tc")
+        ),
+        (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")),
+    )
+    return (
+        edges.agg(F.count("*").cast("bigint").alias("n_edges"))
+        .crossJoin(
+            wedges.agg(F.count("*").cast("bigint").alias("n_wedges"))
+        )
+        .crossJoin(
+            tris.agg(F.count("*").cast("bigint").alias("n_triangles"))
+        )
+    )
+
+
+@register(
+    "q146_khop_neighborhood",
+    sql=f"""
+    WITH {_EDGES_SQL},
+    sym AS (SELECT a AS s, b AS d FROM edges
+            UNION SELECT b, a FROM edges),
+    deg AS (SELECT s, COUNT(*) AS degree FROM sym GROUP BY s),
+    seeds AS (SELECT s AS seed FROM deg
+              ORDER BY degree DESC, s LIMIT 3),
+    hop1 AS (SELECT DISTINCT seeds.seed, sym.d AS v
+             FROM seeds JOIN sym ON sym.s = seeds.seed),
+    hop2_raw AS (SELECT DISTINCT h.seed, sym.d AS v
+                 FROM hop1 h JOIN sym ON sym.s = h.v),
+    hop2 AS (
+        SELECT r.seed, r.v FROM hop2_raw r
+        LEFT JOIN hop1 h ON h.seed = r.seed AND h.v = r.v
+        WHERE h.v IS NULL AND r.v != r.seed)
+    SELECT s.seed,
+           CAST((SELECT COUNT(*) FROM hop1 WHERE hop1.seed = s.seed)
+                AS BIGINT) AS n_hop1,
+           CAST((SELECT COUNT(*) FROM hop2 WHERE hop2.seed = s.seed)
+                AS BIGINT) AS n_hop2
+    FROM seeds s
+    """,
+    tags=("graph", "bfs", "khop"),
+)
+def q146_khop_neighborhood(spark, sf_dir):
+    """2-hop BFS frontier sizes from the 3 highest-degree vertices of
+    the co-purchase graph (ties broken by key). Each hop is one
+    equi-join frontier-expansion + distinct — the standard distributed
+    BFS step — and the hop-2 frontier subtracts hop-1 and the seed via
+    a left-anti join, never a collected set. At 100 TB the frontier
+    tables shuffle on vertex id; nothing returns to the driver."""
+    edges = _copurchase_edges(spark, sf_dir)
+    sym = (
+        edges.select(F.col("a").alias("s"), F.col("b").alias("d"))
+        .union(edges.select(F.col("b").alias("s"), F.col("a").alias("d")))
+        .distinct()
+        .persist()
+    )
+    seeds = (
+        sym.groupBy("s")
+        .agg(F.count("*").alias("degree"))
+        .orderBy(F.col("degree").desc(), F.col("s"))
+        .limit(3)
+        .select(F.col("s").alias("seed"))
+    )
+    hop1 = (
+        seeds.join(sym, seeds.seed == sym.s)
+        .select("seed", F.col("d").alias("v"))
+        .distinct()
+        .persist()
+    )
+    hop2 = (
+        hop1.join(sym, hop1.v == sym.s)
+        .select("seed", F.col("d").alias("v"))
+        .distinct()
+        .join(hop1, ["seed", "v"], "left_anti")
+        .where(F.col("v") != F.col("seed"))
+    )
+    out = (
+        seeds.join(
+            hop1.groupBy("seed").agg(F.count("*").alias("n_hop1")),
+            "seed",
+            "left",
+        )
+        .join(
+            hop2.groupBy("seed").agg(F.count("*").alias("n_hop2")),
+            "seed",
+            "left",
+        )
+        .select(
+            "seed",
+            F.coalesce("n_hop1", F.lit(0)).cast("bigint").alias("n_hop1"),
+            F.coalesce("n_hop2", F.lit(0)).cast("bigint").alias("n_hop2"),
+        )
+    )
+    return out
+
+
+# Python-evaluated IEEE doubles for 0.9^k, passed as literals to BOTH
+# engines so neither side computes pow() (libm last-ulp divergence).
+_DECAY = [0.9 ** k for k in range(8)]
+
+
+@register(
+    "q147_decayed_event_score",
+    sql=f"""
+    WITH lagged AS (
+        SELECT event_id, user_id,
+               {", ".join(
+                   f"lag(value, {k}) OVER (PARTITION BY user_id "
+                   f"ORDER BY ts, event_id) AS v{k}"
+                   for k in range(8))}
+        FROM events)
+    SELECT event_id, user_id,
+           CAST({" + ".join(
+               f"coalesce(CAST(round(v{k} * {c!r}, 9) AS DECIMAL(24,9)),"
+               f" CAST(0 AS DECIMAL(24,9)))"
+               for k, c in enumerate(_DECAY))} AS DOUBLE) AS decayed
+    FROM lagged
+    """,
+    tags=("window", "timeseries", "decay"),
+)
+def q147_decayed_event_score(spark, sf_dir):
+    """Exponentially decayed event score: at every event, the
+    0.9-decayed sum of the user's last 8 event values. EMA-style
+    recursive state is inexpressible as a closed-form window in any
+    engine, but a truncated kernel (0.9⁸ ≈ 0.43 — for real pipelines
+    widen to 32 lags where 0.9³² ≈ 0.03) is 8 lag() reads inside ONE
+    window sort — no self-join, no explode, one shuffle on user_id.
+    Determinism: decay coefficients are Python-evaluated IEEE literals
+    (identical in both engines — no libm pow), each term is one IEEE
+    multiply rounded to 1e-9 and quantized to DECIMAL, and the 8-term
+    sum is exact, so partial-agg order can't drift the hash."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = [
+        F.lag("value", k).over(w).alias(f"v{k}") for k in range(8)
+    ]
+    lagged = e.select("event_id", "user_id", *lags)
+    zero = F.lit(0).cast("decimal(24,9)")
+    terms = [
+        F.coalesce(
+            F.round(F.col(f"v{k}") * F.lit(c), 9).cast("decimal(24,9)"),
+            zero,
+        )
+        for k, c in enumerate(_DECAY)
+    ]
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return lagged.select(
+        "event_id", "user_id", total.cast("double").alias("decayed")
+    )
+
+
+@register(
+    "q148_scd_merge",
+    sql="""
+    WITH changes AS (
+        SELECT c_custkey AS custkey, round(c_acctbal + 100, 2) AS new_bal
+        FROM customer WHERE c_custkey % 7 = 0
+        UNION ALL
+        SELECT c_custkey + 10000000, round(c_acctbal - 250, 2)
+        FROM customer WHERE c_custkey % 31 = 0)
+    SELECT coalesce(ch.custkey, b.c_custkey) AS custkey,
+           b.c_acctbal AS old_bal, ch.new_bal,
+           CASE WHEN b.c_custkey IS NULL THEN 'insert'
+                WHEN ch.custkey  IS NULL THEN 'carry'
+                ELSE 'update' END AS action
+    FROM customer b FULL OUTER JOIN changes ch ON ch.custkey = b.c_custkey
+    WHERE b.c_custkey IS NULL OR ch.custkey IS NOT NULL
+    """,
+    tags=("warehouse", "merge", "scd"),
+)
+def q148_scd_merge(spark, sf_dir):
+    """Dimension-maintenance MERGE (the SCD upsert shape): a change
+    set (updates keyed on existing customers, inserts with fresh keys)
+    full-outer-joined against the base dimension, classifying every
+    key as insert / update / carry and emitting the non-carry rows —
+    exactly what `MERGE INTO` compiles to on engines without it. One
+    hash shuffle on the key; at 100 TB the scale lever is partitioning
+    the base dim on the merge key so only changed partitions rewrite
+    (the dynamic-partition-overwrite sink in sources/registry.py)."""
+    c = table(spark, sf_dir, "customer")
+    updates = c.where(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_custkey").alias("custkey"),
+        F.round(F.col("c_acctbal") + 100, 2).alias("new_bal"),
+    )
+    # acctbal sits at hundredths; +100/-250 keep it there, so round(_, 2)
+    # never lands on a .xx5 tie (Spark rounds half-up, DuckDB half-even).
+    inserts = c.where(F.col("c_custkey") % 31 == 0).select(
+        (F.col("c_custkey") + 10_000_000).alias("custkey"),
+        F.round(F.col("c_acctbal") - 250, 2).alias("new_bal"),
+    )
+    changes = updates.unionByName(inserts)
+    base = c.select("c_custkey", "c_acctbal")
+    merged = base.join(
+        changes, changes.custkey == base.c_custkey, "full_outer"
+    )
+    return merged.select(
+        F.coalesce(changes.custkey, base.c_custkey).alias("custkey"),
+        base.c_acctbal.alias("old_bal"),
+        "new_bal",
+        F.when(base.c_custkey.isNull(), "insert")
+        .when(changes.custkey.isNull(), "carry")
+        .otherwise("update")
+        .alias("action"),
+    ).where(
+        base.c_custkey.isNull() | changes.custkey.isNotNull()
+    )
+
+
+@register(
+    "q149_session_funnel",
+    sql="""
+    WITH o AS (
+        SELECT user_id, ts, event_type,
+               lag(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events),
+    s AS (
+        SELECT user_id, ts, event_type,
+               SUM(CASE WHEN prev_ts IS NULL
+                         OR ts - prev_ts > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id
+                         ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM o),
+    per_session AS (
+        SELECT user_id, session_id,
+               MIN(ts) FILTER (WHERE event_type = 'view') AS t_view,
+               MIN(ts) FILTER (WHERE event_type = 'click') AS t_click,
+               MIN(ts) FILTER (WHERE event_type = 'purchase') AS t_buy
+        FROM s GROUP BY user_id, session_id)
+    SELECT COUNT(*) AS n_sessions,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS with_view,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                    THEN 1 ELSE 0 END) AS BIGINT) AS view_click,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                          AND t_buy > t_click
+                    THEN 1 ELSE 0 END) AS BIGINT) AS full_funnel
+    FROM per_session
+    """,
+    tags=("sessionization", "funnel"),
+)
+def q149_session_funnel(spark, sf_dir):
+    """Funnel WITHIN sessions: q103's gaps-and-islands sessionization
+    (30-min inactivity boundary) composed with q89's ordered-stage
+    funnel, evaluated per session instead of per user — the form
+    product analytics actually ships. Two window passes over one
+    user_id shuffle, then a per-session conditional-MIN agg and a
+    scalar fold; ordering inside the boundary-sum window is by ts
+    alone (matching q103), with (ts, event_id) ordering only where the
+    lag needs total order."""
+    e = table(spark, sf_dir, "events")
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_sum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    boundary = (
+        F.col("prev_ts").isNull()
+        | (
+            F.col("ts").cast("long") - F.col("prev_ts").cast("long")
+            > 30 * 60
+        )
+    ).cast("int")
+    s = e.select(
+        "user_id", "ts", "event_type",
+        F.lag("ts").over(w_lag).alias("prev_ts"),
+    ).select(
+        "user_id", "ts", "event_type",
+        F.sum(boundary).over(w_sum).alias("session_id"),
+    )
+
+    def first(evt):
+        return F.min(F.when(F.col("event_type") == evt, F.col("ts")))
+
+    per_session = s.groupBy("user_id", "session_id").agg(
+        first("view").alias("t_view"),
+        first("click").alias("t_click"),
+        first("purchase").alias("t_buy"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    bought = clicked & (F.col("t_buy") > F.col("t_click"))
+    return per_session.agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(viewed.cast("int")).cast("bigint").alias("with_view"),
+        F.sum(clicked.cast("int")).cast("bigint").alias("view_click"),
+        F.sum(bought.cast("int")).cast("bigint").alias("full_funnel"),
+    )
+
+
+@register(
+    "q150_mad_outliers",
+    sql="""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type),
+    dev AS (
+        SELECT e.event_type, e.value, m.med,
+               abs(e.value - m.med) AS adev
+        FROM events e JOIN med m ON m.event_type = e.event_type),
+    mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY event_type)
+    SELECT d.event_type,
+           round(any_value(d.med), 9) AS med,
+           round(any_value(m.mad), 9) AS mad,
+           CAST(SUM(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           COUNT(*) AS n
+    FROM dev d JOIN mad m ON m.event_type = d.event_type
+    GROUP BY d.event_type
+    """,
+    tags=("profiling", "robust", "outliers"),
+)
+def q150_mad_outliers(spark, sf_dir):
+    """Robust outlier profiling: per-event-type median and MAD (median
+    absolute deviation), flagging |x − med| > 3·MAD. Two grouped exact
+    percentiles with a broadcast-joined median between them — the
+    z-score twin (q88) uses moment sums; MAD is what survives heavy
+    tails. Exact `percentile` matches DuckDB `quantile_cont` bit-wise
+    (proven by q29); deviations and the 3·MAD boundary are single IEEE
+    ops, so the outlier counts are deterministic integers."""
+    e = table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.first("med"), 9).alias("med"),
+            F.round(F.first("mad"), 9).alias("mad"),
+            F.sum((F.col("adev") > 3 * F.col("mad")).cast("int"))
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "q151_equidepth_histogram",
+    sql="""
+    WITH t AS (
+        SELECT o_totalprice,
+               ntile(10) OVER (ORDER BY o_totalprice, o_orderkey)
+                   AS bucket
+        FROM orders)
+    SELECT bucket, COUNT(*) AS n,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+    FROM t GROUP BY bucket
+    """,
+    tags=("profiling", "histogram", "equidepth"),
+)
+def q151_equidepth_histogram(spark, sf_dir):
+    """Equi-DEPTH histogram (q141 is equi-width): decile boundaries of
+    o_totalprice via ntile over a total order — the structure behind
+    optimizer statistics and range-partitioner boundary picking. The
+    (value, key) tiebreak makes bucket membership deterministic under
+    any partitioning. This exact form needs one global sort; the 100 TB
+    variant computes boundaries from approx_percentile (q133's sketch)
+    and buckets with a broadcast range lookup instead — the contract
+    (counts per decile, lo/hi per decile) is identical, which is what
+    the hash check pins."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(10).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+@register(
+    "q152_priority_sample",
+    sql="""
+    WITH keyed AS (
+        SELECT o_orderkey, o_totalprice,
+               o_totalprice /
+                   ((CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                          1, 8)) AS BIGINT) + 0.5)
+                    / 4294967296.0) AS priority
+        FROM orders)
+    SELECT o_orderkey, o_totalprice, priority
+    FROM (SELECT * FROM keyed
+          ORDER BY priority DESC, o_orderkey LIMIT 32) top
+    """,
+    tags=("sampling", "weighted", "priority"),
+)
+def q152_priority_sample(spark, sf_dir):
+    """Weighted sampling without replacement via PRIORITY SAMPLING
+    (Duffield–Lund–Thorup): each row gets priority w/u with u uniform
+    in (0,1); the top-k by priority is a weight-proportional sample
+    with provably near-optimal subset-sum variance. u is md5-derived
+    (same 32-bit construction as the MinHash oracle) so the 'random'
+    stream is reproducible on both engines — sampling becomes a pure
+    deterministic query. Scale shape: one map + TakeOrdered(k) —
+    per-partition top-k then a k-row driver merge, no global sort, no
+    shuffle of the data itself. Priorities are emitted RAW: they're a
+    chain of single IEEE ops over identical operands (bit-identical on
+    both engines), whereas decimal re-rounding of a billion-scale
+    double at 1e-6 is implementation-defined and measurably diverges
+    (Spark BigDecimal half-up vs DuckDB multiply-round-divide)."""
+    o = table(spark, sf_dir, "orders")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    keyed = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        (F.col("o_totalprice") / u).alias("priority"),
+    )
+    return keyed.orderBy(F.col("priority").desc(), "o_orderkey").limit(32)
+
+
+@register(
+    "q153_entropy_profile",
+    sql="""
+    WITH src AS (
+        SELECT 'events.event_type' AS col_name, event_type AS v FROM events
+        UNION ALL
+        SELECT 'lineitem.l_returnflag', l_returnflag FROM lineitem
+        UNION ALL
+        SELECT 'orders.o_orderpriority', o_orderpriority FROM orders),
+    counts AS (
+        SELECT col_name, v, COUNT(*) AS c FROM src GROUP BY col_name, v),
+    tot AS (SELECT col_name, SUM(c) AS n FROM counts GROUP BY col_name)
+    SELECT c.col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           round(CAST(-SUM(CAST(round((c.c / CAST(t.n AS DOUBLE))
+                                      * ln(c.c / CAST(t.n AS DOUBLE)), 12)
+                                AS DECIMAL(24,12)))
+                      AS DOUBLE),
+                 9) AS entropy_nats
+    FROM counts c JOIN tot t ON t.col_name = c.col_name
+    GROUP BY c.col_name
+    """,
+    tags=("profiling", "entropy", "skew"),
+)
+def q153_entropy_profile(spark, sf_dir):
+    """Key-distribution entropy per candidate partition column — the
+    skew diagnostic behind choosing shuffle keys and salting factors
+    (low entropy = hot keys; ln(n_distinct) = perfectly uniform). One
+    grouped count per column plus a broadcast total; the per-key
+    p·ln(p) term is quantized to DECIMAL(24,12) before the exact SUM
+    so the fold order can't drift the hash (ln parity with DuckDB is
+    already load-bearing in the BM25/TF-IDF oracles). The multi-column
+    union scans each table once, projecting a single column — at
+    100 TB this is 3 column-pruned scans, each a partial-agg
+    shuffle of (col, key) counts."""
+    e = table(spark, sf_dir, "events").select(
+        F.lit("events.event_type").alias("col_name"),
+        F.col("event_type").alias("v"),
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        F.lit("lineitem.l_returnflag").alias("col_name"),
+        F.col("l_returnflag").alias("v"),
+    )
+    o = table(spark, sf_dir, "orders").select(
+        F.lit("orders.o_orderpriority").alias("col_name"),
+        F.col("o_orderpriority").alias("v"),
+    )
+    src = e.unionByName(li).unionByName(o)
+    counts = src.groupBy("col_name", "v").agg(F.count("*").alias("c"))
+    tot = counts.groupBy("col_name").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n").cast("double")
+    return (
+        counts.join(F.broadcast(tot), "col_name")
+        .groupBy("col_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_distinct"),
+            F.round(
+                (
+                    -F.sum(
+                        F.round(p * F.log(p), 12).cast("decimal(24,12)")
+                    )
+                ).cast("double"),
+                9,
+            ).alias("entropy_nats"),
+        )
+    )

@@ -201,3 +201,39 @@ def test_round3_queries_no_cartesian(spark, sf_dir, name):
     plan = plan_of(spark, sf_dir, name)
     assert "CartesianProduct" not in plan, name
     assert plan.count("BroadcastNestedLoopJoin") <= 1, name
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q145_triangle_count",
+        "q146_khop_neighborhood",
+        "q148_scd_merge",
+        "q149_session_funnel",
+        "q150_mad_outliers",
+        "q153_entropy_profile",
+    ],
+)
+def test_analytics_queries_no_cartesian(spark, sf_dir, name):
+    """Analytics batch: graph joins, merge, funnel, profiling — all
+    equi-joins; tolerated nested-loops are only the broadcast attach
+    of ≤3 single-row scalar aggregates (q145's count fold)."""
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, name
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, name
+
+
+def test_q152_priority_sample_topk(spark, sf_dir):
+    """Weighted sampling must be per-partition top-k + k-row merge,
+    never a global sort."""
+    plan = plan_of(spark, sf_dir, "q152_priority_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_q147_decay_single_exchange(spark, sf_dir):
+    """8-lag decayed score: ONE hash exchange on user_id, one window
+    sort — no self-join, no explode."""
+    plan = plan_of(spark, sf_dir, "q147_decayed_event_score")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
