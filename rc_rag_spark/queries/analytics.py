@@ -598,3 +598,68 @@ def q153_entropy_profile(spark, sf_dir):
             ).alias("entropy_nats"),
         )
     )
+
+
+@register(
+    "q156_incremental_agg",
+    sql="""
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_spend,
+           MAX(o_orderdate) AS last_order_ts
+    FROM orders GROUP BY o_custkey
+    """,
+    tags=("warehouse", "incremental", "materialized-view"),
+)
+def q156_incremental_agg(spark, sf_dir):
+    """Materialized-view maintenance: the per-customer order aggregate
+    is computed as BASE (orders before 1999) + DELTA (orders from
+    1999 on), each aggregated independently and then MERGED by
+    combining the partial states (count: +, decimal sum: +, max:
+    greatest) — the algebraic-aggregate refresh that avoids
+    recomputing the base at every batch. The oracle aggregates the
+    whole table directly, so the hash check IS the proof that
+    merge-of-partials ≡ recompute (the property incremental pipelines
+    rely on). All states here are mergeable (no AVG in state — it
+    derives from sum/count); at 100 TB the base agg is a stored table
+    and each refresh shuffles only the delta."""
+    o = table(spark, sf_dir, "orders")
+    cutoff = F.lit("1999-01-01").cast("timestamp")
+
+    def agg(df):
+        return df.groupBy("o_custkey").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"),
+            F.max("o_orderdate").alias("m"),
+        )
+
+    base = agg(o.where(F.col("o_orderdate") < cutoff))
+    delta = agg(o.where(F.col("o_orderdate") >= cutoff))
+    b = base.select(
+        "o_custkey",
+        F.col("n").alias("bn"),
+        F.col("s").alias("bs"),
+        F.col("m").alias("bm"),
+    )
+    d = delta.select(
+        "o_custkey",
+        F.col("n").alias("dn"),
+        F.col("s").alias("ds"),
+        F.col("m").alias("dm"),
+    )
+    return b.join(d, "o_custkey", "full_outer").select(
+        "o_custkey",
+        (
+            F.coalesce("bn", F.lit(0)) + F.coalesce("dn", F.lit(0))
+        ).alias("n_orders"),
+        (
+            F.coalesce(F.col("bs"), F.lit(0).cast("decimal(18,2)"))
+            + F.coalesce(F.col("ds"), F.lit(0).cast("decimal(18,2)"))
+        )
+        .cast("double")
+        .alias("total_spend"),
+        F.greatest(
+            F.coalesce("bm", "dm"), F.coalesce("dm", "bm")
+        ).alias("last_order_ts"),
+    )

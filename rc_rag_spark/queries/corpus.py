@@ -433,3 +433,234 @@ def q137_fixed_size_sample(spark, sf_dir):
             ).alias("kept_ids"),
         )
     )
+
+
+@register(
+    "q154_rrf_hybrid_fusion",
+    sql=f"""
+    WITH d AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    docs AS (SELECT doc_id, len(toks) AS dl, toks FROM d),
+    stats AS (SELECT COUNT(*) AS n, SUM(dl) AS sumdl FROM docs),
+    tf AS (
+        SELECT doc_id, dl, token, COUNT(*) AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS token FROM docs)
+        WHERE token IN {tuple(_BM25_TERMS)!r}
+        GROUP BY doc_id, dl, token
+    ),
+    dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    scored AS (
+        SELECT doc_id,
+               CAST(round(
+                   ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5))
+                   * tf * {_BM25_K1 + 1.0}
+                   / (tf + {_BM25_K1} * ({1.0 - _BM25_B} + {_BM25_B} * dl
+                          / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))),
+                   9) AS DECIMAL(28,9)) AS s
+        FROM tf JOIN dfreq USING (token) CROSS JOIN stats
+    ),
+    lex AS (SELECT doc_id, round(CAST(SUM(s) AS DOUBLE), 6) AS score
+            FROM scored GROUP BY doc_id),
+    lexrank AS (
+        SELECT doc_id, CAST(row_number() OVER (
+                   ORDER BY score DESC, doc_id) AS INTEGER) AS r_lex
+        FROM lex),
+    qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+    dense AS (
+        SELECT e.vec_id AS doc_id,
+               list_dot_product(e.embedding::DOUBLE[], qv.v)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                        e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(qv.v, qv.v))) AS sim
+        FROM embeddings e CROSS JOIN qv WHERE e.vec_id != 0),
+    denserank AS (
+        SELECT doc_id, CAST(row_number() OVER (
+                   ORDER BY sim DESC, doc_id) AS INTEGER) AS r_dense
+        FROM dense),
+    fused AS (
+        SELECT coalesce(l.doc_id, dn.doc_id) AS doc_id,
+               l.r_lex, dn.r_dense,
+               round(coalesce(1.0 / (60 + l.r_lex), 0.0)
+                     + coalesce(1.0 / (60 + dn.r_dense), 0.0), 9) AS rrf
+        FROM lexrank l FULL OUTER JOIN denserank dn
+          ON dn.doc_id = l.doc_id)
+    SELECT doc_id, r_lex, r_dense, rrf
+    FROM (SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rk
+          FROM fused)
+    WHERE rk <= 20
+    """,
+    tags=("retrieval", "hybrid", "rrf"),
+)
+def q154_rrf_hybrid_fusion(spark, sf_dir):
+    """Hybrid retrieval via Reciprocal Rank Fusion: the lexical arm is
+    q108's BM25 ranking, the dense arm is exact cosine against a fixed
+    query embedding (vec_id 0), and each document's fused score is
+    Σ 1/(60+rank) over the arms it appears in (missing arm = 0
+    contribution), top-20 emitted. This is the standard
+    sparse-'+'-dense RAG retrieval shape. Scale: each arm is its own
+    ranking pipeline (BM25 = token partial-aggs; dense = the q90
+    pruned top-k at scale), the fusion itself is a full-outer hash
+    join on doc_id plus a top-k — rank windows are over the already
+    tiny per-arm result, not the corpus. RRF terms are single IEEE
+    divides of exact integers, so the fused scores hash-match."""
+    from pyspark.sql.window import Window
+
+    from rc_rag_spark.functions.vectors import cosine
+
+    lex = C.bm25_scores(
+        table(spark, sf_dir, "documents"),
+        _BM25_TERMS, k1=_BM25_K1, b=_BM25_B,
+    ).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), "doc_id"))
+        .cast("int")
+        .alias("r_lex"),
+    )
+    e = table(spark, sf_dir, "embeddings")
+    qv = e.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("_qvec")
+    )
+    dense = (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine(F.col("embedding"), F.col("_qvec")).alias("sim"),
+        )
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("sim"), "doc_id"))
+            .cast("int")
+            .alias("r_dense"),
+        )
+    )
+    fused = (
+        lex.join(dense, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "r_lex",
+            "r_dense",
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(60) + F.col("r_lex")), F.lit(0.0)
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(60) + F.col("r_dense")), F.lit(0.0)
+                ),
+                9,
+            ).alias("rrf"),
+        )
+    )
+    w = Window.orderBy(F.desc("rrf"), "doc_id")
+    return (
+        fused.select("*", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= 20)
+        .drop("rk")
+    )
+
+
+@register(
+    "q155_pmi_collocations",
+    sql="""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents),
+    uni AS (
+        SELECT tok, COUNT(*) AS c
+        FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok),
+    tot AS (SELECT SUM(c) AS t_uni FROM uni),
+    bgx AS (
+        SELECT unnest(list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i+1]))
+                   AS bigram
+        FROM t WHERE len(toks) >= 2),
+    bga AS (SELECT bigram, COUNT(*) AS c FROM bgx GROUP BY bigram),
+    btot AS (SELECT SUM(c) AS t_bg FROM bga),
+    scored AS (
+        SELECT split_part(bigram, ' ', 1) AS w1,
+               split_part(bigram, ' ', 2) AS w2,
+               bga.c AS n_pair,
+               round(ln((CAST(bga.c AS DOUBLE) / t_bg)
+                        / ((CAST(u1.c AS DOUBLE) / t_uni)
+                           * (CAST(u2.c AS DOUBLE) / t_uni))), 9) AS pmi
+        FROM bga
+        JOIN uni u1 ON u1.tok = split_part(bigram, ' ', 1)
+        JOIN uni u2 ON u2.tok = split_part(bigram, ' ', 2)
+        CROSS JOIN tot CROSS JOIN btot
+        WHERE bga.c >= 5)
+    SELECT w1, w2, n_pair, pmi
+    FROM (SELECT *, row_number() OVER (
+              ORDER BY pmi DESC, w1, w2) AS rk FROM scored)
+    WHERE rk <= 20
+    """,
+    tags=("corpus", "collocations", "pmi"),
+)
+def q155_pmi_collocations(spark, sf_dir):
+    """Top-20 PMI collocations: adjacent-token bigrams with count ≥ 5
+    scored ln(p(ab)/(p(a)p(b))) against corpus unigram/bigram totals —
+    the classic phrase-mining signal for tokenizer/vocab curation.
+    Same explode→partial-agg shuffles as q120 (no per-doc
+    concentration); the totals attach as broadcast scalars; ranking
+    happens on the rounded score with a (w1, w2) tiebreak so the
+    top-20 membership is deterministic on both engines."""
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("_toks")
+    )
+    uni = (
+        t.select(F.explode("_toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = uni.agg(F.sum("c").alias("t_uni"))
+    bg = (
+        t.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(_toks) >= 2 THEN"
+                    " transform(sequence(1, size(_toks) - 1),"
+                    " i -> struct(_toks[i-1] AS w1, _toks[i] AS w2))"
+                    " ELSE array() END"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") >= 5)
+    )
+    btot = (
+        t.select(
+            F.greatest(F.size("_toks") - 1, F.lit(0)).alias("nb")
+        ).agg(F.sum("nb").alias("t_bg"))
+    )
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("u1c"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("u2c"))
+    pmi = F.round(
+        F.log(
+            (F.col("c").cast("double") / F.col("t_bg"))
+            / (
+                (F.col("u1c").cast("double") / F.col("t_uni"))
+                * (F.col("u2c").cast("double") / F.col("t_uni"))
+            )
+        ),
+        9,
+    )
+    scored = (
+        bg.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+        .select("w1", "w2", F.col("c").alias("n_pair"), pmi.alias("pmi"))
+    )
+    w = Window.orderBy(F.desc("pmi"), "w1", "w2")
+    return (
+        scored.select("*", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= 20)
+        .drop("rk")
+    )
