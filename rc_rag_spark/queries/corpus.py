@@ -463,9 +463,10 @@ def q137_fixed_size_sample(spark, sf_dir):
     lex AS (SELECT doc_id, round(CAST(SUM(s) AS DOUBLE), 6) AS score
             FROM scored GROUP BY doc_id),
     lexrank AS (
-        SELECT doc_id, CAST(row_number() OVER (
-                   ORDER BY score DESC, doc_id) AS INTEGER) AS r_lex
-        FROM lex),
+        SELECT doc_id, CAST(r AS INTEGER) AS r_lex
+        FROM (SELECT doc_id, row_number() OVER (
+                  ORDER BY score DESC, doc_id) AS r FROM lex)
+        WHERE r <= 100),
     qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
     dense AS (
         SELECT e.vec_id AS doc_id,
@@ -475,9 +476,10 @@ def q137_fixed_size_sample(spark, sf_dir):
                   * sqrt(list_dot_product(qv.v, qv.v))) AS sim
         FROM embeddings e CROSS JOIN qv WHERE e.vec_id != 0),
     denserank AS (
-        SELECT doc_id, CAST(row_number() OVER (
-                   ORDER BY sim DESC, doc_id) AS INTEGER) AS r_dense
-        FROM dense),
+        SELECT doc_id, CAST(r AS INTEGER) AS r_dense
+        FROM (SELECT doc_id, row_number() OVER (
+                  ORDER BY sim DESC, doc_id) AS r FROM dense)
+        WHERE r <= 100),
     fused AS (
         SELECT coalesce(l.doc_id, dn.doc_id) AS doc_id,
                l.r_lex, dn.r_dense,
@@ -498,25 +500,32 @@ def q154_rrf_hybrid_fusion(spark, sf_dir):
     query embedding (vec_id 0), and each document's fused score is
     Σ 1/(60+rank) over the arms it appears in (missing arm = 0
     contribution), top-20 emitted. This is the standard
-    sparse-'+'-dense RAG retrieval shape. Scale: each arm is its own
-    ranking pipeline (BM25 = token partial-aggs; dense = the q90
-    pruned top-k at scale), the fusion itself is a full-outer hash
-    join on doc_id plus a top-k — rank windows are over the already
-    tiny per-arm result, not the corpus. RRF terms are single IEEE
-    divides of exact integers, so the fused scores hash-match."""
+    sparse-'+'-dense RAG retrieval shape. Scale: each arm is
+    truncated to its top-100 list BEFORE ranking — Spark-side that's
+    a TakeOrdered per-partition heap merge, never a global sort or a
+    corpus-wide rank window — so the fusion join and the final rank
+    window see ≤100 rows per arm regardless of corpus size (the dense
+    arm swaps in the q90 pruned top-k at scale). RRF terms are single
+    IEEE divides of exact integers, so the fused scores
+    hash-match."""
     from pyspark.sql.window import Window
 
     from rc_rag_spark.functions.vectors import cosine
 
-    lex = C.bm25_scores(
-        table(spark, sf_dir, "documents"),
-        _BM25_TERMS, k1=_BM25_K1, b=_BM25_B,
-    ).select(
-        "doc_id",
-        F.row_number()
-        .over(Window.orderBy(F.desc("score"), "doc_id"))
-        .cast("int")
-        .alias("r_lex"),
+    lex = (
+        C.bm25_scores(
+            table(spark, sf_dir, "documents"),
+            _BM25_TERMS, k1=_BM25_K1, b=_BM25_B,
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(100)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("score"), "doc_id"))
+            .cast("int")
+            .alias("r_lex"),
+        )
     )
     e = table(spark, sf_dir, "embeddings")
     qv = e.where(F.col("vec_id") == 0).select(
@@ -529,6 +538,8 @@ def q154_rrf_hybrid_fusion(spark, sf_dir):
             F.col("vec_id").alias("doc_id"),
             cosine(F.col("embedding"), F.col("_qvec")).alias("sim"),
         )
+        .orderBy(F.desc("sim"), "doc_id")
+        .limit(100)
         .select(
             "doc_id",
             F.row_number()

@@ -237,3 +237,18 @@ def test_q147_decay_single_exchange(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q147_decayed_event_score")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_q154_rrf_arm_truncation_topk(spark, sf_dir):
+    """Each RRF arm must truncate via per-partition top-k (TakeOrdered)
+    before the rank window — never a corpus-wide rank sort."""
+    plan = plan_of(spark, sf_dir, "q154_rrf_hybrid_fusion")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q156_incremental_merge_no_cartesian(spark, sf_dir):
+    """Base+delta merge is one full-outer hash join on the key."""
+    plan = plan_of(spark, sf_dir, "q156_incremental_agg")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
