@@ -104,3 +104,51 @@ def write_bucketed(
     if sort_key:
         writer = writer.sortBy(sort_key)
     writer.saveAsTable(name)
+
+
+class runtime_bloom_thresholds:
+    """Scoped enablement of Spark's runtime bloom-filter join pruning.
+
+    Spark (3.3+) injects a `bloom_filter_agg` on the selective
+    (creation) side of a shuffle join and a `might_contain` probe on
+    the large (application) side, pruning fact rows BEFORE the shuffle
+    — the runtime analog of a broadcast semi-join, and one of the
+    biggest shuffle reducers on selective fact⋈filtered-dim joins at
+    100 TB. The defaults only fire when the application-side scan is
+    ≥ 10 GB, so local fixtures never see it; this context manager
+    lowers the thresholds (and restores them) so tests and local runs
+    can pin the mechanism the cluster relies on.
+
+    Usage:
+        with runtime_bloom_thresholds(spark):
+            big.join(filtered_dim, "k")...
+    """
+
+    _KEYS = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "100MB",
+    }
+
+    def __init__(self, spark):
+        self.conf = spark.conf
+        self.saved: dict[str, str | None] = {}
+
+    def __enter__(self):
+        for k, v in self._KEYS.items():
+            try:
+                self.saved[k] = self.conf.get(k)
+            except Exception:
+                self.saved[k] = None
+            self.conf.set(k, v)
+        return self
+
+    def __exit__(self, *exc):
+        for k, v in self.saved.items():
+            if v is None:
+                self.conf.unset(k)
+            else:
+                self.conf.set(k, v)
+        return False

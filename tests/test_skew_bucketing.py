@@ -154,3 +154,40 @@ def test_aqe_skew_join_engages_on_hot_key(spark):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """With thresholds scoped down, a selective dim filter must inject
+    a bloom_filter_agg (creation side) + might_contain probe
+    (application side) into the fact⋈dim shuffle join, and the result
+    must equal the unfiltered join's."""
+    from rc_rag_spark.operators.skew import runtime_bloom_thresholds
+    from rc_rag_spark.sources import table
+
+    conf = spark.conf
+    saved_bc = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        li = table(spark, sf_dir, "lineitem")
+        o = table(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        baseline = {tuple(r) for r in j.collect()}
+        with runtime_bloom_thresholds(spark):
+            j2 = (
+                li.join(o, li.l_orderkey == o.o_orderkey)
+                .groupBy("o_orderpriority")
+                .count()
+            )
+            rows = j2.collect()
+            plan = j2._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:1500]
+        assert "might_contain" in plan
+        assert {tuple(r) for r in rows} == baseline
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", saved_bc)
