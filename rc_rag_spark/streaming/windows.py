@@ -225,3 +225,70 @@ def foreach_batch_sink(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stateful_user_totals_tws(df: DataFrame) -> DataFrame:
+    """Spark-4 `transformWithStateInPandas` twin of
+    ``stateful_user_totals``: the same running per-user totals written
+    against the new StatefulProcessor API (typed value state, timer
+    support, state TTL — the successor to applyInPandasWithState).
+    Batch input degenerates to the identical plain aggregation.
+
+    Requires the RocksDB state-store provider in streaming mode (the
+    operator's state lives off-heap and scales past executor memory —
+    exactly the 100 TB posture; HDFS-backed in-memory state would cap
+    per-executor key cardinality).
+    """
+    if not df.isStreaming:
+        return df.groupBy("user_id").agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(dec("value", 12, 2)).cast("double").alias("sum_value"),
+        )
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n BIGINT, total STRING"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import decimal
+
+            import pandas as pd
+
+            if self._state.exists():
+                n, total = self._state.get()
+            else:
+                n, total = 0, "0"
+            total = decimal.Decimal(total)
+            for pdf in rows:
+                n += len(pdf)
+                total += sum(
+                    decimal.Decimal(str(v)).quantize(
+                        decimal.Decimal("0.01")
+                    )
+                    for v in pdf["value"]
+                )
+            self._state.update((n, str(total)))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_value": [float(total)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType="user_id bigint, n_events bigint, sum_value double",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -318,3 +318,38 @@ def test_session_late_event_beyond_watermark_dropped(spark):
         assert batch[1]["sum_value"] == pytest.approx(56.0)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stateful_user_totals_transform_with_state(spark, events_dir):
+    """transformWithStateInPandas (Spark-4 StatefulProcessor) running
+    totals == batch aggregation == the applyInPandasWithState twin.
+    Needs the RocksDB state store provider (scoped to this test) and
+    protobuf (the state-server wire format) — skipped cleanly where
+    protobuf isn't installed, mirroring the PIL-gated decode smoke."""
+    pytest.importorskip("google.protobuf")
+    conf = spark.conf
+    key = "spark.sql.streaming.stateStore.providerClass"
+    saved = conf.get(key, None)
+    try:
+        conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming."
+            "state.RocksDBStateStoreProvider",
+        )
+        stream = W.stateful_user_totals_tws(stream_events(spark, events_dir))
+        rows = run_stream(spark, stream, output_mode="update")
+        last = {}
+        for r in rows:
+            last[r["user_id"]] = (r["n_events"], r["sum_value"])
+        want = {
+            r["user_id"]: (r["n_events"], r["sum_value"])
+            for r in W.stateful_user_totals_tws(
+                batch_events(spark, events_dir)
+            ).collect()
+        }
+        assert last == want
+    finally:
+        if saved is None:
+            conf.unset(key)
+        else:
+            conf.set(key, saved)
