@@ -675,3 +675,196 @@ def q155_pmi_collocations(spark, sf_dir):
         .where(F.col("rk") <= 20)
         .drop("rk")
     )
+
+
+_DECON_N = 5  # shingle width (tokens); benchmark = doc_id < 10
+
+
+@register(
+    "q157_decontamination",
+    sql=f"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, len(toks) - {_DECON_N} + 2),
+                   i -> array_to_string(toks[i:i+{_DECON_N}-1], ' ')))
+                   AS s
+        FROM t WHERE len(toks) >= {_DECON_N}),
+    bench AS (SELECT DISTINCT doc_id, s FROM sh WHERE doc_id < 10),
+    corp  AS (SELECT DISTINCT doc_id, s FROM sh WHERE doc_id >= 10),
+    hits AS (
+        SELECT c.doc_id, b.doc_id AS bench_id, COUNT(*) AS n_shared
+        FROM corp c JOIN bench b ON b.s = c.s
+        GROUP BY c.doc_id, b.doc_id)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_benchmark_docs,
+           CAST(SUM(n_shared) AS BIGINT) AS n_shared_shingles,
+           array_to_string(list_transform(list_sort(list(bench_id)),
+                                          x -> CAST(x AS VARCHAR)), ',')
+               AS benchmark_ids
+    FROM hits GROUP BY doc_id
+    """,
+    tags=("corpus", "decontamination", "dedup"),
+)
+def q157_decontamination(spark, sf_dir):
+    """Benchmark decontamination — the training-pipeline step that
+    drops documents sharing verbatim n-grams with an eval set. The
+    benchmark (doc_id < 10 here) and the corpus are both shingled into
+    5-token windows; contamination = a shingle equi-join, grouped per
+    (corpus doc, benchmark doc) with the exact shared-shingle count
+    and benchmark membership in the hash. Scale shape: identical to
+    MinHash candidate generation — the shuffle moves (shingle, id)
+    pairs, the join key is the shingle hash, and the benchmark side is
+    tiny (broadcastable); never an all-pairs comparison."""
+    d = table(spark, sf_dir, "documents")
+    n = _DECON_N
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(split(trim(text), '\\\\s+')) >= {n} THEN"
+                f" transform(sequence(1, size(split(trim(text), '\\\\s+')) - {n} + 1),"
+                f" i -> array_join(slice(split(trim(text), '\\\\s+'), i, {n}), ' '))"
+                " ELSE array() END"
+            )
+        ).alias("s"),
+    ).distinct()
+    bench = sh.where(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("bench_id"), "s"
+    )
+    corp = sh.where(F.col("doc_id") >= 10)
+    hits = (
+        corp.join(F.broadcast(bench), "s")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_benchmark_docs"),
+        F.sum("n_shared").cast("bigint").alias("n_shared_shingles"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("bench_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("benchmark_ids"),
+    )
+
+
+@register(
+    "q158_unigram_logprob",
+    sql="""
+    WITH t AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+'))
+                   AS tok
+        FROM documents),
+    uni AS (SELECT tok, COUNT(*) AS c FROM t GROUP BY tok),
+    tot AS (SELECT SUM(c) AS n FROM uni),
+    scored AS (
+        SELECT t.doc_id,
+               CAST(round(-ln(CAST(uni.c AS DOUBLE) / tot.n), 12)
+                    AS DECIMAL(24,12)) AS nll
+        FROM t JOIN uni ON uni.tok = t.tok CROSS JOIN tot)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           round(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 9)
+               AS mean_nll
+    FROM scored GROUP BY doc_id
+    """,
+    tags=("corpus", "quality", "lm"),
+)
+def q158_unigram_logprob(spark, sf_dir):
+    """Unigram language-model surprisal per document — the
+    perplexity-proxy quality filter (KenLM-style filtering with the
+    simplest possible LM): corpus unigram probabilities, then each
+    document's mean negative log-likelihood. High-NLL docs are
+    gibberish/rare-token soup; low-NLL docs are repetitive boilerplate
+    — both filter targets. Scale: one (token) partial-agg for the LM,
+    one broadcast-joinable total, one (doc, token) shuffle for the
+    per-doc fold; each -ln(p) term is quantized to DECIMAL before the
+    exact per-doc sum so partial-agg order can't drift the mean."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    )
+    uni = t.groupBy("tok").agg(F.count("*").alias("c"))
+    tot = uni.agg(F.sum("c").alias("n"))
+    nll = F.round(
+        -F.log(F.col("c").cast("double") / F.col("n")), 12
+    ).cast("decimal(24,12)")
+    return (
+        t.join(uni, "tok")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", nll.alias("nll"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.sum("nll").cast("double") / F.count("*"), 9
+            ).alias("mean_nll"),
+        )
+    )
+
+
+@register(
+    "q159_mixture_weights",
+    sql="""
+    WITH tok AS (
+        SELECT source, lang,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_toks
+        FROM documents),
+    grp AS (SELECT source, lang, SUM(n_toks) AS toks
+            FROM tok GROUP BY source, lang),
+    tot AS (SELECT SUM(toks) AS t FROM grp),
+    w AS (
+        SELECT source, lang, toks,
+               CAST(round(sqrt(CAST(toks AS DOUBLE) / tot.t), 12)
+                    AS DECIMAL(24,12)) AS raw_w
+        FROM grp CROSS JOIN tot),
+    z AS (SELECT SUM(raw_w) AS zsum FROM w)
+    SELECT source, lang, CAST(toks AS BIGINT) AS n_tokens,
+           round(CAST(raw_w AS DOUBLE) / CAST(zsum AS DOUBLE), 9)
+               AS sample_weight
+    FROM w CROSS JOIN z
+    """,
+    tags=("corpus", "mixture", "sampling"),
+)
+def q159_mixture_weights(spark, sf_dir):
+    """Training-mixture sampling weights per (source, lang) domain:
+    token share raised to temperature τ=0.5 (sqrt — temperature
+    flattening upweights small domains, and sqrt is the one
+    non-rational power both engines compute identically under IEEE),
+    renormalized to sum to 1. This is the domain-reweighting table a
+    data loader consumes. Tiny result; the only real work is the
+    per-domain token count — one partial-agg scan. The sqrt terms are
+    quantized to DECIMAL before the normalizing sum, so the weights
+    are bit-stable under any partitioning."""
+    d = table(spark, sf_dir, "documents")
+    grp = (
+        d.select(
+            "source", "lang",
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_toks"),
+        )
+        .groupBy("source", "lang")
+        .agg(F.sum("n_toks").alias("toks"))
+    )
+    tot = grp.agg(F.sum("toks").alias("t"))
+    w = grp.crossJoin(F.broadcast(tot)).select(
+        "source", "lang", "toks",
+        F.round(
+            F.sqrt(F.col("toks").cast("double") / F.col("t")), 12
+        )
+        .cast("decimal(24,12)")
+        .alias("raw_w"),
+    )
+    z = w.agg(F.sum("raw_w").alias("zsum"))
+    return w.crossJoin(F.broadcast(z)).select(
+        "source", "lang",
+        F.col("toks").cast("bigint").alias("n_tokens"),
+        F.round(
+            F.col("raw_w").cast("double") / F.col("zsum").cast("double"), 9
+        ).alias("sample_weight"),
+    )
