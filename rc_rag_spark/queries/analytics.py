@@ -663,3 +663,96 @@ def q156_incremental_agg(spark, sf_dir):
             F.coalesce("bm", "dm"), F.coalesce("dm", "bm")
         ).alias("last_order_ts"),
     )
+
+
+@register(
+    "q160_position_attribution",
+    sql="""
+    WITH touches AS (
+        SELECT event_id, user_id, ts,
+               ['email','search','social','direct']
+                   [1 + CAST(json_extract(props, '$.k') AS INTEGER) % 4]
+                   AS channel
+        FROM events WHERE event_type = 'click'),
+    conv AS (
+        SELECT event_id AS conv_id, user_id, ts AS conv_ts
+        FROM events WHERE event_type = 'purchase'),
+    journey AS (
+        SELECT c.conv_id, t.channel, t.ts, t.event_id,
+               row_number() OVER (PARTITION BY c.conv_id
+                                  ORDER BY t.ts, t.event_id) AS pos,
+               COUNT(*) OVER (PARTITION BY c.conv_id) AS n
+        FROM conv c JOIN touches t
+          ON t.user_id = c.user_id
+         AND t.ts >= c.conv_ts - INTERVAL 7 DAY
+         AND t.ts < c.conv_ts),
+    credited AS (
+        SELECT channel,
+               CAST(round(CASE
+                   WHEN n = 1 THEN 1.0
+                   WHEN n = 2 THEN 0.5
+                   WHEN pos = 1 OR pos = n THEN 0.4
+                   ELSE 0.2 / (n - 2) END, 12) AS DECIMAL(24,12))
+                   AS credit
+        FROM journey)
+    SELECT channel, COUNT(*) AS n_touches,
+           round(CAST(SUM(credit) AS DOUBLE), 9) AS total_credit
+    FROM credited GROUP BY channel
+    """,
+    tags=("attribution", "marketing", "window"),
+)
+def q160_position_attribution(spark, sf_dir):
+    """Position-based (U-shaped) multi-touch attribution: every
+    purchase distributes 1.0 credit over the user's clicks in the
+    prior 7 days — 40% first touch, 40% last, 20% split across the
+    middle (100%/50-50 for 1–2 touch journeys) — rolled up per
+    channel. The journey build is an equi-join on user_id with a
+    range residual (never a theta join across users); position/count
+    come from one window over each (conversion) group; per-touch
+    credits are rational numbers quantized to DECIMAL before the
+    exact channel sum, so the totals are partition-independent."""
+    e = table(spark, sf_dir, "events")
+    channel = F.element_at(
+        F.array(
+            F.lit("email"), F.lit("search"), F.lit("social"), F.lit("direct")
+        ),
+        (
+            F.get_json_object("props", "$.k").cast("int") % 4 + 1
+        ),
+    )
+    touches = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", channel.alias("channel")
+    )
+    conv = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id").alias("cuser"),
+        F.col("ts").alias("conv_ts"),
+    )
+    journey = touches.join(
+        conv,
+        (F.col("user_id") == F.col("cuser"))
+        & (F.col("ts") >= F.col("conv_ts") - F.expr("INTERVAL 7 DAYS"))
+        & (F.col("ts") < F.col("conv_ts")),
+    )
+    wpos = Window.partitionBy("conv_id").orderBy("ts", "event_id")
+    wcnt = Window.partitionBy("conv_id")
+    j = journey.select(
+        "channel",
+        F.row_number().over(wpos).alias("pos"),
+        F.count("*").over(wcnt).alias("n"),
+    )
+    credit = F.round(
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(F.col("n") == 2, F.lit(0.5))
+        .when((F.col("pos") == 1) | (F.col("pos") == F.col("n")), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n") - 2)),
+        12,
+    ).cast("decimal(24,12)")
+    return (
+        j.select("channel", credit.alias("credit"))
+        .groupBy("channel")
+        .agg(
+            F.count("*").alias("n_touches"),
+            F.round(F.sum("credit").cast("double"), 9).alias("total_credit"),
+        )
+    )
