@@ -756,3 +756,96 @@ def q160_position_attribution(spark, sf_dir):
             F.round(F.sum("credit").cast("double"), 9).alias("total_credit"),
         )
     )
+
+
+@register(
+    "q161_nested_order_export",
+    sql="""
+    SELECT l_orderkey AS o_orderkey, COUNT(*) AS n_items,
+           array_to_string(
+               list_sort(list(
+                   CAST(l_linenumber AS VARCHAR) || ':'
+                   || CAST(l_partkey AS VARCHAR) || 'x'
+                   || CAST(CAST(l_quantity AS BIGINT) AS VARCHAR))),
+               ';') AS items
+    FROM lineitem GROUP BY l_orderkey
+    """,
+    tags=("export", "nesting", "denormalize"),
+)
+def q161_nested_order_export(spark, sf_dir):
+    """Document assembly — the denormalizing export that turns a
+    normalized fact table into one nested record per parent (the shape
+    LLM training-data writers and JSON/document sinks consume): all of
+    an order's line items collected into a deterministically-ordered
+    array on one groupBy shuffle. The hash check pins membership AND
+    order via the serialized item list. At 100 TB collect_list is safe
+    here because group size is bounded by schema (≤7 items/order);
+    for unbounded groups, cap with slice() after sort_array — the
+    contract stays checkable."""
+    li = table(spark, sf_dir, "lineitem")
+    item = F.concat(
+        F.col("l_linenumber").cast("string"),
+        F.lit(":"),
+        F.col("l_partkey").cast("string"),
+        F.lit("x"),
+        F.col("l_quantity").cast("bigint").cast("string"),
+    )
+    return (
+        li.select(F.col("l_orderkey").alias("o_orderkey"), item.alias("it"))
+        .groupBy("o_orderkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.array_join(
+                F.array_sort(F.collect_list("it")), ";"
+            ).alias("items"),
+        )
+    )
+
+
+@register(
+    "q162_cdc_latest",
+    sql="""
+    WITH chg AS (
+        SELECT event_id, user_id AS pk, ts, value,
+               CASE WHEN event_type IN ('error') THEN 'delete'
+                    ELSE 'upsert' END AS op
+        FROM events),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY pk ORDER BY ts DESC, event_id DESC) AS rn
+        FROM chg)
+    SELECT pk, event_id AS last_event_id, ts AS last_ts, value AS last_value
+    FROM ranked WHERE rn = 1 AND op != 'delete'
+    """,
+    tags=("warehouse", "cdc", "dedup"),
+)
+def q162_cdc_latest(spark, sf_dir):
+    """CDC compaction — 'latest record wins' per primary key: a change
+    stream (events as upserts, error-rows standing in for deletes) is
+    reduced to current state by taking the max-(ts, id) record per key
+    and dropping keys whose latest op is a delete. One window over the
+    pk shuffle (or max_by in a plain agg — same exchange); this is the
+    canonical merge step of log-structured ingestion at any scale."""
+    e = table(spark, sf_dir, "events")
+    chg = e.select(
+        "event_id",
+        F.col("user_id").alias("pk"),
+        "ts",
+        "value",
+        F.when(F.col("event_type") == "error", "delete")
+        .otherwise("upsert")
+        .alias("op"),
+    )
+    w = Window.partitionBy("pk").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        chg.select("*", F.row_number().over(w).alias("rn"))
+        .where((F.col("rn") == 1) & (F.col("op") != "delete"))
+        .select(
+            "pk",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("value").alias("last_value"),
+        )
+    )
