@@ -1,0 +1,206 @@
+"""Composable corpus-curation pipeline — the end-to-end training-data
+path assembled from the operators the query corpus hash-checks
+individually (exact dedup → near-dup clustering/retention → quality
+filter → benchmark decontamination), with per-step Parquet stage
+tables for resume/inspect and a per-step attrition report.
+
+This is the library counterpart of queries q60/q62/q102/q136/q68/q157:
+each step IS the oracle-checked operator, so the pipeline's semantics
+are pinned transitively. Stage persistence follows pipeline/stages.py
+(the reference's C1 staged-recompute pattern,
+/root/reference/code/run_llm_ours.py:217-275): a step whose stage
+table exists is reloaded, not recomputed.
+
+Scale posture: every step is shuffle-bounded (hash/band equi-joins,
+partial aggs); stage tables give lineage barriers so no step
+re-executes upstream work; nothing is ever collected to the driver —
+the attrition report is computed from stage-table counts (one
+metadata-cheap count per stage).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rc_rag_spark.operators import dedup as DD
+from rc_rag_spark.operators import textstats as TS
+
+
+def near_dup_drop_ids(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Ids to DROP under min-id-canonical near-dup retention (the
+    q136 policy): MinHash pairs → connected components → every member
+    except its cluster's minimum id."""
+    pairs = DD.minhash_det_pairs(
+        df, id_col, text_col,
+        shingle_n=shingle_n, num_hashes=num_hashes,
+        jaccard_threshold=jaccard_threshold,
+    )
+    clusters = DD.dedup_clusters(pairs)
+    return clusters.where(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+
+
+def contaminated_ids(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_tokens: int = 5,
+) -> DataFrame:
+    """Corpus ids sharing >= 1 verbatim n-token shingle with the
+    benchmark set (the q157 decontamination join)."""
+    n = shingle_tokens
+
+    def shingles(df: DataFrame) -> DataFrame:
+        toks = F.split(F.trim(F.col(text_col)), r"\s+")
+        return df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.when(
+                    F.size(toks) >= n,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(toks) - n + 1),
+                        lambda i: F.array_join(
+                            F.slice(toks, i, n), " "
+                        ),
+                    ),
+                ).otherwise(F.array())
+            ).alias("_s"),
+        ).distinct()
+
+    bench_sh = F.broadcast(shingles(benchmark).select("_s").distinct())
+    return (
+        shingles(corpus)
+        .join(bench_sh, "_s", "left_semi")
+        .select(F.col("_id").alias(id_col))
+        .distinct()
+    )
+
+
+class CurationPipeline:
+    """Ordered corpus-curation steps with stage persistence.
+
+    >>> pipe = (CurationPipeline(spark, workdir)
+    ...         .exact_dedup()
+    ...         .near_dedup(jaccard_threshold=0.5)
+    ...         .quality_filter(min_score=0.3)
+    ...         .decontaminate(benchmark_df))
+    >>> curated = pipe.run(documents)
+    >>> pipe.report()   # [(stage, rows_in, rows_out, dropped), ...]
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ):
+        self.spark = spark
+        self.workdir = workdir
+        self.id_col = id_col
+        self.text_col = text_col
+        self._steps: list[tuple[str, Callable[[DataFrame], DataFrame]]] = []
+        self._report: list[tuple[str, int, int, int]] = []
+
+    # --- step declarations (chainable) --------------------------------
+
+    def exact_dedup(self) -> "CurationPipeline":
+        """Keep one doc per exact text fingerprint (min id wins —
+        deterministic, unlike dropDuplicates' first-seen row)."""
+
+        def step(df: DataFrame) -> DataFrame:
+            keep = (
+                df.groupBy(DD.fingerprint(self.text_col).alias("_fp"))
+                .agg(F.min(self.id_col).alias(self.id_col))
+                .select(self.id_col)
+            )
+            return df.join(keep, self.id_col, "left_semi")
+
+        self._steps.append(("exact_dedup", step))
+        return self
+
+    def near_dedup(
+        self,
+        shingle_n: int = 3,
+        num_hashes: int = 8,
+        jaccard_threshold: float = 0.5,
+    ) -> "CurationPipeline":
+        """MinHash near-dup clusters; keep each cluster's min id."""
+
+        def step(df: DataFrame) -> DataFrame:
+            drop = near_dup_drop_ids(
+                df, self.id_col, self.text_col,
+                shingle_n=shingle_n, num_hashes=num_hashes,
+                jaccard_threshold=jaccard_threshold,
+            )
+            return df.join(drop, self.id_col, "left_anti")
+
+        self._steps.append(("near_dedup", step))
+        return self
+
+    def quality_filter(self, min_score: float = 0.3) -> "CurationPipeline":
+        """Gopher-style composite quality score threshold
+        (operators/textstats.py — the q68/q95 signal)."""
+
+        def step(df: DataFrame) -> DataFrame:
+            return df.where(
+                TS.quality_score(F.col(self.text_col)) >= min_score
+            )
+
+        self._steps.append(("quality_filter", step))
+        return self
+
+    def decontaminate(
+        self, benchmark: DataFrame, shingle_tokens: int = 5
+    ) -> "CurationPipeline":
+        """Drop docs sharing verbatim shingles with the benchmark."""
+
+        def step(df: DataFrame) -> DataFrame:
+            bad = contaminated_ids(
+                df, benchmark, self.id_col, self.text_col,
+                shingle_tokens=shingle_tokens,
+            )
+            return df.join(bad, self.id_col, "left_anti")
+
+        self._steps.append(("decontaminate", step))
+        return self
+
+    # --- execution -----------------------------------------------------
+
+    def _stage_path(self, idx: int, name: str) -> str:
+        return os.path.join(self.workdir, f"{idx:02d}_{name}")
+
+    def run(self, df: DataFrame, force: bool = False) -> DataFrame:
+        """Execute the declared steps in order. Each step's output is
+        a Parquet stage table; existing stages are reused (resume)
+        unless force. Returns the final curated DataFrame (read back
+        from its stage table — a lineage barrier)."""
+        self._report = []
+        cur = df
+        rows_in = cur.count()
+        for i, (name, step) in enumerate(self._steps):
+            path = self._stage_path(i, name)
+            if force or not os.path.exists(os.path.join(path, "_SUCCESS")):
+                step(cur).write.mode("overwrite").parquet(path)
+            cur = self.spark.read.parquet(path)
+            rows_out = cur.count()
+            self._report.append((name, rows_in, rows_out, rows_in - rows_out))
+            rows_in = rows_out
+        return cur
+
+    def report(self) -> list[tuple[str, int, int, int]]:
+        """Per-step attrition: (stage, rows_in, rows_out, dropped)."""
+        return list(self._report)
