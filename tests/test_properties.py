@@ -241,6 +241,9 @@ def test_hash_checked_results_partition_independent(spark, sf_dir):
         "q128_time_weighted_average", # decimal-weighted TWAP
         "q139_pagerank_trade_graph",  # iterative, quantized
         "q145_curriculum_order",      # percentile thresholds broadcast
+        "q147_decayed_event_score",   # IEEE-literal decay, decimal sum
+        "q158_unigram_logprob",       # quantized -ln(p) fold
+        "q160_position_attribution",  # rational credits, decimal sum
     ]
     import rc_rag_spark.queries as q
 
