@@ -84,8 +84,10 @@ def q145_triangle_count(spark, sf_dir):
     graph, far below the unoriented degree² sum on skewed graphs. All
     shuffles are equi-joins on vertex keys; counts are exact integers,
     folded lazily (three scalar aggregates cross-joined — no driver
-    action inside the query)."""
-    edges = _copurchase_edges(spark, sf_dir)
+    action inside the query). edges/wedges are persist()ed: each is
+    consumed twice, and the cache turns the plan's repeated subtrees
+    into single-execution InMemoryTableScans."""
+    edges = _copurchase_edges(spark, sf_dir).persist()
     e1 = edges.alias("e1")
     e2 = edges.alias("e2")
     wedges = e1.join(
@@ -94,7 +96,7 @@ def q145_triangle_count(spark, sf_dir):
         F.col("e1.a").alias("a"),
         F.col("e1.b").alias("b"),
         F.col("e2.b").alias("c"),
-    )
+    ).persist()
     tris = wedges.join(
         edges.select(
             F.col("a").alias("ta"), F.col("b").alias("tc")
