@@ -292,3 +292,72 @@ def stateful_user_totals_tws(df: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def cdc_latest(df: DataFrame) -> DataFrame:
+    """CDC 'latest record wins' compaction (the q162 semantics) in
+    both modes: per primary key (user_id), keep the max-(ts, event_id)
+    change; error-typed events act as deletes. Batch = one window over
+    the pk shuffle. Streaming = applyInPandasWithState holding one
+    (ts, id, value, op) tuple per key — O(keys) state, emitted in
+    update mode; downstream consumers drop keys whose latest op is a
+    delete (the batch twin filters them directly)."""
+    if not df.isStreaming:
+        from pyspark.sql.window import Window as W_
+
+        chg = df.select(
+            "event_id",
+            F.col("user_id").alias("pk"),
+            "ts",
+            "value",
+            F.when(F.col("event_type") == "error", "delete")
+            .otherwise("upsert")
+            .alias("op"),
+        )
+        w = W_.partitionBy("pk").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        return (
+            chg.select("*", F.row_number().over(w).alias("rn"))
+            .where(F.col("rn") == 1)
+            .select("pk", F.col("event_id").alias("last_event_id"),
+                    F.col("ts").alias("last_ts"),
+                    F.col("value").alias("last_value"), "op")
+        )
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        cur = state.get if state.exists else None
+        for pdf in pdfs:
+            for row in pdf.itertuples(index=False):
+                op = "delete" if row.event_type == "error" else "upsert"
+                ts_us = int(row.ts.value // 1_000)  # pandas ns -> µs
+                cand = (ts_us, int(row.event_id), float(row.value), op)
+                if cur is None or (cand[0], cand[1]) > (cur[0], cur[1]):
+                    cur = cand
+        state.update(cur)
+        yield pd.DataFrame(
+            {
+                "pk": [key[0]],
+                "last_event_id": [cur[1]],
+                "last_ts": [pd.Timestamp(cur[0], unit="us")],
+                "last_value": [cur[2]],
+                "op": [cur[3]],
+            }
+        )
+
+    return df.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "pk bigint, last_event_id bigint, last_ts timestamp, "
+            "last_value double, op string"
+        ),
+        stateStructType=(
+            "ts_us bigint, event_id bigint, value double, op string"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

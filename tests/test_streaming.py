@@ -353,3 +353,22 @@ def test_stateful_user_totals_transform_with_state(spark, events_dir):
             conf.unset(key)
         else:
             conf.set(key, saved)
+
+
+def test_cdc_latest_stream_matches_batch(spark, events_dir):
+    """Streaming latest-wins CDC compaction == the batch window form
+    (update mode: last emission per key is the compacted state)."""
+    stream = W.cdc_latest(stream_events(spark, events_dir))
+    rows = run_stream(spark, stream, output_mode="update")
+    last = {}
+    for r in rows:
+        last[r["pk"]] = (
+            r["last_event_id"], str(r["last_ts"]), r["last_value"], r["op"]
+        )
+    want = {
+        r["pk"]: (
+            r["last_event_id"], str(r["last_ts"]), r["last_value"], r["op"]
+        )
+        for r in W.cdc_latest(batch_events(spark, events_dir)).collect()
+    }
+    assert last == want and len(want) > 0
