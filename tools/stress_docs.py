@@ -1,0 +1,135 @@
+"""Beyond-fixture stress check for the document-heavy operators.
+
+The driver fixtures stop at sf0.1 (5,000 documents). This tool
+synthesizes an N×-larger corpus (default 10× ⇒ 50,000 docs — sf1-scale
+for the documents table) by replicating the sf0.1 corpus with
+deterministic token-level mutations (so near-dup structure persists
+but exact-dup shortcuts don't), then times the operators whose scale
+behavior matters most: MinHash near-dup pairs, cluster formation,
+BM25, inverted index, the curation pipeline end to end.
+
+    python tools/stress_docs.py [factor]
+
+Appends a results section to SCALING.md.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+BASE = "/root/testdata/sf0.1/documents.parquet"
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+
+    from pyspark.sql import functions as F
+
+    from rc_rag_spark.operators import corpus as C
+    from rc_rag_spark.operators import dedup as DD
+    from rc_rag_spark.session import build_session
+
+    spark = build_session(
+        app_name="rc-rag-stress-docs",
+        extra_conf={"spark.sql.shuffle.partitions": "32"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    base = spark.read.parquet(BASE)
+    n_base = base.count()
+
+    # replicate with deterministic mutation: copy k prepends a marker
+    # token (keeps texts near-dup to their original, not exact-dup)
+    reps = spark.range(factor).select(F.col("id").alias("_rep"))
+    docs = (
+        base.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("doc_id") + F.col("_rep") * 1_000_000).alias("doc_id"),
+            F.when(F.col("_rep") == 0, F.col("text"))
+            .otherwise(
+                F.concat(
+                    F.lit("rep"), F.col("_rep").cast("string"),
+                    F.lit(" "), F.col("text"),
+                )
+            )
+            .alias("text"),
+            "lang", "source", "n_chars",
+        )
+    )
+    workdir = tempfile.mkdtemp(prefix="stress_docs_")
+    docs_path = os.path.join(workdir, "docs")
+    docs.write.mode("overwrite").parquet(docs_path)
+    docs = spark.read.parquet(docs_path)
+    n_docs = docs.count()
+
+    def timed(label, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        dt = time.perf_counter() - t0
+        results.append((label, dt, out))
+        print(f"{label}: {dt:.1f} s ({out})", file=sys.stderr)
+
+    results = []
+    timed(
+        "minhash_pairs",
+        lambda: DD.minhash_det_pairs(docs, "doc_id", "text").count(),
+    )
+    pairs = DD.minhash_det_pairs(docs, "doc_id", "text")
+    timed(
+        "dedup_clusters",
+        lambda: DD.dedup_clusters(pairs).count(),
+    )
+    timed(
+        "bm25",
+        lambda: C.bm25_scores(docs, ("spark", "hash", "vector")).count(),
+    )
+    timed(
+        "inverted_index",
+        lambda: C.inverted_index(docs).count(),
+    )
+
+    from rc_rag_spark.pipeline.curation import CurationPipeline
+
+    bench_df = docs.where(F.col("doc_id") < 10)
+
+    def run_curation():
+        pipe = (
+            CurationPipeline(spark, os.path.join(workdir, "cur"))
+            .exact_dedup()
+            .near_dedup()
+            .quality_filter()
+            .decontaminate(bench_df)
+        )
+        out = pipe.run(docs).count()
+        return f"{out} kept of {n_docs}"
+
+    timed("curation_pipeline", run_curation)
+
+    stamp = f"{datetime.datetime.now(datetime.timezone.utc):%Y-%m-%d %H:%M}"
+    lines = [
+        "",
+        f"## Stress run — {factor}× documents "
+        f"({n_docs:,} docs, from {n_base:,}) — {stamp} UTC",
+        "",
+        "Synthetic corpus: sf0.1 documents replicated with deterministic",
+        "token mutations (near-dup structure preserved). local[32].",
+        "",
+        "| operator | wall | result |",
+        "|---|---|---|",
+    ]
+    for label, dt, out in results:
+        lines.append(f"| {label} | {dt:.1f} s | {out} |")
+    with open(os.path.join(REPO, "SCALING.md"), "a") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()
