@@ -851,3 +851,90 @@ def q162_cdc_latest(spark, sf_dir):
             F.col("value").alias("last_value"),
         )
     )
+
+
+@register(
+    "q163_journey_paths",
+    sql="""
+    WITH o AS (
+        SELECT user_id, ts, event_id, event_type,
+               lag(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events),
+    s AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(CASE WHEN prev_ts IS NULL
+                         OR ts - prev_ts > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM o),
+    seq AS (
+        SELECT user_id, session_id, event_type,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM s
+        WINDOW w AS (PARTITION BY user_id, session_id
+                     ORDER BY ts, event_id)),
+    paths AS (
+        SELECT event_type || '>' || e2 || '>' || e3 AS path
+        FROM seq WHERE e3 IS NOT NULL)
+    SELECT path, n
+    FROM (SELECT path, COUNT(*) AS n,
+                 row_number() OVER (ORDER BY COUNT(*) DESC, path) AS rk
+          FROM paths GROUP BY path)
+    WHERE rk <= 20
+    """,
+    tags=("sessionization", "sequence", "paths"),
+)
+def q163_journey_paths(spark, sf_dir):
+    """Journey mining: the 20 most common in-session event-type
+    trigram paths ('view>click>purchase', …). Extends q144's
+    first-order transition matrix to order-3 sequences WITHOUT
+    exploding arrays: two lead() reads inside the per-session window
+    that sessionization already sorted, then a plain path count — one
+    user-shuffle, one path-shuffle, top-k over the tiny path
+    vocabulary. The sliding window over sequences is lag/lead's job,
+    not a self-join's, at any scale."""
+    e = table(spark, sf_dir, "events")
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_sum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    boundary = (
+        F.col("prev_ts").isNull()
+        | (
+            F.col("ts").cast("long") - F.col("prev_ts").cast("long")
+            > 30 * 60
+        )
+    ).cast("int")
+    s = e.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.lag("ts").over(w_lag).alias("prev_ts"),
+    ).select(
+        "user_id", "ts", "event_id", "event_type",
+        F.sum(boundary).over(w_sum).alias("session_id"),
+    )
+    w_seq = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts", "event_id"
+    )
+    paths = (
+        s.select(
+            "event_type",
+            F.lead("event_type", 1).over(w_seq).alias("e2"),
+            F.lead("event_type", 2).over(w_seq).alias("e3"),
+        )
+        .where(F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+    )
+    counts = paths.groupBy("path").agg(F.count("*").alias("n"))
+    w_rank = Window.orderBy(F.col("n").desc(), "path")
+    return (
+        counts.select("*", F.row_number().over(w_rank).alias("rk"))
+        .where(F.col("rk") <= 20)
+        .drop("rk")
+    )
