@@ -312,7 +312,7 @@ def q148_scd_merge(spark, sf_dir):
     "q149_session_funnel",
     sql="""
     WITH o AS (
-        SELECT user_id, ts, event_type,
+        SELECT user_id, ts, event_id, event_type,
                lag(ts) OVER (PARTITION BY user_id
                              ORDER BY ts, event_id) AS prev_ts
         FROM events),
@@ -322,7 +322,7 @@ def q148_scd_merge(spark, sf_dir):
                          OR ts - prev_ts > INTERVAL 30 MINUTE
                         THEN 1 ELSE 0 END)
                    OVER (PARTITION BY user_id
-                         ORDER BY ts
+                         ORDER BY ts, event_id
                          ROWS UNBOUNDED PRECEDING) AS session_id
         FROM o),
     per_session AS (
@@ -349,14 +349,14 @@ def q149_session_funnel(spark, sf_dir):
     funnel, evaluated per session instead of per user — the form
     product analytics actually ships. Two window passes over one
     user_id shuffle, then a per-session conditional-MIN agg and a
-    scalar fold; ordering inside the boundary-sum window is by ts
-    alone (matching q103), with (ts, event_id) ordering only where the
-    lag needs total order."""
+    scalar fold; every window orders by (ts, event_id) so session
+    assignment is total-order deterministic even under tied
+    timestamps."""
     e = table(spark, sf_dir, "events")
     w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
     w_sum = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     boundary = (
@@ -367,7 +367,7 @@ def q149_session_funnel(spark, sf_dir):
         )
     ).cast("int")
     s = e.select(
-        "user_id", "ts", "event_type",
+        "user_id", "ts", "event_id", "event_type",
         F.lag("ts").over(w_lag).alias("prev_ts"),
     ).select(
         "user_id", "ts", "event_type",
