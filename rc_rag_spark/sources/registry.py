@@ -98,11 +98,24 @@ def load_tables(
 
 
 def read_jsonl(
-    spark: SparkSession, path: str, schema: StructType | None = None
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    mode: str = "PERMISSIVE",
+    corrupt_column: str | None = None,
 ) -> DataFrame:
     """JSONL scan (reference S1). Schema-on-read when provided — at
-    scale never rely on inference (it triggers a full extra pass)."""
-    reader = spark.read
+    scale never rely on inference (it triggers a full extra pass).
+
+    Malformed-line policy is explicit because a 100 TB crawl WILL
+    contain garbage lines: PERMISSIVE (default) nulls the row's fields
+    and, when ``corrupt_column`` is set (it must also appear in the
+    schema as a STRING field), captures the raw line there for
+    quarantine; DROPMALFORMED silently drops; FAILFAST raises on the
+    first bad line (the right setting for trusted stage tables)."""
+    reader = spark.read.option("mode", mode)
+    if corrupt_column is not None:
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_column)
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)

@@ -192,3 +192,42 @@ def test_overwrite_changed_partitions(spark, sf_dir, tmp_path):
     assert after.where(F.col("event_type") == "click").count() == n_half
     # every other partition untouched
     assert after.count() == n_total - n_click + n_half
+
+
+def test_jsonl_malformed_line_policies(spark, tmp_path):
+    """A corrupt line in a JSONL input must follow the declared
+    policy: PERMISSIVE quarantines it in the corrupt column,
+    DROPMALFORMED drops it, FAILFAST raises."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    from rc_rag_spark.sources import read_jsonl
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"id": 1, "text": "ok"}\n'
+        "{broken json line\n"
+        '{"id": 2, "text": "also ok"}\n'
+    )
+    schema = "id bigint, text string, _bad string"
+
+    perm = read_jsonl(
+        spark, str(p), schema=schema, corrupt_column="_bad"
+    ).collect()
+    assert len(perm) == 3
+    bad = [r for r in perm if r["_bad"] is not None]
+    assert len(bad) == 1 and bad[0]["id"] is None
+    assert "{broken" in bad[0]["_bad"]
+
+    dropped = read_jsonl(
+        spark, str(p), schema="id bigint, text string",
+        mode="DROPMALFORMED",
+    ).collect()
+    assert sorted(r["id"] for r in dropped) == [1, 2]
+
+    with pytest.raises((PySparkException, Py4JJavaError)):
+        read_jsonl(
+            spark, str(p), schema="id bigint, text string",
+            mode="FAILFAST",
+        ).collect()
