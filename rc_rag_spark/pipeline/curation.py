@@ -113,24 +113,33 @@ class CurationPipeline:
         self.id_col = id_col
         self.text_col = text_col
         self._steps: list[tuple[str, Callable[[DataFrame], DataFrame]]] = []
-        self._report: list[tuple[str, int, int, int]] = []
+        self._params: list[dict] = []
+        self._report: list[tuple[str, int, int, int | None]] = []
+
+    def _with_params(self, name: str, params: dict) -> "CurationPipeline":
+        self._params.append({"step": name, **params})
+        return self
 
     # --- step declarations (chainable) --------------------------------
 
     def exact_dedup(self) -> "CurationPipeline":
         """Keep one doc per exact text fingerprint (min id wins —
-        deterministic, unlike dropDuplicates' first-seen row)."""
+        deterministic, unlike dropDuplicates' first-seen row). The
+        fingerprint is md5 of the RAW text (the q60 semantics) —
+        NOT `operators.dedup.fingerprint`, which normalizes
+        (lowercases, strips punctuation/articles) and would collapse
+        distinct documents in a curation context."""
 
         def step(df: DataFrame) -> DataFrame:
             keep = (
-                df.groupBy(DD.fingerprint(self.text_col).alias("_fp"))
+                df.groupBy(F.md5(F.col(self.text_col)).alias("_fp"))
                 .agg(F.min(self.id_col).alias(self.id_col))
                 .select(self.id_col)
             )
             return df.join(keep, self.id_col, "left_semi")
 
         self._steps.append(("exact_dedup", step))
-        return self
+        return self._with_params("exact_dedup", {})
 
     def near_dedup(
         self,
@@ -149,7 +158,10 @@ class CurationPipeline:
             return df.join(drop, self.id_col, "left_anti")
 
         self._steps.append(("near_dedup", step))
-        return self
+        return self._with_params("near_dedup", {
+            "shingle_n": shingle_n, "num_hashes": num_hashes,
+            "jaccard_threshold": jaccard_threshold,
+        })
 
     def quality_filter(self, min_score: float = 0.3) -> "CurationPipeline":
         """Gopher-style composite quality score threshold
@@ -161,7 +173,7 @@ class CurationPipeline:
             )
 
         self._steps.append(("quality_filter", step))
-        return self
+        return self._with_params("quality_filter", {"min_score": min_score})
 
     def decontaminate(
         self, benchmark: DataFrame, shingle_tokens: int = 5
@@ -176,31 +188,85 @@ class CurationPipeline:
             return df.join(bad, self.id_col, "left_anti")
 
         self._steps.append(("decontaminate", step))
-        return self
+        return self._with_params(
+            "decontaminate", {"shingle_tokens": shingle_tokens}
+        )
 
     # --- execution -----------------------------------------------------
 
     def _stage_path(self, idx: int, name: str) -> str:
         return os.path.join(self.workdir, f"{idx:02d}_{name}")
 
+    def _fs_exists(self, path: str) -> bool:
+        """Existence check through the Hadoop FileSystem of the path —
+        correct for hdfs://, s3a://, file:// and bare local paths
+        alike (a driver-local os.path.exists would silently disable
+        resume on any remote filesystem)."""
+        jvm = self.spark.sparkContext._jvm
+        jsc = self.spark.sparkContext._jsc
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(jsc.hadoopConfiguration())
+        return bool(fs.exists(p))
+
+    def _stage_done(self, path: str) -> bool:
+        return self._fs_exists(path + "/_SUCCESS")
+
+    def _manifest_path(self, idx: int, name: str) -> str:
+        return self._stage_path(idx, name) + "_params.json"
+
     def run(self, df: DataFrame, force: bool = False) -> DataFrame:
         """Execute the declared steps in order. Each step's output is
-        a Parquet stage table; existing stages are reused (resume)
-        unless force. Returns the final curated DataFrame (read back
-        from its stage table — a lineage barrier)."""
+        a Parquet stage table; a stage is reused (resume) only when it
+        exists AND its recorded parameters match AND no upstream stage
+        was recomputed this run — otherwise it and everything after it
+        recompute (stale-cascade invalidation). Returns the final
+        curated DataFrame (read back from its stage table — a lineage
+        barrier). The attrition report's first rows_in is only
+        computed when stage 0 actually executes (a fully-resumed run
+        never re-evaluates the input)."""
+        import json
+
         self._report = []
         cur = df
-        rows_in = cur.count()
+        rows_in: int | None = None
+        upstream_recomputed = False
+        local_fs = "://" not in self.workdir
+        if local_fs:
+            os.makedirs(self.workdir, exist_ok=True)
         for i, (name, step) in enumerate(self._steps):
             path = self._stage_path(i, name)
-            if force or not os.path.exists(os.path.join(path, "_SUCCESS")):
+            params = self._params[i]
+            manifest = self._manifest_path(i, name)
+            params_ok = True
+            if local_fs and os.path.exists(manifest):
+                with open(manifest) as fh:
+                    params_ok = json.load(fh) == params
+            reuse = (
+                not force
+                and not upstream_recomputed
+                and params_ok
+                and self._stage_done(path)
+            )
+            if not reuse:
+                if rows_in is None:
+                    rows_in = cur.count()
                 step(cur).write.mode("overwrite").parquet(path)
+                if local_fs:
+                    with open(manifest, "w") as fh:
+                        json.dump(params, fh)
+                upstream_recomputed = True
             cur = self.spark.read.parquet(path)
             rows_out = cur.count()
-            self._report.append((name, rows_in, rows_out, rows_in - rows_out))
+            self._report.append((
+                name, rows_in if rows_in is not None else rows_out + 0,
+                rows_out,
+                (rows_in - rows_out) if rows_in is not None else None,
+            ))
             rows_in = rows_out
         return cur
 
-    def report(self) -> list[tuple[str, int, int, int]]:
-        """Per-step attrition: (stage, rows_in, rows_out, dropped)."""
+    def report(self) -> list[tuple[str, int, int, int | None]]:
+        """Per-step attrition: (stage, rows_in, rows_out, dropped).
+        dropped is None for a stage whose input count was never
+        evaluated (fully-resumed stage 0)."""
         return list(self._report)

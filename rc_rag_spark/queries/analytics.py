@@ -86,7 +86,12 @@ def q145_triangle_count(spark, sf_dir):
     folded lazily (three scalar aggregates cross-joined — no driver
     action inside the query). edges/wedges are persist()ed: each is
     consumed twice, and the cache turns the plan's repeated subtrees
-    into single-execution InMemoryTableScans."""
+    into single-execution InMemoryTableScans (measured 4× faster than
+    relying on AQE ReusedExchange alone). Lifecycle: the blocks are
+    MEMORY_AND_DISK (LRU-evictable under pressure) and reclaimed by
+    the ContextCleaner once the caller releases the returned plan —
+    the query function itself cannot unpersist a lazy result it
+    hasn't executed."""
     edges = _copurchase_edges(spark, sf_dir).persist()
     e1 = edges.alias("e1")
     e2 = edges.alias("e2")
@@ -258,7 +263,7 @@ def q147_decayed_event_score(spark, sf_dir):
         SELECT c_custkey AS custkey, round(c_acctbal + 100, 2) AS new_bal
         FROM customer WHERE c_custkey % 7 = 0
         UNION ALL
-        SELECT c_custkey + 10000000, round(c_acctbal - 250, 2)
+        SELECT -c_custkey, round(c_acctbal - 250, 2)
         FROM customer WHERE c_custkey % 31 = 0)
     SELECT coalesce(ch.custkey, b.c_custkey) AS custkey,
            b.c_acctbal AS old_bal, ch.new_bal,
@@ -286,8 +291,12 @@ def q148_scd_merge(spark, sf_dir):
     )
     # acctbal sits at hundredths; +100/-250 keep it there, so round(_, 2)
     # never lands on a .xx5 tie (Spark rounds half-up, DuckDB half-even).
+    # insert keys are NEGATED base keys: customer keys are positive at
+    # every scale factor, so the synthetic insert domain can never
+    # collide with a real key (a fixed +10M offset would collide once
+    # sf*150k keys exceed it)
     inserts = c.where(F.col("c_custkey") % 31 == 0).select(
-        (F.col("c_custkey") + 10_000_000).alias("custkey"),
+        (-F.col("c_custkey")).alias("custkey"),
         F.round(F.col("c_acctbal") - 250, 2).alias("new_bal"),
     )
     changes = updates.unionByName(inserts)
@@ -308,23 +317,58 @@ def q148_scd_merge(spark, sf_dir):
     )
 
 
-@register(
-    "q149_session_funnel",
-    sql="""
-    WITH o AS (
+
+# Shared 30-minute-gap sessionization (used by q149 and q163): both the
+# SQL CTE pair and the Spark window chain live HERE so a session-policy
+# change (gap, tiebreak) has exactly one home per engine.
+_SESSION_CTES = """
+    o AS (
         SELECT user_id, ts, event_id, event_type,
                lag(ts) OVER (PARTITION BY user_id
                              ORDER BY ts, event_id) AS prev_ts
         FROM events),
     s AS (
-        SELECT user_id, ts, event_type,
+        SELECT user_id, ts, event_id, event_type,
                SUM(CASE WHEN prev_ts IS NULL
                          OR ts - prev_ts > INTERVAL 30 MINUTE
                         THEN 1 ELSE 0 END)
                    OVER (PARTITION BY user_id
                          ORDER BY ts, event_id
                          ROWS UNBOUNDED PRECEDING) AS session_id
-        FROM o),
+        FROM o)
+"""
+
+
+def _sessionized(e):
+    """(user_id, ts, event_id, event_type, session_id) with 30-minute
+    inactivity sessions; every window ordered by (ts, event_id) so the
+    assignment is total-order deterministic under tied timestamps."""
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_sum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    boundary = (
+        F.col("prev_ts").isNull()
+        | (
+            F.col("ts").cast("long") - F.col("prev_ts").cast("long")
+            > 30 * 60
+        )
+    ).cast("int")
+    return e.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.lag("ts").over(w_lag).alias("prev_ts"),
+    ).select(
+        "user_id", "ts", "event_id", "event_type",
+        F.sum(boundary).over(w_sum).alias("session_id"),
+    )
+
+
+@register(
+    "q149_session_funnel",
+    sql=f"""
+    WITH {_SESSION_CTES},
     per_session AS (
         SELECT user_id, session_id,
                MIN(ts) FILTER (WHERE event_type = 'view') AS t_view,
@@ -344,35 +388,15 @@ def q148_scd_merge(spark, sf_dir):
     tags=("sessionization", "funnel"),
 )
 def q149_session_funnel(spark, sf_dir):
-    """Funnel WITHIN sessions: q103's gaps-and-islands sessionization
-    (30-min inactivity boundary) composed with q89's ordered-stage
-    funnel, evaluated per session instead of per user — the form
-    product analytics actually ships. Two window passes over one
-    user_id shuffle, then a per-session conditional-MIN agg and a
-    scalar fold; every window orders by (ts, event_id) so session
-    assignment is total-order deterministic even under tied
-    timestamps."""
-    e = table(spark, sf_dir, "events")
-    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    w_sum = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    boundary = (
-        F.col("prev_ts").isNull()
-        | (
-            F.col("ts").cast("long") - F.col("prev_ts").cast("long")
-            > 30 * 60
-        )
-    ).cast("int")
-    s = e.select(
-        "user_id", "ts", "event_id", "event_type",
-        F.lag("ts").over(w_lag).alias("prev_ts"),
-    ).select(
-        "user_id", "ts", "event_type",
-        F.sum(boundary).over(w_sum).alias("session_id"),
-    )
+    """Funnel WITHIN sessions: the shared 30-minute sessionization
+    (_sessionized — one home for the session policy on each engine)
+    composed with q89's ordered-stage funnel, evaluated per session
+    instead of per user — the form product analytics actually ships.
+    Two window passes over one user_id shuffle, then a per-session
+    conditional-MIN agg and a scalar fold; every window orders by
+    (ts, event_id) so session assignment is total-order deterministic
+    even under tied timestamps."""
+    s = _sessionized(table(spark, sf_dir, "events"))
 
     def first(evt):
         return F.min(F.when(F.col("event_type") == evt, F.col("ts")))
@@ -855,20 +879,8 @@ def q162_cdc_latest(spark, sf_dir):
 
 @register(
     "q163_journey_paths",
-    sql="""
-    WITH o AS (
-        SELECT user_id, ts, event_id, event_type,
-               lag(ts) OVER (PARTITION BY user_id
-                             ORDER BY ts, event_id) AS prev_ts
-        FROM events),
-    s AS (
-        SELECT user_id, ts, event_id, event_type,
-               SUM(CASE WHEN prev_ts IS NULL
-                         OR ts - prev_ts > INTERVAL 30 MINUTE
-                        THEN 1 ELSE 0 END)
-                   OVER (PARTITION BY user_id ORDER BY ts, event_id
-                         ROWS UNBOUNDED PRECEDING) AS session_id
-        FROM o),
+    sql=f"""
+    WITH {_SESSION_CTES},
     seq AS (
         SELECT user_id, session_id, event_type,
                lead(event_type, 1) OVER w AS e2,
@@ -892,31 +904,11 @@ def q163_journey_paths(spark, sf_dir):
     trigram paths ('view>click>purchase', …). Extends q144's
     first-order transition matrix to order-3 sequences WITHOUT
     exploding arrays: two lead() reads inside the per-session window
-    that sessionization already sorted, then a plain path count — one
-    user-shuffle, one path-shuffle, top-k over the tiny path
-    vocabulary. The sliding window over sequences is lag/lead's job,
-    not a self-join's, at any scale."""
-    e = table(spark, sf_dir, "events")
-    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    w_sum = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    boundary = (
-        F.col("prev_ts").isNull()
-        | (
-            F.col("ts").cast("long") - F.col("prev_ts").cast("long")
-            > 30 * 60
-        )
-    ).cast("int")
-    s = e.select(
-        "user_id", "ts", "event_id", "event_type",
-        F.lag("ts").over(w_lag).alias("prev_ts"),
-    ).select(
-        "user_id", "ts", "event_id", "event_type",
-        F.sum(boundary).over(w_sum).alias("session_id"),
-    )
+    that the shared sessionization (_sessionized) already sorted, then
+    a plain path count — one user-shuffle, one path-shuffle, top-k
+    over the tiny path vocabulary. The sliding window over sequences
+    is lag/lead's job, not a self-join's, at any scale."""
+    s = _sessionized(table(spark, sf_dir, "events"))
     w_seq = Window.partitionBy("user_id", "session_id").orderBy(
         "ts", "event_id"
     )

@@ -109,3 +109,31 @@ def test_pipeline_resumes_from_stages(spark, sf_dir, workdir):
     second = {r["doc_id"] for r in build().run(docs).collect()}
     assert second == first
     assert os.path.getmtime(stage0) == mtime  # stage not rewritten
+
+
+def test_pipeline_invalidates_on_param_change(spark, sf_dir, workdir):
+    """Re-running with different step parameters must recompute the
+    stage (and cascade), never serve the stale-parameter table."""
+    import os
+
+    docs = _docs_with_dups(spark, sf_dir)
+
+    def run_with(threshold):
+        return (
+            CurationPipeline(spark, workdir)
+            .exact_dedup()
+            .near_dedup(jaccard_threshold=threshold)
+            .run(docs)
+        )
+
+    first = {r["doc_id"] for r in run_with(0.5).collect()}
+    stage1 = os.path.join(workdir, "01_near_dedup", "_SUCCESS")
+    mtime = os.path.getmtime(stage1)
+    import time as _t
+
+    _t.sleep(0.05)
+    # different threshold -> manifest mismatch -> stage recomputed
+    loose = {r["doc_id"] for r in run_with(0.05).collect()}
+    assert os.path.getmtime(stage1) != mtime
+    # a looser jaccard threshold can only drop MORE docs
+    assert loose <= first and len(loose) < len(first)
