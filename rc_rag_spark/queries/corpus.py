@@ -38,11 +38,10 @@ def q106_inverted_index(spark, sf_dir):
 _BM25_TERMS = ("spark", "hash", "vector")
 _BM25_K1, _BM25_B = 1.2, 0.75
 
-
-@register(
-    "q108_bm25_scores",
-    sql=f"""
-    WITH d AS (
+# Shared DuckDB BM25 CTE chain (q108 final-scores + q154's lexical arm
+# both interpolate this — one home for the oracle-side formulation).
+_BM25_SQL_CTES = f"""
+    d AS (
         SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
     ),
     docs AS (SELECT doc_id, len(toks) AS dl, toks FROM d),
@@ -63,7 +62,13 @@ _BM25_K1, _BM25_B = 1.2, 0.75
                           / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))),
                    9) AS DECIMAL(28,9)) AS s
         FROM tf JOIN dfreq USING (token) CROSS JOIN stats
-    )
+    )"""
+
+
+@register(
+    "q108_bm25_scores",
+    sql=f"""
+    WITH {_BM25_SQL_CTES}
     SELECT doc_id, COUNT(*) AS n_hits,
            round(CAST(SUM(s) AS DOUBLE), 6) AS score
     FROM scored GROUP BY doc_id
@@ -134,7 +139,8 @@ _PACK_BUDGET = 2000
                     THEN n.n_tokens ELSE w.acc + n.n_tokens END,
                CASE WHEN w.acc > 0 AND w.acc + n.n_tokens > {_PACK_BUDGET}
                     THEN w.batch + 1 ELSE w.batch END
-        FROM walk w JOIN numbered n ON n.lang = w.lang AND n.rn = w.rn + 1
+        FROM walk w JOIN numbered n
+          ON n.lang IS NOT DISTINCT FROM w.lang AND n.rn = w.rn + 1
     )
     SELECT lang, batch AS batch_id, COUNT(*) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS batch_tokens
@@ -438,28 +444,7 @@ def q137_fixed_size_sample(spark, sf_dir):
 @register(
     "q154_rrf_hybrid_fusion",
     sql=f"""
-    WITH d AS (
-        SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
-    ),
-    docs AS (SELECT doc_id, len(toks) AS dl, toks FROM d),
-    stats AS (SELECT COUNT(*) AS n, SUM(dl) AS sumdl FROM docs),
-    tf AS (
-        SELECT doc_id, dl, token, COUNT(*) AS tf
-        FROM (SELECT doc_id, dl, unnest(toks) AS token FROM docs)
-        WHERE token IN {tuple(_BM25_TERMS)!r}
-        GROUP BY doc_id, dl, token
-    ),
-    dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
-    scored AS (
-        SELECT doc_id,
-               CAST(round(
-                   ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5))
-                   * tf * {_BM25_K1 + 1.0}
-                   / (tf + {_BM25_K1} * ({1.0 - _BM25_B} + {_BM25_B} * dl
-                          / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))),
-                   9) AS DECIMAL(28,9)) AS s
-        FROM tf JOIN dfreq USING (token) CROSS JOIN stats
-    ),
+    WITH {_BM25_SQL_CTES},
     lex AS (SELECT doc_id, round(CAST(SUM(s) AS DOUBLE), 6) AS score
             FROM scored GROUP BY doc_id),
     lexrank AS (

@@ -122,27 +122,39 @@ def stateful_user_totals(df: DataFrame) -> DataFrame:
 
         import pandas as pd
 
-        n, total = state.get if state.exists else (0, "0")
+        n, nv, total = state.get if state.exists else (0, 0, "0")
         total = decimal.Decimal(total)
         for pdf in pdfs:
             n += len(pdf)
-            total += sum(
-                decimal.Decimal(str(v)).quantize(decimal.Decimal("0.01"))
+            # HALF_UP matches Spark's decimal(12,2) cast in the batch
+            # twin (Python Decimal.quantize defaults to HALF_EVEN and
+            # would diverge on e.g. 0.125); NULL values are skipped,
+            # matching F.sum — and nv tracks whether ANY non-null value
+            # was seen, because F.sum of an all-NULL group is NULL,
+            # not 0
+            vals = [
+                decimal.Decimal(str(v)).quantize(
+                    decimal.Decimal("0.01"),
+                    rounding=decimal.ROUND_HALF_UP,
+                )
                 for v in pdf["value"]
-            )
-        state.update((n, str(total)))
+                if v is not None and v == v
+            ]
+            nv += len(vals)
+            total += sum(vals, decimal.Decimal(0))
+        state.update((n, nv, str(total)))
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "n_events": [n],
-                "sum_value": [float(total)],
+                "sum_value": [float(total) if nv else None],
             }
         )
 
     return df.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType="user_id bigint, n_events bigint, sum_value double",
-        stateStructType="n bigint, total string",
+        stateStructType="n bigint, nv bigint, total string",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -253,7 +265,7 @@ def stateful_user_totals_tws(df: DataFrame) -> DataFrame:
     class RunningTotals(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._state = handle.getValueState(
-                "totals", "n BIGINT, total STRING"
+                "totals", "n BIGINT, nv BIGINT, total STRING"
             )
 
         def handleInputRows(self, key, rows, timerValues):
@@ -262,24 +274,30 @@ def stateful_user_totals_tws(df: DataFrame) -> DataFrame:
             import pandas as pd
 
             if self._state.exists():
-                n, total = self._state.get()
+                n, nv, total = self._state.get()
             else:
-                n, total = 0, "0"
+                n, nv, total = 0, 0, "0"
             total = decimal.Decimal(total)
             for pdf in rows:
                 n += len(pdf)
-                total += sum(
+                # HALF_UP + NULL-skip + all-NULL-is-NULL: see
+                # stateful_user_totals
+                vals = [
                     decimal.Decimal(str(v)).quantize(
-                        decimal.Decimal("0.01")
+                        decimal.Decimal("0.01"),
+                        rounding=decimal.ROUND_HALF_UP,
                     )
                     for v in pdf["value"]
-                )
-            self._state.update((n, str(total)))
+                    if v is not None and v == v
+                ]
+                nv += len(vals)
+                total += sum(vals, decimal.Decimal(0))
+            self._state.update((n, nv, str(total)))
             yield pd.DataFrame(
                 {
                     "user_id": [key[0]],
                     "n_events": [n],
-                    "sum_value": [float(total)],
+                    "sum_value": [float(total) if nv else None],
                 }
             )
 
@@ -335,7 +353,10 @@ def cdc_latest(df: DataFrame) -> DataFrame:
             for row in pdf.itertuples(index=False):
                 op = "delete" if row.event_type == "error" else "upsert"
                 ts_us = int(row.ts.value // 1_000)  # pandas ns -> µs
-                cand = (ts_us, int(row.event_id), float(row.value), op)
+                # NULL value must flow through as NULL (the batch twin
+                # emits last_value NULL), not crash the state task
+                v = None if row.value is None or row.value != row.value                     else float(row.value)
+                cand = (ts_us, int(row.event_id), v, op)
                 if cur is None or (cand[0], cand[1]) > (cur[0], cur[1]):
                     cur = cand
         state.update(cur)

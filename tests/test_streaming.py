@@ -372,3 +372,50 @@ def test_cdc_latest_stream_matches_batch(spark, events_dir):
         for r in W.cdc_latest(batch_events(spark, events_dir)).collect()
     }
     assert last == want and len(want) > 0
+
+
+def test_cdc_latest_null_value_survives(spark, events_dir):
+    """A NULL `value` on the latest change must flow through the
+    streaming state as NULL (matching the batch twin), not crash the
+    state task; NULL values inside totals are skipped like F.sum."""
+    import tempfile as _tf
+
+    d = _tf.mkdtemp(prefix="rc_rag_nullv_")
+    try:
+        ev = batch_events(spark, events_dir).limit(50)
+        # null out value on the globally-latest rows per a few users
+        nulled = ev.withColumn(
+            "value",
+            F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(
+                F.col("value")
+            ),
+        )
+        nulled.write.mode("overwrite").parquet(d)
+        schema = spark.read.parquet(d).schema
+        stream = W.cdc_latest(W.read_stream_dir(spark, d, schema))
+        rows = run_stream(spark, stream, output_mode="update")
+        last = {}
+        for r in rows:
+            last[r["pk"]] = (r["last_event_id"], r["last_value"])
+        want = {
+            r["pk"]: (r["last_event_id"], r["last_value"])
+            for r in W.cdc_latest(spark.read.parquet(d)).collect()
+        }
+        assert last == want and len(want) > 0
+        assert any(v[1] is None for v in want.values())  # nulls exercised
+
+        totals_stream = W.stateful_user_totals(
+            W.read_stream_dir(spark, d, schema)
+        )
+        got = {}
+        for r in run_stream(spark, totals_stream, output_mode="update"):
+            got[r["user_id"]] = (r["n_events"], r["sum_value"])
+        want_t = {
+            r["user_id"]: (r["n_events"], r["sum_value"])
+            for r in W.stateful_user_totals(spark.read.parquet(d)).collect()
+        }
+        assert got == want_t
+    finally:
+        import shutil as _sh
+
+        _sh.rmtree(d, ignore_errors=True)

@@ -52,7 +52,7 @@ def main() -> None:
             (F.col("id") + F.col("_rep") * 10_000_000).alias("id"),
             "question", "reference", "ctxs",
         )
-    samples = base.where(F.col("id") % 10_000_000 < n // factor + 1)
+    samples = base.where(F.col("id") % 10_000_000 < n // factor)
     # multi-partition input: the engine parallelizes LLM stages across
     # cores exactly as a real corpus (which never arrives as one file)
     samples = samples.repartition(32).localCheckpoint(eager=True)
@@ -91,7 +91,7 @@ def main() -> None:
         "",
         "| pipeline | wall | samples/s |",
         "|---|---|---|",
-        f"| engine (Spark, local[32], warm) | {t_engine:.1f} s "
+        f"| engine (Spark, local[{spark.sparkContext.defaultParallelism}], warm) | {t_engine:.1f} s "
         f"| {r_engine:,.0f} |",
         f"| reference-style Python row loop | {t_ref:.1f} s "
         f"| {r_ref:,.0f} |",

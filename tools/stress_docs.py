@@ -60,9 +60,10 @@ def main() -> None:
                 )
             )
             .alias("text"),
-            "lang", "source", "n_chars",
+            "lang", "source",
         )
     )
+    docs = docs.withColumn("n_chars", F.length("text").cast("long"))
     workdir = tempfile.mkdtemp(prefix="stress_docs_")
     docs_path = os.path.join(workdir, "docs")
     docs.write.mode("overwrite").parquet(docs_path)
@@ -81,7 +82,11 @@ def main() -> None:
         "minhash_pairs",
         lambda: DD.minhash_det_pairs(docs, "doc_id", "text").count(),
     )
-    pairs = DD.minhash_det_pairs(docs, "doc_id", "text")
+    # materialize the pair table OUTSIDE the timed block so the
+    # clustering number measures clustering, not a minhash re-run
+    pairs = DD.minhash_det_pairs(docs, "doc_id", "text").localCheckpoint(
+        eager=True
+    )
     timed(
         "dedup_clusters",
         lambda: DD.dedup_clusters(pairs).count(),
@@ -119,7 +124,8 @@ def main() -> None:
         f"({n_docs:,} docs, from {n_base:,}) — {stamp} UTC",
         "",
         "Synthetic corpus: sf0.1 documents replicated with deterministic",
-        "token mutations (near-dup structure preserved). local[32].",
+        f"token mutations (near-dup structure preserved). "
+        f"local[{spark.sparkContext.defaultParallelism}].",
         "",
         "| operator | wall | result |",
         "|---|---|---|",
