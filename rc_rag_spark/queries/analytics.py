@@ -930,3 +930,267 @@ def q163_journey_paths(spark, sf_dir):
         .where(F.col("rk") <= 20)
         .drop("rk")
     )
+
+
+@register(
+    "q164_range_bucket_join",
+    sql="""
+    WITH b AS (
+        SELECT bucket, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        FROM (SELECT o_totalprice,
+                     ntile(10) OVER (ORDER BY o_totalprice, o_orderkey)
+                         AS bucket
+              FROM orders)
+        GROUP BY bucket),
+    edges AS (
+        SELECT bucket, lo,
+               lead(lo) OVER (ORDER BY bucket) AS next_lo
+        FROM b),
+    assigned AS (
+        SELECT l.l_orderkey, l.l_extendedprice, e.bucket
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN edges e
+          ON o.o_totalprice >= e.lo
+         AND (e.next_lo IS NULL OR o.o_totalprice < e.next_lo)
+    )
+    SELECT bucket, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM assigned GROUP BY bucket
+    """,
+    tags=("profiling", "histogram", "range-join"),
+)
+def q164_range_bucket_join(spark, sf_dir):
+    """The 100 TB path q151's docstring promises, implemented: decile
+    BOUNDARIES come from the (small) bucket summary, fan out as a
+    broadcast range lookup, and the FACT table is bucketed with a
+    range predicate against ≤10 broadcast rows — no global sort of the
+    facts, no ntile over lineitem. Assignment uses half-open
+    [lo, next_lo) intervals derived via lead(), so every price lands
+    in exactly one bucket even when duplicate boundary values make
+    ntile's own row-split non-reconstructible from values alone. The
+    broadcast nested loop against a 10-row boundary table is the ONE
+    tolerated BNLJ shape (PLANS.md); per-bucket revenue is
+    decimal-exact."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    b = (
+        o.select(
+            "o_totalprice", F.ntile(10).over(w).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.min("o_totalprice").alias("lo"))
+    )
+    edges = b.select(
+        "bucket", "lo",
+        F.lead("lo").over(Window.orderBy("bucket")).alias("next_lo"),
+    )
+    assigned = (
+        li.join(o.select("o_orderkey", "o_totalprice"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(
+            F.broadcast(edges),
+            (F.col("o_totalprice") >= F.col("lo"))
+            & (F.col("next_lo").isNull()
+               | (F.col("o_totalprice") < F.col("next_lo"))),
+        )
+    )
+    return assigned.groupBy("bucket").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+@register(
+    "q165_weighted_median",
+    sql="""
+    WITH w AS (
+        SELECT l_returnflag, l_extendedprice AS price,
+               CAST(l_quantity AS DECIMAL(12,2)) AS wt,
+               SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                   ROWS UNBOUNDED PRECEDING) AS cum_wt,
+               SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER (
+                   PARTITION BY l_returnflag) AS tot_wt
+        FROM lineitem)
+    SELECT l_returnflag,
+           MIN(price) AS weighted_median,
+           CAST(MAX(tot_wt) AS DOUBLE) AS total_weight
+    FROM w
+    WHERE cum_wt * 2 >= tot_wt
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "percentile", "weighted"),
+)
+def q165_weighted_median(spark, sf_dir):
+    """Weighted median (quantity-weighted median extended price per
+    return flag) — the robust statistic no engine ships natively.
+    Formulation: one in-partition cumulative DECIMAL weight sum over a
+    total order, then the first row whose cumulative weight reaches
+    half the group total. Exact decimal weights make the crossing
+    deterministic under any partitioning; the tiebreak carries
+    (orderkey, linenumber). One window shuffle + one partial agg."""
+    li = table(spark, sf_dir, "lineitem")
+    wt = F.col("l_quantity").cast("decimal(12,2)")
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("l_returnflag")
+    staged = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.sum(wt).over(w_cum).alias("cum_wt"),
+        F.sum(wt).over(w_tot).alias("tot_wt"),
+    )
+    return (
+        staged.where(F.col("cum_wt") * 2 >= F.col("tot_wt"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price").alias("weighted_median"),
+            F.max("tot_wt").cast("double").alias("total_weight"),
+        )
+    )
+
+
+@register(
+    "q166_monthly_churn",
+    sql="""
+    WITH mu AS (
+        SELECT DISTINCT date_trunc('month', ts) AS m, user_id
+        FROM events),
+    months AS (SELECT DISTINCT m FROM mu),
+    pairs AS (
+        SELECT m, lead(m) OVER (ORDER BY m) AS next_m FROM months),
+    churned AS (
+        SELECT p.m, cur.user_id
+        FROM pairs p
+        JOIN mu cur ON cur.m = p.m
+        LEFT JOIN mu nxt ON nxt.m = p.next_m
+                        AND nxt.user_id = cur.user_id
+        WHERE p.next_m IS NOT NULL AND nxt.user_id IS NULL)
+    SELECT p.m AS month,
+           CAST((SELECT COUNT(*) FROM mu WHERE mu.m = p.m) AS BIGINT)
+               AS active_users,
+           CAST(coalesce((SELECT COUNT(*) FROM churned c
+                          WHERE c.m = p.m), 0) AS BIGINT) AS churned_users
+    FROM pairs p WHERE p.next_m IS NOT NULL
+    """,
+    tags=("product", "churn", "anti-join"),
+)
+def q166_monthly_churn(spark, sf_dir):
+    """Monthly churn: users active in month m with no activity in
+    m+1. The month spine carries its successor via lead(); churn is a
+    LEFT-ANTI join of month-m actives against month-(m+1) actives on
+    (user, month) — one distinct pass over events, two hash joins on
+    bounded keys, never a per-user window over history. The classic
+    retention complement to q138's cohort matrix."""
+    e = table(spark, sf_dir, "events")
+    mu = e.select(
+        F.date_trunc("month", F.col("ts")).alias("m"), "user_id"
+    ).distinct()
+    months = mu.select("m").distinct()
+    pairs = months.select(
+        "m", F.lead("m").over(Window.orderBy("m")).alias("next_m")
+    ).where(F.col("next_m").isNotNull())
+    cur = mu.join(F.broadcast(pairs), "m")
+    nxt = mu.select(
+        F.col("m").alias("next_m"), F.col("user_id").alias("nuser")
+    )
+    churned = cur.join(
+        nxt,
+        (cur.next_m == nxt.next_m) & (cur.user_id == nxt.nuser),
+        "left_anti",
+    )
+    active = mu.groupBy("m").agg(
+        F.count("*").cast("bigint").alias("active_users")
+    )
+    churn = churned.groupBy("m").agg(
+        F.count("*").cast("bigint").alias("churned_users")
+    )
+    return (
+        pairs.select(F.col("m").alias("month"))
+        .join(active.withColumnRenamed("m", "month"), "month")
+        .join(churn.withColumnRenamed("m", "month"), "month", "left")
+        .select(
+            "month", "active_users",
+            F.coalesce("churned_users", F.lit(0))
+            .cast("bigint")
+            .alias("churned_users"),
+        )
+    )
+
+
+@register(
+    "q167_ab_welch_t",
+    sql="""
+    WITH g AS (
+        SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+               CAST(value AS DECIMAL(14,2)) AS v
+        FROM events WHERE event_type = 'purchase'),
+    m AS (
+        SELECT arm, COUNT(*) AS n,
+               CAST(SUM(v) AS DOUBLE) AS s1,
+               CAST(SUM(v * v) AS DOUBLE) AS s2
+        FROM g GROUP BY arm),
+    stats AS (
+        SELECT arm, n, s1 / n AS mean,
+               (s2 - s1 * (s1 / n)) / (n - 1) AS var_s
+        FROM m)
+    SELECT a.n AS n_a, b.n AS n_b,
+           round(a.mean, 9) AS mean_a, round(b.mean, 9) AS mean_b,
+           round((a.mean - b.mean)
+                 / sqrt(a.var_s / a.n + b.var_s / b.n), 9) AS t_stat
+    FROM stats a JOIN stats b ON a.arm = 'A' AND b.arm = 'B'
+    """,
+    tags=("stats", "abtest", "welch"),
+)
+def q167_ab_welch_t(spark, sf_dir):
+    """A/B experiment readout: Welch's t-statistic between two arms
+    (users split by key parity) on purchase values. Everything derives
+    from exact DECIMAL moment sums (n, Σv, Σv²) — one partial-agg
+    scan — so mean, sample variance, and the t-stat are
+    partition-independent; the variance uses the numerically-stable
+    (Σv² − Σv·mean)/(n−1) form with the exact sums. This is the
+    evaluation step every experimentation pipeline bolts onto event
+    data."""
+    e = table(spark, sf_dir, "events")
+    g = e.where(F.col("event_type") == "purchase").select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("arm"),
+        F.col("value").cast("decimal(14,2)").alias("v"),
+    )
+    m = g.groupBy("arm").agg(
+        F.count("*").alias("n"),
+        F.sum("v").cast("double").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).cast("double").alias("s2"),
+    )
+    stats = m.select(
+        "arm", "n",
+        (F.col("s1") / F.col("n")).alias("mean"),
+        (
+            (F.col("s2") - F.col("s1") * (F.col("s1") / F.col("n")))
+            / (F.col("n") - 1)
+        ).alias("var_s"),
+    )
+    a = stats.where(F.col("arm") == "A").alias("a")
+    b = stats.where(F.col("arm") == "B").alias("b")
+    return a.crossJoin(b).select(
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        F.round(F.col("a.mean"), 9).alias("mean_a"),
+        F.round(F.col("b.mean"), 9).alias("mean_b"),
+        F.round(
+            (F.col("a.mean") - F.col("b.mean"))
+            / F.sqrt(
+                F.col("a.var_s") / F.col("a.n")
+                + F.col("b.var_s") / F.col("b.n")
+            ),
+            9,
+        ).alias("t_stat"),
+    )

@@ -252,3 +252,21 @@ def test_q156_incremental_merge_no_cartesian(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q156_incremental_agg")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q164_range_bucket_join",
+        "q165_weighted_median",
+        "q166_monthly_churn",
+        "q167_ab_welch_t",
+    ],
+)
+def test_final_batch_no_cartesian(spark, sf_dir, name):
+    """Closing batch: boundary range-probe and the two-arm stat attach
+    are the only tolerated broadcast nested loops (≤10-row broadcast
+    side); no cartesian products."""
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, name
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, name
