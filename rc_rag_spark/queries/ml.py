@@ -26,9 +26,9 @@ def q72_retrieval_scoring(spark, sf_dir):
     )
 
 
-@register(
-    "q72a_retrieval_features",
-    sql="""
+# Shared retrieval feature-matrix SQL (q72a hash-checks it; q168
+# trains on it — one home for the oracle-side formulation).
+_RETRIEVAL_FEATURES_SQL = """
     WITH d AS (SELECT doc_id, string_split(text, ' ') AS words
                FROM documents WHERE doc_id < 200),
     pos AS (SELECT doc_id AS pair_id,
@@ -84,7 +84,12 @@ def q72_retrieval_scoring(spark, sf_dir):
            coalesce(d.tf_dot, 0) AS tf_dot,
            coalesce(d.rare_overlap, 0) AS rare_overlap
     FROM base b LEFT JOIN dot d USING (pair_id)
-    """,
+    """
+
+
+@register(
+    "q72a_retrieval_features",
+    sql=_RETRIEVAL_FEATURES_SQL,
     tags=("ml", "retrieval", "features"),
 )
 def q72a_retrieval_features(spark, sf_dir):
@@ -601,4 +606,185 @@ def q143_video_keyframes(spark, sf_dir):
             F.round("f0", 9).alias("best_f0"),
             "n_frames",
         )
+    )
+
+
+def _gd_sql_step(k: int) -> str:
+    """One unrolled gradient step k -> k+1 over the fx rows (oracle
+    side). Expression text mirrors the Spark column chain exactly —
+    same op order, so the IEEE results are bit-identical."""
+    return f"""
+    s{k} AS (
+        SELECT label, x1, x2, x3, x4,
+               wb + w1*x1 + w2*x2 + w3*x3 + w4*x4 AS z,
+               1 + abs(wb + w1*x1 + w2*x2 + w3*x3 + w4*x4) AS dd
+        FROM fx CROSS JOIN w{k}),
+    r{k} AS (
+        SELECT x1, x2, x3, x4,
+               label - (0.5 + z / (2*dd)) AS r,
+               1 / ((2*dd) * dd) AS ds
+        FROM s{k}),
+    g{k} AS (
+        SELECT COUNT(*) AS n,
+               SUM(CAST(round(2*r*ds, 12) AS DECIMAL(28,12))) AS gb,
+               SUM(CAST(round(2*r*ds*x1, 12) AS DECIMAL(28,12))) AS g1,
+               SUM(CAST(round(2*r*ds*x2, 12) AS DECIMAL(28,12))) AS g2,
+               SUM(CAST(round(2*r*ds*x3, 12) AS DECIMAL(28,12))) AS g3,
+               SUM(CAST(round(2*r*ds*x4, 12) AS DECIMAL(28,12))) AS g4
+        FROM r{k}),
+    w{k + 1} AS (
+        SELECT round(wb + CAST(gb AS DOUBLE) / n, 12) AS wb,
+               round(w1 + CAST(g1 AS DOUBLE) / n, 12) AS w1,
+               round(w2 + CAST(g2 AS DOUBLE) / n, 12) AS w2,
+               round(w3 + CAST(g3 AS DOUBLE) / n, 12) AS w3,
+               round(w4 + CAST(g4 AS DOUBLE) / n, 12) AS w4
+        FROM g{k} CROSS JOIN w{k})"""
+
+
+_GD_STEPS = 3
+
+_Q168_SQL = (
+    "WITH feats AS (" + _RETRIEVAL_FEATURES_SQL + "),\n"
+    """fx AS (
+        SELECT label,
+               CAST(overlap AS DOUBLE) / 10.0 AS x1,
+               jaccard AS x2,
+               CAST(tf_dot AS DOUBLE) / 50.0 AS x3,
+               CAST(rare_overlap AS DOUBLE) / 5.0 AS x4
+        FROM feats),
+    w0 AS (SELECT 0.0 AS wb, 0.0 AS w1, 0.0 AS w2,
+                  0.0 AS w3, 0.0 AS w4),"""
+    + ",".join(_gd_sql_step(k) for k in range(_GD_STEPS))
+    + f"""
+    , final AS (
+        SELECT label,
+               wb + w1*x1 + w2*x2 + w3*x3 + w4*x4 AS z
+        FROM fx CROSS JOIN w{_GD_STEPS})
+    SELECT round(wb, 9) AS w_bias, round(w1, 9) AS w_overlap,
+           round(w2, 9) AS w_jaccard, round(w3, 9) AS w_tfdot,
+           round(w4, 9) AS w_rare,
+           (SELECT COUNT(*) FROM final) AS n_pairs,
+           (SELECT CAST(SUM(CASE WHEN (z > 0) = (label > 0.5)
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM final) AS n_correct
+    FROM w{_GD_STEPS}
+    """
+)
+
+
+@register(
+    "q168_retrieval_gd_training",
+    sql=_Q168_SQL,
+    tags=("ml", "retrieval", "training", "iterative"),
+)
+def q168_retrieval_gd_training(spark, sf_dir):
+    """Hash-checked TRAINED retrieval scorer — the upgrade that closes
+    q72's 'training itself is rows-only' gap (MLlib LR's internal
+    optimizer isn't SQL-reproducible; this is). A linear relevance
+    model over the q72a feature matrix is trained by 3 unrolled
+    full-batch gradient steps on squared loss with a RATIONAL
+    sigmoid-like link σ̃(z) = 0.5 + z/(2(1+|z|)) — every op is one
+    IEEE +,*,/,abs, so both engines compute bit-identical gradients
+    (no libm exp), and each step's gradient terms are quantized to
+    DECIMAL(28,12) before the exact mean (the q139 quantized-iteration
+    discipline), so partial-agg order can't drift the weights. The
+    oracle unrolls the identical 3 steps as chained CTEs. Output:
+    final weights + training accuracy (z>0 ⇔ σ̃>0.5). Scale: each
+    step is one broadcast of 5 weights + one partial-agg scan of the
+    feature table — gradient descent as 3 map-reduce passes, the
+    textbook distributed-GD shape."""
+    feats = q72a_retrieval_features(spark, sf_dir).localCheckpoint(
+        eager=True
+    )
+    fx = feats.select(
+        "label",
+        (F.col("overlap").cast("double") / 10.0).alias("x1"),
+        F.col("jaccard").alias("x2"),
+        (F.col("tf_dot").cast("double") / 50.0).alias("x3"),
+        (F.col("rare_overlap").cast("double") / 5.0).alias("x4"),
+    )
+    w = spark.range(1).select(
+        F.lit(0.0).alias("wb"), F.lit(0.0).alias("w1"),
+        F.lit(0.0).alias("w2"), F.lit(0.0).alias("w3"),
+        F.lit(0.0).alias("w4"),
+    )
+
+    def z_col():
+        return (
+            F.col("wb")
+            + F.col("w1") * F.col("x1")
+            + F.col("w2") * F.col("x2")
+            + F.col("w3") * F.col("x3")
+            + F.col("w4") * F.col("x4")
+        )
+
+    for _ in range(_GD_STEPS):
+        s = fx.crossJoin(F.broadcast(w)).select(
+            "label", "x1", "x2", "x3", "x4",
+            z_col().alias("z"),
+            (F.lit(1) + F.abs(z_col())).alias("dd"),
+        )
+        r = s.select(
+            "x1", "x2", "x3", "x4",
+            (
+                F.col("label")
+                - (F.lit(0.5) + F.col("z") / (F.lit(2) * F.col("dd")))
+            ).alias("r"),
+            (
+                F.lit(1)
+                / ((F.lit(2) * F.col("dd")) * F.col("dd"))
+            ).alias("ds"),
+        )
+
+        def gterm(x=None):
+            base = F.lit(2.0) * F.col("r") * F.col("ds")
+            if x is not None:
+                base = base * F.col(x)
+            return F.sum(F.round(base, 12).cast("decimal(28,12)"))
+
+        g = r.agg(
+            F.count("*").alias("n"),
+            gterm().alias("gb"),
+            gterm("x1").alias("g1"),
+            gterm("x2").alias("g2"),
+            gterm("x3").alias("g3"),
+            gterm("x4").alias("g4"),
+        )
+        w = g.crossJoin(F.broadcast(w)).select(
+            F.round(
+                F.col("wb") + F.col("gb").cast("double") / F.col("n"), 12
+            ).alias("wb"),
+            F.round(
+                F.col("w1") + F.col("g1").cast("double") / F.col("n"), 12
+            ).alias("w1"),
+            F.round(
+                F.col("w2") + F.col("g2").cast("double") / F.col("n"), 12
+            ).alias("w2"),
+            F.round(
+                F.col("w3") + F.col("g3").cast("double") / F.col("n"), 12
+            ).alias("w3"),
+            F.round(
+                F.col("w4") + F.col("g4").cast("double") / F.col("n"), 12
+            ).alias("w4"),
+        )
+
+    final = fx.crossJoin(F.broadcast(w)).select(
+        "label", z_col().alias("z")
+    )
+    acc = final.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(
+            ((F.col("z") > 0) == (F.col("label") > 0.5)).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_correct"),
+    )
+    return w.crossJoin(F.broadcast(acc)).select(
+        F.round("wb", 9).alias("w_bias"),
+        F.round("w1", 9).alias("w_overlap"),
+        F.round("w2", 9).alias("w_jaccard"),
+        F.round("w3", 9).alias("w_tfdot"),
+        F.round("w4", 9).alias("w_rare"),
+        "n_pairs",
+        "n_correct",
     )
