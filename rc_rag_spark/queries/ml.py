@@ -718,6 +718,14 @@ def q168_retrieval_gd_training(spark, sf_dir):
             + F.col("w4") * F.col("x4")
         )
 
+    def gterm(x=None):
+        base = F.lit(2.0) * F.col("r") * F.col("ds")
+        if x is not None:
+            base = base * F.col(x)
+        return F.sum(F.round(base, 12).cast("decimal(28,12)"))
+
+    pairs_wg = [("wb", "gb"), ("w1", "g1"), ("w2", "g2"),
+                ("w3", "g3"), ("w4", "g4")]
     for _ in range(_GD_STEPS):
         s = fx.crossJoin(F.broadcast(w)).select(
             "label", "x1", "x2", "x3", "x4",
@@ -735,13 +743,6 @@ def q168_retrieval_gd_training(spark, sf_dir):
                 / ((F.lit(2) * F.col("dd")) * F.col("dd"))
             ).alias("ds"),
         )
-
-        def gterm(x=None):
-            base = F.lit(2.0) * F.col("r") * F.col("ds")
-            if x is not None:
-                base = base * F.col(x)
-            return F.sum(F.round(base, 12).cast("decimal(28,12)"))
-
         g = r.agg(
             F.count("*").alias("n"),
             gterm().alias("gb"),
@@ -750,23 +751,18 @@ def q168_retrieval_gd_training(spark, sf_dir):
             gterm("x3").alias("g3"),
             gterm("x4").alias("g4"),
         )
+        # localCheckpoint the 1-row weight table each step: w is
+        # referenced twice per iteration, so an unmaterialized chain
+        # duplicates the whole upstream DAG 2^steps times (measured:
+        # 14 gradient aggregations instead of 3 without this)
         w = g.crossJoin(F.broadcast(w)).select(
-            F.round(
-                F.col("wb") + F.col("gb").cast("double") / F.col("n"), 12
-            ).alias("wb"),
-            F.round(
-                F.col("w1") + F.col("g1").cast("double") / F.col("n"), 12
-            ).alias("w1"),
-            F.round(
-                F.col("w2") + F.col("g2").cast("double") / F.col("n"), 12
-            ).alias("w2"),
-            F.round(
-                F.col("w3") + F.col("g3").cast("double") / F.col("n"), 12
-            ).alias("w3"),
-            F.round(
-                F.col("w4") + F.col("g4").cast("double") / F.col("n"), 12
-            ).alias("w4"),
-        )
+            *[
+                F.round(
+                    F.col(wc) + F.col(gc).cast("double") / F.col("n"), 12
+                ).alias(wc)
+                for wc, gc in pairs_wg
+            ]
+        ).localCheckpoint(eager=True)
 
     final = fx.crossJoin(F.broadcast(w)).select(
         "label", z_col().alias("z")
