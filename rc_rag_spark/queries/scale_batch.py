@@ -280,6 +280,407 @@ _Z_BITS = 8        # 8 bits per dimension -> 16-bit Morton key
 _Z_FILES = 64      # morton >> 10: 65536 keys / 64 target files
 
 
+# --------------------------------------------------------------------------
+# q172 — distributed BPE merge induction over the document vocabulary.
+
+_BPE_STEPS = 3
+
+
+def _bpe_oracle_sql() -> str:
+    """Unrolled chained-CTE DuckDB formulation of the identical merge
+    steps: weighted pair counts -> deterministic top pair (count desc,
+    then left/right lexicographic) -> leftmost-greedy non-overlapping
+    merge via the even-offset-within-run window construction ->
+    reindex."""
+    parts = [
+        """
+    WITH toks AS (
+        SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+        FROM documents),
+    words AS (
+        SELECT tok AS word, COUNT(*) AS wc FROM toks WHERE tok <> ''
+        GROUP BY tok),
+    idx AS (
+        SELECT word, wc,
+               CAST(unnest(generate_series(1, length(word))) AS BIGINT) AS pos
+        FROM words),
+    s0 AS (SELECT word, wc, pos, substr(word, CAST(pos AS INTEGER), 1) AS sym
+           FROM idx)"""
+    ]
+    for s in range(1, _BPE_STEPS + 1):
+        p = s - 1
+        parts.append(
+            """,
+    nx{s} AS (
+        SELECT word, wc, pos, sym,
+               LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+        FROM s{p}),
+    pr{s} AS (
+        SELECT sym AS l, nxt AS r, CAST(SUM(wc) AS BIGINT) AS cnt
+        FROM nx{s} WHERE nxt IS NOT NULL GROUP BY sym, nxt),
+    top{s} AS (SELECT l, r, cnt FROM pr{s}
+               ORDER BY cnt DESC, l, r LIMIT 1),
+    mm{s} AS (
+        SELECT word, pos FROM (
+            SELECT word, pos, grp,
+                   ROW_NUMBER() OVER (PARTITION BY word, grp
+                                      ORDER BY pos) AS k
+            FROM (
+                SELECT z.word, z.pos,
+                       z.pos - ROW_NUMBER() OVER (PARTITION BY z.word
+                                                  ORDER BY z.pos) AS grp
+                FROM nx{s} z CROSS JOIN top{s} t
+                WHERE z.sym = t.l AND z.nxt = t.r) g) gg
+        WHERE k % 2 = 1),
+    s{s} AS (
+        SELECT t.word, t.wc,
+               ROW_NUMBER() OVER (PARTITION BY t.word
+                                  ORDER BY t.pos) AS pos,
+               CASE WHEN im.pos IS NOT NULL THEN tp.l || tp.r
+                    ELSE t.sym END AS sym
+        FROM s{p} t
+        CROSS JOIN top{s} tp
+        LEFT JOIN mm{s} im ON im.word = t.word AND im.pos = t.pos
+        LEFT JOIN mm{s} ic ON ic.word = t.word AND ic.pos = t.pos - 1
+        WHERE ic.pos IS NULL)""".format(s=s, p=p)
+        )
+    finals = " UNION ALL ".join(
+        "SELECT {s} AS step, l AS left_sym, r AS right_sym, cnt"
+        " AS pair_count FROM top{s}".format(s=s)
+        for s in range(1, _BPE_STEPS + 1)
+    )
+    parts.append("\n    SELECT CAST(step AS INTEGER) AS step, left_sym,"
+                 " right_sym, pair_count FROM (" + finals + ")")
+    return "".join(parts)
+
+
+@register(
+    "q172_bpe_merges",
+    sql=_bpe_oracle_sql(),
+    tags=("text", "tokenizer", "bpe"),
+)
+def q172_bpe_merges(spark, sf_dir):
+    """Distributed BPE merge induction — the tokenizer-training
+    primitive: learn the first 3 byte-pair merges over the document
+    vocabulary (weighted by word frequency) and emit each learned
+    (left, right) merge with its pair count. Semantics are classic
+    greedy BPE: per step, count adjacent symbol pairs weighted by
+    word count, pick the most frequent pair (count desc, then
+    lexicographic tiebreak), then apply it leftmost-first without
+    overlap. The leftmost-greedy rule is expressed as windows, not a
+    sequential fold: consecutive matching positions form runs
+    (possible only when left==right), and merges land on the odd
+    offsets within each run — identical logic in both engines. Each
+    step is one pair-count partial agg + a TakeOrdered(1) + two
+    equi-joins against the merge-position set; the vocabulary (not
+    the corpus) is what iterates, so the corpus is scanned exactly
+    once at any scale. Per-step localCheckpoint bounds lineage; all
+    outputs are strings and exact integers, so the hash check is
+    drift-free."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    ).where(F.col("tok") != "")
+    words = toks.groupBy(F.col("tok").alias("word")).agg(
+        F.count("*").alias("wc")
+    )
+    syms = (
+        words.select(
+            "word",
+            "wc",
+            F.explode(
+                F.sequence(F.lit(1), F.length("word"))
+            ).alias("pos"),
+        )
+        .withColumn("sym", F.col("word").substr(F.col("pos").cast("int"), F.lit(1)))
+        .localCheckpoint(eager=True)
+    )
+    w_word = Window.partitionBy("word").orderBy("pos")
+    merges = []
+    for step in range(1, _BPE_STEPS + 1):
+        withnxt = syms.withColumn("nxt", F.lead("sym").over(w_word))
+        pairs = (
+            withnxt.where(F.col("nxt").isNotNull())
+            .groupBy("sym", "nxt")
+            .agg(F.sum("wc").cast("bigint").alias("cnt"))
+        )
+        top = (
+            pairs.orderBy(F.col("cnt").desc(), "sym", "nxt")
+            .limit(1)
+            .select(
+                F.col("sym").alias("l"), F.col("nxt").alias("r"), "cnt"
+            )
+            .localCheckpoint(eager=True)
+        )
+        merges.append(
+            top.select(
+                F.lit(step).cast("int").alias("step"),
+                F.col("l").alias("left_sym"),
+                F.col("r").alias("right_sym"),
+                F.col("cnt").alias("pair_count"),
+            )
+        )
+        matched = (
+            withnxt.crossJoin(F.broadcast(top))
+            .where((F.col("sym") == F.col("l")) & (F.col("nxt") == F.col("r")))
+            .select("word", "pos")
+        )
+        grp = matched.withColumn(
+            "grp", F.col("pos") - F.row_number().over(w_word)
+        )
+        mpos = (
+            grp.withColumn(
+                "k",
+                F.row_number().over(
+                    Window.partitionBy("word", "grp").orderBy("pos")
+                ),
+            )
+            .where(F.col("k") % 2 == 1)
+            .select("word", "pos")
+        )
+        im = mpos.withColumn("_m", F.lit(1))
+        ic = mpos.select(
+            "word", (F.col("pos") + 1).alias("pos"), F.lit(1).alias("_c")
+        )
+        syms = (
+            syms.join(im, ["word", "pos"], "left")
+            .join(ic, ["word", "pos"], "left")
+            .where(F.col("_c").isNull())
+            .crossJoin(F.broadcast(top))
+            .select(
+                "word",
+                "wc",
+                F.row_number().over(w_word).alias("pos"),
+                F.when(
+                    F.col("_m").isNotNull(), F.concat("l", "r")
+                )
+                .otherwise(F.col("sym"))
+                .alias("sym"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out
+
+
+# --------------------------------------------------------------------------
+# q173 — Bloom-filter membership pre-screen with exact FP audit.
+
+_BLOOM_BITS = 4096
+_BLOOM_K = 3
+_BLOOM_PRICE = 400_000.0  # build side: buyers with an order above this
+
+
+@register(
+    "q173_bloom_membership",
+    sql="""
+    WITH build AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_totalprice > {price}),
+    hashes AS (SELECT unnest(generate_series(0, {km1})) AS j),
+    bits AS (
+        SELECT DISTINCT
+               CAST(('0x' || substr(md5(CAST(b.o_custkey AS VARCHAR)
+                                        || '#' || CAST(h.j AS VARCHAR)),
+                                    1, 8)) AS BIGINT) % {m} AS bucket
+        FROM build b CROSS JOIN hashes h),
+    probes AS (
+        SELECT c.c_custkey, h.j,
+               CAST(('0x' || substr(md5(CAST(c.c_custkey AS VARCHAR)
+                                        || '#' || CAST(h.j AS VARCHAR)),
+                                    1, 8)) AS BIGINT) % {m} AS bucket
+        FROM customer c CROSS JOIN hashes h),
+    hits AS (
+        SELECT p.c_custkey,
+               CAST(SUM(CASE WHEN b.bucket IS NULL THEN 0 ELSE 1 END)
+                    AS BIGINT) AS n_hits
+        FROM probes p LEFT JOIN bits b ON b.bucket = p.bucket
+        GROUP BY p.c_custkey)
+    SELECT h.c_custkey,
+           h.n_hits = {k} AS bloom_maybe,
+           EXISTS (SELECT 1 FROM build b
+                   WHERE b.o_custkey = h.c_custkey) AS actually_present
+    FROM hits h
+    """.format(price=_BLOOM_PRICE, km1=_BLOOM_K - 1, m=_BLOOM_BITS,
+               k=_BLOOM_K),
+    tags=("sketch", "bloom", "membership"),
+)
+def q173_bloom_membership(spark, sf_dir):
+    """Bloom-filter membership pre-screen: build a 4096-bit / k=3
+    filter over high-value buyer keys, probe every customer, and audit
+    the answers against the exact semi-join. The filter is the
+    DISTINCT set of md5-derived bit positions — built by one
+    partial-agg distinct (<= m rows however large the build side) and
+    small enough to broadcast, which is exactly how a bloom pre-filter
+    cuts a 100 TB probe-side scan before the real join (the
+    runtime-bloom operator in skew.py injects the same idea into
+    Catalyst; this query pins the construction bit-for-bit).
+    False negatives are impossible (asserted in tests); false
+    positives appear as bloom_maybe=true / actually_present=false
+    rows whose rate the m/k choice bounds. Integer/boolean output —
+    hash-exact."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    build = (
+        orders.where(F.col("o_totalprice") > _BLOOM_PRICE)
+        .select("o_custkey")
+        .distinct()
+        .localCheckpoint(eager=True)  # reused: bits + exact audit arm
+    )
+    hashes = spark.range(_BLOOM_K).select(F.col("id").cast("int").alias("j"))
+
+    def bucket(key_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "#",
+                            key_col.cast("string"),
+                            F.col("j").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _BLOOM_BITS
+        )
+
+    bits = (
+        build.crossJoin(F.broadcast(hashes))
+        .select(bucket(F.col("o_custkey")).alias("bucket"))
+        .distinct()
+    )
+    probes = cust.crossJoin(F.broadcast(hashes)).select(
+        "c_custkey", "j", bucket(F.col("c_custkey")).alias("bucket")
+    )
+    hits = (
+        probes.join(
+            F.broadcast(bits.withColumn("_hit", F.lit(1))), "bucket", "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.sum(F.coalesce("_hit", F.lit(0))).alias("n_hits"))
+    )
+    actual = build.select(
+        F.col("o_custkey").alias("c_custkey"), F.lit(True).alias("_present")
+    )
+    return (
+        hits.join(F.broadcast(actual), "c_custkey", "left")
+        .select(
+            "c_custkey",
+            (F.col("n_hits") == _BLOOM_K).alias("bloom_maybe"),
+            F.coalesce("_present", F.lit(False)).alias("actually_present"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q174 — int8 scalar quantization of the embedding table.
+
+
+@register(
+    "q174_scalar_quantization",
+    sql="""
+    WITH x AS (
+        SELECT vec_id,
+               CAST(generate_subscripts(embedding, 1) AS INTEGER) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings),
+    stats AS (
+        SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM x GROUP BY pos),
+    codes AS (
+        SELECT x.vec_id, x.pos, x.x, s.mn, s.mx,
+               CASE WHEN s.mx > s.mn
+                    THEN LEAST(255, CAST(floor(((x.x - s.mn) / (s.mx - s.mn))
+                                               * 256) AS BIGINT))
+                    ELSE 0 END AS q
+        FROM x JOIN stats s ON s.pos = x.pos),
+    recon AS (
+        SELECT vec_id, pos, q,
+               CASE WHEN mx > mn
+                    THEN mn + (q + 0.5) * ((mx - mn) / 256)
+                    ELSE mn END AS xr,
+               x
+        FROM codes)
+    SELECT vec_id,
+           CAST(SUM(q * pos) AS BIGINT) AS code_checksum,
+           round(CAST(SUM(CAST(round((x - xr) * (x - xr), 14)
+                               AS DECIMAL(28,14))) AS DOUBLE)
+                 / COUNT(*), 9) AS mse
+    FROM recon
+    GROUP BY vec_id
+    """,
+    tags=("quantization", "embeddings", "compression"),
+)
+def q174_scalar_quantization(spark, sf_dir):
+    """Int8 scalar quantization of the embedding table — the 4x
+    memory/bandwidth compression that production ANN serves from
+    (score against uint8 codes, re-rank survivors against float).
+    Per-dimension min/max (one partial agg, 64 rows, broadcast back)
+    scales each coordinate to a 0..255 code; the audit emits each
+    vector's exact integer code checksum (pins the codes themselves)
+    and its reconstruction MSE under midpoint decoding (DECIMAL-
+    quantized exact mean). Constant dimensions (mx == mn) are guarded
+    to code 0 on both engines — Spark yields NaN and DuckDB NULL for
+    0.0/0.0, so the unguarded expression would hash-diverge. Scale:
+    two scans + a broadcast join; nothing grows with the corpus."""
+    e = table(spark, sf_dir, "embeddings")
+    x = e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "x"
+        ),
+    ).withColumn("pos", (F.col("pos") + 1).cast("int"))
+    stats = x.groupBy("pos").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    codes = x.join(F.broadcast(stats), "pos").select(
+        "vec_id",
+        "pos",
+        "x",
+        "mn",
+        "mx",
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.least(
+                F.lit(255),
+                F.floor(
+                    ((F.col("x") - F.col("mn")) / (F.col("mx") - F.col("mn")))
+                    * 256
+                ),
+            ),
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("q"),
+    )
+    recon = codes.select(
+        "vec_id",
+        "pos",
+        "q",
+        "x",
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.col("mn")
+            + (F.col("q") + 0.5) * ((F.col("mx") - F.col("mn")) / 256),
+        )
+        .otherwise(F.col("mn"))
+        .alias("xr"),
+    )
+    err = F.round(
+        (F.col("x") - F.col("xr")) * (F.col("x") - F.col("xr")), 14
+    ).cast("decimal(28,14)")
+    return recon.groupBy("vec_id").agg(
+        F.sum(F.col("q") * F.col("pos")).cast("bigint").alias("code_checksum"),
+        F.round(F.sum(err).cast("double") / F.count("*"), 9).alias("mse"),
+    )
+
+
 def _morton_terms_sql() -> str:
     return " + ".join(
         "(((b1 >> {i}) & 1) << {o1}) + (((b2 >> {i}) & 1) << {o2})".format(

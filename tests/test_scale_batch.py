@@ -62,6 +62,91 @@ def test_countmin_overestimate_bound(spark, sf_dir):
         assert r.overcount >= 0
 
 
+def test_bpe_matches_pure_python_golden(spark, sf_dir):
+    """The distributed windowed BPE must agree step-for-step with a
+    sequential pure-Python greedy BPE over the same vocabulary."""
+    import re
+    from collections import Counter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    words = Counter()
+    for r in docs:
+        for t in re.split(r"\s+", r.text.lower()):
+            if t:
+                words[t] += 1
+
+    def golden_merges(words, steps):
+        seqs = {w: list(w) for w in words}
+        out = []
+        for _ in range(steps):
+            pc = Counter()
+            for w, syms in seqs.items():
+                wc = words[w]
+                for a, b in zip(syms, syms[1:]):
+                    pc[(a, b)] += wc
+            (l, r), cnt = min(
+                pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            out.append((l, r, cnt))
+            for w, syms in seqs.items():
+                ns, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == l
+                        and syms[i + 1] == r
+                    ):
+                        ns.append(l + r)
+                        i += 2
+                    else:
+                        ns.append(syms[i])
+                        i += 1
+                seqs[w] = ns
+        return out
+
+    expect = golden_merges(words, 3)
+    got = sorted(
+        q.REGISTRY["q172_bpe_merges"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.step,
+    )
+    assert [
+        (r.left_sym, r.right_sym, r.pair_count) for r in got
+    ] == expect
+
+
+def test_bloom_no_false_negatives(spark, sf_dir):
+    rows = q.REGISTRY["q173_bloom_membership"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.actually_present:
+            # a bloom filter can overclaim, never underclaim
+            assert r.bloom_maybe
+
+
+def test_scalar_quantization_error_bound(spark, sf_dir):
+    """Midpoint decoding bounds per-coordinate error by half a cell, so
+    per-vector MSE is bounded by max_dim_range^2 / (4 * 256^2)."""
+    from pyspark.sql import functions as FF
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    x = e.select(
+        FF.posexplode(FF.col("embedding").cast("array<double>")).alias(
+            "pos", "x"
+        )
+    )
+    spans = (
+        x.groupBy("pos")
+        .agg((FF.max("x") - FF.min("x")).alias("span"))
+        .agg(FF.max("span"))
+        .collect()[0][0]
+    )
+    bound = (spans / 256.0) ** 2 / 4.0 + 1e-12
+    rows = q.REGISTRY["q174_scalar_quantization"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.mse <= bound
+
+
 def test_morton_bijective():
     """Interleave then deinterleave recovers both bucket ranks for the
     full 8-bit x 8-bit key space."""
