@@ -1,0 +1,407 @@
+"""Semantic-dedup batch: SemDeDup, prefix-filter set-similarity join,
+and a bigram LM surprisal filter.
+
+Three more first-class training-corpus operators, each with the
+100 TB question answered up front:
+
+  q175_semdedup            SemDeDup (Abbas et al. 2023, public): one
+                           k-means assignment pass partitions the
+                           embedding space, then cosine near-dup
+                           removal runs ONLY within clusters — the
+                           pairwise stage is an equi-join on cluster
+                           id, so the quadratic blow-up is bounded by
+                           the largest cluster instead of the corpus.
+  q176_prefix_filter_jaccard
+                           Exact Jaccard-threshold self-join via
+                           prefix filtering (PPJoin family, public):
+                           tokens are ordered rarest-first and only
+                           each set's first |x|-ceil(t|x|)+1 tokens
+                           generate candidates. The oracle spells the
+                           naive all-pairs theta join — a genuinely
+                           independent construction — while the
+                           engine's shape is an ordinary hash-shuffle
+                           equi-join on rare tokens that survives a
+                           10^9-document corpus.
+  q177_bigram_surprisal    Add-one-smoothed bigram LM scored over its
+                           own training corpus — the stronger
+                           perplexity-proxy quality filter next to
+                           q158's unigram LM.
+
+Determinism discipline follows queries/core.py: integer counts
+everywhere possible; every float term (distances, -ln p) is quantized
+to DECIMAL before an order-independent exact SUM; threshold compares
+happen far from float boundaries (planted dups sit at cosine ~= 1 /
+Jaccard >= 0.9 vs a background well below the cut).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from rc_rag_spark.functions.text import simple_tokenize
+from rc_rag_spark.functions.vectors import dot, l2_norm
+from rc_rag_spark.operators.dedup import shingles_from_tokens
+from rc_rag_spark.queries.core import register
+from rc_rag_spark.queries.dedup_sim import _sql_minhash_grams
+from rc_rag_spark.sources import table
+
+
+# --------------------------------------------------------------------------
+# q175 — SemDeDup: cluster-then-dedup over embeddings ∪ planted copies.
+
+_SD_K = 4            # clusters; seeds = embeddings of vec_id 0..k-1
+_SD_THRESHOLD = 0.95  # cosine cut inside a cluster
+
+
+@register(
+    "q175_semdedup",
+    sql="""
+    WITH corpus AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000 AS vec_id,
+               list_transform(embedding::DOUBLE[], x -> x * 1.002) AS v
+        FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    x AS (
+        SELECT vec_id,
+               CAST(generate_subscripts(v, 1) AS INTEGER) AS pos,
+               CAST(unnest(v) AS DOUBLE) AS x
+        FROM corpus),
+    c AS (SELECT CAST(vec_id AS INTEGER) AS cid, pos, x AS c
+          FROM x WHERE vec_id < 4),
+    d AS (
+        SELECT x.vec_id, c.cid,
+               SUM(CAST(round((x.x - c.c) * (x.x - c.c), 12)
+                        AS DECIMAL(28,12))) AS dist
+        FROM x JOIN c ON c.pos = x.pos
+        GROUP BY x.vec_id, c.cid),
+    assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cid) AS rn
+            FROM d)
+        WHERE rn = 1),
+    removed AS (
+        SELECT DISTINCT ab.vec_id AS vec_id
+        FROM assign aa JOIN assign ab
+          ON ab.cid = aa.cid AND aa.vec_id < ab.vec_id
+        JOIN corpus ca ON ca.vec_id = aa.vec_id
+        JOIN corpus cb ON cb.vec_id = ab.vec_id
+        WHERE list_dot_product(ca.v, cb.v)
+              / (sqrt(list_dot_product(ca.v, ca.v))
+                 * sqrt(list_dot_product(cb.v, cb.v))) >= 0.95
+    )
+    SELECT a.vec_id, a.cid,
+           CASE WHEN r.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+    FROM assign a LEFT JOIN removed r ON r.vec_id = a.vec_id
+    """,
+    tags=("dedup", "semantic", "embeddings", "kmeans"),
+)
+def q175_semdedup(spark, sf_dir):
+    """SemDeDup over embeddings ∪ planted scaled copies (vec_id%10==0,
+    x*1.002 — cosine is scale-invariant so each copy sits at sim≈1 to
+    its source, while random 64-dim pairs stay far below 0.95): one
+    k-means assignment pass (exact DECIMAL distances to the k=4 seed
+    centroids, argmin with cid tiebreak — the q169 discipline), then
+    cosine-threshold pairs are searched ONLY within a cluster and the
+    lexicographically-larger member of each pair is dropped (greedy
+    min-id representative). Scale: assignment is broadcast(k·d) + one
+    partial agg; the pair stage shuffles on cid, so cost is
+    Σ|cluster|² not |corpus|² — the whole point of SemDeDup. The
+    oracle reproduces the identical construction in DuckDB CTEs."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    planted = e.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.transform("v", lambda x: x * 1.002).alias("v"),
+    )
+    corpus = e.unionByName(planted).localCheckpoint(eager=True)
+
+    x = corpus.select(
+        "vec_id", F.posexplode("v").alias("pos", "x")
+    ).withColumn("pos", (F.col("pos") + 1).cast("int"))
+    c = x.where(F.col("vec_id") < _SD_K).select(
+        F.col("vec_id").cast("int").alias("cid"), "pos", F.col("x").alias("c")
+    )
+    dist_term = F.round(
+        (F.col("x") - F.col("c")) * (F.col("x") - F.col("c")), 12
+    ).cast("decimal(28,12)")
+    d = (
+        x.join(F.broadcast(c), "pos")
+        .groupBy("vec_id", "cid")
+        .agg(F.sum(dist_term).alias("dist"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    assign = (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+
+    # Members carry their vector + norm once; the pair stage is an
+    # equi-join on cid (quadratic only within a cluster).
+    m = assign.join(corpus, "vec_id").select(
+        "vec_id", "cid", "v", l2_norm("v").alias("norm")
+    )
+    a, b = m.alias("a"), m.alias("b")
+    removed = (
+        a.join(
+            b,
+            (F.col("b.cid") == F.col("a.cid"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(
+            dot(F.col("a.v"), F.col("b.v"))
+            / (F.col("a.norm") * F.col("b.norm"))
+            >= _SD_THRESHOLD
+        )
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("_rm", F.lit(1))
+    )
+    return assign.join(removed, "vec_id", "left").select(
+        "vec_id",
+        "cid",
+        F.when(F.col("_rm").isNull(), 1).otherwise(0).alias("kept"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q176 — exact Jaccard-threshold self-join with prefix filtering.
+
+_PF_NUM, _PF_DEN = 4, 5  # Jaccard threshold 4/5 = 0.8, kept integer
+
+
+@register(
+    "q176_prefix_filter_jaccard",
+    sql=f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+               array_to_string(
+                   string_split(text, ' ')[1:greatest(
+                       len(string_split(text, ' ')) - 2, 1)], ' ') AS text
+        FROM documents WHERE doc_id % 20 = 0
+    ),
+    sh AS (SELECT doc_id, {_sql_minhash_grams("text")} AS grams FROM corpus),
+    t2 AS (SELECT doc_id, unnest(grams) AS tok FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM t2 GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM t2 a JOIN t2 b ON b.tok = a.tok AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+    SELECT i.id_a, i.id_b,
+           CAST(i.c AS INTEGER) AS inter_size,
+           CAST(sa.n + sb.n - i.c AS INTEGER) AS union_size,
+           round(CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c), 9) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE 5 * i.c >= 4 * (sa.n + sb.n - i.c)
+    """,
+    tags=("dedup", "jaccard", "prefix-filter", "ppjoin"),
+)
+def q176_prefix_filter_jaccard(spark, sf_dir):
+    """Exact shingle-set Jaccard >= 0.8 self-join over documents ∪
+    planted truncations (doc_id%20==0, last two words dropped —
+    guaranteed high-Jaccard pairs), PPJoin-style over word-3-gram
+    shingles (word sets are useless here: this corpus's docs share
+    most of a tiny vocabulary, so unigram Jaccard >= 0.9 holds for a
+    MILLION background pairs, while trigram-shingle Jaccard >= 0.8
+    holds for ~500 — shingling IS the selectivity, exactly why the
+    minhash pipeline q62 shingles too). Shingles are ranked
+    rarest-first (df asc, gram asc — a strict total order), each set
+    keeps only its first n - ceil(0.8·n) + 1 as the candidate prefix,
+    and candidates come from a plain equi-join on prefix shingles.
+    Any pair with J >= t has overlap >= ceil(t·|x|), so a pair
+    sharing NO prefix shingle cannot reach the threshold — the filter
+    is lossless (tested against a pure-Python brute force). Verify
+    re-joins full shingle sets by id and keeps the threshold compare
+    in pure integers (5c >= 4(sa+sb-c)), so no float boundary exists.
+    Scale: df ranking is one shingle-key partial agg; the per-doc
+    ordering window partitions by doc_id (never global); candidate
+    volume is bounded by rare-shingle postings, the standard prefix-
+    filter bound. The oracle spells the naive all-pairs join — an
+    independent construction at sf-test scale."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    planted = d.where(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(
+            F.slice(words, 1, F.greatest(F.size(words) - 2, F.lit(1))), " "
+        ).alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(planted)
+
+    # Stage the token array as a real column before shingling (HOF
+    # lambdas are interpreted; an inline tokenizer would re-run per
+    # shingle element — the minhash_det_pairs discipline).
+    toks = (
+        corpus.select("doc_id", simple_tokenize("text").alias("_tk"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(shingles_from_tokens(F.col("_tk")))
+            ).alias("tok"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
+
+    ranked = toks.join(dfreq, "tok")
+    w_rank = Window.partitionBy("doc_id").orderBy("df", "tok")
+    w_size = Window.partitionBy("doc_id")
+    prefix = (
+        ranked.select(
+            "doc_id",
+            "tok",
+            F.row_number().over(w_rank).alias("rn"),
+            F.count("*").over(w_size).alias("n"),
+        )
+        # prefix length n - ceil(4n/5) + 1, all-integer arithmetic
+        .where(F.expr("rn <= n - ((4 * n + 4) div 5) + 1"))
+        .select("doc_id", "tok")
+    )
+
+    pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("pb.tok") == F.col("pa.tok"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        )
+        .select(
+            F.col("pa.doc_id").alias("id_a"), F.col("pb.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+
+    ta, tb = toks.alias("ta"), toks.alias("tb")
+    inter = (
+        cand.join(ta, F.col("ta.doc_id") == F.col("id_a"))
+        .join(
+            tb,
+            (F.col("tb.doc_id") == F.col("id_b"))
+            & (F.col("tb.tok") == F.col("ta.tok")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(
+            _PF_DEN * F.col("c")
+            >= _PF_NUM * (F.col("na") + F.col("nb") - F.col("c"))
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.col("c").cast("int").alias("inter_size"),
+            (F.col("na") + F.col("nb") - F.col("c"))
+            .cast("int")
+            .alias("union_size"),
+            F.round(
+                F.col("c").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("c")),
+                9,
+            ).alias("jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q177 — add-one-smoothed bigram LM surprisal per document.
+
+
+@register(
+    "q177_bigram_surprisal",
+    sql="""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                                     i -> toks[i])) AS w1,
+               unnest(list_transform(range(1, len(toks)),
+                                     i -> toks[i+1])) AS w2
+        FROM t),
+    bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+    uc AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+    vocab AS (
+        SELECT COUNT(DISTINCT tok) AS v
+        FROM (SELECT unnest(toks) AS tok FROM t)),
+    scored AS (
+        SELECT bg.doc_id,
+               CAST(round(-ln(CAST(bc.c12 + 1 AS DOUBLE) / (uc.c1 + vocab.v)),
+                          12) AS DECIMAL(24,12)) AS nll
+        FROM bg
+        JOIN bc ON bc.w1 = bg.w1 AND bc.w2 = bg.w2
+        JOIN uc ON uc.w1 = bg.w1
+        CROSS JOIN vocab)
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           round(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 9) AS mean_nll
+    FROM scored GROUP BY doc_id
+    """,
+    tags=("corpus", "quality", "lm", "bigram"),
+)
+def q177_bigram_surprisal(spark, sf_dir):
+    """Bigram language-model surprisal per document (add-one
+    smoothing, conditioning counts from the corpus itself) — the
+    stronger perplexity-proxy quality filter next to q158's unigram
+    LM: p(w2|w1) = (c(w1,w2)+1)/(c(w1)+V). Single-token documents
+    have no bigrams and drop from the output on BOTH engines (the
+    q120 lesson: the bigram generator is guarded so size<2 yields an
+    empty array, never a sequence(1,0) artifact). Scale: bigram and
+    unigram LMs are token-key partial aggs; V is one broadcastable
+    scalar; the scoring join shuffles on the bigram key; every -ln p
+    term is quantized to DECIMAL before the exact per-doc sum."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+    bigrams = F.when(
+        F.size("toks") >= 2,
+        F.expr(
+            "transform(sequence(1, size(toks) - 1),"
+            " i -> struct(toks[i-1] AS w1, toks[i] AS w2))"
+        ),
+    ).otherwise(F.expr("array()"))
+    bg = t.select("doc_id", F.explode(bigrams).alias("b")).select(
+        "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    ).localCheckpoint(eager=True)
+
+    bc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    uc = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = (
+        t.select(F.explode("toks").alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    nll = F.round(
+        -F.log(
+            (F.col("c12") + 1).cast("double") / (F.col("c1") + F.col("v"))
+        ),
+        12,
+    ).cast("decimal(24,12)")
+    return (
+        bg.join(bc, ["w1", "w2"])
+        .join(uc, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", nll.alias("nll"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.sum("nll").cast("double") / F.count("*"), 9
+            ).alias("mean_nll"),
+        )
+    )

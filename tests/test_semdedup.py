@@ -1,0 +1,95 @@
+"""Semantic guarantees of the semantic-dedup batch (q175/q176/q177)
+beyond DuckDB hash parity: SemDeDup removes the planted copies and
+never an original, the prefix filter is lossless vs a pure-Python
+brute force, and the bigram LM drops bigram-less docs with exact
+per-doc bigram counts."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+import rc_rag_spark.queries as q
+
+
+def test_semdedup_removes_planted_copies(spark, sf_dir):
+    out = q.REGISTRY["q175_semdedup"].fn(spark, sf_dir).collect()
+    by_id = {r.vec_id: r for r in out}
+    n_orig = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    n_planted = len([v for v in by_id if v >= 100_000])
+    # every corpus member appears exactly once with a 0/1 keep flag
+    assert len(out) == n_orig + n_planted
+    assert all(r.kept in (0, 1) for r in out)
+    # no original is ever removed: random 64-dim pairs never reach
+    # cosine 0.95, so the only pairs are (source, planted copy) and
+    # the greedy keeps the smaller id — the source.
+    assert all(r.kept == 1 for r in out if r.vec_id < 100_000)
+    # a planted copy is removed whenever it landed in its source's
+    # cluster (the 1.002 scaling can flip a borderline assignment;
+    # those escapes are the documented SemDeDup recall trade-off)
+    removed = {v for v, r in by_id.items() if r.kept == 0}
+    expected = {
+        v
+        for v in by_id
+        if v >= 100_000 and by_id[v].cid == by_id[v - 100_000].cid
+    }
+    assert removed == expected
+    # and the overwhelming majority of copies do land with their source
+    assert len(expected) >= 0.8 * n_planted
+
+
+def test_prefix_filter_matches_python_bruteforce(spark, sf_dir):
+    """Independent losslessness check: recompute the planted corpus and
+    ALL-pairs shingle Jaccard in pure Python; the prefix-filtered
+    engine result must be the identical pair set (no false negatives
+    from the filter, no false positives from the verify)."""
+    from tests.golden_ref import TOKEN_RE
+
+    rows = q.REGISTRY["q176_prefix_filter_jaccard"].fn(spark, sf_dir).collect()
+    got = {(r.id_a, r.id_b): (r.inter_size, r.union_size) for r in rows}
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    corpus = {}
+    for _, row in docs.iterrows():
+        corpus[row.doc_id] = row.text
+        if row.doc_id % 20 == 0:
+            words = row.text.split(" ")
+            corpus[row.doc_id + 1_000_000] = " ".join(
+                words[: max(len(words) - 2, 1)]
+            )
+
+    def shingles(text):
+        tk = [m.group() for m in TOKEN_RE.finditer(text.lower())]
+        return {
+            " ".join(tk[i : i + 3]) for i in range(len(tk) - 2)
+        }
+
+    sets = {i: shingles(t) for i, t in corpus.items()}
+    want = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            c = len(sets[a] & sets[b])
+            u = len(sets[a] | sets[b])
+            if u and 5 * c >= 4 * u:
+                want[(a, b)] = (c, u)
+    assert got == want
+    assert want, "fixture must produce at least one qualifying pair"
+
+
+def test_bigram_surprisal_counts_and_drops(spark, sf_dir):
+    out = q.REGISTRY["q177_bigram_surprisal"].fn(spark, sf_dir).collect()
+    by_id = {r.doc_id: r for r in out}
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    for _, row in docs.iterrows():
+        toks = row.text.strip().split()
+        if len(toks) >= 2:
+            assert by_id[row.doc_id].n_bigrams == len(toks) - 1
+            assert by_id[row.doc_id].mean_nll > 0
+        else:
+            assert row.doc_id not in by_id
+    # add-one smoothing upper bound: p <= c12+1 over c1+V with V >= 1
+    # implies every mean_nll is finite
+    assert all(math.isfinite(r.mean_nll) for r in out)
