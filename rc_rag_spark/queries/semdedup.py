@@ -26,6 +26,11 @@ Three more first-class training-corpus operators, each with the
                            own training corpus — the stronger
                            perplexity-proxy quality filter next to
                            q158's unigram LM.
+  q178_pq_codes            Product quantization (4 × 16-dim
+                           subspaces, 4 codes each): the fine
+                           quantizer that completes the ANN
+                           index-build story next to q75 IVF and
+                           q174 scalar int8.
 
 Determinism discipline follows queries/core.py: integer counts
 everywhere possible; every float term (distances, -ln p) is quantized
@@ -404,4 +409,107 @@ def q177_bigram_surprisal(spark, sf_dir):
                 F.sum("nll").cast("double") / F.count("*"), 9
             ).alias("mean_nll"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# q178 — product quantization codes over the embedding table.
+
+_PQ_SUB = 4       # subspaces (64-dim → 4 × 16-dim subvectors)
+_PQ_DIM = 16      # dims per subspace
+_PQ_K = 4         # codes per subspace; codebook = subvectors of vec_id 0..3
+
+
+@register(
+    "q178_pq_codes",
+    sql="""
+    WITH x AS (
+        SELECT vec_id,
+               CAST(generate_subscripts(embedding, 1) AS INTEGER) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings),
+    xs AS (SELECT vec_id, pos, CAST((pos - 1) // 16 AS INTEGER) AS s, x
+           FROM x),
+    cb AS (SELECT CAST(vec_id AS INTEGER) AS cid, s, pos, x AS c
+           FROM xs WHERE vec_id < 4),
+    d AS (
+        SELECT xs.vec_id, xs.s, cb.cid,
+               SUM(CAST(round((xs.x - cb.c) * (xs.x - cb.c), 12)
+                        AS DECIMAL(28,12))) AS dist
+        FROM xs JOIN cb ON cb.pos = xs.pos
+        GROUP BY xs.vec_id, xs.s, cb.cid),
+    a AS (
+        SELECT vec_id, s, cid, dist FROM (
+            SELECT vec_id, s, cid, dist,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                      ORDER BY dist, cid) AS rn
+            FROM d)
+        WHERE rn = 1)
+    SELECT vec_id,
+           MAX(CASE WHEN s = 0 THEN cid END) AS code_0,
+           MAX(CASE WHEN s = 1 THEN cid END) AS code_1,
+           MAX(CASE WHEN s = 2 THEN cid END) AS code_2,
+           MAX(CASE WHEN s = 3 THEN cid END) AS code_3,
+           round(CAST(SUM(dist) AS DOUBLE), 9) AS sq_err
+    FROM a GROUP BY vec_id
+    """,
+    tags=("ann", "quantization", "pq", "embeddings"),
+)
+def q178_pq_codes(spark, sf_dir):
+    """Product quantization of the embedding table: the 64-dim vector
+    splits into 4 × 16-dim subvectors, each assigned to its nearest
+    of 4 per-subspace codebook centroids (codebook = the first k
+    vectors' subvectors; a trained codebook would run q169's Lloyd
+    steps per subspace first — assignment is the part that touches
+    the corpus). Output per vector: the 4-way code tuple + exact
+    reconstruction squared error. Completes the ANN index-build
+    story next to q75 IVF (coarse cells) and q174 scalar int8
+    quantization: PQ is the fine-quantizer that makes billion-vector
+    serving RAM-resident (4 codes = 4 bytes vs 256 float bytes).
+    Scale: one broadcast of the S·k·(d/S) codebook + a (vec_id, s,
+    cid) partial agg — the corpus never shuffles to be coded; codes
+    pivot back via conditional agg on a fixed subspace list. Exact
+    DECIMAL distance terms keep assignment and error hash-identical
+    under any partitioning (the q169 discipline)."""
+    e = table(spark, sf_dir, "embeddings")
+    xs = (
+        e.select(
+            "vec_id",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "pos", "x"
+            ),
+        )
+        .withColumn("pos", (F.col("pos") + 1).cast("int"))
+        .withColumn(
+            "s", F.floor((F.col("pos") - 1) / _PQ_DIM).cast("int")
+        )
+        .localCheckpoint(eager=True)
+    )
+    cb = xs.where(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        "s",
+        "pos",
+        F.col("x").alias("c"),
+    )
+    dist_term = F.round(
+        (F.col("x") - F.col("c")) * (F.col("x") - F.col("c")), 12
+    ).cast("decimal(28,12)")
+    d = (
+        xs.join(F.broadcast(cb.drop("s")), "pos")
+        .groupBy("vec_id", "s", "cid")
+        .agg(F.sum(dist_term).alias("dist"))
+    )
+    w = Window.partitionBy("vec_id", "s").orderBy("dist", "cid")
+    a = (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "s", "cid", "dist")
+    )
+    code_cols = [
+        F.max(F.when(F.col("s") == i, F.col("cid"))).alias(f"code_{i}")
+        for i in range(_PQ_SUB)
+    ]
+    return a.groupBy("vec_id").agg(
+        *code_cols,
+        F.round(F.sum("dist").cast("double"), 9).alias("sq_err"),
     )

@@ -93,3 +93,21 @@ def test_bigram_surprisal_counts_and_drops(spark, sf_dir):
     # add-one smoothing upper bound: p <= c12+1 over c1+V with V >= 1
     # implies every mean_nll is finite
     assert all(math.isfinite(r.mean_nll) for r in out)
+
+
+def test_pq_codes_invariants(spark, sf_dir):
+    out = q.REGISTRY["q178_pq_codes"].fn(spark, sf_dir).collect()
+    n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert len(out) == n_vecs
+    by_id = {r.vec_id: r for r in out}
+    for r in out:
+        assert all(
+            getattr(r, f"code_{s}") in range(4) for s in range(4)
+        )
+        assert r.sq_err >= 0
+    # each codebook seed reconstructs itself exactly: own code in
+    # every subspace, zero error
+    for seed in range(4):
+        r = by_id[seed]
+        assert [r.code_0, r.code_1, r.code_2, r.code_3] == [seed] * 4
+        assert r.sq_err == 0.0
