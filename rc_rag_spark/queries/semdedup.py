@@ -31,6 +31,14 @@ Three more first-class training-corpus operators, each with the
                            quantizer that completes the ANN
                            index-build story next to q75 IVF and
                            q174 scalar int8.
+  q179_srp_signatures      Signed-random-projection LSH: 16-bit sign
+                           signatures, banded candidate join, exact
+                           popcount-Hamming verify — the cosine-LSH
+                           family member.
+  q180_cluster_balanced_sample
+                           Diversity-preserving subsample: ≈T rows
+                           per k-means cluster via a pure-integer
+                           hash-rate predicate, no per-cluster sort.
 
 Determinism discipline follows queries/core.py: integer counts
 everywhere possible; every float term (distances, -ln p) is quantized
@@ -512,4 +520,244 @@ def q178_pq_codes(spark, sf_dir):
     return a.groupBy("vec_id").agg(
         *code_cols,
         F.round(F.sum("dist").cast("double"), 9).alias("sq_err"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q179 — signed-random-projection signatures + Hamming-band near-dup.
+
+_SRP_BITS = 16     # hyperplanes → 16-bit signature
+_SRP_BANDS = 4     # 4 bands × 4 bits; pigeonhole-complete for ham <= 3
+_SRP_HAM = 3       # max Hamming distance reported
+
+
+@register(
+    "q179_srp_signatures",
+    sql="""
+    WITH corpus AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000 AS vec_id,
+               list_transform(embedding::DOUBLE[], x -> x * 1.001) AS v
+        FROM embeddings WHERE vec_id % 25 = 0
+    ),
+    x AS (
+        SELECT vec_id,
+               CAST(generate_subscripts(v, 1) AS INTEGER) AS pos,
+               CAST(unnest(v) AS DOUBLE) AS x
+        FROM corpus),
+    terms AS (
+        SELECT x.vec_id, j.j,
+               CAST(round((CAST(('0x' || substr(md5('srp#' || CAST(j.j AS VARCHAR)
+                               || '#' || CAST(x.pos AS VARCHAR)), 1, 8)) AS BIGINT)
+                           % 2001 - 1000) * x.x, 12) AS DECIMAL(28,12)) AS t
+        FROM x CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) j),
+    bits AS (
+        SELECT vec_id, j, CASE WHEN SUM(t) >= 0 THEN 1 ELSE 0 END AS bit
+        FROM terms GROUP BY vec_id, j),
+    codes AS (
+        SELECT vec_id, CAST(SUM(bit * (1 << j)) AS BIGINT) AS code
+        FROM bits GROUP BY vec_id),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+               a.code AS code_a, b.code AS code_b
+        FROM codes a JOIN codes b ON a.vec_id < b.vec_id
+        JOIN (SELECT unnest(generate_series(0, 3)) AS band) bd
+          ON (a.code // (1 << (4 * bd.band))) % 16
+             = (b.code // (1 << (4 * bd.band))) % 16)
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(code_a, code_b)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(code_a, code_b)) <= 3
+    """,
+    tags=("ann", "lsh", "srp", "embeddings"),
+)
+def q179_srp_signatures(spark, sf_dir):
+    """Signed-random-projection (SRP) LSH over embeddings ∪ planted
+    scaled copies: 16 md5-derived integer hyperplanes (r ∈ [-1000,
+    1000] per (plane, dim) — deterministic cross-engine), each
+    vector's projection sign becomes one signature bit, candidates
+    come from an equi-join on 4-bit bands, and survivors verify by
+    exact popcount Hamming ≤ 3. Pigeonhole: ≤3 bit errors can dirty
+    at most 3 of the 4 bands, so every qualifying pair shares an
+    intact band — the candidate set is complete. Planted copies are
+    positive-scaled (signs invariant) ⇒ Hamming 0 to their source.
+    This is the cosine-LSH family (vs q65's Euclidean
+    BucketedRandomProjection and q63's token SimHash): signatures
+    are 2 bytes/vector, and the banded join shuffles signatures,
+    never vectors. At production bit-widths (64–256 bits) band
+    buckets stay small; 16 bits here keeps the oracle's all-pairs
+    check cheap. Exact DECIMAL projection sums make every bit
+    partition-independent; the sign compare sits at an exact-decimal
+    boundary, never a float one."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    planted = e.where(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.transform("v", lambda x: x * 1.001).alias("v"),
+    )
+    corpus = e.unionByName(planted)
+
+    x = corpus.select(
+        "vec_id", F.posexplode("v").alias("pos0", "x")
+    ).select("vec_id", (F.col("pos0") + 1).cast("int").alias("pos"), "x")
+    xj = x.select(
+        "vec_id",
+        "pos",
+        "x",
+        F.explode(F.sequence(F.lit(0), F.lit(_SRP_BITS - 1))).alias("j"),
+    )
+    r = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "#",
+                        F.lit("srp"),
+                        F.col("j").cast("string"),
+                        F.col("pos").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2001
+        - 1000
+    )
+    term = F.round(r * F.col("x"), 12).cast("decimal(28,12)")
+    bits = (
+        xj.select("vec_id", "j", term.alias("t"))
+        .groupBy("vec_id", "j")
+        .agg(
+            F.when(F.sum("t") >= 0, 1).otherwise(0).alias("bit")
+        )
+    )
+    codes = (
+        bits.groupBy("vec_id")
+        .agg(
+            F.sum(F.expr("bit * shiftleft(1L, j)"))
+            .cast("bigint")
+            .alias("code")
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    banded = codes.select(
+        "vec_id",
+        "code",
+        F.explode(F.sequence(F.lit(0), F.lit(_SRP_BANDS - 1))).alias("band"),
+    ).withColumn(
+        "band_val", F.expr("(code div shiftleft(1L, band * 4)) % 16")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("b.band") == F.col("a.band"))
+            & (F.col("b.band_val") == F.col("a.band_val"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.col("a.code").alias("code_a"),
+            F.col("b.code").alias("code_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("code_a").bitwiseXOR(F.col("code_b")))
+    return cand.where(ham <= _SRP_HAM).select(
+        "id_a", "id_b", ham.cast("int").alias("hamming")
+    )
+
+
+# --------------------------------------------------------------------------
+# q180 — cluster-balanced subsample (no window, pure hash-rate).
+
+_CB_TARGET = 40  # expected rows kept per cluster
+
+
+@register(
+    "q180_cluster_balanced_sample",
+    sql="""
+    WITH x AS (
+        SELECT vec_id,
+               CAST(generate_subscripts(embedding, 1) AS INTEGER) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings),
+    c AS (SELECT CAST(vec_id AS INTEGER) AS cid, pos, x AS c
+          FROM x WHERE vec_id < 4),
+    d AS (
+        SELECT x.vec_id, c.cid,
+               SUM(CAST(round((x.x - c.c) * (x.x - c.c), 12)
+                        AS DECIMAL(28,12))) AS dist
+        FROM x JOIN c ON c.pos = x.pos
+        GROUP BY x.vec_id, c.cid),
+    assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cid) AS rn
+            FROM d)
+        WHERE rn = 1),
+    sizes AS (SELECT cid, COUNT(*) AS n_c FROM assign GROUP BY cid)
+    SELECT a.vec_id, a.cid
+    FROM assign a JOIN sizes s ON s.cid = a.cid
+    WHERE (CAST(('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 10000) * s.n_c < 40 * 10000
+    """,
+    tags=("curation", "sampling", "clustering"),
+)
+def q180_cluster_balanced_sample(spark, sf_dir):
+    """Cluster-balanced subsample of the embedding table: assign each
+    vector to its nearest seed centroid (q175's assignment pass),
+    then keep each row with probability T/n_c — so every cluster
+    contributes ≈T rows regardless of size, the diversity-preserving
+    counterweight to frequency-proportional sampling (big boilerplate
+    clusters stop dominating the training mix). The keep decision is
+    a pure integer predicate — (md5(vec_id) % 10⁴)·n_c < T·10⁴ —
+    deterministic across engines, runs, and partitionings, with NO
+    per-cluster window or sort: at 100 TB the only data movement is
+    the assignment partial-agg plus a broadcast of the k-row size
+    table. (A per-cluster exact-T variant would row_number within
+    cid; the rate form avoids that skew-prone sort entirely.)"""
+    e = table(spark, sf_dir, "embeddings")
+    x = e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "x"
+        ),
+    ).withColumn("pos", (F.col("pos") + 1).cast("int"))
+    c = x.where(F.col("vec_id") < _SD_K).select(
+        F.col("vec_id").cast("int").alias("cid"), "pos", F.col("x").alias("c")
+    )
+    dist_term = F.round(
+        (F.col("x") - F.col("c")) * (F.col("x") - F.col("c")), 12
+    ).cast("decimal(28,12)")
+    d = (
+        x.join(F.broadcast(c), "pos")
+        .groupBy("vec_id", "cid")
+        .agg(F.sum(dist_term).alias("dist"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    assign = (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    sizes = assign.groupBy("cid").agg(F.count("*").alias("n_c"))
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+        % 10_000
+    )
+    return (
+        assign.join(F.broadcast(sizes), "cid")
+        .where(h * F.col("n_c") < _CB_TARGET * 10_000)
+        .select("vec_id", "cid")
     )

@@ -111,3 +111,35 @@ def test_pq_codes_invariants(spark, sf_dir):
         r = by_id[seed]
         assert [r.code_0, r.code_1, r.code_2, r.code_3] == [seed] * 4
         assert r.sq_err == 0.0
+
+
+def test_srp_planted_copies_at_hamming_zero(spark, sf_dir):
+    rows = q.REGISTRY["q179_srp_signatures"].fn(spark, sf_dir).collect()
+    pairs = {(r.id_a, r.id_b): r.hamming for r in rows}
+    assert all(h <= 3 for h in pairs.values())
+    # positive scaling never flips a projection sign, so every planted
+    # copy sits at Hamming 0 from its source
+    n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    planted = [v for v in range(0, n_vecs, 25)]
+    assert planted
+    for src in planted:
+        assert pairs[(src, src + 100_000)] == 0
+
+
+def test_cluster_balanced_sample_rate(spark, sf_dir):
+    kept = q.REGISTRY["q180_cluster_balanced_sample"].fn(spark, sf_dir)
+    kept_rows = kept.collect()
+    # keep decision is per-row deterministic: kept set is a subset of
+    # the corpus and stable across runs
+    again = {
+        (r.vec_id, r.cid)
+        for r in q.REGISTRY["q180_cluster_balanced_sample"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert {(r.vec_id, r.cid) for r in kept_rows} == again
+    # a cluster smaller than the target keeps every member (rate >= 1);
+    # at sf0.001 all 4 clusters are under the target of 40
+    n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    if n_vecs <= 4 * 40:
+        assert len(kept_rows) == n_vecs
