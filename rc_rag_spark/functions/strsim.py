@@ -1,0 +1,79 @@
+"""Jaro-Winkler string similarity — Python kernel + Arrow UDF.
+
+Implements the textbook Jaro similarity (match window
+``max(|a|,|b|)//2 - 1``, half-transposition count) with the Winkler
+prefix boost (scale 0.1, prefix capped at 4, applied only when the
+Jaro base exceeds 0.7). The float op order is
+``(m/l1 + m/l2 + (m-t)/m) / 3`` then ``j + l*0.1*(1-j)`` — verified
+bit-identical to DuckDB's ``jaro_winkler_similarity`` over a 4300-pair
+fuzz corpus (tests/test_linkage.py), which is what lets q187 be
+hash-checked rather than rows-only.
+
+Edge semantics pinned to DuckDB: either string empty → 0.0 (including
+both empty), identical non-empty strings → 1.0.
+
+Used from a vectorized pandas UDF (Arrow batches) — the kernel is
+O(|a|·window) per pair and runs only on block-bounded candidate pairs,
+never the cross product.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+
+def jaro(s1: str, s2: str) -> float:
+    l1, l2 = len(s1), len(s2)
+    if not l1 or not l2:
+        return 0.0
+    if s1 == s2:
+        return 1.0
+    md = max(l1, l2) // 2 - 1
+    m1 = [False] * l1
+    m2 = [False] * l2
+    m = 0
+    for i in range(l1):
+        lo, hi = max(0, i - md), min(l2, i + md + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s1[i] == s2[j]:
+                m1[i] = m2[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    return (m / l1 + m / l2 + (m - t) / m) / 3
+
+
+def jaro_winkler(s1: str, s2: str) -> float:
+    j = jaro(s1, s2)
+    if j > 0.7:
+        l = 0
+        for a, b in zip(s1[:4], s2[:4]):
+            if a != b:
+                break
+            l += 1
+        j = j + l * 0.1 * (1 - j)
+    return j
+
+
+@F.pandas_udf(DoubleType())
+def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            jaro_winkler(x, y) if x is not None and y is not None else None
+            for x, y in zip(a, b)
+        ],
+        dtype="float64",
+    )

@@ -1,0 +1,385 @@
+"""Statistical time-series batch: survival analysis, change-point
+detection, seasonal decomposition, concentration (Gini), and a
+Benford first-digit audit.
+
+These are the classic "analyst asks of the event log / order history"
+operators a warehouse engine is expected to own. Every query is
+DuckDB-hash-checked; determinism discipline follows queries/core.py:
+counts stay exact integers; every float term is produced by a short,
+explicitly-ordered chain of IEEE ops written identically on both
+engines; cumulative/grouped float sums quantize each term to DECIMAL
+before the order-independent exact SUM (the q153 entropy pattern).
+
+Scale notes (100 TB):
+  - q181/q182/q183 reduce the fact table to a per-key/per-day grid
+    first (one partial-agg shuffle); every window after that runs on
+    the tiny reduced grid, so window state never sees raw rows.
+  - q184 shuffles once on custkey then once on nation — both standard
+    hash-agg shapes; the per-nation sort inside the window is bounded
+    by customers-per-nation.
+  - q185 is a single scan + 9-row aggregate: partial map-side combine
+    moves O(partitions · 9) rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from rc_rag_spark.queries.core import register
+from rc_rag_spark.sources import table
+
+
+# --------------------------------------------------------------------------
+# q181 — Kaplan-Meier survival of customer reorder gaps
+
+
+@register(
+    "q181_survival_km",
+    sql="""
+    WITH o AS (SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d
+               FROM orders),
+    mx AS (SELECT MAX(d) AS mxd FROM o),
+    seq AS (SELECT o_custkey, d,
+                   LEAD(d) OVER (PARTITION BY o_custkey
+                                 ORDER BY d, o_orderkey) AS nd
+            FROM o),
+    dur AS (SELECT CASE WHEN nd IS NULL
+                        THEN date_diff('day', d, (SELECT mxd FROM mx))
+                        ELSE date_diff('day', d, nd) END AS t,
+                   CASE WHEN nd IS NULL THEN 0 ELSE 1 END AS ev
+            FROM seq),
+    grid AS (SELECT t, SUM(ev) AS d_events, COUNT(*) AS n_all
+             FROM dur GROUP BY t),
+    risk AS (SELECT t, d_events, n_all,
+                    (SELECT COUNT(*) FROM dur)
+                      - (SUM(n_all) OVER (ORDER BY t) - n_all) AS n_risk
+             FROM grid),
+    km AS (SELECT t, d_events, n_risk,
+                  SUM(CAST(CASE WHEN d_events > 0 AND d_events < n_risk
+                                THEN round(ln(1 - d_events
+                                              / CAST(n_risk AS DOUBLE)), 12)
+                                ELSE 0 END AS DECIMAL(24,12)))
+                      OVER (ORDER BY t) AS cum
+           FROM risk)
+    SELECT CAST(t AS INTEGER) AS t_days,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d_events AS BIGINT) AS d_events,
+           CASE WHEN d_events >= n_risk THEN 0.0
+                ELSE round(exp(CAST(cum AS DOUBLE)), 9) END AS survival
+    FROM km WHERE d_events > 0
+    """,
+    tags=("timeseries", "survival", "km"),
+)
+def q181_survival_km(spark, sf_dir):
+    """Kaplan-Meier estimator over customer reorder gaps: each
+    consecutive-order gap is an observed event, the tail from a
+    customer's last order to the corpus max date is right-censored.
+    S(t) = prod_{u<=t}(1 - d_u/n_u) computed as exp of a cumulative
+    exact-DECIMAL sum of quantized ln factors, so the running product
+    cannot drift between engines. The duration table is one window
+    over orders partitioned by customer; the KM grid is tiny
+    (distinct gap lengths), so the final ordered cumsum is a
+    single-partition window over O(distinct t) rows — the standard
+    two-level reduce shape at any scale."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", F.to_date("o_orderdate").alias("d")
+    )
+    mx = o.agg(F.max("d").alias("mxd"))
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    seq = o.withColumn("nd", F.lead("d").over(w))
+    dur = (
+        seq.crossJoin(F.broadcast(mx))
+        .select(
+            F.when(F.col("nd").isNull(), F.datediff("mxd", "d"))
+            .otherwise(F.datediff("nd", "d"))
+            .alias("t"),
+            F.when(F.col("nd").isNull(), F.lit(0)).otherwise(F.lit(1)).alias("ev"),
+        )
+    ).localCheckpoint(eager=False)
+    n_total = dur.agg(F.count("*").alias("n_total"))
+    grid = dur.groupBy("t").agg(
+        F.sum("ev").alias("d_events"), F.count("*").alias("n_all")
+    )
+    wt = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    risk = grid.crossJoin(F.broadcast(n_total)).withColumn(
+        "n_risk",
+        F.col("n_total") - (F.sum("n_all").over(wt) - F.col("n_all")),
+    )
+    d_over_n = F.col("d_events") / F.col("n_risk").cast("double")
+    term = F.when(
+        (F.col("d_events") > 0) & (F.col("d_events") < F.col("n_risk")),
+        F.round(F.log(F.lit(1) - d_over_n), 12),
+    ).otherwise(F.lit(0.0))
+    km = risk.withColumn(
+        "cum", F.sum(term.cast("decimal(24,12)")).over(wt)
+    )
+    return km.where(F.col("d_events") > 0).select(
+        F.col("t").cast("int").alias("t_days"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d_events").cast("bigint").alias("d_events"),
+        F.when(F.col("d_events") >= F.col("n_risk"), F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("cum").cast("double")), 9))
+        .alias("survival"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q182 — CUSUM change-point detection on daily event counts
+
+
+@register(
+    "q182_cusum_changepoint",
+    sql="""
+    WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+                          COUNT(*) AS n
+                   FROM events GROUP BY 1, 2),
+    m AS (SELECT event_type,
+                 CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mu,
+                 COUNT(*) AS n_days
+          FROM daily GROUP BY 1),
+    c AS (SELECT d.event_type, d.day, d.n, m.n_days,
+                 SUM(CAST(round(d.n - m.mu, 12) AS DECIMAL(24,12)))
+                     OVER (PARTITION BY d.event_type ORDER BY d.day)
+                     AS cusum
+          FROM daily d JOIN m ON m.event_type = d.event_type),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY abs(cusum) DESC, day)
+                    AS rk
+          FROM c)
+    SELECT event_type, day AS peak_day,
+           CAST(n AS BIGINT) AS day_count,
+           round(CAST(cusum AS DOUBLE), 9) AS cusum_peak,
+           CAST(n_days AS BIGINT) AS n_days
+    FROM r WHERE rk = 1
+    """,
+    tags=("timeseries", "changepoint", "cusum"),
+)
+def q182_cusum_changepoint(spark, sf_dir):
+    """CUSUM change-point scan per event type: cumulative sum of
+    (daily count − type mean), peak |CUSUM| day is the most likely
+    level-shift point. Deviations are quantized to DECIMAL before the
+    running sum and the argmax orders on the exact DECIMAL |cusum|
+    (no float comparisons), tie-broken by earliest day. The raw scan
+    reduces to a (type, day) grid first; every window after that is
+    per-type over ~30 rows."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").alias("n"))
+    m = daily.groupBy("event_type").agg(
+        (F.sum("n").cast("double") / F.count("*")).alias("mu"),
+        F.count("*").alias("n_days"),
+    )
+    wd = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = daily.join(F.broadcast(m), "event_type").withColumn(
+        "cusum",
+        F.sum(
+            F.round(F.col("n") - F.col("mu"), 12).cast("decimal(24,12)")
+        ).over(wd),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum")).desc(), F.col("day")
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("peak_day"),
+            F.col("n").cast("bigint").alias("day_count"),
+            F.round(F.col("cusum").cast("double"), 9).alias("cusum_peak"),
+            F.col("n_days").cast("bigint").alias("n_days"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q183 — STL-lite seasonal decomposition of the daily value series
+
+
+@register(
+    "q183_seasonal_decompose",
+    sql="""
+    WITH daily AS (SELECT date_trunc('day', ts) AS day,
+                          SUM(CAST(value AS DECIMAL(18,6))) AS total_dec
+                   FROM events GROUP BY 1),
+    tr AS (SELECT day, total_dec,
+                  CAST(SUM(total_dec) OVER w AS DOUBLE)
+                    / (COUNT(*) OVER w) AS trend
+           FROM daily
+           WINDOW w AS (ORDER BY day
+                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    res AS (SELECT day, total_dec, trend,
+                   dayofweek(day) + 1 AS dow,
+                   CAST(total_dec AS DOUBLE) - trend AS resid
+            FROM tr),
+    sea AS (SELECT dow,
+                   CAST(SUM(CAST(round(resid, 12) AS DECIMAL(24,12)))
+                        AS DOUBLE) / COUNT(*) AS seasonal
+            FROM res GROUP BY dow)
+    SELECT r.day, CAST(r.dow AS INTEGER) AS dow,
+           round(CAST(r.total_dec AS DOUBLE), 9) AS total,
+           round(r.trend, 9) AS trend,
+           round(s.seasonal, 9) AS seasonal,
+           round(r.resid - s.seasonal, 9) AS remainder
+    FROM res r JOIN sea s ON s.dow = r.dow
+    """,
+    tags=("timeseries", "seasonal", "decomposition"),
+)
+def q183_seasonal_decompose(spark, sf_dir):
+    """Additive STL-lite decomposition of the daily event-value
+    series: trend = centered 7-day moving average (exact DECIMAL
+    window sum / count), seasonal = mean residual per day-of-week
+    (quantized-DECIMAL mean), remainder = (total − trend) − seasonal
+    with that exact operation order on both engines. Spark dayofweek
+    is 1-based Sunday=1; the oracle shifts DuckDB's 0-based dayofweek
+    to match. The raw scan reduces to one row per day before any
+    window runs."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("total_dec")
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.withColumn(
+        "trend",
+        F.sum("total_dec").over(w).cast("double") / F.count("*").over(w),
+    )
+    res = tr.select(
+        "day",
+        "total_dec",
+        "trend",
+        F.dayofweek("day").alias("dow"),
+        (F.col("total_dec").cast("double") - F.col("trend")).alias("resid"),
+    )
+    sea = res.groupBy("dow").agg(
+        (
+            F.sum(F.round(F.col("resid"), 12).cast("decimal(24,12)")).cast(
+                "double"
+            )
+            / F.count("*")
+        ).alias("seasonal")
+    )
+    return res.join(F.broadcast(sea), "dow").select(
+        "day",
+        F.col("dow").cast("int").alias("dow"),
+        F.round(F.col("total_dec").cast("double"), 9).alias("total"),
+        F.round("trend", 9).alias("trend"),
+        F.round("seasonal", 9).alias("seasonal"),
+        F.round(F.col("resid") - F.col("seasonal"), 9).alias("remainder"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q184 — Gini concentration of customer spend per nation
+
+
+@register(
+    "q184_gini_concentration",
+    sql="""
+    WITH spend AS (SELECT o_custkey,
+                          SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+                   FROM orders GROUP BY 1),
+    j AS (SELECT n.n_name, c.c_custkey, sp.s
+          FROM spend sp
+          JOIN customer c ON c.c_custkey = sp.o_custkey
+          JOIN nation n ON n.n_nationkey = c.c_nationkey),
+    r AS (SELECT n_name, s,
+                 ROW_NUMBER() OVER (PARTITION BY n_name
+                                    ORDER BY s, c_custkey) AS i,
+                 COUNT(*) OVER (PARTITION BY n_name) AS n
+          FROM j)
+    SELECT n_name, CAST(MAX(n) AS BIGINT) AS n_customers,
+           round(CAST(2 * SUM(i * s) - (MAX(n) + 1) * SUM(s) AS DOUBLE)
+                 / CAST(MAX(n) * SUM(s) AS DOUBLE), 9) AS gini
+    FROM r GROUP BY n_name
+    """,
+    tags=("analytics", "gini", "concentration"),
+)
+def q184_gini_concentration(spark, sf_dir):
+    """Gini coefficient of customer order spend within each nation —
+    the revenue-concentration diagnostic. Uses the sorted-rank
+    identity G = (2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i) with ranks
+    assigned by (spend, custkey): the whole numerator/denominator is
+    exact DECIMAL arithmetic, one final double division. Shuffles:
+    custkey agg, then nation window — both standard; the per-nation
+    sort is bounded by customers-per-nation (salt or pre-bucket if a
+    single nation dominated)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s")
+    )
+    j = (
+        spend.join(c, spend.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("n_name", "c_custkey", "s")
+    )
+    wp = Window.partitionBy("n_name")
+    r = j.select(
+        "n_name",
+        "s",
+        F.row_number().over(wp.orderBy("s", "c_custkey")).alias("i"),
+        F.count("*").over(wp).alias("n"),
+    )
+    num = 2 * F.sum(F.col("i") * F.col("s")) - (F.max("n") + 1) * F.sum("s")
+    den = F.max("n") * F.sum("s")
+    return r.groupBy("n_name").agg(
+        F.max("n").cast("bigint").alias("n_customers"),
+        F.round(num.cast("double") / den.cast("double"), 9).alias("gini"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q185 — Benford first-digit audit of order totals
+
+
+@register(
+    "q185_benford_audit",
+    sql="""
+    WITH t AS (SELECT floor(o_totalprice
+                            / power(10, floor(log10(o_totalprice)))) AS d
+               FROM orders WHERE o_totalprice > 0),
+    c AS (SELECT CAST(d AS INTEGER) AS digit, COUNT(*) AS n
+          FROM t GROUP BY 1),
+    tot AS (SELECT SUM(n) AS nt FROM c)
+    SELECT digit, CAST(n AS BIGINT) AS n,
+           round(n / CAST(nt AS DOUBLE), 9) AS obs_freq,
+           round(log10(1 + 1.0 / digit), 9) AS exp_freq,
+           round(((n - nt * log10(1 + 1.0 / digit))
+                  * (n - nt * log10(1 + 1.0 / digit)))
+                 / (nt * log10(1 + 1.0 / digit)), 6) AS chi2_term
+    FROM c, tot
+    """,
+    tags=("profiling", "benford", "audit"),
+)
+def q185_benford_audit(spark, sf_dir):
+    """Benford's-law first-significant-digit audit of o_totalprice:
+    per-digit observed frequency vs log10(1+1/d) expectation plus the
+    chi-square contribution, the classic fabricated-data screen. The
+    digit extraction (floor(x/10^floor(log10 x))) and every float op
+    are written with identical order on both engines (same libm on
+    one host); chi2 rounds at 1e-6 to absorb last-bit noise in the
+    longer op chain. Single scan, 9-group aggregate — map-side
+    combine makes the shuffle O(partitions·9)."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    d = F.floor(
+        F.col("o_totalprice")
+        / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+    )
+    c = o.select(d.cast("int").alias("digit")).groupBy("digit").agg(
+        F.count("*").alias("n")
+    )
+    tot = c.agg(F.sum("n").alias("nt"))
+    e = F.log10(F.lit(1) + F.lit(1.0) / F.col("digit"))
+    dev = F.col("n") - F.col("nt") * e
+    return c.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n") / F.col("nt").cast("double"), 9).alias("obs_freq"),
+        F.round(e, 9).alias("exp_freq"),
+        F.round((dev * dev) / (F.col("nt") * e), 6).alias("chi2_term"),
+    )
