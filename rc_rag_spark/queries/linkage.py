@@ -43,10 +43,12 @@ from rc_rag_spark.sources import table
 # q186 — closed-form multinomial naive Bayes language ID
 
 
-@register(
-    "q186_naive_bayes_langid",
-    sql="""
-    WITH train AS (SELECT doc_id, lang, text FROM documents
+# Shared naive-Bayes posterior CTEs (train → per-(doc, lang) exact-
+# DECIMAL log posterior `wp`). q186 ranks them into predictions; q199
+# (queries/linalg_stats.py) bins the softmax confidence for the
+# calibration report — one home for the model's oracle formulation.
+_NB_CTES = """
+    train AS (SELECT doc_id, lang, text FROM documents
                    WHERE doc_id % 2 = 0),
     test AS (SELECT doc_id, lang, text FROM documents
              WHERE doc_id % 2 = 1),
@@ -84,30 +86,14 @@ from rc_rag_spark.sources import table
                               AS DECIMAL(28,12)) AS post
            FROM scores s
            JOIN prior p ON p.lang = s.lang
-           CROSS JOIN ptot t),
-    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
-                                       ORDER BY post DESC, lang) AS rk
-          FROM wp)
-    SELECT doc_id, lang_true, lang AS lang_pred,
-           round(CAST(post AS DOUBLE), 6) AS log_posterior
-    FROM r WHERE rk = 1
-    """,
-    tags=("ml", "naive-bayes", "langid"),
-)
-def q186_naive_bayes_langid(spark, sf_dir):
-    """Multinomial naive Bayes language classifier, fully closed-form:
-    train on even doc_ids (per-lang token counts + Laplace smoothing +
-    log priors), score odd doc_ids by summing tf·log-likelihood terms,
-    argmax per doc tie-broken by lang. Each log-likelihood is
-    quantized to DECIMAL(28,12) BEFORE the tf multiply (decimal·int
-    is exact) and the per-doc SUM is exact DECIMAL; the argmax
-    compares exact DECIMALs and the posterior is reported at 1e-6,
-    which absorbs the residual round-half tie a raw double can hit at
-    the 12th digit. Train AND inference hash-match SQL — the
-    'batch-inference without a solver' counterpart to the MLlib path
-    (q72). Model tables (wc/nl/prior) are the broadcast side at any
-    scale; scoring is one broadcast join over test tokens with a
-    |langs|-wide fan-out."""
+           CROSS JOIN ptot t)"""
+
+
+def nb_posteriors(spark, sf_dir):
+    """Per-(test doc, lang) exact-DECIMAL naive-Bayes log posterior —
+    the shared scoring stage behind q186 (argmax predictions) and
+    q199 (calibration bins). Columns: doc_id, lang_true, lang, post
+    (DECIMAL(28,12))."""
     d = table(spark, sf_dir, "documents")
     train = d.where(F.col("doc_id") % 2 == 0)
     test = d.where(F.col("doc_id") % 2 == 1)
@@ -155,7 +141,7 @@ def q186_naive_bayes_langid(spark, sf_dir):
     scores = terms.groupBy("doc_id", "lang_true", "lang").agg(
         F.sum("term").cast("decimal(28,12)").alias("ll")
     )
-    wp = (
+    return (
         scores.join(F.broadcast(prior), "lang")
         .crossJoin(F.broadcast(ptot))
         .select(
@@ -173,6 +159,36 @@ def q186_naive_bayes_langid(spark, sf_dir):
             ).alias("post"),
         )
     )
+
+
+@register(
+    "q186_naive_bayes_langid",
+    sql=f"""
+    WITH {_NB_CTES},
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY post DESC, lang) AS rk
+          FROM wp)
+    SELECT doc_id, lang_true, lang AS lang_pred,
+           round(CAST(post AS DOUBLE), 6) AS log_posterior
+    FROM r WHERE rk = 1
+    """,
+    tags=("ml", "naive-bayes", "langid"),
+)
+def q186_naive_bayes_langid(spark, sf_dir):
+    """Multinomial naive Bayes language classifier, fully closed-form:
+    train on even doc_ids (per-lang token counts + Laplace smoothing +
+    log priors), score odd doc_ids by summing tf·log-likelihood terms,
+    argmax per doc tie-broken by lang. Each log-likelihood is
+    quantized to DECIMAL(28,12) BEFORE the tf multiply (decimal·int
+    is exact) and the per-doc SUM is exact DECIMAL; the argmax
+    compares exact DECIMALs and the posterior is reported at 1e-6,
+    which absorbs the residual round-half tie a raw double can hit at
+    the 12th digit. Train AND inference hash-match SQL — the
+    'batch-inference without a solver' counterpart to the MLlib path
+    (q72). Model tables (wc/nl/prior) are the broadcast side at any
+    scale; scoring is one broadcast join over test tokens with a
+    |langs|-wide fan-out."""
+    wp = nb_posteriors(spark, sf_dir)
     rk = Window.partitionBy("doc_id").orderBy(
         F.col("post").desc(), F.col("lang")
     )
