@@ -5,9 +5,10 @@ Implements the textbook Jaro similarity (match window
 prefix boost (scale 0.1, prefix capped at 4, applied only when the
 Jaro base exceeds 0.7). The float op order is
 ``(m/l1 + m/l2 + (m-t)/m) / 3`` then ``j + l*0.1*(1-j)`` — verified
-bit-identical to DuckDB's ``jaro_winkler_similarity`` over a 4300-pair
-fuzz corpus (tests/test_linkage.py), which is what lets q187 be
-hash-checked rather than rows-only.
+bit-identical to DuckDB's ``jaro_winkler_similarity`` over an
+808-pair seeded fuzz corpus plus edge cases
+(tests/test_stats_linkage.py::test_jaro_winkler_bit_equal_to_duckdb),
+which is what lets q187 be hash-checked rather than rows-only.
 
 Edge semantics pinned to DuckDB: either string empty → 0.0 (including
 both empty), identical non-empty strings → 1.0.

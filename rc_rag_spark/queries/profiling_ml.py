@@ -79,11 +79,13 @@ from rc_rag_spark.sources import table
 def q189_column_profile(spark, sf_dir):
     """Column-profile sweep over lineitem's numeric columns: row/null
     counts, distinct cardinality, min/max — the pre-training
-    data-quality report. Expressed as one stacked aggregate per
-    column over a single scan (Catalyst shares the scan across the
-    union branches; each branch's partial agg is 1 row per
-    partition). Numeric min/max are rounded identically on both
-    engines; counts are exact integers."""
+    data-quality report. All five columns' aggregates ride ONE
+    aggregate over ONE scan (the q197 moment-sum pattern; the five
+    countDistincts share the scan through Catalyst's Expand, a 5×
+    row fan-out of the single pass — at 100 TB one scan plus Expand
+    beats five scans outright); per-column rows unpivot from the
+    single result row. Numeric min/max are rounded identically on
+    both engines; counts are exact integers."""
     li = table(spark, sf_dir, "lineitem")
     cols = [
         "l_quantity",
@@ -92,18 +94,28 @@ def q189_column_profile(spark, sf_dir):
         "l_tax",
         "l_linenumber",
     ]
-    parts = []
+    aggs = [F.count("*").alias("n_rows")]
     for c in cols:
-        parts.append(
-            li.agg(
-                F.lit(c).alias("col_name"),
-                F.count("*").cast("bigint").alias("n_rows"),
-                (F.count("*") - F.count(c)).cast("bigint").alias("n_null"),
-                F.countDistinct(c).cast("bigint").alias("n_distinct"),
-                F.round(F.min(c).cast("double"), 9).alias("min_v"),
-                F.round(F.max(c).cast("double"), 9).alias("max_v"),
-            )
+        aggs += [
+            F.count(c).alias(f"cnt_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.round(F.min(c).cast("double"), 9).alias(f"min_{c}"),
+            F.round(F.max(c).cast("double"), 9).alias(f"max_{c}"),
+        ]
+    one = li.agg(*aggs)
+    parts = [
+        one.select(
+            F.lit(c).alias("col_name"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            (F.col("n_rows") - F.col(f"cnt_{c}"))
+            .cast("bigint")
+            .alias("n_null"),
+            F.col(f"nd_{c}").cast("bigint").alias("n_distinct"),
+            F.col(f"min_{c}").alias("min_v"),
+            F.col(f"max_{c}").alias("max_v"),
         )
+        for c in cols
+    ]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -249,12 +261,16 @@ def q191_pareto_frontier(spark, sf_dir):
                        SUM(cp) OVER (ORDER BY thr) AS lp
                 FROM grid),
     scored AS (SELECT g.thr, g.nl, g.lp, t.n, t.np,
-                      round(((g.lp * g.lp
-                              + (g.nl - g.lp) * (g.nl - g.lp))
+                      round(((CAST(g.lp AS DOUBLE) * CAST(g.lp AS DOUBLE)
+                              + CAST(g.nl - g.lp AS DOUBLE)
+                                * CAST(g.nl - g.lp AS DOUBLE))
                              / CAST(g.nl AS DOUBLE)
-                             + ((t.np - g.lp) * (t.np - g.lp)
-                                + ((t.n - g.nl) - (t.np - g.lp))
-                                  * ((t.n - g.nl) - (t.np - g.lp)))
+                             + (CAST(t.np - g.lp AS DOUBLE)
+                                * CAST(t.np - g.lp AS DOUBLE)
+                                + CAST((t.n - g.nl) - (t.np - g.lp)
+                                       AS DOUBLE)
+                                  * CAST((t.n - g.nl) - (t.np - g.lp)
+                                         AS DOUBLE))
                                / CAST(t.n - g.nl AS DOUBLE)), 9)
                           AS purity
                FROM cumgrid g CROSS JOIN tot t
@@ -277,9 +293,11 @@ def q192_decision_stump(spark, sf_dir):
     sum_side (pos² + neg²)/n_side, which needs only cumulative class
     counts over the sorted distinct-value grid — a whole model fit
     with one grouped count, one window, and an argmax (cost
-    O(distinct values), not O(rows × candidates)). The purity score
-    is integer arithmetic up to two divisions, rounded at 1e-9 before
-    the argmax; ties break toward the smaller threshold."""
+    O(distinct values), not O(rows × candidates)). The squared class
+    counts are computed in DOUBLE on both engines (int64 squares wrap
+    past ~3·10⁹ positives; DuckDB would widen to HUGEINT and diverge
+    from Spark), the score rounds at 1e-9 before the argmax, and
+    ties break toward the smaller threshold."""
     e = table(spark, sf_dir, "events")
     lab = e.select(
         "value",
@@ -296,11 +314,16 @@ def q192_decision_stump(spark, sf_dir):
         F.sum("cp").over(wt).alias("lp"),
     )
     g = cumgrid.crossJoin(F.broadcast(tot)).where(F.col("nl") < F.col("n"))
-    ln_ = F.col("nl") - F.col("lp")
-    rp = F.col("np") - F.col("lp")
-    rn = (F.col("n") - F.col("nl")) - rp
+    # squares computed in DOUBLE on both engines: int64 lp·lp wraps
+    # past ~3e9 positives (DuckDB would widen to HUGEINT and diverge)
+    lp = F.col("lp").cast("double")
+    ln_ = (F.col("nl") - F.col("lp")).cast("double")
+    rp = (F.col("np") - F.col("lp")).cast("double")
+    rn = ((F.col("n") - F.col("nl")) - (F.col("np") - F.col("lp"))).cast(
+        "double"
+    )
     purity = F.round(
-        (F.col("lp") * F.col("lp") + ln_ * ln_) / F.col("nl").cast("double")
+        (lp * lp + ln_ * ln_) / F.col("nl").cast("double")
         + (rp * rp + rn * rn) / (F.col("n") - F.col("nl")).cast("double"),
         9,
     )

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from rc_rag_spark.functions.vectors import dot, l2_norm
+from rc_rag_spark.functions.vectors import cosine
 from rc_rag_spark.queries.core import register
 from rc_rag_spark.sources import table
 
@@ -113,10 +113,12 @@ def q205_mmr_rerank(spark, sf_dir):
     scored = c.crossJoin(F.broadcast(qv)).select(
         "vec_id",
         "cv",
-        (
-            dot("cv", "qv") / (l2_norm("cv") * l2_norm("qv"))
-        ).alias("qsim"),
+        cosine("cv", "qv").alias("qsim"),
     )
+    # localCheckpoint: the greedy loop references cand/sel several
+    # times per step; without a lineage barrier the plan triples per
+    # iteration (the q169 k-means / GD-weights discipline). cand is
+    # 20 rows, sel ≤ 5 — the checkpoints are trivially cheap.
     cand = (
         scored.withColumn(
             "rk",
@@ -127,10 +129,10 @@ def q205_mmr_rerank(spark, sf_dir):
         .where(F.col("rk") <= _MMR_N_CAND)
         .drop("rk")
         .withColumn("one", F.lit(1))
-    )
+    ).localCheckpoint(eager=True)
     sel = cand.orderBy(F.col("qsim").desc(), F.col("vec_id")).limit(1).select(
         "vec_id", "cv", "qsim", F.lit(1).alias("pick"), "one"
-    )
+    ).localCheckpoint(eager=True)
     for k in range(2, _MMR_K + 1):
         rem = cand.join(
             sel.select(F.col("vec_id").alias("_sid")),
@@ -149,9 +151,7 @@ def q205_mmr_rerank(spark, sf_dir):
                 "cv",
                 "qsim",
                 "one",
-                (
-                    dot("cv", "sv") / (l2_norm("cv") * l2_norm("sv"))
-                ).alias("ssim"),
+                cosine("cv", "sv").alias("ssim"),
             )
             .groupBy("vec_id", "cv", "qsim", "one")
             .agg(F.max("ssim").alias("maxsim"))
@@ -167,7 +167,7 @@ def q205_mmr_rerank(spark, sf_dir):
             .limit(1)
             .select("vec_id", "cv", "qsim", F.lit(k).alias("pick"), "one")
         )
-        sel = sel.unionByName(best)
+        sel = sel.unionByName(best).localCheckpoint(eager=True)
     return sel.select(
         F.col("pick").cast("int").alias("pick"),
         "vec_id",

@@ -185,9 +185,11 @@ def q202_nb_confusion(spark, sf_dir):
     d AS (SELECT event_type, n,
                  CAST(round(greatest(
                      abs(i / CAST(n AS DOUBLE)
-                         - (value - lo) / (hi - lo)),
+                         - CASE WHEN hi = lo THEN 1.0
+                                ELSE (value - lo) / (hi - lo) END),
                      abs((i - 1) / CAST(n AS DOUBLE)
-                         - (value - lo) / (hi - lo))), 12)
+                         - CASE WHEN hi = lo THEN 1.0
+                                ELSE (value - lo) / (hi - lo) END)), 12)
                       AS DECIMAL(16,12)) AS dev
           FROM r)
     SELECT event_type, CAST(n AS BIGINT) AS n,
@@ -214,7 +216,12 @@ def q203_ks_uniformity(spark, sf_dir):
     r = e.join(F.broadcast(b), "event_type").withColumn(
         "i", F.row_number().over(w)
     )
-    fcdf = (F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo"))
+    # hi == lo (a single-valued type) is a point mass: F(v) = 1.
+    # Unguarded 0/0 would be NaN in Spark but NULL in DuckDB — a
+    # parity break (and an ANSI-mode crash at the DECIMAL cast).
+    fcdf = F.when(F.col("hi") == F.col("lo"), F.lit(1.0)).otherwise(
+        (F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo"))
+    )
     dev = F.greatest(
         F.abs(F.col("i") / F.col("n").cast("double") - fcdf),
         F.abs((F.col("i") - 1) / F.col("n").cast("double") - fcdf),

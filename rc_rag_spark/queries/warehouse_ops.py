@@ -270,8 +270,13 @@ def q196_kmv_distinct(spark, sf_dir):
     keff = h.agg(
         F.least(F.lit(_KMV_K), F.count("*")).alias("ke")
     )
+    # Literal rk <= K first: a literal bound compiles to
+    # WindowGroupLimit (per-partition top-K before the final window),
+    # where filtering on the non-literal ke column alone would force
+    # a single-partition global sort of every distinct hash.
     kth = (
         h.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _KMV_K)
         .crossJoin(F.broadcast(keff))
         .where(F.col("rk") == F.col("ke"))
         .select(F.col("hv").alias("kth_hash"), "ke")
