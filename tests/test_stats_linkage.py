@@ -232,3 +232,21 @@ def test_duplicate_spans_exist_in_corpus(spark, sf_dir):
     for row in out.itertuples():
         assert row.n_docs == len(span_docs[row.gram])
         assert row.n_occ == span_occ[row.gram]
+
+
+def test_jaro_winkler_properties():
+    """Symmetry, range, identity/empty edges — independent of DuckDB."""
+    import random
+
+    from rc_rag_spark.functions.strsim import jaro_winkler
+
+    rng = random.Random(11)
+    for _ in range(300):
+        a = "".join(rng.choices("abcde", k=rng.randint(0, 10)))
+        b = "".join(rng.choices("abcde", k=rng.randint(0, 10)))
+        s = jaro_winkler(a, b)
+        assert s == jaro_winkler(b, a)
+        assert 0.0 <= s <= 1.0
+    assert jaro_winkler("same", "same") == 1.0
+    assert jaro_winkler("", "") == 0.0  # DuckDB edge semantics
+    assert jaro_winkler("x", "") == 0.0

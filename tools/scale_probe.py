@@ -42,6 +42,15 @@ DEFAULT = [
     "q145_triangle_count",
     "q147_decayed_event_score",
     "q154_rrf_hybrid_fusion",
+    # round-4 additions with real scale exposure: shingle-explode
+    # span dedup, iterative A·v, NB token model, global-sort KS,
+    # global ordered ABC window, KMV top-k
+    "q188_duplicate_ngram_spans",
+    "q200_power_iteration_pc1",
+    "q186_naive_bayes_langid",
+    "q203_ks_uniformity",
+    "q194_abc_classification",
+    "q196_kmv_distinct",
 ]
 
 
