@@ -205,12 +205,15 @@ def exact_near_dup_pairs(
     import numpy as np
     import pandas as pd
 
-    n_rows = df.count()
+    # limit(max_rows+1).count() instead of a full count(): Spark can
+    # stop scanning after max_rows+1 rows, so the guard doesn't pay a
+    # second full evaluation of the upstream plan before the collect.
+    n_rows = df.limit(max_rows + 1).count()
     if n_rows > max_rows:
         raise ValueError(
             f"exact_near_dup_pairs is the ground-truth baseline and "
-            f"materializes the corpus on the driver: {n_rows} rows > "
-            f"max_rows={max_rows}. Use embedding_near_dup (LSH "
+            f"materializes the corpus on the driver: >{max_rows} rows "
+            f"(max_rows={max_rows}). Use embedding_near_dup (LSH "
             f"candidates + exact verify) for large tables, or raise "
             f"max_rows explicitly if the driver can hold the matrix."
         )

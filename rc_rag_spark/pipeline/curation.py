@@ -214,6 +214,37 @@ class CurationPipeline:
     def _manifest_path(self, idx: int, name: str) -> str:
         return self._stage_path(idx, name) + "_params.json"
 
+    def _fs_read_text(self, path: str) -> str | None:
+        """Read a small text file through the path's Hadoop
+        FileSystem (None if absent) — manifests must round-trip on
+        hdfs://, s3a://, file:// and bare local paths alike, or
+        parameter-aware invalidation silently turns off on remote
+        workdirs."""
+        jvm = self.spark.sparkContext._jvm
+        jsc = self.spark.sparkContext._jsc
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(jsc.hadoopConfiguration())
+        if not fs.exists(p):
+            return None
+        stream = fs.open(p)
+        try:
+            return str(
+                jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+            )
+        finally:
+            stream.close()
+
+    def _fs_write_text(self, path: str, text: str) -> None:
+        jvm = self.spark.sparkContext._jvm
+        jsc = self.spark.sparkContext._jsc
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(jsc.hadoopConfiguration())
+        out = fs.create(p, True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+
     def run(self, df: DataFrame, force: bool = False) -> DataFrame:
         """Execute the declared steps in order. Each step's output is
         a Parquet stage table; a stage is reused (resume) only when it
@@ -230,17 +261,14 @@ class CurationPipeline:
         cur = df
         rows_in: int | None = None
         upstream_recomputed = False
-        local_fs = "://" not in self.workdir
-        if local_fs:
+        if "://" not in self.workdir:
             os.makedirs(self.workdir, exist_ok=True)
         for i, (name, step) in enumerate(self._steps):
             path = self._stage_path(i, name)
             params = self._params[i]
             manifest = self._manifest_path(i, name)
-            params_ok = True
-            if local_fs and os.path.exists(manifest):
-                with open(manifest) as fh:
-                    params_ok = json.load(fh) == params
+            recorded = self._fs_read_text(manifest)
+            params_ok = recorded is not None and json.loads(recorded) == params
             reuse = (
                 not force
                 and not upstream_recomputed
@@ -251,9 +279,7 @@ class CurationPipeline:
                 if rows_in is None:
                     rows_in = cur.count()
                 step(cur).write.mode("overwrite").parquet(path)
-                if local_fs:
-                    with open(manifest, "w") as fh:
-                        json.dump(params, fh)
+                self._fs_write_text(manifest, json.dumps(params))
                 upstream_recomputed = True
             cur = self.spark.read.parquet(path)
             rows_out = cur.count()

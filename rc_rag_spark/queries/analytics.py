@@ -349,11 +349,14 @@ def _sessionized(e):
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Exact interval comparison (the q103 idiom): casting to long
+    # would truncate to whole seconds and mis-bucket a gap whose true
+    # microsecond length straddles the 30-minute boundary, diverging
+    # from the oracle's `ts - prev_ts > INTERVAL 30 MINUTE`.
     boundary = (
         F.col("prev_ts").isNull()
         | (
-            F.col("ts").cast("long") - F.col("prev_ts").cast("long")
-            > 30 * 60
+            F.col("ts") - F.col("prev_ts") > F.expr("INTERVAL 30 MINUTES")
         )
     ).cast("int")
     return e.select(

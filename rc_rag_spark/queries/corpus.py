@@ -376,13 +376,16 @@ def q135_chunk_documents(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
     chunk, stride = 32, 24
     t = d.select("doc_id", F.split("text", " ").alias("toks"))
-    c = t.select(
-        "doc_id", "toks",
-        F.explode(
-            F.sequence(F.lit(1), F.greatest(F.size("toks"), F.lit(1)),
-                       F.lit(stride))
-        ).alias("start"),
-    )
+    # NULL text must chunk to ZERO rows (the oracle's
+    # generate_series(1, NULL, 24) unnests to nothing); greatest(size,
+    # 1) alone would turn size(NULL)=NULL into one phantom chunk.
+    starts = F.when(
+        F.col("toks").isNotNull(),
+        F.sequence(
+            F.lit(1), F.greatest(F.size("toks"), F.lit(1)), F.lit(stride)
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    c = t.select("doc_id", "toks", F.explode(starts).alias("start"))
     piece = F.slice("toks", F.col("start"), chunk)
     return c.select(
         "doc_id",
@@ -706,17 +709,25 @@ def q157_decontamination(spark, sf_dir):
     tiny (broadcastable); never an all-pairs comparison."""
     d = table(spark, sf_dir, "documents")
     n = _DECON_N
-    sh = d.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"CASE WHEN size(split(trim(text), '\\\\s+')) >= {n} THEN"
-                f" transform(sequence(1, size(split(trim(text), '\\\\s+')) - {n} + 1),"
-                f" i -> array_join(slice(split(trim(text), '\\\\s+'), i, {n}), ' '))"
-                " ELSE array() END"
-            )
-        ).alias("s"),
-    ).distinct()
+    # Stage the token array BEFORE the shingle lambda (the q176 /
+    # minhash_det_pairs discipline): HOF lambdas are interpreted, so
+    # an inline split() would re-tokenize the document once per
+    # shingle element — O(d²) per doc instead of O(d).
+    sh = (
+        d.select("doc_id", F.expr("split(trim(text), '\\\\s+')").alias("_tk"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"CASE WHEN size(_tk) >= {n} THEN"
+                    f" transform(sequence(1, size(_tk) - {n} + 1),"
+                    f" i -> array_join(slice(_tk, i, {n}), ' '))"
+                    " ELSE array() END"
+                )
+            ).alias("s"),
+        )
+        .distinct()
+    )
     bench = sh.where(F.col("doc_id") < 10).select(
         F.col("doc_id").alias("bench_id"), "s"
     )

@@ -58,9 +58,12 @@ def test_pipeline_matches_manual_composition(spark, sf_dir, workdir):
     )
     got = {r["doc_id"] for r in pipe.run(docs).select("doc_id").collect()}
 
-    # manual composition of the same operators
+    # manual composition of the same operators — raw md5, NOT
+    # DD.fingerprint: exact_dedup deliberately keys on the raw text
+    # (the normalizing fingerprint would collapse case/punctuation
+    # variants, a different spec than the pipeline implements)
     keep = (
-        docs.groupBy(DD.fingerprint("text").alias("_fp"))
+        docs.groupBy(F.md5(F.col("text")).alias("_fp"))
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )

@@ -5,9 +5,11 @@ whole-stage-codegen coverage, cartesian products.
 
     python tools/plan_audit.py          # writes PLANS.md
 
-The audit FAILS (exit 1) if any query outside the documented
-exception list contains a CartesianProduct — the same invariant
-tests/test_plans.py pins for individual queries, enforced corpus-wide.
+The audit FAILS (exit 1) if ANY query's plan contains a
+CartesianProduct — the same invariant tests/test_plans.py pins for
+individual queries, enforced corpus-wide with no exceptions.
+(Single-row scalar broadcasts attached via crossJoin(broadcast(...))
+compile to BroadcastNestedLoopJoin, a different node, and are fine.)
 """
 
 from __future__ import annotations
@@ -21,12 +23,6 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("RC_RAG_TEST_SF_DIR", "/root/testdata/sf0.001")
-
-# Queries whose plan legitimately contains a broadcast nested loop of a
-# SINGLE-ROW scalar aggregate (count folds / corpus totals attached via
-# crossJoin(broadcast(...))). CartesianProduct is never tolerated.
-SCALAR_BROADCAST_OK = True
-
 
 def main() -> None:
     import rc_rag_spark.queries as q
