@@ -115,28 +115,29 @@ def q197_correlation_matrix(spark, sf_dir):
             db = F.col(b).cast("decimal(12,2)")
             aggs.append(F.sum(da * db).alias(f"s_{a}_{b}"))
     m = li.agg(*aggs)
-    outs = []
-    nd = F.col("n").cast("double")
 
-    def _d(name):
-        return F.col(name).cast("double")
+    def _dd(name):
+        return f"CAST({name} AS DOUBLE)"
 
+    # stack() unpivots all 6 pair correlations from the single moment
+    # row in one projection — one scan, one aggregate (a union of
+    # per-pair selects would re-scan lineitem per pair; AQE does not
+    # reuse the aggregate exchange across union branches).
+    terms = []
     for i, a in enumerate(_Q197_COLS):
         for b in _Q197_COLS[i + 1:]:
-            num = nd * _d(f"s_{a}_{b}") - _d(f"s_{a}") * _d(f"s_{b}")
-            va = nd * _d(f"s_{a}_{a}") - _d(f"s_{a}") * _d(f"s_{a}")
-            vb = nd * _d(f"s_{b}_{b}") - _d(f"s_{b}") * _d(f"s_{b}")
-            outs.append(
-                m.select(
-                    F.lit(a).alias("col_a"),
-                    F.lit(b).alias("col_b"),
-                    F.round(num / F.sqrt(va * vb), 9).alias("r"),
-                )
+            num = (f"({_dd('n')} * {_dd(f's_{a}_{b}')}"
+                   f" - {_dd(f's_{a}')} * {_dd(f's_{b}')})")
+            va = (f"({_dd('n')} * {_dd(f's_{a}_{a}')}"
+                  f" - {_dd(f's_{a}')} * {_dd(f's_{a}')})")
+            vb = (f"({_dd('n')} * {_dd(f's_{b}_{b}')}"
+                  f" - {_dd(f's_{b}')} * {_dd(f's_{b}')})")
+            terms.append(
+                f"'{a}', '{b}', round({num} / sqrt({va} * {vb}), 9)"
             )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+    return m.selectExpr(
+        f"stack({len(terms)}, {', '.join(terms)}) AS (col_a, col_b, r)"
+    )
 
 
 # --------------------------------------------------------------------------

@@ -103,23 +103,20 @@ def q189_column_profile(spark, sf_dir):
             F.round(F.max(c).cast("double"), 9).alias(f"max_{c}"),
         ]
     one = li.agg(*aggs)
-    parts = [
-        one.select(
-            F.lit(c).alias("col_name"),
-            F.col("n_rows").cast("bigint").alias("n_rows"),
-            (F.col("n_rows") - F.col(f"cnt_{c}"))
-            .cast("bigint")
-            .alias("n_null"),
-            F.col(f"nd_{c}").cast("bigint").alias("n_distinct"),
-            F.col(f"min_{c}").alias("min_v"),
-            F.col(f"max_{c}").alias("max_v"),
-        )
+    # stack() unpivots the single aggregate row in ONE projection — a
+    # union of per-column selects would give each branch its own copy
+    # of the whole agg+scan subtree (verified: no exchange reuse even
+    # under AQE), i.e. five scans instead of one.
+    stack_args = ", ".join(
+        f"'{c}', CAST(n_rows AS BIGINT),"
+        f" CAST(n_rows - cnt_{c} AS BIGINT),"
+        f" CAST(nd_{c} AS BIGINT), min_{c}, max_{c}"
         for c in cols
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(col_name, n_rows, n_null, n_distinct, min_v, max_v)"
+    )
 
 
 # --------------------------------------------------------------------------

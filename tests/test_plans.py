@@ -270,3 +270,27 @@ def test_final_batch_no_cartesian(spark, sf_dir, name):
     plan = plan_of(spark, sf_dir, name)
     assert "CartesianProduct" not in plan, name
     assert plan.count("BroadcastNestedLoopJoin") <= 2, name
+
+
+def test_profile_and_corr_are_single_scan(spark, sf_dir):
+    """q189/q197 unpivot via stack() from ONE aggregate row — a union
+    of per-column selects would rescan the table per branch (AQE does
+    not reuse aggregate exchanges across union children)."""
+    for name in ("q189_column_profile", "q197_correlation_matrix"):
+        plan = plan_of(spark, sf_dir, name)
+        assert plan.count("Scan parquet") == 1, name
+
+
+def test_kmv_topk_limit_pushdown(spark, sf_dir):
+    """q196's literal rank<=K filter must push a per-partition
+    LocalLimit below the global ordering (TakeOrdered shape) — the
+    non-literal rk==ke comparison alone would single-partition-sort
+    every distinct hash."""
+    df = q.REGISTRY["q196_kmv_distinct"].fn(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LocalLimit" in opt
+
+
+def test_weighted_reservoir_takeordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q207_weighted_reservoir")
+    assert "TakeOrderedAndProject" in plan
