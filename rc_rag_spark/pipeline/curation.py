@@ -197,15 +197,19 @@ class CurationPipeline:
     def _stage_path(self, idx: int, name: str) -> str:
         return os.path.join(self.workdir, f"{idx:02d}_{name}")
 
-    def _fs_exists(self, path: str) -> bool:
-        """Existence check through the Hadoop FileSystem of the path —
-        correct for hdfs://, s3a://, file:// and bare local paths
-        alike (a driver-local os.path.exists would silently disable
+    def _fs(self, path: str):
+        """(jvm, FileSystem, Path) for a path's Hadoop FileSystem —
+        one home for the JVM dance so exists/read/write stay in sync.
+        Correct for hdfs://, s3a://, file:// and bare local paths
+        alike (driver-local os.path calls would silently disable
         resume on any remote filesystem)."""
         jvm = self.spark.sparkContext._jvm
         jsc = self.spark.sparkContext._jsc
         p = jvm.org.apache.hadoop.fs.Path(path)
-        fs = p.getFileSystem(jsc.hadoopConfiguration())
+        return jvm, p.getFileSystem(jsc.hadoopConfiguration()), p
+
+    def _fs_exists(self, path: str) -> bool:
+        _, fs, p = self._fs(path)
         return bool(fs.exists(p))
 
     def _stage_done(self, path: str) -> bool:
@@ -217,13 +221,9 @@ class CurationPipeline:
     def _fs_read_text(self, path: str) -> str | None:
         """Read a small text file through the path's Hadoop
         FileSystem (None if absent) — manifests must round-trip on
-        hdfs://, s3a://, file:// and bare local paths alike, or
-        parameter-aware invalidation silently turns off on remote
-        workdirs."""
-        jvm = self.spark.sparkContext._jvm
-        jsc = self.spark.sparkContext._jsc
-        p = jvm.org.apache.hadoop.fs.Path(path)
-        fs = p.getFileSystem(jsc.hadoopConfiguration())
+        remote filesystems too, or parameter-aware invalidation
+        silently turns off on remote workdirs."""
+        jvm, fs, p = self._fs(path)
         if not fs.exists(p):
             return None
         stream = fs.open(p)
@@ -235,10 +235,7 @@ class CurationPipeline:
             stream.close()
 
     def _fs_write_text(self, path: str, text: str) -> None:
-        jvm = self.spark.sparkContext._jvm
-        jsc = self.spark.sparkContext._jsc
-        p = jvm.org.apache.hadoop.fs.Path(path)
-        fs = p.getFileSystem(jsc.hadoopConfiguration())
+        _, fs, p = self._fs(path)
         out = fs.create(p, True)
         try:
             out.write(bytearray(text.encode("utf-8")))
@@ -268,7 +265,15 @@ class CurationPipeline:
             params = self._params[i]
             manifest = self._manifest_path(i, name)
             recorded = self._fs_read_text(manifest)
-            params_ok = recorded is not None and json.loads(recorded) == params
+            # a corrupt/truncated manifest (e.g. a crash between the
+            # truncating create and close) invalidates the stage —
+            # recompute, never crash the whole run on it
+            try:
+                params_ok = (
+                    recorded is not None and json.loads(recorded) == params
+                )
+            except ValueError:
+                params_ok = False
             reuse = (
                 not force
                 and not upstream_recomputed

@@ -233,8 +233,11 @@ def q210_joinability_audit(spark, sf_dir):
     for ta, ca, tb, cb in _J_PAIRS:
         a = table(spark, sf_dir, ta).select(F.col(ca).alias("k")).distinct()
         b = table(spark, sf_dir, tb).select(F.col(cb).alias("k")).distinct()
-        nd_a = a.agg(F.count("*").alias("nd_a"))
-        nd_b = b.agg(F.count("*").alias("nd_b"))
+        # count(k), not count(*): COUNT(DISTINCT col) in the oracle
+        # excludes NULL, so a nullable key column must not count its
+        # NULL as a distinct value here either
+        nd_a = a.agg(F.count("k").alias("nd_a"))
+        nd_b = b.agg(F.count("k").alias("nd_b"))
         common = a.join(b, "k").agg(F.count("*").alias("n_common"))
         rows.append(
             common.crossJoin(F.broadcast(nd_a))
