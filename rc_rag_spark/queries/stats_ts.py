@@ -383,3 +383,142 @@ def q185_benford_audit(spark, sf_dir):
         F.round(e, 9).alias("exp_freq"),
         F.round((dev * dev) / (F.col("nt") * e), 6).alias("chi2_term"),
     )
+
+
+# --------------------------------------------------------------------------
+# q211 — Holt double-exponential smoothing of the daily revenue series
+
+
+_HOLT_ALPHA, _HOLT_BETA = 0.5, 0.3
+
+# State quantizer: explicit floor-based round-half-up at 1e-6,
+# written as the SAME IEEE op chain on both engines. round(_, 6)
+# would NOT do: alpha = 0.5 puts every level update exactly on a
+# rounding midpoint (half of an odd multiple of 1e-6), where Spark
+# rounds HALF_UP but DuckDB's cast rounds HALF_EVEN — with an
+# explicit floor(v*1e6 + 0.5)/1e6 both engines execute identical
+# doubles ops and MUST agree, ties included.
+_Q6_SQL = "floor(({v}) * 1000000 + 0.5) / 1000000"
+
+
+def _q6(col):
+    return F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+
+@register(
+    "q211_holt_linear_trend",
+    sql=f"""
+    WITH RECURSIVE daily AS (
+        SELECT date_trunc('day', o_orderdate) AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS x
+        FROM orders GROUP BY 1),
+    idx AS (SELECT day, x,
+                   ROW_NUMBER() OVER (ORDER BY day) AS i
+            FROM daily),
+    holt AS (
+        SELECT i, day, x, x AS l, CAST(0.0 AS DOUBLE) AS b
+        FROM idx WHERE i = 1
+        UNION ALL
+        SELECT s.i, s.day, s.x,
+               {_Q6_SQL.format(v=f"{_HOLT_ALPHA} * s.x"
+                                 f" + {1 - _HOLT_ALPHA} * (h.l + h.b)")}
+                   AS l,
+               {_Q6_SQL.format(v=f"{_HOLT_BETA}"
+                                 f" * ({_Q6_SQL.format(v=f'{_HOLT_ALPHA} * s.x + {1 - _HOLT_ALPHA} * (h.l + h.b)')}"
+                                 f" - h.l)"
+                                 f" + {1 - _HOLT_BETA} * h.b")}
+                   AS b
+        FROM holt h JOIN idx s ON s.i = h.i + 1)
+    SELECT day, round(x, 6) AS x, round(l, 6) AS level,
+           round(b, 6) AS trend,
+           {_Q6_SQL.format(v="l + b")} AS forecast_next
+    FROM holt
+    """,
+    tags=("timeseries", "holt", "smoothing"),
+)
+def q211_holt_linear_trend(spark, sf_dir):
+    """Holt double-exponential smoothing of the daily revenue series
+    (level+trend state, alpha=0.5 / beta=0.3, one-step-ahead
+    forecast). The recursion that windows cannot express runs as ONE
+    sequential fold (F.aggregate) over the collected day-ordered
+    series with a struct accumulator carrying the state history; the
+    oracle states the same recurrence as a recursive CTE. State is
+    quantized every step with an explicit floor-based half-up round
+    at 1e-6 — the identical IEEE chain on both engines, immune to
+    the HALF_UP-vs-HALF_EVEN tie split that built-in round()/decimal
+    casts have exactly at alpha=0.5's structural midpoints. Scale
+    shape: the fact scan reduces to the daily grid FIRST — the fold
+    touches only the bounded series (365 rows per year), which is the
+    honest way to run bounded recursions (EWMA / Holt / Kalman-style
+    state) on a cluster: reduce, then fold the small series, never
+    iterate over raw rows."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("x")
+    )
+    series = daily.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("day"), F.col("x")))
+        ).alias("s")
+    )
+    a, a1 = _HOLT_ALPHA, 1 - _HOLT_ALPHA
+    bt, bt1 = _HOLT_BETA, 1 - _HOLT_BETA
+
+    def _lnew(acc, e):
+        return _q6(a * e["x"] + a1 * (acc["l"] + acc["b"]))
+
+    def _bnew(acc, e):
+        return _q6(bt * (_lnew(acc, e) - acc["l"]) + bt1 * acc["b"])
+
+    fold = F.aggregate(
+        F.col("s"),
+        F.expr(
+            "struct(CAST(NULL AS DOUBLE) AS l, CAST(NULL AS DOUBLE) AS b, "
+            "CAST(array() AS ARRAY<STRUCT<day: TIMESTAMP, x: DOUBLE, "
+            "l: DOUBLE, b: DOUBLE>>) AS hist)"
+        ),
+        lambda acc, e: F.when(
+            acc["l"].isNull(),
+            F.struct(
+                e["x"].alias("l"),
+                F.lit(0.0).alias("b"),
+                F.array(
+                    F.struct(
+                        e["day"].alias("day"),
+                        e["x"].alias("x"),
+                        e["x"].alias("l"),
+                        F.lit(0.0).alias("b"),
+                    )
+                ).alias("hist"),
+            ),
+        ).otherwise(
+            F.struct(
+                _lnew(acc, e).alias("l"),
+                _bnew(acc, e).alias("b"),
+                F.concat(
+                    acc["hist"],
+                    F.array(
+                        F.struct(
+                            e["day"].alias("day"),
+                            e["x"].alias("x"),
+                            _lnew(acc, e).alias("l"),
+                            _bnew(acc, e).alias("b"),
+                        )
+                    ),
+                ).alias("hist"),
+            )
+        ),
+    )
+    return (
+        series.select(F.explode(fold["hist"]).alias("h"))
+        .select(
+            F.col("h.day").alias("day"),
+            F.round("h.x", 6).alias("x"),
+            F.round("h.l", 6).alias("level"),
+            F.round("h.b", 6).alias("trend"),
+            _q6(F.col("h.l") + F.col("h.b")).alias("forecast_next"),
+        )
+    )

@@ -250,3 +250,41 @@ def test_jaro_winkler_properties():
     assert jaro_winkler("same", "same") == 1.0
     assert jaro_winkler("", "") == 0.0  # DuckDB edge semantics
     assert jaro_winkler("x", "") == 0.0
+
+
+def test_holt_matches_python_replica(spark, sf_dir):
+    """Replicate the fold (floor-based 1e-6 half-up quantizer) in
+    pure Python and require the same level/trend path."""
+    import math
+
+    out = (
+        q.REGISTRY["q211_holt_linear_trend"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .sort_values("day")
+    )
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    o["day"] = pd.to_datetime(o["o_orderdate"]).dt.normalize()
+    daily = (
+        o.groupby("day")["o_totalprice"].sum().round(2).sort_index()
+    )
+
+    def q6(v):
+        return math.floor(v * 1000000 + 0.5) / 1000000
+
+    xs = daily.to_numpy()
+    l, b = xs[0], 0.0
+    levels, trends = [l], [b]
+    for x in xs[1:]:
+        ln = q6(0.5 * x + 0.5 * (l + b))
+        b = q6(0.3 * (ln - l) + 0.7 * b)
+        l = ln
+        levels.append(l)
+        trends.append(b)
+    assert len(out) == len(xs)
+    for got_l, got_b, got_f, exp_l, exp_b in zip(
+        out.level, out.trend, out.forecast_next, levels, trends
+    ):
+        assert got_l == pytest.approx(exp_l, abs=1e-6)
+        assert got_b == pytest.approx(exp_b, abs=1e-6)
+        assert got_f == pytest.approx(q6(exp_l + exp_b), abs=1e-6)
