@@ -249,7 +249,8 @@ def q191_pareto_frontier(spark, sf_dir):
     WITH lab AS (SELECT value,
                         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
                             AS pos
-                 FROM events),
+                 FROM events
+                 WHERE value IS NOT NULL),
     tot AS (SELECT COUNT(*) AS n, SUM(pos) AS np FROM lab),
     grid AS (SELECT value AS thr, COUNT(*) AS c, SUM(pos) AS cp
              FROM lab GROUP BY value),
@@ -294,8 +295,11 @@ def q192_decision_stump(spark, sf_dir):
     counts are computed in DOUBLE on both engines (int64 squares wrap
     past ~3·10⁹ positives; DuckDB would widen to HUGEINT and diverge
     from Spark), the score rounds at 1e-9 before the argmax, and
-    ties break toward the smaller threshold."""
-    e = table(spark, sf_dir, "events")
+    ties break toward the smaller threshold. NULL values are dropped
+    before the grid: a NULL can't be a threshold, and an ordering
+    window over a nullable column would otherwise split on engine
+    defaults (Spark ASC = NULLS FIRST, DuckDB = NULLS LAST)."""
+    e = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
     lab = e.select(
         "value",
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),

@@ -175,13 +175,15 @@ def q202_nb_confusion(spark, sf_dir):
 @register(
     "q203_ks_uniformity",
     sql="""
-    WITH b AS (SELECT event_type, MIN(value) AS lo, MAX(value) AS hi,
-                      COUNT(*) AS n
-               FROM events GROUP BY 1),
+    WITH ev AS (SELECT event_id, event_type, value
+                FROM events WHERE value IS NOT NULL),
+    b AS (SELECT event_type, MIN(value) AS lo, MAX(value) AS hi,
+                 COUNT(*) AS n
+          FROM ev GROUP BY 1),
     r AS (SELECT e.event_type, e.value, b.lo, b.hi, b.n,
                  ROW_NUMBER() OVER (PARTITION BY e.event_type
                                     ORDER BY e.value, e.event_id) AS i
-          FROM events e JOIN b ON b.event_type = e.event_type),
+          FROM ev e JOIN b ON b.event_type = e.event_type),
     d AS (SELECT event_type, n,
                  CAST(round(greatest(
                      abs(i / CAST(n AS DOUBLE)
@@ -205,8 +207,11 @@ def q203_ks_uniformity(spark, sf_dir):
     reference shape. ECDF comes from one per-type sort window; both
     one-sided deviations are single IEEE chains quantized to DECIMAL
     before the exact MAX, so the statistic hash-matches. The sort is
-    the only real cost — range-partitionable like any global sort."""
-    e = table(spark, sf_dir, "events")
+    the only real cost — range-partitionable like any global sort.
+    NULL values are dropped first: they carry no ECDF position, and
+    an ordering window over a nullable column would split on engine
+    null-ordering defaults (Spark NULLS FIRST vs DuckDB NULLS LAST)."""
+    e = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
     b = e.groupBy("event_type").agg(
         F.min("value").alias("lo"),
         F.max("value").alias("hi"),
