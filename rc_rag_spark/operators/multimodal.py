@@ -2,10 +2,14 @@
 as opaque BINARY columns + typed metadata, processed via Arrow-batched
 mapInPandas.
 
-The decode kernels themselves are STUBBED (no image/audio libs in this
-container — clearly marked below); everything Spark-side is real and
-tested: schemas, batch iteration, partitioning, UDF signatures, and a
-deterministic fake decoder so pipelines are runnable end-to-end.
+Image decode is REAL: PNG and binary PPM/PGM via the stdlib-only codec
+in operators/imagecodec.py (zlib inflate + de-filter + nearest-neighbor
+resample + deterministic PNG re-encode), with PIL as an optional
+fallback for other formats. Audio decode remains STUBBED (no
+soundfile/librosa in this container — clearly marked below).
+Everything Spark-side is real and tested: schemas, batch iteration,
+partitioning, UDF signatures, and a deterministic fake feature kernel
+for payloads that aren't decodable media (synthetic fixtures).
 
 Design for 100 TB:
   - binary payloads never pass through Python row-at-a-time — only
@@ -72,18 +76,25 @@ FRAME_SCHEMA = StructType(
 
 
 def _decode_image(payload: bytes) -> "object":
-    """Import-gated image decode: uses PIL when present (not in this
-    container), else raises — the mapInPandas plumbing around it is
-    real either way."""
+    """Real image decode. PNG and binary PPM/PGM decode via the
+    stdlib-only codec (operators/imagecodec.py — zlib inflate +
+    de-filter, no third-party deps), deterministically in every
+    environment. Other formats (JPEG, ...) fall back to PIL when
+    present, else raise ValueError."""
+    from rc_rag_spark.operators import imagecodec
+
+    payload = bytes(payload or b"")
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" or payload[:2] in (b"P5", b"P6"):
+        return imagecodec.decode(payload)
     try:
         import io
 
         from PIL import Image
-    except ImportError as exc:
-        raise NotImplementedError(
-            "image decode requires PIL/opencv — not available in this "
-            "container"
-        ) from exc
+    except ImportError:
+        raise ValueError(
+            "unrecognized image format (stdlib codec handles PNG/P5/P6; "
+            "PIL not available for other formats)"
+        ) from None
     return Image.open(io.BytesIO(payload))
 
 
@@ -163,16 +174,20 @@ def resize_images(
     media: DataFrame, width: int = 32, height: int = 32
 ) -> DataFrame:
     """Image resize over binary payloads (task-list op: decode →
-    resize → re-encode). The decode/resample kernel is import-gated on
-    PIL and degrades per-row to a deterministic fake (payload length
-    scaled by the pixel ratio) when PIL is absent or the payload isn't
-    a decodable image — synthetic fixture payloads are raw bytes, so
-    the fake path must work even with Pillow installed. Batching,
-    schema, and the metadata rewrite are the real Spark-side contract:
-    meta.width/height reflect the target size so downstream filters
-    keep pruning before any decode."""
+    resize → re-encode). Real kernel first: PNG/PPM/PGM payloads are
+    decoded by the stdlib codec (operators/imagecodec.py), resampled
+    nearest-neighbor, and re-encoded as deterministic PNG — no
+    third-party deps, same bytes in every environment. Other formats
+    go through PIL when present. Payloads that aren't decodable images
+    (synthetic fixture payloads are raw bytes) degrade per-row to a
+    deterministic fake: payload length scaled by the pixel ratio.
+    Batching, schema, and the metadata rewrite are the Spark-side
+    contract: meta.width/height reflect the target size so downstream
+    filters keep pruning before any decode."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from rc_rag_spark.operators import imagecodec
+
         try:
             import io
 
@@ -190,7 +205,14 @@ def resize_images(
                     continue
                 meta = dict(row["meta"])
                 payload = None
-                if have_pil:
+                try:
+                    img = imagecodec.decode(bytes(row["payload"]))
+                    payload = imagecodec.encode_png(
+                        img.resize((width, height))
+                    )
+                except ValueError:
+                    payload = None  # not PNG/PNM — try PIL, then fake
+                if payload is None and have_pil:
                     try:
                         img = Image.open(io.BytesIO(row["payload"]))
                         img = img.resize((width, height))

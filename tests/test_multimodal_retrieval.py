@@ -49,21 +49,11 @@ def test_media_stats(media):
     assert {r["kind"] for r in stats} == {"image", "audio", "video"}
 
 
-def test_decode_stubs_raise():
-    try:
-        import PIL  # noqa: F401
-
-        has_pil = True
-    except ImportError:
-        has_pil = False
-    if has_pil:
-        # with Pillow present the decode path is live: garbage bytes
-        # raise PIL's own error, not the stub's
-        with pytest.raises(Exception):
-            MM._decode_image(b"x")
-    else:
-        with pytest.raises(NotImplementedError):
-            MM._decode_image(b"x")
+def test_decode_garbage_raises_and_audio_stubbed():
+    # garbage bytes are not a PNG/PNM and (without PIL) not decodable
+    # at all — the real decoder must reject them, not fake through
+    with pytest.raises(Exception):
+        MM._decode_image(b"x")
     with pytest.raises(NotImplementedError):
         MM._decode_audio(b"x")
 
@@ -75,13 +65,9 @@ _TINY_PNG = __import__("base64").b64decode(
 )
 
 
-@pytest.mark.skipif(
-    not __import__("importlib.util", fromlist=["util"]).find_spec("PIL"),
-    reason="Pillow not installed — decode kernel import-gated",
-)
 def test_real_image_decode_smoke(spark):
-    """When Pillow IS present, the gated decode path must actually
-    decode: _decode_image returns a 1x1 image for a real PNG, and
+    """The real decode path (stdlib codec — no Pillow needed):
+    _decode_image returns a 1x1 image for a real PNG, and
     resize_images takes the real-kernel branch (re-encoded PNG
     payload, not the deterministic fake)."""
     img = MM._decode_image(_TINY_PNG)
