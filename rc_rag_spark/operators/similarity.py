@@ -34,6 +34,7 @@ def brute_force_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     metric: str = "cosine",
+    max_queries: int = 64,
 ) -> DataFrame:
     """Exact top-k neighbors for each query vector.
 
@@ -42,11 +43,27 @@ def brute_force_topk(
     row_number window partitioned by query. The corpus itself never
     shuffles, but all n_queries × n_corpus scored candidate rows do
     flow into the per-query window — this is the exact baseline; use
-    lsh_topk_join / ann.ivf_topk when that candidate volume is the
-    bottleneck.
+    brute_force_topk_pruned (identical results, local top-k before the
+    window) or lsh_topk_join / ann.ivf_topk when that candidate volume
+    is the bottleneck.
+
+    Scale guard: the candidate volume is n_queries × n_corpus, so a
+    large query set silently turns this into an all-pairs shape. The
+    query side is counted first (limit(max_queries+1).count() — Spark
+    can stop the scan early) and anything over `max_queries` raises
+    toward the pruned/ANN paths instead of melting the shuffle.
     """
     if metric not in ("cosine", "dot"):
         raise ValueError(f"unknown metric: {metric}")
+    n_q = queries.limit(max_queries + 1).count()
+    if n_q > max_queries:
+        raise ValueError(
+            f"brute_force_topk scores n_queries x n_corpus candidate "
+            f"rows and the query set exceeds max_queries={max_queries}. "
+            f"Use brute_force_topk_pruned (exact, per-partition local "
+            f"top-k) or lsh_topk_join/ann.ivf_topk, or raise "
+            f"max_queries explicitly for a ground-truth run."
+        )
     # Stage the norms BELOW the cross join: each is an interpreted HOF
     # fold over the whole vector, so computing them per input row
     # (n + q folds) instead of per scored pair (2·n·q folds) removes

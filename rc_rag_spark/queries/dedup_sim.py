@@ -304,14 +304,18 @@ def q63_simhash_near_dup(spark, sf_dir):
     tags=("similarity", "knn"),
 )
 def q64_knn_bruteforce(spark, sf_dir):
-    """Exact top-5 cosine neighbors for 5 query vectors (broadcast
-    queries, codegen'd fold — the scale baseline for ANN)."""
+    """Exact top-5 cosine neighbors for 5 query vectors via the
+    PRUNED exact path (per-partition NumPy block top-k — the 100 TB
+    shape: the final window sees O(partitions x queries x k) rows,
+    never the full corpus x queries candidate set). The unpruned
+    brute_force_topk stays available as the small-n ground-truth
+    baseline behind its own max_queries guard."""
     e = table(spark, sf_dir, "embeddings")
     queries = e.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     corpus = e.where(F.col("vec_id") >= 5)
-    out = SIM.brute_force_topk(corpus, queries, k=5)
+    out = SIM.brute_force_topk_pruned(corpus, queries, k=5)
     return out.select(
         "query_id", "neighbor_id",
         F.round("similarity", 9).alias("similarity"), "rank",

@@ -263,6 +263,22 @@ def test_pruned_topk_matches_bruteforce(spark, sf_dir):
     assert sa == sb
 
 
+def test_bruteforce_topk_query_ceiling(spark):
+    """The unpruned exact path scores n_queries x n_corpus rows, so an
+    oversized query set must raise toward the pruned/ANN paths instead
+    of silently going all-pairs."""
+    import pytest
+
+    rows = [(i, [float(i), 1.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.selectExpr("vec_id as query_id", "embedding")
+    with pytest.raises(ValueError, match="max_queries"):
+        SIM.brute_force_topk(df, queries, k=2, max_queries=5)
+    # raising the ceiling explicitly re-enables the ground-truth run
+    out = SIM.brute_force_topk(df, queries, k=2, max_queries=10)
+    assert out.count() == 20
+
+
 def test_pruned_topk_tiebreak_on_duplicate_vectors(spark):
     """Tied similarities at the k boundary must resolve by smallest
     neighbor_id in BOTH exact variants (8 identical vectors, k=3)."""
