@@ -231,8 +231,11 @@ def q182_cusum_changepoint(spark, sf_dir):
 )
 def q183_seasonal_decompose(spark, sf_dir):
     """Additive STL-lite decomposition of the daily event-value
-    series: trend = centered 7-day moving average (exact DECIMAL
-    window sum / count), seasonal = mean residual per day-of-week
+    series: trend = centered 7-ROW moving average over the observed
+    daily grid (rowsBetween(-3, 3) on the one-row-per-day aggregate;
+    days absent from the data are NOT densified, so on a sparse grid
+    the window spans more than 7 calendar days — exact DECIMAL window
+    sum / count), seasonal = mean residual per day-of-week
     (quantized-DECIMAL mean), remainder = (total − trend) − seasonal
     with that exact operation order on both engines. Spark dayofweek
     is 1-based Sunday=1; the oracle shifts DuckDB's 0-based dayofweek
@@ -340,8 +343,9 @@ def q184_gini_concentration(spark, sf_dir):
 @register(
     "q185_benford_audit",
     sql="""
-    WITH t AS (SELECT floor(o_totalprice
-                            / power(10, floor(log10(o_totalprice)))) AS d
+    WITH t AS (SELECT substr(CAST(CAST(CAST(o_totalprice
+                                  AS DECIMAL(18,2)) * 100 AS BIGINT)
+                             AS VARCHAR), 1, 1) AS d
                FROM orders WHERE o_totalprice > 0),
     c AS (SELECT CAST(d AS INTEGER) AS digit, COUNT(*) AS n
           FROM t GROUP BY 1),
@@ -360,16 +364,19 @@ def q185_benford_audit(spark, sf_dir):
     """Benford's-law first-significant-digit audit of o_totalprice:
     per-digit observed frequency vs log10(1+1/d) expectation plus the
     chi-square contribution, the classic fabricated-data screen. The
-    digit extraction (floor(x/10^floor(log10 x))) and every float op
-    are written with identical order on both engines (same libm on
-    one host); chi2 rounds at 1e-6 to absorb last-bit noise in the
-    longer op chain. Single scan, 9-group aggregate — map-side
+    first digit is extracted WITHOUT floating log10: prices are exact
+    at 2 decimals, so scale to integer cents (DECIMAL x 100 -> BIGINT,
+    exact) and take the first character of the decimal string — both
+    engines agree bit-for-bit, where floor(log10(x)) can flip by 1 ulp
+    at exact powers of 10 (java.lang.Math vs libm) and emit a bogus
+    digit-10 bucket. chi2 rounds at 1e-6 to absorb last-bit noise in
+    the longer float chain. Single scan, 9-group aggregate — map-side
     combine makes the shuffle O(partitions·9)."""
     o = table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
-    d = F.floor(
-        F.col("o_totalprice")
-        / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
-    )
+    cents = (
+        F.col("o_totalprice").cast("decimal(18,2)") * F.lit(100)
+    ).cast("bigint")
+    d = F.substring(cents.cast("string"), 1, 1)
     c = o.select(d.cast("int").alias("digit")).groupBy("digit").agg(
         F.count("*").alias("n")
     )
@@ -390,6 +397,39 @@ def q185_benford_audit(spark, sf_dir):
 
 
 _HOLT_ALPHA, _HOLT_BETA = 0.5, 0.3
+
+# Ceiling for single-row sequential folds (collect_list -> F.aggregate):
+# the folded series lives in ONE row, so its size is an executor-memory
+# bound, not a parallelism bound. 100k state steps ~ 270 years of daily
+# data — generous for any real reduce-then-fold series, tiny vs memory.
+FOLD_SERIES_CEILING = 100_000
+
+
+def guarded_series(s_col, ceiling: int = FOLD_SERIES_CEILING, what: str = "series"):
+    """Cardinality guard for sequential folds: passes `s_col` through
+    unchanged while the array is within `ceiling`, else raises inside
+    the plan (no separate count job). Sequential F.aggregate folds are
+    only honest on a cluster when the series is pre-reduced and small;
+    if this fires, the upstream reduce is missing or too coarse —
+    aggregate to a coarser grain (or window the recursion) instead of
+    raising the ceiling."""
+    check = F.assert_true(
+        F.size(s_col) <= F.lit(ceiling),
+        F.concat(
+            F.lit(
+                f"sequential-fold {what} exceeds ceiling {ceiling} "
+                f"(got "
+            ),
+            F.size(s_col).cast("string"),
+            F.lit(
+                " elements): pre-reduce the series to a bounded grain "
+                "before folding"
+            ),
+        ),
+    )
+    # assert_true yields NULL when the predicate holds, so this when()
+    # returns the array itself — and evaluates the check first
+    return F.when(check.isNull(), s_col)
 
 # State quantizer: explicit floor-based round-half-up at 1e-6,
 # written as the SAME IEEE op chain on both engines. round(_, 6)
@@ -452,7 +492,9 @@ def q211_holt_linear_trend(spark, sf_dir):
     touches only the bounded series (365 rows per year), which is the
     honest way to run bounded recursions (EWMA / Holt / Kalman-style
     state) on a cluster: reduce, then fold the small series, never
-    iterate over raw rows."""
+    iterate over raw rows. The series is wrapped in guarded_series(),
+    which raises in-plan past FOLD_SERIES_CEILING elements instead of
+    letting a mis-reduced series balloon the single state row."""
     o = table(spark, sf_dir, "orders")
     daily = o.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
@@ -460,8 +502,11 @@ def q211_holt_linear_trend(spark, sf_dir):
         .alias("x")
     )
     series = daily.agg(
-        F.array_sort(
-            F.collect_list(F.struct(F.col("day"), F.col("x")))
+        guarded_series(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("day"), F.col("x")))
+            ),
+            what="daily revenue series",
         ).alias("s")
     )
     a, a1 = _HOLT_ALPHA, 1 - _HOLT_ALPHA

@@ -288,3 +288,22 @@ def test_holt_matches_python_replica(spark, sf_dir):
         assert got_l == pytest.approx(exp_l, abs=1e-6)
         assert got_b == pytest.approx(exp_b, abs=1e-6)
         assert got_f == pytest.approx(q6(exp_l + exp_b), abs=1e-6)
+
+
+def test_guarded_series_ceiling(spark):
+    """guarded_series passes small arrays through unchanged and raises
+    in-plan when the folded series exceeds the ceiling (q211's guard
+    against mis-reduced fold input)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+
+    from rc_rag_spark.queries.stats_ts import guarded_series
+
+    df = spark.range(1).select(
+        F.sequence(F.lit(1), F.lit(10)).alias("s")
+    )
+    ok = df.select(guarded_series(F.col("s"), ceiling=10).alias("g"))
+    assert ok.collect()[0]["g"] == list(range(1, 11))
+    bad = df.select(guarded_series(F.col("s"), ceiling=9).alias("g"))
+    with pytest.raises(Exception, match="exceeds ceiling 9"):
+        bad.collect()
