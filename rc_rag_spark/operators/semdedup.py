@@ -1,0 +1,194 @@
+"""Parameterized, scale-shaped SemDeDup (Abbas et al. 2023, public):
+k-means partition of the embedding space, then cosine near-dup removal
+ONLY within clusters — with the two knobs the fixed-k query variant
+(queries/semdedup.py q175) lacks:
+
+  k auto-sizing          k = ceil(n / target_cluster_size), so the
+                         EXPECTED cluster stays constant as the corpus
+                         grows — the pairwise stage cost Σ|cluster|²
+                         tracks n·target instead of n²/k_fixed.
+  cluster-size cap       clusters that still balloon past
+                         max_cluster_size (skewed data always finds a
+                         way) are SPLIT by a deterministic hash salt
+                         before the pair stage, hard-bounding the
+                         largest quadratic block. Pairs across salt
+                         sub-buckets of the same cluster are NOT
+                         compared — the documented SemDeDup-at-scale
+                         recall trade (a mega-cluster is near-uniform
+                         by construction, so per-bucket dedup removes
+                         the same mass).
+
+Physical shape (the 100 TB answer): centroids broadcast (k·d doubles),
+assignment is one Arrow-batched pass (no shuffle), sizes are a k-row
+agg, and the pair stage is applyInPandas over (cid, salt) — each
+group's block is ≤ max_cluster_size rows, so the per-task matmul is
+bounded at cap²·8 bytes no matter how skewed the data. Nothing
+all-pairs ever shuffles.
+
+Determinism: seeds are the k ids with the smallest md5(id) hex (a
+total order both engines can state), assignment distances and pair
+cosines use per-term round-at-1e-12 + exact int64 sums (identical
+values in DuckDB DECIMAL arithmetic — the queries/core.py discipline),
+and the salt is md5-derived. bit_exact=False swaps the rounded-int
+kernels for plain float64 matmuls when oracle parity isn't needed.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SCALE = 10**12  # per-term quantizer: round(x, 12) * 1e12 as int64
+
+
+def choose_k(n: int, target_cluster_size: int) -> int:
+    """k = ceil(n / target): expected cluster size stays ~target as
+    the corpus grows, keeping the pair stage's Σ|cluster|² ≈ n·target."""
+    if target_cluster_size <= 0:
+        raise ValueError("target_cluster_size must be positive")
+    return max(1, math.ceil(n / target_cluster_size))
+
+
+def _exact_sq_dists(X, C, bit_exact: bool):
+    """n×k squared distances; bit_exact sums round(term, 12) in int64
+    (order-independent, engine-reproducible), else plain float64."""
+    import numpy as np
+
+    n, k = X.shape[0], C.shape[0]
+    out = np.empty((n, k), dtype=np.int64 if bit_exact else np.float64)
+    for j in range(k):
+        d2 = (X - C[j]) ** 2
+        if bit_exact:
+            out[:, j] = (
+                np.round(d2, 12) * _SCALE
+            ).round().astype(np.int64).sum(axis=1)
+        else:
+            out[:, j] = d2.sum(axis=1)
+    return out
+
+
+def semdedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    k: int | None = None,
+    target_cluster_size: int = 512,
+    max_cluster_size: int | None = None,
+    bit_exact: bool = True,
+) -> DataFrame:
+    """Cluster-then-dedup over an embedding column.
+
+    Returns (id_col, cid, salt, kept): cid = assigned cluster (rank of
+    the seed in md5-of-id order), salt = sub-bucket after the size cap
+    (0 when the cluster fits), kept = 0 iff a smaller-id member of the
+    SAME (cid, salt) bucket has cosine >= threshold.
+    """
+    import numpy as np
+
+    if max_cluster_size is None:
+        max_cluster_size = 4 * target_cluster_size
+    spark = corpus.sparkSession
+    src = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+
+    n = src.count()
+    k_eff = k if k is not None else choose_k(n, target_cluster_size)
+
+    # Seeds: the k ids with the smallest md5(id) hex — a deterministic
+    # pseudo-random draw both engines can reproduce (md5 hex collation
+    # is plain ASCII on both).
+    seeds = (
+        src.withColumn("_h", F.md5(F.col("_id").cast("string")))
+        .orderBy("_h", "_id")
+        .limit(k_eff)
+        .collect()
+    )
+    C = np.array([list(r["_v"]) for r in seeds], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((C, bit_exact))
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C_b, exact_b = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array([np.asarray(v) for v in pdf["_v"]], dtype=np.float64)
+            d = _exact_sq_dists(X, C_b, exact_b)
+            # argmin with tie -> smallest seed rank (np.argmin is
+            # first-occurrence, which IS the smallest rank)
+            cid = d.argmin(axis=1).astype(np.int32)
+            yield pd.DataFrame(
+                {"_id": pdf["_id"], "_v": pdf["_v"], "cid": cid}
+            )
+
+    id_type = dict(src.dtypes)["_id"]
+    assigned = src.mapInPandas(
+        assign, schema=f"_id {id_type}, _v array<double>, cid int"
+    )
+
+    # Size cap: clusters past max_cluster_size split into
+    # ceil(size/cap) hash-salted sub-buckets before the pair stage.
+    sizes = assigned.groupBy("cid").agg(F.count("*").alias("_n"))
+    n_buckets = F.ceil(F.col("_n") / F.lit(max_cluster_size)).cast("int")
+    salt_src = (
+        F.conv(F.substring(F.md5(F.col("_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+    )
+    salted = assigned.join(F.broadcast(sizes), "cid").select(
+        "_id",
+        "_v",
+        "cid",
+        F.when(n_buckets <= 1, F.lit(0))
+        .otherwise((salt_src % n_buckets).cast("int"))
+        .alias("salt"),
+    )
+
+    thr = float(threshold)
+
+    def dedup_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = len(pdf)
+        pdf = pdf.sort_values("_id").reset_index(drop=True)
+        X = np.array([np.asarray(v) for v in pdf["_v"]], dtype=np.float64)
+        if bit_exact:
+            # exact int64 dot/norm terms -> identical float cosine on
+            # any engine that states the same rounding
+            NI = (
+                (np.round(X * X, 12) * _SCALE).round().astype(np.int64).sum(axis=1)
+            )
+            norms = np.sqrt(NI.astype(np.float64) / _SCALE)
+            kept = np.ones(g, dtype=bool)
+            for i in range(1, g):
+                P = np.round(X[:i] * X[i], 12)
+                dots = (P * _SCALE).round().astype(np.int64).sum(axis=1)
+                cos = (dots.astype(np.float64) / _SCALE) / (norms[:i] * norms[i])
+                if (np.round(cos, 9) >= thr).any():
+                    kept[i] = False
+        else:
+            norms = np.linalg.norm(X, axis=1)
+            S = (X @ X.T) / np.outer(norms, norms)
+            kept = np.ones(g, dtype=bool)
+            for i in range(1, g):
+                if (S[i, :i] >= thr).any():
+                    kept[i] = False
+        return pd.DataFrame(
+            {
+                "_id": pdf["_id"],
+                "cid": pdf["cid"],
+                "salt": pdf["salt"],
+                "kept": kept.astype(np.int32),
+            }
+        )
+
+    out = salted.groupBy("cid", "salt").applyInPandas(
+        dedup_group,
+        schema=f"_id {id_type}, cid int, salt int, kept int",
+    )
+    return out.select(
+        F.col("_id").alias(id_col), "cid", "salt", "kept"
+    )

@@ -761,3 +761,130 @@ def q180_cluster_balanced_sample(spark, sf_dir):
         .where(h * F.col("n_c") < _CB_TARGET * 10_000)
         .select("vec_id", "cid")
     )
+
+
+# --------------------------------------------------------------------------
+# q212 — parameterized SemDeDup: auto-k + cluster-size cap (salted split).
+
+_SD2_TARGET = 100   # target cluster size -> k = ceil(n / 100)
+_SD2_CAP = 150      # clusters past this split into hash-salted buckets
+_SD2_THRESHOLD = 0.95
+
+
+@register(
+    "q212_semdedup_scaled",
+    sql=f"""
+    WITH corpus AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000 AS vec_id,
+               list_transform(embedding::DOUBLE[], x -> x * 1.002) AS v
+        FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    n_tot AS (SELECT COUNT(*) AS n FROM corpus),
+    seeds AS (
+        SELECT vec_id, v,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                   AS INTEGER) - 1 AS cid
+        FROM corpus
+        QUALIFY ROW_NUMBER() OVER (
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+            <= (SELECT CAST(ceil(n / {_SD2_TARGET}.0) AS BIGINT) FROM n_tot)
+    ),
+    x AS (
+        SELECT vec_id,
+               CAST(generate_subscripts(v, 1) AS INTEGER) AS pos,
+               CAST(unnest(v) AS DOUBLE) AS x
+        FROM corpus),
+    cx AS (
+        SELECT cid,
+               CAST(generate_subscripts(v, 1) AS INTEGER) AS pos,
+               CAST(unnest(v) AS DOUBLE) AS c
+        FROM seeds),
+    d AS (
+        SELECT x.vec_id, cx.cid,
+               SUM(CAST(round((x.x - cx.c) * (x.x - cx.c), 12)
+                        AS DECIMAL(28,12))) AS dist
+        FROM x JOIN cx ON cx.pos = x.pos
+        GROUP BY x.vec_id, cx.cid),
+    assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cid) AS rn
+            FROM d)
+        WHERE rn = 1),
+    sizes AS (SELECT cid, COUNT(*) AS n_c FROM assign GROUP BY cid),
+    salted AS (
+        SELECT a.vec_id, a.cid,
+               CASE WHEN s.n_c <= {_SD2_CAP} THEN 0
+                    ELSE CAST(CAST(('0x' || substr(
+                             md5(CAST(a.vec_id AS VARCHAR)), 1, 8))
+                             AS BIGINT)
+                         % CAST(ceil(s.n_c / {_SD2_CAP}.0) AS BIGINT)
+                         AS INTEGER)
+               END AS salt
+        FROM assign a JOIN sizes s ON s.cid = a.cid),
+    nn AS (
+        SELECT vec_id,
+               SUM(CAST(round(x * x, 12) AS DECIMAL(28,12))) AS nn
+        FROM x GROUP BY vec_id),
+    removed AS (
+        SELECT DISTINCT sb.vec_id AS vec_id
+        FROM salted sa
+        JOIN salted sb
+          ON sb.cid = sa.cid AND sb.salt = sa.salt
+         AND sa.vec_id < sb.vec_id
+        JOIN (SELECT a.vec_id AS ia, b.vec_id AS ib,
+                     SUM(CAST(round(a.x * b.x, 12) AS DECIMAL(28,12))) AS dp
+              FROM x a JOIN x b ON b.pos = a.pos
+              GROUP BY a.vec_id, b.vec_id) p
+          ON p.ia = sa.vec_id AND p.ib = sb.vec_id
+        JOIN nn na ON na.vec_id = sa.vec_id
+        JOIN nn nb ON nb.vec_id = sb.vec_id
+        WHERE round(CAST(p.dp AS DOUBLE)
+                    / (sqrt(CAST(na.nn AS DOUBLE))
+                       * sqrt(CAST(nb.nn AS DOUBLE))), 9)
+              >= {_SD2_THRESHOLD}
+    )
+    SELECT s.vec_id, s.cid, s.salt,
+           CASE WHEN r.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+    FROM salted s LEFT JOIN removed r ON r.vec_id = s.vec_id
+    """,
+    tags=("dedup", "semantic", "embeddings", "kmeans", "scale"),
+)
+def q212_semdedup_scaled(spark, sf_dir):
+    """SemDeDup via the PARAMETERIZED operator (operators/semdedup.py)
+    — the scale answer to q175's fixed k=4: k = ceil(n/100) grows with
+    the corpus so expected cluster size stays constant, and any
+    cluster past 150 members splits into md5-salted sub-buckets BEFORE
+    the pair stage, hard-bounding the largest quadratic block (the
+    documented recall trade: pairs across sub-buckets of one
+    mega-cluster are skipped). Same planted-copy corpus as q175
+    (vec_id%10==0 scaled x1.002). Assignment distances and pair
+    cosines use per-term round-at-1e-12 + exact int64 sums inside the
+    NumPy kernels — value-identical to the oracle's DECIMAL(28,12)
+    arithmetic, so argmin and the 0.95 compare agree bit-for-bit.
+    The oracle replicates auto-k, md5-ordered seeds, the salt split,
+    and within-bucket removal in DuckDB CTEs. Scale shape: broadcast
+    centroids + one Arrow assignment pass + k-row size agg +
+    applyInPandas over (cid, salt) with every block <= cap."""
+    from rc_rag_spark.operators.semdedup import semdedup
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    planted = e.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.transform("v", lambda x: x * 1.002).alias("v"),
+    )
+    corpus = e.unionByName(planted).localCheckpoint(eager=True)
+    return semdedup(
+        corpus,
+        id_col="vec_id",
+        vec_col="v",
+        threshold=_SD2_THRESHOLD,
+        target_cluster_size=_SD2_TARGET,
+        max_cluster_size=_SD2_CAP,
+    )

@@ -143,3 +143,89 @@ def test_cluster_balanced_sample_rate(spark, sf_dir):
     n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
     if n_vecs <= 4 * 40:
         assert len(kept_rows) == n_vecs
+
+
+def test_choose_k_scales_with_corpus():
+    from rc_rag_spark.operators.semdedup import choose_k
+
+    assert choose_k(100, 512) == 1
+    assert choose_k(512, 512) == 1
+    assert choose_k(513, 512) == 2
+    assert choose_k(1_000_000, 512) == 1954
+    # expected cluster size stays ~target as n grows 100x
+    assert abs(1_000_000 / choose_k(1_000_000, 512) - 512) < 1
+
+
+def test_semdedup_operator_mega_cluster_split(spark):
+    """A planted mega-cluster (every vector near-identical -> one
+    k-means cell) must split into ceil(size/cap) salted sub-buckets,
+    bounding the quadratic pair stage; within each bucket only the
+    smallest id survives."""
+    import numpy as np
+
+    from rc_rag_spark.operators.semdedup import semdedup
+
+    rng = np.random.RandomState(7)
+    base = rng.rand(64)
+    rows = [
+        (i, (base * (1.0 + 0.0001 * (i % 5))).tolist()) for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    out = semdedup(
+        df, id_col="vec_id", vec_col="v", k=1, max_cluster_size=100
+    ).collect()
+    assert len(out) == 600
+    salts = {r.salt for r in out}
+    assert salts == set(range(6))  # ceil(600/100) buckets
+    per_bucket = {}
+    for r in out:
+        per_bucket.setdefault(r.salt, []).append(r)
+    for salt, members in per_bucket.items():
+        # positive-scaled copies: cosine == 1 -> exactly one survivor
+        # per bucket, the smallest id (the cross-bucket misses are the
+        # documented recall trade of the cap)
+        kept = [r.vec_id for r in members if r.kept == 1]
+        assert kept == [min(r.vec_id for r in members)], salt
+        assert len(members) <= 130  # hash variance stays near cap
+
+
+def test_semdedup_operator_no_split_below_cap(spark):
+    """Distinct random vectors in small clusters: nothing splits
+    (salt==0 everywhere), nothing is removed."""
+    import numpy as np
+
+    from rc_rag_spark.operators.semdedup import semdedup
+
+    rng = np.random.RandomState(11)
+    rows = [(i, rng.randn(16).tolist()) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    out = semdedup(
+        df, id_col="vec_id", vec_col="v",
+        target_cluster_size=40, max_cluster_size=100,
+    ).collect()
+    assert len(out) == 80
+    assert all(r.salt == 0 for r in out)
+    assert all(r.kept == 1 for r in out)
+    # auto-k: ceil(80/40) = 2 clusters, both represented
+    assert {r.cid for r in out} <= {0, 1}
+
+
+def test_semdedup_bit_exact_matches_fast_path(spark):
+    """The rounded-int oracle kernel and the plain-matmul fast path
+    agree on well-separated data (everything far from the 0.95
+    boundary)."""
+    import numpy as np
+
+    from rc_rag_spark.operators.semdedup import semdedup
+
+    rng = np.random.RandomState(3)
+    originals = [(i, rng.randn(32).tolist()) for i in range(60)]
+    copies = [(1000 + i, [x * 1.01 for x in v]) for i, v in originals[:15]]
+    df = spark.createDataFrame(
+        originals + copies, "vec_id long, v array<double>"
+    )
+    kw = dict(id_col="vec_id", vec_col="v", k=1, max_cluster_size=1000)
+    a = {(r.vec_id, r.kept) for r in semdedup(df, bit_exact=True, **kw).collect()}
+    b = {(r.vec_id, r.kept) for r in semdedup(df, bit_exact=False, **kw).collect()}
+    assert a == b
+    assert {v for v, kept in a if kept == 0} == {1000 + i for i in range(15)}
