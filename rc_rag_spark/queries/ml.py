@@ -319,6 +319,7 @@ def q76_quality_zscore(spark, sf_dir):
                                   ORDER BY value, event_id) AS rn,
                COUNT(*) OVER (PARTITION BY event_type) AS n
         FROM events
+        WHERE value IS NOT NULL
     )
     SELECT event_type,
            COUNT(*) AS n_kept,
@@ -338,11 +339,14 @@ def q105_trimmed_mean(spark, sf_dir):
     arithmetic. Spark disallows mixing a grouped-agg pandas UDF with
     native aggregates in one agg(), so the two run as separate
     aggregations joined on the (5-row) group key — both share the same
-    hash partitioning, and the tiny native side broadcasts."""
+    hash partitioning, and the tiny native side broadcasts. NULL
+    values are dropped up front in BOTH engines: SQL AVG would skip
+    them silently while the pandas UDF's float64 cast would turn them
+    into NaN and poison the whole group (the q192/q203 discipline)."""
     from rc_rag_spark.operators.groupstats import trimmed_mean
     from rc_rag_spark.sources import table
 
-    e = table(spark, sf_dir, "events")
+    e = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
     n = F.count("*")
     k = F.floor(n * 0.1).cast("long")
     counts = e.groupBy("event_type").agg((n - 2 * k).alias("n_kept"))

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import hashlib
+import os
 from collections import Counter
 
 import numpy as np
@@ -89,3 +90,68 @@ def test_bootstrap_matches_python_replica(spark, sf_dir):
         np.quantile(means, 0.975, method="linear"), abs=1e-4
     )
     assert row.ci_lo <= row.point_estimate <= row.ci_hi
+
+
+@pytest.fixture(scope="module")
+def null_sf_dir(tmp_path_factory, sf_dir):
+    """A fixture dir identical to sf0.001 except events.value is NULL
+    on every 7th row — the fixtures themselves contain zero NULL
+    values, so without this the NULL-drop branches in q105/q192/q203
+    (and the cross-engine null-ordering hazard they guard against)
+    are exercised by nothing."""
+    import duckdb
+
+    d = tmp_path_factory.mktemp("nullsf")
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "documents embeddings"
+    ).split():
+        os.symlink(f"{sf_dir}/{t}.parquet", d / f"{t}.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+            SELECT event_id, ts, user_id, event_type,
+                   CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END
+                       AS value,
+                   props
+            FROM read_parquet('{sf_dir}/events.parquet')
+        ) TO '{d}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q105_trimmed_mean", "q192_decision_stump", "q203_ks_uniformity"],
+)
+def test_null_value_rows_keep_parity(spark, null_sf_dir, name):
+    """Spark and the DuckDB oracle must agree when events.value is
+    nullable: the explicit IS NOT NULL drop runs on both engines
+    before any sort window (null-ordering defaults differ) or pandas
+    float64 cast (NULL would become NaN and poison a whole group)."""
+    from tests.oracle import assert_parity
+
+    assert_parity(spark, name, q.REGISTRY[name], null_sf_dir)
+
+
+def test_null_rows_actually_dropped(spark, null_sf_dir, sf_dir):
+    """The NULL branch is live: the null-bearing fixture has fewer
+    kept rows in q105 than the pristine one, and no NaN output."""
+    import math
+
+    out = {
+        r["event_type"]: r
+        for r in q.REGISTRY["q105_trimmed_mean"].fn(spark, null_sf_dir).collect()
+    }
+    base = {
+        r["event_type"]: r
+        for r in q.REGISTRY["q105_trimmed_mean"].fn(spark, sf_dir).collect()
+    }
+    assert set(out) == set(base)
+    assert sum(r["n_kept"] for r in out.values()) < sum(
+        r["n_kept"] for r in base.values()
+    )
+    for r in out.values():
+        assert not math.isnan(r["trimmed_mean_value"])
