@@ -788,3 +788,84 @@ def q168_retrieval_gd_training(spark, sf_dir):
         "n_pairs",
         "n_correct",
     )
+
+
+@register(
+    "q213_image_decode_stats",
+    sql="""
+    WITH p AS (
+        SELECT doc_id, rpad(substr(text, 1, 64), 64, 'x') AS s
+        FROM documents),
+    u AS (
+        SELECT doc_id, i, ord(substr(s, i, 1)) AS b
+        FROM p, (SELECT unnest(generate_series(1, 64)) AS i) g)
+    SELECT doc_id,
+           CAST(8 AS INTEGER) AS width,
+           CAST(8 AS INTEGER) AS height,
+           round(SUM(b) / 64.0, 6) AS mean_px,
+           round(SUM(CASE WHEN ((i-1) // 8) % 2 = 0
+                           AND ((i-1) % 8) % 2 = 0
+                          THEN b END) / 16.0, 6) AS mean_resized
+    FROM u GROUP BY doc_id
+    """,
+    tags=("multimodal", "decode"),
+)
+def q213_image_decode_stats(spark, sf_dir):
+    """REAL image decode, oracle-checked end to end (closes the gap
+    where multimodal parity only covered fake-kernel arithmetic): each
+    document's first 64 ASCII chars become the pixel plane of an 8x8
+    binary PGM (P5) payload; the stdlib codec (operators/imagecodec.py)
+    parses the header, decodes the plane, and nearest-neighbor-resizes
+    to 4x4 — and because PGM pixels ARE the text bytes, DuckDB can
+    recompute both the full-plane mean and the resized mean (the
+    resize picks exactly the even (row, col) positions: src index =
+    dst*8//4 = 2*dst) from ord() arithmetic with no image code at all.
+    Integer pixel sums divide by constants, so the doubles agree
+    bit-for-bit. Scale shape: payload construction is codegen'd
+    string/binary concat; decode runs in Arrow-batched mapInPandas
+    with per-image cost bounded by the 75-byte payload; the output is
+    one row per document — no shuffle anywhere until a downstream agg
+    asks for one."""
+    from rc_rag_spark.sources import table as _table
+
+    d = _table(spark, sf_dir, "documents")
+    px = F.rpad(F.substring("text", 1, 64), 64, "x")
+    media = d.select(
+        "doc_id",
+        F.concat(
+            F.encode(F.lit("P5\n8 8\n255\n"), "UTF-8"),
+            F.encode(px, "UTF-8"),
+        ).alias("payload"),
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        from rc_rag_spark.operators import imagecodec
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [],
+                "mean_px": [], "mean_resized": [],
+            }
+            for _, row in pdf.iterrows():
+                img = imagecodec.decode(bytes(row["payload"]))
+                small = img.resize((4, 4))
+                out["doc_id"].append(row["doc_id"])
+                out["width"].append(img.size[0])
+                out["height"].append(img.size[1])
+                # exact integer sums / constant: bit-identical to SQL
+                out["mean_px"].append(sum(img.data) / 64.0)
+                out["mean_resized"].append(sum(small.data) / 16.0)
+            yield pd.DataFrame(out)
+
+    out = media.mapInPandas(
+        run,
+        "doc_id long, width int, height int, "
+        "mean_px double, mean_resized double",
+    )
+    return out.select(
+        "doc_id", "width", "height",
+        F.round("mean_px", 6).alias("mean_px"),
+        F.round("mean_resized", 6).alias("mean_resized"),
+    )
