@@ -888,3 +888,227 @@ def q212_semdedup_scaled(spark, sf_dir):
         target_cluster_size=_SD2_TARGET,
         max_cluster_size=_SD2_CAP,
     )
+
+
+# --------------------------------------------------------------------------
+# q214 — IVF-PQ ADC search: coarse probe + PQ lookup-table distances.
+
+_ADC_K = 5        # neighbors returned per query
+_ADC_PROBE = 2    # coarse cells probed per query
+
+
+@register(
+    "q214_ivf_pq_adc",
+    sql=f"""
+    WITH x AS (
+        SELECT vec_id,
+               CAST(generate_subscripts(embedding, 1) AS INTEGER) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings),
+    xs AS (SELECT vec_id, pos, CAST((pos - 1) // 16 AS INTEGER) AS s, x
+           FROM x),
+    seeds AS (SELECT CAST(vec_id AS INTEGER) AS cid, pos, x AS c
+              FROM x WHERE vec_id < 4),
+    cb AS (SELECT CAST(vec_id AS INTEGER) AS pcid, s, pos, x AS c
+           FROM xs WHERE vec_id < 4),
+    -- corpus coarse-cell assignment (exact DECIMAL distances)
+    dc AS (
+        SELECT x.vec_id, seeds.cid,
+               SUM(CAST(round((x.x - seeds.c) * (x.x - seeds.c), 12)
+                        AS DECIMAL(28,12))) AS dist
+        FROM x JOIN seeds ON seeds.pos = x.pos
+        WHERE x.vec_id >= 5
+        GROUP BY x.vec_id, seeds.cid),
+    cell AS (
+        SELECT vec_id, cid AS cell FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cid) AS rn
+            FROM dc) WHERE rn = 1),
+    -- corpus PQ codes (q178 assignment, corpus side only)
+    dpq AS (
+        SELECT xs.vec_id, xs.s, cb.pcid,
+               SUM(CAST(round((xs.x - cb.c) * (xs.x - cb.c), 12)
+                        AS DECIMAL(28,12))) AS dist
+        FROM xs JOIN cb ON cb.pos = xs.pos AND cb.s = xs.s
+        WHERE xs.vec_id >= 5
+        GROUP BY xs.vec_id, xs.s, cb.pcid),
+    codes AS (
+        SELECT vec_id, s, pcid AS code FROM (
+            SELECT vec_id, s, pcid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                      ORDER BY dist, pcid) AS rn
+            FROM dpq) WHERE rn = 1),
+    -- query coarse probe: {_ADC_PROBE} nearest cells
+    dq AS (
+        SELECT x.vec_id AS query_id, seeds.cid,
+               SUM(CAST(round((x.x - seeds.c) * (x.x - seeds.c), 12)
+                        AS DECIMAL(28,12))) AS dist
+        FROM x JOIN seeds ON seeds.pos = x.pos
+        WHERE x.vec_id < 5
+        GROUP BY x.vec_id, seeds.cid),
+    probe AS (
+        SELECT query_id, cid AS cell FROM (
+            SELECT query_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY dist, cid) AS rn
+            FROM dq) WHERE rn <= {_ADC_PROBE}),
+    -- ADC lookup table: query-subvector -> codebook-centroid distance
+    lut AS (
+        SELECT xs.vec_id AS query_id, xs.s, cb.pcid,
+               SUM(CAST(round((xs.x - cb.c) * (xs.x - cb.c), 12)
+                        AS DECIMAL(28,12))) AS pdist
+        FROM xs JOIN cb ON cb.pos = xs.pos AND cb.s = xs.s
+        WHERE xs.vec_id < 5
+        GROUP BY xs.vec_id, xs.s, cb.pcid),
+    cand AS (
+        SELECT p.query_id, c.vec_id, k.s, k.code
+        FROM probe p
+        JOIN cell c ON c.cell = p.cell
+        JOIN codes k ON k.vec_id = c.vec_id),
+    adc AS (
+        SELECT cand.query_id, cand.vec_id AS neighbor_id,
+               SUM(l.pdist) AS approx_dist
+        FROM cand
+        JOIN lut l ON l.query_id = cand.query_id AND l.s = cand.s
+                  AND l.pcid = cand.code
+        GROUP BY cand.query_id, cand.vec_id)
+    SELECT query_id, neighbor_id,
+           round(CAST(approx_dist AS DOUBLE), 9) AS approx_dist,
+           CAST(rank AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY query_id
+              ORDER BY approx_dist, neighbor_id) AS rank
+          FROM adc)
+    WHERE rank <= {_ADC_K}
+    """,
+    tags=("ann", "ivf", "pq", "adc", "embeddings"),
+)
+def q214_ivf_pq_adc(spark, sf_dir):
+    """IVF-PQ ADC search — the serving-side query that completes the
+    ANN index story (q75 coarse IVF cells + q178 PQ codes were the
+    build side): each query probes its 2 nearest coarse cells, builds
+    a 4x4 subspace lookup table of exact query-subvector-to-centroid
+    distances ONCE, and scores every candidate as the SUM of 4 LUT
+    entries keyed by the candidate's PQ codes — the asymmetric
+    distance computation (Jegou et al. 2011, public) that makes
+    billion-vector search RAM-resident: candidates are scored from
+    4-byte codes, never their float vectors. Scale shape: seeds +
+    codebook + LUT are broadcast-size (k·d, S·k·(d/S), q·S·k); corpus
+    codes and cells come from partial aggs; the candidate join
+    shuffles codes (4 ints/vector), not embeddings; per-query top-k is
+    one window over probed-cell candidates. Exact DECIMAL distance
+    terms (q169 discipline) make cell choice, code choice, and the
+    final ranking hash-identical on both engines; ties break by id."""
+    e = table(spark, sf_dir, "embeddings")
+    xs = (
+        e.select(
+            "vec_id",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "pos0", "x"
+            ),
+        )
+        .select(
+            "vec_id",
+            (F.col("pos0") + 1).cast("int").alias("pos"),
+            F.floor(F.col("pos0") / 16).cast("int").alias("s"),
+            "x",
+        )
+        .localCheckpoint(eager=True)
+    )
+    seeds = xs.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").cast("int").alias("cid"), "pos", F.col("x").alias("c")
+    )
+    cb = xs.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").cast("int").alias("pcid"),
+        "s",
+        "pos",
+        F.col("x").alias("c"),
+    )
+    term = F.round(
+        (F.col("x") - F.col("c")) * (F.col("x") - F.col("c")), 12
+    ).cast("decimal(28,12)")
+
+    corpus = xs.where(F.col("vec_id") >= 5)
+    queries = xs.where(F.col("vec_id") < 5)
+
+    dc = (
+        corpus.join(F.broadcast(seeds), "pos")
+        .groupBy("vec_id", "cid")
+        .agg(F.sum(term).alias("dist"))
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    cell = (
+        dc.withColumn("rn", F.row_number().over(w_cell))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("cell"))
+    )
+
+    dpq = (
+        corpus.join(F.broadcast(cb), ["s", "pos"])
+        .groupBy("vec_id", "s", "pcid")
+        .agg(F.sum(term).alias("dist"))
+    )
+    w_code = Window.partitionBy("vec_id", "s").orderBy("dist", "pcid")
+    codes = (
+        dpq.withColumn("rn", F.row_number().over(w_code))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "s", F.col("pcid").alias("code"))
+    )
+
+    dq = (
+        queries.join(F.broadcast(seeds), "pos")
+        .groupBy("vec_id", "cid")
+        .agg(F.sum(term).alias("dist"))
+    )
+    w_probe = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    probe = (
+        dq.withColumn("rn", F.row_number().over(w_probe))
+        .where(F.col("rn") <= _ADC_PROBE)
+        .select(F.col("vec_id").alias("query_id"), F.col("cid").alias("cell"))
+    )
+
+    lut = (
+        queries.join(F.broadcast(cb), ["s", "pos"])
+        .groupBy("vec_id", "s", "pcid")
+        .agg(F.sum(term).alias("pdist"))
+        .select(
+            F.col("vec_id").alias("query_id"), "s", "pcid", "pdist"
+        )
+    )
+
+    cand = (
+        probe.join(cell, "cell")
+        .join(codes, "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "s",
+            F.col("code").alias("pcid"),
+        )
+    )
+    adc = (
+        cand.join(F.broadcast(lut), ["query_id", "s", "pcid"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("pdist").alias("approx_dist"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "approx_dist",
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        "approx_dist", "neighbor_id"
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w_rank).cast("int"))
+        .where(F.col("rank") <= _ADC_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("approx_dist").cast("double"), 9).alias(
+                "approx_dist"
+            ),
+            "rank",
+        )
+    )
