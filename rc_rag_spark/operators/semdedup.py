@@ -80,6 +80,7 @@ def semdedup(
     target_cluster_size: int = 512,
     max_cluster_size: int | None = None,
     bit_exact: bool = True,
+    max_seed_broadcast_bytes: int = 256 * 1024 * 1024,
 ) -> DataFrame:
     """Cluster-then-dedup over an embedding column.
 
@@ -87,6 +88,18 @@ def semdedup(
     the seed in md5-of-id order), salt = sub-bucket after the size cap
     (0 when the cluster fits), kept = 0 iff a smaller-id member of the
     SAME (cid, salt) bucket has cosine >= threshold.
+
+    Seed-broadcast budget: k = ceil(n/target) seeds are collect()ed to
+    the driver and broadcast as one dense k·d float64 matrix — the
+    standard broadcast-centroid k-means shape, but it grows with the
+    corpus (n=10⁹, target=512, d=768 → ~2 M × 768 × 8 B ≈ 12 GB, which
+    no driver should ship). The k·d·8-byte cost is checked against
+    `max_seed_broadcast_bytes` (default 256 MB ≈ 43k seeds at d=768)
+    BEFORE collecting, and exceeding it raises with the two standard
+    escapes: raise `target_cluster_size` (k shrinks proportionally) or
+    seed hierarchically — run semdedup on an md5-sampled ~1/m subset
+    first and reuse its centroids per shard, which keeps every
+    broadcast under budget/m while preserving the cluster structure.
     """
     import numpy as np
 
@@ -100,6 +113,20 @@ def semdedup(
 
     n = src.count()
     k_eff = k if k is not None else choose_k(n, target_cluster_size)
+
+    first = src.select(F.size("_v").alias("d")).first()
+    dim = int(first["d"]) if first is not None and first["d"] is not None else 0
+    seed_bytes = k_eff * dim * 8
+    if seed_bytes > max_seed_broadcast_bytes:
+        raise ValueError(
+            f"semdedup would collect+broadcast k={k_eff} seed centroids "
+            f"of dim {dim} (~{seed_bytes / 1e6:.0f} MB), over the "
+            f"max_seed_broadcast_bytes={max_seed_broadcast_bytes} "
+            f"budget. Raise target_cluster_size (k = ceil(n/target)), "
+            f"or seed hierarchically: semdedup an md5-sampled subset "
+            f"first and reuse its centroids per shard, or raise the "
+            f"budget explicitly if the driver/executors can hold it."
+        )
 
     # Seeds: the k ids with the smallest md5(id) hex — a deterministic
     # pseudo-random draw both engines can reproduce (md5 hex collation

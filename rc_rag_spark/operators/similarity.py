@@ -279,6 +279,7 @@ def brute_force_topk_pruned(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     metric: str = "cosine",
+    max_queries: int = 4096,
 ) -> DataFrame:
     """Exact top-k with per-partition pruning — the 100 TB shape of
     brute_force_topk: each corpus partition scores its block against
@@ -287,12 +288,31 @@ def brute_force_topk_pruned(
     O(partitions × queries × k) rows instead of O(corpus × queries).
     Results are identical to brute_force_topk up to float-summation
     order in the similarity values (neighbor sets match on non-tied
-    data)."""
+    data).
+
+    Scale guard: the query side is materialized on the driver
+    (toPandas) and broadcast as one dense matrix, so its size is a
+    driver/executor-memory budget, not a shuffle budget. As with
+    brute_force_topk, the query side is counted first
+    (limit(max_queries+1).count() — Spark can stop the scan early) and
+    anything over `max_queries` raises toward lsh_topk_join /
+    ann.ivf_topk, which keep the query side distributed. The default
+    (4096 queries) bounds the broadcast at 4096·d doubles (~24 MB at
+    d=768); raise it explicitly for a larger ground-truth run."""
     import numpy as np
     import pandas as pd
 
     if metric not in ("cosine", "dot"):
         raise ValueError(f"unknown metric: {metric}")
+    n_q = queries.limit(max_queries + 1).count()
+    if n_q > max_queries:
+        raise ValueError(
+            f"brute_force_topk_pruned collects the query side to the "
+            f"driver and broadcasts it as a dense matrix; the query set "
+            f"exceeds max_queries={max_queries}. Use lsh_topk_join or "
+            f"ann.ivf_topk (query side stays distributed), or raise "
+            f"max_queries explicitly for a ground-truth run."
+        )
     spark = corpus.sparkSession
     q_pdf = queries.select(
         F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv")

@@ -279,6 +279,22 @@ def test_bruteforce_topk_query_ceiling(spark):
     assert out.count() == 20
 
 
+def test_pruned_topk_query_ceiling(spark):
+    """The pruned exact path collects+broadcasts the query side, so an
+    oversized query set must raise toward LSH/IVF instead of silently
+    materializing it on the driver."""
+    import pytest
+
+    rows = [(i, [float(i), 1.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.selectExpr("vec_id as query_id", "embedding")
+    with pytest.raises(ValueError, match="max_queries"):
+        SIM.brute_force_topk_pruned(df, queries, k=2, max_queries=5)
+    # raising the ceiling explicitly re-enables the ground-truth run
+    out = SIM.brute_force_topk_pruned(df, queries, k=2, max_queries=10)
+    assert out.count() == 20
+
+
 def test_pruned_topk_tiebreak_on_duplicate_vectors(spark):
     """Tied similarities at the k boundary must resolve by smallest
     neighbor_id in BOTH exact variants (8 identical vectors, k=3)."""

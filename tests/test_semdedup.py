@@ -229,3 +229,30 @@ def test_semdedup_bit_exact_matches_fast_path(spark):
     b = {(r.vec_id, r.kept) for r in semdedup(df, bit_exact=False, **kw).collect()}
     assert a == b
     assert {v for v, kept in a if kept == 0} == {1000 + i for i in range(15)}
+
+
+def test_semdedup_seed_broadcast_budget(spark):
+    """The seed collect+broadcast is k·d·8 bytes and grows with the
+    corpus; past the stated budget it must raise (toward a larger
+    target_cluster_size or hierarchical seeding) instead of shipping
+    gigabytes through the driver."""
+    import numpy as np
+    import pytest
+
+    from rc_rag_spark.operators.semdedup import semdedup
+
+    rng = np.random.RandomState(7)
+    rows = [(i, rng.randn(16).tolist()) for i in range(64)]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    # target=4 -> k=16 seeds of dim 16 = 2048 bytes > a 1 KB budget
+    with pytest.raises(ValueError, match="max_seed_broadcast_bytes"):
+        semdedup(
+            df, id_col="vec_id", vec_col="v", target_cluster_size=4,
+            max_seed_broadcast_bytes=1024,
+        )
+    # raising the budget explicitly re-enables the run
+    out = semdedup(
+        df, id_col="vec_id", vec_col="v", target_cluster_size=4,
+        max_seed_broadcast_bytes=1 << 20,
+    ).collect()
+    assert len(out) == 64
