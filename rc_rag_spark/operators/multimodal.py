@@ -99,10 +99,28 @@ def _decode_image(payload: bytes) -> "object":
 
 
 def _decode_audio(payload: bytes) -> "object":
-    """STUB: real implementation would use soundfile/librosa."""
-    raise NotImplementedError(
-        "audio decode requires soundfile/librosa — not available here"
-    )
+    """Real audio decode. RIFF/WAVE PCM (8/16/24/32-bit int and
+    float32/64) decodes via the stdlib-only codec
+    (operators/audiocodec.py — struct-parsed chunk walk, no
+    third-party deps), deterministically in every environment. Other
+    containers (mp3/ogg/flac, ...) fall back to soundfile when
+    present, else raise ValueError — mirroring _decode_image."""
+    from rc_rag_spark.operators import audiocodec
+
+    payload = bytes(payload or b"")
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return audiocodec.decode(payload)
+    try:
+        import io
+
+        import soundfile  # noqa: F401
+    except ImportError:
+        raise ValueError(
+            "unrecognized audio container (stdlib codec handles "
+            "RIFF/WAVE PCM; soundfile not available for other formats)"
+        ) from None
+    data, rate = soundfile.read(io.BytesIO(payload))
+    return data, rate
 
 
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:

@@ -869,3 +869,102 @@ def q213_image_decode_stats(spark, sf_dir):
         F.round("mean_px", 6).alias("mean_px"),
         F.round("mean_resized", 6).alias("mean_resized"),
     )
+
+
+@register(
+    "q215_audio_decode_stats",
+    sql="""
+    WITH p AS (
+        SELECT doc_id, rpad(substr(text, 1, 64), 64, 'x') AS s
+        FROM documents),
+    u AS (
+        SELECT doc_id, i, ord(substr(s, i, 1)) AS b
+        FROM p, (SELECT unnest(generate_series(1, 64)) AS i) g)
+    SELECT doc_id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(64 AS INTEGER) AS n_samples,
+           CAST(8 AS INTEGER) AS duration_ms,
+           round(SUM(b) / 64.0, 6) AS mean_amp,
+           round(SUM(b * b) / 64.0, 6) AS mean_sq,
+           CAST(MAX(b) AS INTEGER) AS peak,
+           round(SUM(CASE WHEN (i - 1) % 4 = 0 THEN b END) / 16.0, 6)
+               AS mean_resampled
+    FROM u GROUP BY doc_id
+    """,
+    tags=("multimodal", "decode"),
+)
+def q215_audio_decode_stats(spark, sf_dir):
+    """REAL audio decode, oracle-checked end to end (closes the last
+    multimodal stub — the q213 move applied to sound): each document's
+    first 64 ASCII chars become the sample plane of an 8-bit PCM mono
+    8 kHz RIFF/WAVE payload; the stdlib codec
+    (operators/audiocodec.py) walks the chunks, decodes the samples,
+    and nearest-neighbor-resamples to 2 kHz — and because 8-bit PCM
+    samples ARE the text bytes, DuckDB recomputes amplitude mean,
+    power (mean of b²), peak, and the resampled mean (the resample
+    picks src frame i*64//16 = 4i, i.e. every 4th sample) from ord()
+    arithmetic with no audio code at all. Integer sums divide by
+    constants, so the doubles agree bit-for-bit. Scale shape: payload
+    construction is codegen'd binary concat (the 44-byte header is a
+    binary literal); decode runs in Arrow-batched mapInPandas with
+    per-clip cost bounded by the 108-byte payload; one row out per
+    document — no shuffle until a downstream agg asks for one.
+    Reference parity: /root/reference/code/utils.py is text-only; this
+    is the brief's multimodal mandate, not a reference operator."""
+    import struct as _struct
+
+    from rc_rag_spark.sources import table as _table
+
+    header = (
+        b"RIFF" + _struct.pack("<I", 36 + 64) + b"WAVE"
+        + b"fmt " + _struct.pack("<I", 16)
+        + _struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+        + b"data" + _struct.pack("<I", 64)
+    )
+    d = _table(spark, sf_dir, "documents")
+    px = F.rpad(F.substring("text", 1, 64), 64, "x")
+    media = d.select(
+        "doc_id",
+        F.concat(F.lit(header), F.encode(px, "UTF-8")).alias("payload"),
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        from rc_rag_spark.operators import audiocodec
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "sample_rate": [], "n_samples": [],
+                "duration_ms": [], "mean_amp": [], "mean_sq": [],
+                "peak": [], "mean_resampled": [],
+            }
+            for _, row in pdf.iterrows():
+                clip = audiocodec.decode(bytes(row["payload"]))
+                small = clip.resample(2000)
+                out["doc_id"].append(row["doc_id"])
+                out["sample_rate"].append(clip.sample_rate)
+                out["n_samples"].append(len(clip.samples))
+                out["duration_ms"].append(clip.duration_ms)
+                # exact integer sums / constant: bit-identical to SQL
+                out["mean_amp"].append(sum(clip.samples) / 64.0)
+                out["mean_sq"].append(
+                    sum(s * s for s in clip.samples) / 64.0
+                )
+                out["peak"].append(max(clip.samples))
+                out["mean_resampled"].append(sum(small.samples) / 16.0)
+            yield pd.DataFrame(out)
+
+    out = media.mapInPandas(
+        run,
+        "doc_id long, sample_rate int, n_samples int, duration_ms int, "
+        "mean_amp double, mean_sq double, peak int, "
+        "mean_resampled double",
+    )
+    return out.select(
+        "doc_id", "sample_rate", "n_samples", "duration_ms",
+        F.round("mean_amp", 6).alias("mean_amp"),
+        F.round("mean_sq", 6).alias("mean_sq"),
+        "peak",
+        F.round("mean_resampled", 6).alias("mean_resampled"),
+    )

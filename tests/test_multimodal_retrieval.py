@@ -49,13 +49,25 @@ def test_media_stats(media):
     assert {r["kind"] for r in stats} == {"image", "audio", "video"}
 
 
-def test_decode_garbage_raises_and_audio_stubbed():
-    # garbage bytes are not a PNG/PNM and (without PIL) not decodable
-    # at all — the real decoder must reject them, not fake through
+def test_decode_garbage_raises():
+    # garbage bytes are not a PNG/PNM/WAV and (without PIL/soundfile)
+    # not decodable at all — the real decoders must reject them, not
+    # fake through
     with pytest.raises(Exception):
         MM._decode_image(b"x")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(Exception):
         MM._decode_audio(b"x")
+
+
+def test_real_audio_decode_smoke():
+    """The real decode path (stdlib codec — no soundfile needed):
+    _decode_audio returns exact samples for a real PCM WAV."""
+    from rc_rag_spark.operators import audiocodec
+
+    clip = audiocodec.SimpleAudio(8000, 1, 2, [0, 1000, -1000, 32767])
+    audio = MM._decode_audio(audiocodec.encode_wav(clip))
+    assert audio.sample_rate == 8000
+    assert audio.samples == [0, 1000, -1000, 32767]
 
 
 # minimal valid 1x1 PNG (public-domain byte sequence)
