@@ -46,6 +46,16 @@ HEADLINE = [
     "q52_session_windows",
     "q91_click_attribution_asof",
     "q93_multires_rollup",
+    # heavy anchors (round-7): multi-second pipelines whose runtimes
+    # sit far above the ±50% per-query noise floor of the sub-second
+    # entries, so the total can actually detect real regressions —
+    # and each is a 100 TB-shaped path worth watching (broadcast-
+    # centroid SemDeDup, PQ-coded ANN serving, iterative BPE,
+    # gradient-descent training on retrieval features).
+    "q212_semdedup_scaled",
+    "q214_ivf_pq_adc",
+    "q172_bpe_merges",
+    "q168_retrieval_gd_training",
 ]
 
 
