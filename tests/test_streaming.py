@@ -419,3 +419,144 @@ def test_cdc_latest_null_value_survives(spark, events_dir):
         import shutil as _sh
 
         _sh.rmtree(d, ignore_errors=True)
+
+
+def _rate_stream(spark, rows_per_batch=20):
+    """Deterministic rate source: batch b emits value ∈
+    [b·R, (b+1)·R) — so the exact input prefix any committed batch
+    has seen is reconstructable, and a batch twin can run on it."""
+    return (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .option("numPartitions", 2)
+        .option("startTimestamp", 0)
+        .option("advanceMillisPerBatch", 1000)
+        .load()
+    )
+
+
+def _run_live_batches(stream_df, output_mode, min_batches=4, timeout=120):
+    """Run a REAL unbounded StreamingQuery (processingTime trigger, not
+    availableNow) until >= min_batches micro-batches committed, then
+    stop. Returns (rows, max committed batchId)."""
+    import time
+
+    name = "mem_" + uuid.uuid4().hex[:8]
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    spark = stream_df.sparkSession
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        lp = q.lastProgress
+        if lp is not None and lp["batchId"] >= min_batches:
+            break
+        time.sleep(0.3)
+    q.stop()
+    q.awaitTermination(30)
+    committed = [p["batchId"] for p in q.recentProgress]
+    assert committed and max(committed) >= min_batches, (
+        f"only {committed} batches committed within {timeout}s"
+    )
+    return spark.table(name).collect(), max(committed)
+
+
+def _cdc_events(df):
+    """Map rate rows to the CDC event schema by pure functions of
+    `value`, so stream and batch twin derive identical rows."""
+    return df.select(
+        F.col("value").alias("event_id"),
+        (F.col("value") % 7).alias("user_id"),
+        F.timestamp_seconds(F.col("value")).alias("ts"),
+        F.when(F.col("value") % 11 == 0, "error")
+        .otherwise("click")
+        .alias("event_type"),
+        (F.col("value") * 1.5).alias("value"),
+    )
+
+
+def test_cdc_latest_live_micro_batches_match_batch_twin(spark):
+    """cdc_latest through >= 4 LIVE micro-batches of a rate source
+    (unbounded query, processingTime trigger — not availableNow):
+    folding the update-mode emissions per key must equal the batch
+    twin over exactly the committed input prefix."""
+    R = 20
+    rows, max_batch = _run_live_batches(
+        W.cdc_latest(_cdc_events(_rate_stream(spark, R))), "update"
+    )
+    n_input = (max_batch + 1) * R
+    # fold emissions: per key, the max-(ts, event_id) emission is the
+    # final state; drop rows from any batch past the last committed
+    # one (stop() can abort a batch mid-flight)
+    last = {}
+    for r in rows:
+        if r["last_event_id"] >= n_input:
+            continue
+        key = r["pk"]
+        cand = (str(r["last_ts"]), r["last_event_id"], r["last_value"], r["op"])
+        if key not in last or (cand[0], cand[1]) > (last[key][0], last[key][1]):
+            last[key] = cand
+    twin = {
+        r["pk"]: (str(r["last_ts"]), r["last_event_id"], r["last_value"], r["op"])
+        for r in W.cdc_latest(
+            _cdc_events(spark.range(n_input).select(F.col("id").alias("value")))
+        ).collect()
+    }
+    assert len(twin) == 7  # every user_id mod-7 class seen
+    assert last == twin
+
+
+def test_interval_join_live_micro_batches_match_batch_twin(spark):
+    """Stream-stream interval join across >= 4 LIVE micro-batches of
+    two rate sources. Key = value % 5, click at t=10v, purchase at
+    t=10w+5, window [0, 60) -> pairs (v, v) and (v, v+5); the latter
+    crosses a micro-batch boundary for the last 5 clicks of every
+    batch, so join state must survive between batches. Soundness:
+    every emitted pair is in the batch twin. Completeness: every twin
+    pair whose BOTH sides were committed must have been emitted (inner
+    join emits when the later side arrives; watermark only evicts)."""
+    R = 20
+    # +1000s offset: a row with event time exactly at the epoch sits ON
+    # the initial watermark (0) and is filtered as late in batch 0
+    clicks = _rate_stream(spark, R).select(
+        (F.col("value") % 5).alias("k"),
+        F.col("value").alias("click_v"),
+        F.timestamp_seconds(F.col("value") * 10 + 1000).alias("click_ts"),
+    )
+    purchases = _rate_stream(spark, R).select(
+        (F.col("value") % 5).alias("k"),
+        F.col("value").alias("purchase_v"),
+        F.timestamp_seconds(F.col("value") * 10 + 1005).alias("purchase_ts"),
+    )
+    joined = W.interval_join(
+        clicks, purchases, on=["k"],
+        left_time="click_ts", right_time="purchase_ts",
+        lower_seconds=0, upper_seconds=60,
+        left_watermark="10 seconds", right_watermark="10 seconds",
+    ).select("click_v", "purchase_v")
+    rows, max_batch = _run_live_batches(joined, "append")
+    got = {(r["click_v"], r["purchase_v"]) for r in rows}
+
+    def twin_pairs(n):
+        return {
+            (v, w)
+            for v in range(n)
+            for w in (v, v + 5)
+            if w < n
+        }
+
+    n_committed = (max_batch + 1) * R
+    # soundness: nothing outside the twin over the committed input
+    # (+1 batch of slack for a stop()-aborted in-flight batch)
+    assert got <= twin_pairs(n_committed + R)
+    # completeness: both-sides-committed pairs all emitted
+    must_have = twin_pairs(n_committed)
+    assert must_have <= got
+    # and the cross-batch pairs specifically arrived
+    cross = {(v, v + 5) for b in range(max_batch)
+             for v in range(b * R + R - 5, b * R + R)}
+    assert cross <= got
