@@ -968,3 +968,97 @@ def q215_audio_decode_stats(spark, sf_dir):
         "peak",
         F.round("mean_resampled", 6).alias("mean_resampled"),
     )
+
+
+@register(
+    "q216_audio_stereo_downmix",
+    sql="""
+    WITH p AS (
+        SELECT doc_id, rpad(substr(text, 1, 64), 64, 'x') AS s
+        FROM documents),
+    v AS (
+        SELECT doc_id, f,
+               (ord(substr(s, f, 1)) - 100) * 257 AS l,
+               (ord(substr(s, 32 + f, 1)) - 100) * 257 AS r
+        FROM p, (SELECT unnest(generate_series(1, 32)) AS f) g),
+    m AS (
+        SELECT doc_id, f, l, r,
+               CAST(floor((l + r) / 2.0) AS BIGINT) AS mono
+        FROM v)
+    SELECT doc_id,
+           CAST(32 AS INTEGER) AS n_frames,
+           round(SUM(mono) / 32.0, 6) AS mean_mono,
+           round(SUM(l * l + r * r) / 64.0, 6) AS mean_sq,
+           CAST(MAX(greatest(abs(l), abs(r))) AS INTEGER) AS peak_abs,
+           round(SUM(CASE WHEN (f - 1) % 4 = 0 THEN mono END) / 8.0, 6)
+               AS mean_resampled
+    FROM m GROUP BY doc_id
+    """,
+    tags=("multimodal", "decode"),
+)
+def q216_audio_stereo_downmix(spark, sf_dir):
+    """Signed 16-bit STEREO WAV through the full codec round trip —
+    covers the paths q215's unsigned-8-bit-mono query can't: int16
+    little-endian sample packing/unpacking with negative values,
+    channel interleaving, floor-division downmix, and resample over
+    multi-channel frames. Each document's first 64 ASCII chars become
+    two 32-sample channels (sample = (byte-100)·257, spanning
+    -17476..+6682 so sign handling is exercised); the executor
+    ENCODES a real RIFF container (audiocodec.encode_wav), DECODES it
+    back (audiocodec.decode), downmixes to mono (floor mean — Python
+    // is floor; the oracle spells floor((l+r)/2.0) because DuckDB's
+    // truncates toward zero), and resamples 8 kHz -> 2 kHz (frame
+    i*32//8 = 4i). DuckDB recomputes every stat from ord() arithmetic
+    — integer sums over constants, bit-identical doubles. Scale
+    shape: one Arrow-batched mapInPandas pass, ~172-byte payloads,
+    one row out per document, no shuffle."""
+    from rc_rag_spark.sources import table as _table
+
+    d = _table(spark, sf_dir, "documents")
+    src = d.select(
+        "doc_id", F.rpad(F.substring("text", 1, 64), 64, "x").alias("s")
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        from rc_rag_spark.operators import audiocodec
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "n_frames": [], "mean_mono": [],
+                "mean_sq": [], "peak_abs": [], "mean_resampled": [],
+            }
+            for _, row in pdf.iterrows():
+                b = row["s"].encode("utf-8")
+                left = [(b[i] - 100) * 257 for i in range(32)]
+                right = [(b[32 + i] - 100) * 257 for i in range(32)]
+                inter = [x for lr in zip(left, right) for x in lr]
+                wav = audiocodec.encode_wav(
+                    audiocodec.SimpleAudio(8000, 2, 2, inter)
+                )
+                clip = audiocodec.decode(wav)  # real container round trip
+                mono = clip.to_mono()
+                small = mono.resample(2000)
+                out["doc_id"].append(row["doc_id"])
+                out["n_frames"].append(clip.n_frames)
+                out["mean_mono"].append(sum(mono.samples) / 32.0)
+                out["mean_sq"].append(
+                    sum(s * s for s in clip.samples) / 64.0
+                )
+                out["peak_abs"].append(max(abs(s) for s in clip.samples))
+                out["mean_resampled"].append(sum(small.samples) / 8.0)
+            yield pd.DataFrame(out)
+
+    out = src.mapInPandas(
+        run,
+        "doc_id long, n_frames int, mean_mono double, mean_sq double, "
+        "peak_abs int, mean_resampled double",
+    )
+    return out.select(
+        "doc_id", "n_frames",
+        F.round("mean_mono", 6).alias("mean_mono"),
+        F.round("mean_sq", 6).alias("mean_sq"),
+        "peak_abs",
+        F.round("mean_resampled", 6).alias("mean_resampled"),
+    )
