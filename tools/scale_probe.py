@@ -51,6 +51,13 @@ DEFAULT = [
     "q203_ks_uniformity",
     "q194_abc_classification",
     "q196_kmv_distinct",
+    # round-5/7 additions: SemDeDup claims n·cap (oracle is quadratic
+    # — the engine path must not be), PQ-coded ANN serving, real
+    # image/audio decode over mapInPandas
+    "q212_semdedup_scaled",
+    "q213_image_decode_stats",
+    "q214_ivf_pq_adc",
+    "q215_audio_decode_stats",
 ]
 
 
@@ -129,7 +136,17 @@ def main() -> None:
             f"| {f1:.2f}× | {f2:.2f}× |"
         )
     out = "\n".join(lines) + "\n"
-    with open(os.path.join(REPO, "SCALING.md"), "w") as fh:
+    # Preserve appended stress/race sections (tools/stress_docs.py and
+    # friends append "## ..." sections after the main table) across
+    # regeneration — only the probe table itself is rewritten.
+    path = os.path.join(REPO, "SCALING.md")
+    if os.path.exists(path):
+        with open(path) as fh:
+            old = fh.read()
+        idx = old.find("\n## ")
+        if idx != -1:
+            out = out + old[idx:]
+    with open(path, "w") as fh:
         fh.write(out)
     print(out)
 
