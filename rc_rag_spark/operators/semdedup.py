@@ -161,20 +161,49 @@ def semdedup(
 
     # Size cap: clusters past max_cluster_size split into
     # ceil(size/cap) hash-salted sub-buckets before the pair stage.
-    sizes = assigned.groupBy("cid").agg(F.count("*").alias("_n"))
-    n_buckets = F.ceil(F.col("_n") / F.lit(max_cluster_size)).cast("int")
+    salted = _salt_split(assigned, ["cid"], max_cluster_size, "salt")
+
+    out = _pair_dedup(salted, ["cid", "salt"], id_type, threshold, bit_exact)
+    return out.select(
+        F.col("_id").alias(id_col), "cid", "salt", "kept"
+    )
+
+
+def _salt_split(
+    df: DataFrame, keys: list[str], cap: int, salt_col: str
+) -> DataFrame:
+    """Append a deterministic md5-derived sub-bucket column that
+    splits any `keys`-group past `cap` members into ceil(size/cap)
+    buckets (0 when the group fits). The size table is one row per
+    group — broadcast (group-count rows of (keys, count), a few bytes
+    each; ~24 MB even at 2M clusters)."""
+    sizes = df.groupBy(*keys).agg(F.count("*").alias("_n"))
+    n_buckets = F.ceil(F.col("_n") / F.lit(cap)).cast("int")
     salt_src = (
         F.conv(F.substring(F.md5(F.col("_id").cast("string")), 1, 8), 16, 10)
         .cast("bigint")
     )
-    salted = assigned.join(F.broadcast(sizes), "cid").select(
-        "_id",
-        "_v",
-        "cid",
+    return df.join(F.broadcast(sizes), keys).select(
+        *[c for c in df.columns],
         F.when(n_buckets <= 1, F.lit(0))
         .otherwise((salt_src % n_buckets).cast("int"))
-        .alias("salt"),
+        .alias(salt_col),
     )
+
+
+def _pair_dedup(
+    salted: DataFrame,
+    group_cols: list[str],
+    id_type: str,
+    threshold: float,
+    bit_exact: bool,
+) -> DataFrame:
+    """Shared pair stage: within each group (the salted cluster
+    bucket), remove every member with a smaller-id neighbor at cosine
+    >= threshold. applyInPandas per group — block size is bounded by
+    the caller's size cap, so the per-task matmul is bounded at
+    cap²·8 bytes no matter how skewed the data."""
+    import numpy as np
 
     thr = float(threshold)
 
@@ -203,19 +232,171 @@ def semdedup(
             for i in range(1, g):
                 if (S[i, :i] >= thr).any():
                     kept[i] = False
+        out = {"_id": pdf["_id"]}
+        for c in group_cols:
+            out[c] = pdf[c]
+        out["kept"] = kept.astype(np.int32)
+        return pd.DataFrame(out)
+
+    schema = (
+        f"_id {id_type}, "
+        + ", ".join(f"{c} int" for c in group_cols)
+        + ", kept int"
+    )
+    return salted.groupBy(*group_cols).applyInPandas(
+        dedup_group, schema=schema
+    )
+
+
+def semdedup_hierarchical(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    target_cluster_size: int = 512,
+    max_cluster_size: int | None = None,
+    super_factor: int = 64,
+    max_super_size: int | None = None,
+    bit_exact: bool = True,
+    max_seed_broadcast_bytes: int = 256 * 1024 * 1024,
+) -> DataFrame:
+    """Two-level SemDeDup — the hierarchical-seeding escape hatch the
+    flat operator's broadcast-budget guard points at, implemented for
+    real rather than documented.
+
+    The flat operator must collect+broadcast k = ceil(n/target) seed
+    centroids; at n = 10⁹, target = 512, d = 768 that is ~12 GB
+    through the driver. Here only m = ceil(n / (super_factor·target))
+    SUPER-seeds are ever collected (super_factor=64 cuts the broadcast
+    64×; raise it further for bigger corpora), and every other stage
+    stays fully distributed:
+
+      level 1   m md5-ordered super-seeds, broadcast (budget-checked
+                at m·d·8 bytes), one Arrow argmin pass -> scell;
+                cells past max_super_size split by md5 salt -> ssalt.
+      level 2   per (scell, ssalt): the ceil(size/target) smallest-md5
+                members are that bucket's seeds — a WINDOW RANK, no
+                collect, no broadcast — computed in-task from the
+                bucket's own members inside ONE applyInPandas that
+                also assigns them, so each task holds
+                ≤ max_super_size points.
+      pair      identical to the flat operator: cluster-size cap salt,
+                then within-(scell, ssalt, cid, salt) greedy min-id
+                removal, every block ≤ max_cluster_size.
+
+    Returns (id_col, scell, ssalt, cid, salt, kept): cid is the seed's
+    md5 rank WITHIN its (scell, ssalt) bucket. Same determinism
+    discipline as the flat operator (md5 orderings, per-term
+    round-at-1e-12 + exact int64 sums), so a SQL oracle can replay
+    every stage. Recall trade vs flat: near-dups split across
+    super-cells (or ssalt sub-buckets) are not compared — the same
+    documented SemDeDup-at-scale trade the flat cap already makes.
+    """
+    import numpy as np
+
+    if max_cluster_size is None:
+        max_cluster_size = 4 * target_cluster_size
+    target_super = super_factor * target_cluster_size
+    if max_super_size is None:
+        max_super_size = 4 * target_super
+    spark = corpus.sparkSession
+    src = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    n = src.count()
+    m = max(1, math.ceil(n / target_super))
+
+    first = src.select(F.size("_v").alias("d")).first()
+    dim = int(first["d"]) if first is not None and first["d"] is not None else 0
+    seed_bytes = m * dim * 8
+    if seed_bytes > max_seed_broadcast_bytes:
+        raise ValueError(
+            f"semdedup_hierarchical would broadcast m={m} super-seeds "
+            f"of dim {dim} (~{seed_bytes / 1e6:.0f} MB), over the "
+            f"max_seed_broadcast_bytes={max_seed_broadcast_bytes} "
+            f"budget. Raise super_factor (m = ceil(n / "
+            f"(super_factor*target))), or raise the budget explicitly."
+        )
+
+    seeds = (
+        src.withColumn("_h", F.md5(F.col("_id").cast("string")))
+        .orderBy("_h", "_id")
+        .limit(m)
+        .collect()
+    )
+    C = np.array([list(r["_v"]) for r in seeds], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((C, bit_exact))
+
+    def assign_super(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C_b, exact_b = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array([np.asarray(v) for v in pdf["_v"]], dtype=np.float64)
+            d = _exact_sq_dists(X, C_b, exact_b)
+            yield pd.DataFrame(
+                {
+                    "_id": pdf["_id"],
+                    "_v": pdf["_v"],
+                    "scell": d.argmin(axis=1).astype(np.int32),
+                }
+            )
+
+    id_type = dict(src.dtypes)["_id"]
+    assigned1 = src.mapInPandas(
+        assign_super, schema=f"_id {id_type}, _v array<double>, scell int"
+    )
+    ssalted = _salt_split(assigned1, ["scell"], max_super_size, "ssalt")
+
+    # Level-2 seeding + assignment in ONE applyInPandas per
+    # (scell, ssalt) bucket: the group already holds every member, so
+    # its ceil(size/target) smallest-md5 ids are computed in-task
+    # (hashlib.md5 of str(id) == F.md5(cast string) == DuckDB
+    # md5(CAST .. AS VARCHAR) — same UTF-8 bytes) and every member is
+    # assigned to its argmin seed. No window, no cogroup, no second
+    # shuffle — seeds never exist as a separate distributed relation,
+    # and per-task memory stays <= max_super_size rows x d doubles.
+    def assign_l2(pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        k_g = max(1, math.ceil(len(pdf) / target_cluster_size))
+        order = sorted(
+            range(len(pdf)),
+            key=lambda i: (
+                hashlib.md5(str(pdf["_id"].iat[i]).encode()).hexdigest(),
+                pdf["_id"].iat[i],
+            ),
+        )
+        seed_rows = order[:k_g]
+        X = np.array([np.asarray(v) for v in pdf["_v"]], dtype=np.float64)
+        Cg = X[seed_rows]
+        d = _exact_sq_dists(X, Cg, bit_exact)
+        # argmin first-occurrence over rank-ordered seeds = smallest cid
         return pd.DataFrame(
             {
                 "_id": pdf["_id"],
-                "cid": pdf["cid"],
-                "salt": pdf["salt"],
-                "kept": kept.astype(np.int32),
+                "_v": pdf["_v"],
+                "scell": pdf["scell"],
+                "ssalt": pdf["ssalt"],
+                "cid": d.argmin(axis=1).astype(np.int32),
             }
         )
 
-    out = salted.groupBy("cid", "salt").applyInPandas(
-        dedup_group,
-        schema=f"_id {id_type}, cid int, salt int, kept int",
+    assigned2 = ssalted.groupBy("scell", "ssalt").applyInPandas(
+        assign_l2,
+        schema=(
+            f"_id {id_type}, _v array<double>, scell int, ssalt int, cid int"
+        ),
+    )
+
+    salted = _salt_split(
+        assigned2, ["scell", "ssalt", "cid"], max_cluster_size, "salt"
+    )
+    out = _pair_dedup(
+        salted, ["scell", "ssalt", "cid", "salt"], id_type, threshold,
+        bit_exact,
     )
     return out.select(
-        F.col("_id").alias(id_col), "cid", "salt", "kept"
+        F.col("_id").alias(id_col), "scell", "ssalt", "cid", "salt", "kept"
     )

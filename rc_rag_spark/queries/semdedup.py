@@ -1112,3 +1112,174 @@ def q214_ivf_pq_adc(spark, sf_dir):
             "rank",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q217 — hierarchical SemDeDup: two-level seeding under a broadcast budget.
+
+_SD3_TARGET = 50    # leaf target cluster size
+_SD3_CAP = 75       # leaf clusters past this split into salted buckets
+_SD3_SUPER = 200    # super-cell target (super_factor 4 x target 50)
+_SD3_SUPER_CAP = 300  # super-cells past this split before level 2
+
+
+@register(
+    "q217_semdedup_hierarchical",
+    sql=f"""
+    WITH corpus AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000 AS vec_id,
+               list_transform(embedding::DOUBLE[], x -> x * 1.002) AS v
+        FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    n_tot AS (SELECT COUNT(*) AS n FROM corpus),
+    sseeds AS (
+        SELECT vec_id, v,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                   AS INTEGER) - 1 AS scell
+        FROM corpus
+        QUALIFY ROW_NUMBER() OVER (
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+            <= (SELECT CAST(ceil(n / {_SD3_SUPER}.0) AS BIGINT) FROM n_tot)
+    ),
+    x AS (
+        SELECT vec_id,
+               CAST(generate_subscripts(v, 1) AS INTEGER) AS pos,
+               CAST(unnest(v) AS DOUBLE) AS x
+        FROM corpus),
+    scx AS (
+        SELECT scell,
+               CAST(generate_subscripts(v, 1) AS INTEGER) AS pos,
+               CAST(unnest(v) AS DOUBLE) AS c
+        FROM sseeds),
+    sd AS (
+        SELECT x.vec_id, scx.scell,
+               SUM(CAST(round((x.x - scx.c) * (x.x - scx.c), 12)
+                        AS DECIMAL(28,12))) AS dist
+        FROM x JOIN scx ON scx.pos = x.pos
+        GROUP BY x.vec_id, scx.scell),
+    sassign AS (
+        SELECT vec_id, scell FROM (
+            SELECT vec_id, scell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, scell) AS rn
+            FROM sd)
+        WHERE rn = 1),
+    ssizes AS (SELECT scell, COUNT(*) AS n_c FROM sassign GROUP BY scell),
+    ssalted AS (
+        SELECT a.vec_id, a.scell,
+               CASE WHEN s.n_c <= {_SD3_SUPER_CAP} THEN 0
+                    ELSE CAST(CAST(('0x' || substr(
+                             md5(CAST(a.vec_id AS VARCHAR)), 1, 8))
+                             AS BIGINT)
+                         % CAST(ceil(s.n_c / {_SD3_SUPER_CAP}.0) AS BIGINT)
+                         AS INTEGER)
+               END AS ssalt
+        FROM sassign a JOIN ssizes s ON s.scell = a.scell),
+    l2rank AS (
+        SELECT vec_id, scell, ssalt,
+               ROW_NUMBER() OVER (PARTITION BY scell, ssalt
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn,
+               COUNT(*) OVER (PARTITION BY scell, ssalt) AS cnt
+        FROM ssalted),
+    l2seeds AS (
+        SELECT vec_id, scell, ssalt, CAST(rn AS INTEGER) - 1 AS cid
+        FROM l2rank
+        WHERE rn <= ceil(cnt / {_SD3_TARGET}.0)),
+    l2d AS (
+        SELECT m.vec_id, s.scell, s.ssalt, s.cid,
+               SUM(CAST(round((xm.x - xs.x) * (xm.x - xs.x), 12)
+                        AS DECIMAL(28,12))) AS dist
+        FROM ssalted m
+        JOIN l2seeds s ON s.scell = m.scell AND s.ssalt = m.ssalt
+        JOIN x xm ON xm.vec_id = m.vec_id
+        JOIN x xs ON xs.vec_id = s.vec_id AND xs.pos = xm.pos
+        GROUP BY m.vec_id, s.scell, s.ssalt, s.cid),
+    l2assign AS (
+        SELECT vec_id, scell, ssalt, cid FROM (
+            SELECT vec_id, scell, ssalt, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cid) AS rn
+            FROM l2d)
+        WHERE rn = 1),
+    csizes AS (
+        SELECT scell, ssalt, cid, COUNT(*) AS n_c
+        FROM l2assign GROUP BY scell, ssalt, cid),
+    csalted AS (
+        SELECT a.vec_id, a.scell, a.ssalt, a.cid,
+               CASE WHEN s.n_c <= {_SD3_CAP} THEN 0
+                    ELSE CAST(CAST(('0x' || substr(
+                             md5(CAST(a.vec_id AS VARCHAR)), 1, 8))
+                             AS BIGINT)
+                         % CAST(ceil(s.n_c / {_SD3_CAP}.0) AS BIGINT)
+                         AS INTEGER)
+               END AS salt
+        FROM l2assign a
+        JOIN csizes s ON s.scell = a.scell AND s.ssalt = a.ssalt
+                     AND s.cid = a.cid),
+    nn AS (
+        SELECT vec_id,
+               SUM(CAST(round(x * x, 12) AS DECIMAL(28,12))) AS nn
+        FROM x GROUP BY vec_id),
+    removed AS (
+        SELECT DISTINCT sb.vec_id AS vec_id
+        FROM csalted sa
+        JOIN csalted sb
+          ON sb.scell = sa.scell AND sb.ssalt = sa.ssalt
+         AND sb.cid = sa.cid AND sb.salt = sa.salt
+         AND sa.vec_id < sb.vec_id
+        JOIN (SELECT a.vec_id AS ia, b.vec_id AS ib,
+                     SUM(CAST(round(a.x * b.x, 12) AS DECIMAL(28,12))) AS dp
+              FROM x a JOIN x b ON b.pos = a.pos
+              GROUP BY a.vec_id, b.vec_id) p
+          ON p.ia = sa.vec_id AND p.ib = sb.vec_id
+        JOIN nn na ON na.vec_id = sa.vec_id
+        JOIN nn nb ON nb.vec_id = sb.vec_id
+        WHERE round(CAST(p.dp AS DOUBLE)
+                    / (sqrt(CAST(na.nn AS DOUBLE))
+                       * sqrt(CAST(nb.nn AS DOUBLE))), 9)
+              >= {_SD2_THRESHOLD}
+    )
+    SELECT s.vec_id, s.scell, s.ssalt, s.cid, s.salt,
+           CASE WHEN r.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+    FROM csalted s LEFT JOIN removed r ON r.vec_id = s.vec_id
+    """,
+    tags=("dedup", "semantic", "embeddings", "kmeans", "scale"),
+)
+def q217_semdedup_hierarchical(spark, sf_dir):
+    """SemDeDup via TWO-LEVEL seeding (semdedup_hierarchical) — the
+    implemented escape hatch for the flat operator's seed-broadcast
+    budget: only m = ceil(n/200) super-seeds are ever collected and
+    broadcast; the ceil(size/50) leaf seeds of every (scell, ssalt)
+    bucket are computed IN-TASK from the bucket's own members (md5
+    rank) inside the same applyInPandas that assigns them — no window,
+    no cogroup, no driver round-trip, per-task memory bounded by the
+    300-member super-cap. Leaf clusters past 75 split into salted
+    buckets before the greedy min-id pair stage, as in q212. Same
+    planted-copy corpus and determinism discipline as q212 (md5
+    orderings, round-at-1e-12 exact-int distance/cosine kernels), so
+    the oracle replays every stage — super-assignment, ssalt split,
+    windowed leaf seeding, leaf assignment, cap salt, removal — in
+    DuckDB CTEs and the whole five-column labeling hash-matches."""
+    from rc_rag_spark.operators.semdedup import semdedup_hierarchical
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    planted = e.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.transform("v", lambda x: x * 1.002).alias("v"),
+    )
+    corpus = e.unionByName(planted).localCheckpoint(eager=True)
+    return semdedup_hierarchical(
+        corpus,
+        id_col="vec_id",
+        vec_col="v",
+        threshold=_SD2_THRESHOLD,
+        target_cluster_size=_SD3_TARGET,
+        max_cluster_size=_SD3_CAP,
+        super_factor=4,
+        max_super_size=_SD3_SUPER_CAP,
+    )

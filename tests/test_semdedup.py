@@ -256,3 +256,98 @@ def test_semdedup_seed_broadcast_budget(spark):
         max_seed_broadcast_bytes=1 << 20,
     ).collect()
     assert len(out) == 64
+
+
+def test_semdedup_hierarchical_removes_planted_copies(spark):
+    """Two-level seeding must still remove planted near-copies that
+    land in their source's leaf cluster, and never an original."""
+    import numpy as np
+
+    from rc_rag_spark.operators.semdedup import semdedup_hierarchical
+
+    rng = np.random.RandomState(11)
+    originals = [(i, rng.randn(24).tolist()) for i in range(120)]
+    copies = [(1000 + i, [x * 1.01 for x in v]) for i, v in originals[:30]]
+    df = spark.createDataFrame(
+        originals + copies, "vec_id long, v array<double>"
+    )
+    out = semdedup_hierarchical(
+        df, id_col="vec_id", vec_col="v",
+        target_cluster_size=10, super_factor=4,  # super target 40 -> 4 cells
+    ).collect()
+    assert len(out) == 150  # every member exactly once
+    assert all(r.kept in (0, 1) for r in out)
+    by_id = {r.vec_id: r for r in out}
+    # random 24-dim originals never reach cosine 0.95 of each other
+    assert all(r.kept == 1 for r in out if r.vec_id < 1000)
+    # a copy is removed iff it landed in its source's leaf bucket
+    leaf = lambda r: (r.scell, r.ssalt, r.cid, r.salt)  # noqa: E731
+    removed = {v for v, r in by_id.items() if r.kept == 0}
+    expected = {
+        v for v in by_id
+        if v >= 1000 and leaf(by_id[v]) == leaf(by_id[v - 1000])
+    }
+    assert removed == expected
+    # and the overwhelming majority of copies do land with their source
+    assert len(expected) >= 0.8 * 30
+
+
+def test_semdedup_hierarchical_fits_budget_where_flat_raises():
+    """The point of the hierarchy: with the same broadcast budget, the
+    flat operator must raise (k seeds over budget) while the
+    hierarchical one runs (only m = k/super_factor super-seeds are
+    broadcast)."""
+    import numpy as np
+    import pytest
+
+    from rc_rag_spark.operators.semdedup import (
+        semdedup,
+        semdedup_hierarchical,
+    )
+    from rc_rag_spark.session import build_session
+
+    spark = build_session(app_name="hier-budget")
+    rng = np.random.RandomState(13)
+    rows = [(i, rng.randn(16).tolist()) for i in range(256)]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    # flat: k = ceil(256/4) = 64 seeds x 16 dims x 8 B = 8192 B > 4 KB
+    budget = 4096
+    with pytest.raises(ValueError, match="max_seed_broadcast_bytes"):
+        semdedup(
+            df, id_col="vec_id", vec_col="v", target_cluster_size=4,
+            max_seed_broadcast_bytes=budget,
+        )
+    # hierarchical: m = ceil(256/(16*4)) = 4 super-seeds = 512 B, fits
+    out = semdedup_hierarchical(
+        df, id_col="vec_id", vec_col="v", target_cluster_size=4,
+        super_factor=16, max_seed_broadcast_bytes=budget,
+    ).collect()
+    assert len(out) == 256
+    # leaf clusters honor the auto-k shape: >= number of super-cells
+    assert len({(r.scell, r.ssalt, r.cid) for r in out}) >= 4
+
+
+def test_semdedup_hierarchical_super_cell_split(spark):
+    """A super-cell past max_super_size must split into md5-salted
+    ssalt sub-buckets (bounding level-2 task memory), with every
+    member still labeled exactly once."""
+    import numpy as np
+
+    from rc_rag_spark.operators.semdedup import semdedup_hierarchical
+
+    rng = np.random.RandomState(17)
+    rows = [(i, rng.randn(8).tolist()) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    out = semdedup_hierarchical(
+        df, id_col="vec_id", vec_col="v",
+        target_cluster_size=5, super_factor=8,  # super target 40
+        max_super_size=25,  # force ceil(size/25) sub-buckets
+    ).collect()
+    assert len(out) == 200
+    assert len({r.vec_id for r in out}) == 200
+    assert max(r.ssalt for r in out) > 0
+    # every (scell, ssalt) bucket respects the cap
+    from collections import Counter
+
+    sizes = Counter((r.scell, r.ssalt) for r in out)
+    assert max(sizes.values()) <= 25 + 5  # salt is hash-balanced, small slack
