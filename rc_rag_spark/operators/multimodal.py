@@ -123,6 +123,31 @@ def _decode_audio(payload: bytes) -> "object":
     return data, rate
 
 
+def _decode_video(payload: bytes) -> "object":
+    """Real video decode. YUV4MPEG2 (.y4m — what `ffmpeg -f yuv4mpeg`
+    emits) decodes via the stdlib-only codec
+    (operators/videocodec.py), deterministically in every environment;
+    frames come back as imagecodec.SimpleImage luma rasters so every
+    image op applies per frame. Compressed containers (mp4/webm, ...)
+    fall back to PyAV when present, else raise ValueError — mirroring
+    _decode_image/_decode_audio."""
+    from rc_rag_spark.operators import videocodec
+
+    payload = bytes(payload or b"")
+    if payload[:9] == b"YUV4MPEG2":
+        return videocodec.decode(payload)
+    try:
+        import io
+
+        import av  # noqa: F401
+    except ImportError:
+        raise ValueError(
+            "unrecognized video container (stdlib codec handles "
+            "YUV4MPEG2; PyAV not available for other formats)"
+        ) from None
+    return av.open(io.BytesIO(payload))
+
+
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
     """Deterministic fake 'embedding' of a binary payload (stands in
     for the stubbed decoder so the Spark plumbing is fully testable).
@@ -164,18 +189,42 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
 
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame sampling for video rows: one output row per sampled
-    frame. The 'frame' here is a deterministic byte slice (decode is
-    stubbed); the explode/batch shape is the real thing."""
+    frame. Real kernel first: a YUV4MPEG2 payload is DECODED
+    (operators/videocodec.py) and the sampled frames come out as
+    deterministic PGM re-encodings of the actual luma planes, one per
+    every_ms of clip time (source frame = t·fps, clamped to the clip).
+    Non-y4m payloads (synthetic fixture bytes) keep the deterministic
+    byte-slice kernel — the explode/batch shape is identical either
+    way, and a compressed-format decoder (PyAV) drops into the same
+    slot."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from rc_rag_spark.operators import imagecodec, videocodec
+
         for pdf in batches:
             ids, idxs, payloads = [], [], []
             for _, row in pdf.iterrows():
                 if row["kind"] != "video" or row["payload"] is None:
                     continue
+                blob = bytes(row["payload"])
+                if blob[:9] == b"YUV4MPEG2":
+                    clip = videocodec.decode(blob)
+                    num, den = clip.fps
+                    dur = clip.duration_ms
+                    n_out = max(1, dur // every_ms) if dur else 1
+                    for k in range(n_out):
+                        src = min(
+                            clip.n_frames - 1,
+                            k * every_ms * num // (1000 * den),
+                        )
+                        ids.append(row["media_id"])
+                        idxs.append(k)
+                        payloads.append(
+                            imagecodec.encode_pnm(clip.frames[src])
+                        )
+                    continue
                 dur = row["meta"]["duration_ms"] or 0
                 n_frames = max(1, dur // every_ms)
-                blob = row["payload"]
                 step = max(1, len(blob) // n_frames)
                 for k in range(n_frames):
                     ids.append(row["media_id"])

@@ -1062,3 +1062,108 @@ def q216_audio_stereo_downmix(spark, sf_dir):
         "peak_abs",
         F.round("mean_resampled", 6).alias("mean_resampled"),
     )
+
+
+@register(
+    "q218_video_decode_stats",
+    sql="""
+    WITH p AS (
+        SELECT doc_id, rpad(substr(text, 1, 128), 128, 'x') AS s
+        FROM documents),
+    u AS (
+        SELECT doc_id, i, ord(substr(s, i, 1)) AS b
+        FROM p, (SELECT unnest(generate_series(1, 128)) AS i) g),
+    pair AS (
+        SELECT a.doc_id, a.i, a.b AS b0, c.b AS b1
+        FROM u a JOIN u c ON c.doc_id = a.doc_id AND c.i = a.i + 64
+        WHERE a.i <= 64)
+    SELECT doc_id,
+           CAST(2 AS INTEGER) AS n_frames,
+           CAST(8 AS INTEGER) AS width,
+           CAST(8 AS INTEGER) AS height,
+           CAST(80 AS INTEGER) AS duration_ms,
+           round(SUM(b0) / 64.0, 6) AS mean_f0,
+           round(SUM(b1) / 64.0, 6) AS mean_f1,
+           round(SUM(abs(b1 - b0)) / 64.0, 6) AS motion,
+           round(SUM(CASE WHEN ((i - 1) // 8) % 2 = 0
+                           AND ((i - 1) % 8) % 2 = 0
+                          THEN b1 END) / 16.0, 6) AS mean_resized_f1
+    FROM pair GROUP BY doc_id
+    """,
+    tags=("multimodal", "decode"),
+)
+def q218_video_decode_stats(spark, sf_dir):
+    """REAL video decode, oracle-checked end to end — the q213/q215
+    move applied to the third modality: each document's first 128
+    ASCII chars become the two 8x8 luma planes of a YUV4MPEG2 clip
+    (25 fps, Cmono — the uncompressed interchange format ffmpeg emits
+    with `-f yuv4mpeg`); the stdlib codec (operators/videocodec.py)
+    parses the stream header, splits the FRAME records, and hands back
+    SimpleImage rasters, from which per-frame means, the
+    nearest-neighbor 4x4 resize of frame 1 (src index 2*dst — even
+    (row, col) positions), and a mean-absolute-difference MOTION
+    metric (the keyframe-selection signal) are computed. Because mono
+    Y4M pixels ARE the text bytes, DuckDB recomputes everything from
+    ord() arithmetic with a positional self-join (i vs i+64) and no
+    video code at all; integer sums over constants keep the doubles
+    bit-identical. Scale shape: payload construction is codegen'd
+    binary concat; decode runs in Arrow-batched mapInPandas with
+    per-clip cost bounded by the 177-byte payload; one row out per
+    document — no shuffle until a downstream agg asks for one."""
+    from rc_rag_spark.sources import table as _table
+
+    d = _table(spark, sf_dir, "documents")
+    px = F.rpad(F.substring("text", 1, 128), 128, "x")
+    media = d.select(
+        "doc_id",
+        F.concat(
+            F.encode(F.lit("YUV4MPEG2 W8 H8 F25:1 Ip A1:1 Cmono\n"), "UTF-8"),
+            F.encode(F.lit("FRAME\n"), "UTF-8"),
+            F.encode(F.substring(px, 1, 64), "UTF-8"),
+            F.encode(F.lit("FRAME\n"), "UTF-8"),
+            F.encode(F.substring(px, 65, 64), "UTF-8"),
+        ).alias("payload"),
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        from rc_rag_spark.operators import videocodec
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "n_frames": [], "width": [], "height": [],
+                "duration_ms": [], "mean_f0": [], "mean_f1": [],
+                "motion": [], "mean_resized_f1": [],
+            }
+            for _, row in pdf.iterrows():
+                clip = videocodec.decode(bytes(row["payload"]))
+                f0, f1 = clip.frames[0].data, clip.frames[1].data
+                small = clip.frames[1].resize((4, 4)).data
+                out["doc_id"].append(row["doc_id"])
+                out["n_frames"].append(clip.n_frames)
+                out["width"].append(clip.size[0])
+                out["height"].append(clip.size[1])
+                out["duration_ms"].append(clip.duration_ms)
+                # exact integer sums / constant: bit-identical to SQL
+                out["mean_f0"].append(sum(f0) / 64.0)
+                out["mean_f1"].append(sum(f1) / 64.0)
+                out["motion"].append(
+                    sum(abs(a - b) for a, b in zip(f0, f1)) / 64.0
+                )
+                out["mean_resized_f1"].append(sum(small) / 16.0)
+            yield pd.DataFrame(out)
+
+    out = media.mapInPandas(
+        run,
+        "doc_id long, n_frames int, width int, height int, "
+        "duration_ms int, mean_f0 double, mean_f1 double, "
+        "motion double, mean_resized_f1 double",
+    )
+    return out.select(
+        "doc_id", "n_frames", "width", "height", "duration_ms",
+        F.round("mean_f0", 6).alias("mean_f0"),
+        F.round("mean_f1", 6).alias("mean_f1"),
+        F.round("motion", 6).alias("motion"),
+        F.round("mean_resized_f1", 6).alias("mean_resized_f1"),
+    )
