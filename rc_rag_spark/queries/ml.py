@@ -1167,3 +1167,113 @@ def q218_video_decode_stats(spark, sf_dir):
         F.round("motion", 6).alias("motion"),
         F.round("mean_resized_f1", 6).alias("mean_resized_f1"),
     )
+
+
+@register(
+    "q219_video_keyframe_real",
+    sql="""
+    WITH p AS (
+        SELECT doc_id, rpad(substr(text, 1, 256), 256, 'x') AS s
+        FROM documents),
+    u AS (
+        SELECT doc_id, i, ord(substr(s, i, 1)) AS b
+        FROM p, (SELECT unnest(generate_series(1, 256)) AS i) g),
+    f AS (
+        SELECT doc_id, CAST((i - 1) // 64 AS INTEGER) AS k,
+               ((i - 1) % 64) + 1 AS j, b
+        FROM u),
+    m AS (
+        SELECT a.doc_id, a.k AS k,
+               round(SUM(abs(a.b - c.b)) / 64.0, 6) AS motion
+        FROM f a JOIN f c ON c.doc_id = a.doc_id AND c.j = a.j
+                         AND c.k = a.k - 1
+        WHERE a.k >= 1
+        GROUP BY a.doc_id, a.k)
+    SELECT doc_id, CAST(k AS INTEGER) AS keyframe_idx,
+           motion AS max_motion
+    FROM (SELECT doc_id, k, motion,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY motion DESC, k) AS rn
+          FROM m)
+    WHERE rn = 1
+    """,
+    tags=("multimodal", "decode", "window"),
+)
+def q219_video_keyframe_real(spark, sf_dir):
+    """Keyframe selection over REAL decoded frames — the multi-stage
+    composition q143 runs on fake features, now on actual pixels:
+    each document's first 256 chars become a 4-frame 8x8 mono Y4M
+    clip; the GENERIC sample_frames operator takes its real-decode
+    branch (operators/videocodec.py) and emits the four luma planes
+    as PGM payloads; consecutive frames meet in a (media_id, k)
+    equi-join; an Arrow-batched pandas UDF decodes both PGMs
+    (operators/imagecodec.py) and scores mean-absolute-difference
+    motion; a per-clip window argmax (motion DESC, k ASC tiebreak)
+    picks the keyframe. DuckDB recomputes the whole pipeline from
+    ord() arithmetic — frame k is chars 64k+1..64k+64, so the motion
+    join is a positional self-join and the argmax the same window.
+    Scale shape: explode is Arrow-batched with ~75-byte frame
+    payloads, the self-join is a key-bounded equi-join (4 rows per
+    clip), and the window partitions by clip — no global sort, no
+    driver round-trip."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    from rc_rag_spark.operators import multimodal as MM
+    from rc_rag_spark.sources import table as _table
+
+    d = _table(spark, sf_dir, "documents")
+    px = F.rpad(F.substring("text", 1, 256), 256, "x")
+    parts = [F.encode(F.lit("YUV4MPEG2 W8 H8 F25:1 Ip A1:1 Cmono\n"), "UTF-8")]
+    for k in range(4):
+        parts.append(F.encode(F.lit("FRAME\n"), "UTF-8"))
+        parts.append(F.encode(F.substring(px, 64 * k + 1, 64), "UTF-8"))
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.concat(*parts).alias("payload"),
+        F.struct(
+            F.lit(8).alias("width"), F.lit(8).alias("height"),
+            F.lit(160).alias("duration_ms"), F.lit("y4m").alias("codec"),
+        ).alias("meta"),
+    )
+    # 25 fps x 40 ms sampling = every source frame, re-encoded as PGM
+    frames = MM.sample_frames(media, every_ms=40)
+
+    @pandas_udf("double")
+    def mad(prv, cur):
+        import pandas as pd
+
+        from rc_rag_spark.operators import imagecodec
+
+        out = []
+        for a, b in zip(prv, cur):
+            fa = imagecodec.decode_pnm(bytes(a)).data
+            fb = imagecodec.decode_pnm(bytes(b)).data
+            # exact integer sum / constant: bit-identical to SQL
+            out.append(sum(abs(x - y) for x, y in zip(fa, fb)) / 64.0)
+        return pd.Series(out)
+
+    cur = frames.select(
+        "media_id", F.col("frame_idx").alias("k"),
+        F.col("frame_payload").alias("cur"),
+    )
+    prv = frames.select(
+        "media_id", (F.col("frame_idx") + 1).alias("k"),
+        F.col("frame_payload").alias("prv"),
+    )
+    motion = cur.join(prv, ["media_id", "k"]).select(
+        "media_id", "k", F.round(mad("prv", "cur"), 6).alias("motion")
+    )
+    w = Window.partitionBy("media_id").orderBy(
+        F.col("motion").desc(), F.col("k")
+    )
+    return (
+        motion.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("media_id").alias("doc_id"),
+            F.col("k").cast("int").alias("keyframe_idx"),
+            F.col("motion").alias("max_motion"),
+        )
+    )
