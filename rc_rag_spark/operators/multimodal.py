@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -185,6 +186,88 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
             )
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+REAL_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind_detected", StringType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("feature", ArrayType(DoubleType())),
+    ]
+)
+
+
+def extract_features_real(media: DataFrame) -> DataFrame:
+    """REAL feature extraction with per-row modality dispatch — the
+    one-pass shape of a mixed-modality curation pipeline: a single
+    Arrow-batched mapInPandas sniffs each payload's container magic
+    and routes it through the matching stdlib codec
+    (imagecodec PNG/P5/P6, audiocodec RIFF/WAVE, videocodec
+    YUV4MPEG2), emitting a 2-float feature per row:
+
+      image  [mean pixel, max pixel]
+      audio  [mean sample, max sample]
+      video  [mean luma over all frames, mean abs inter-frame diff]
+
+    Undecodable payloads emit kind_detected='unknown' with a NULL
+    feature instead of failing the batch — at 100 TB a poison row
+    must quarantine, not kill the stage. All kernels are exact
+    integer sums over constants, so a SQL oracle recomputes them.
+    Unlike extract_features (the fake-kernel plumbing twin kept for
+    q73's oracle), nothing here is a stand-in."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from rc_rag_spark.operators import audiocodec, imagecodec, videocodec
+
+        for pdf in batches:
+            out = {
+                "media_id": [], "kind_detected": [], "n_bytes": [],
+                "feature": [],
+            }
+            for _, row in pdf.iterrows():
+                p = bytes(row["payload"] or b"")
+                kind, feat = "unknown", None
+                try:
+                    if p[:8] == b"\x89PNG\r\n\x1a\n" or p[:2] in (b"P5", b"P6"):
+                        img = imagecodec.decode(p)
+                        kind = "image"
+                        feat = [
+                            sum(img.data) / len(img.data),
+                            float(max(img.data)),
+                        ]
+                    elif p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+                        clip = audiocodec.decode(p)
+                        kind = "audio"
+                        feat = [
+                            sum(clip.samples) / len(clip.samples),
+                            float(max(clip.samples)),
+                        ]
+                    elif p[:9] == b"YUV4MPEG2":
+                        vid = videocodec.decode(p)
+                        kind = "video"
+                        n_px = sum(len(f.data) for f in vid.frames)
+                        total = sum(sum(f.data) for f in vid.frames)
+                        diffs = [
+                            sum(
+                                abs(a - b)
+                                for a, b in zip(f0.data, f1.data)
+                            ) / len(f0.data)
+                            for f0, f1 in zip(vid.frames, vid.frames[1:])
+                        ]
+                        feat = [
+                            total / n_px,
+                            sum(diffs) / len(diffs) if diffs else 0.0,
+                        ]
+                except (ValueError, ZeroDivisionError):
+                    kind, feat = "unknown", None
+                out["media_id"].append(row["media_id"])
+                out["kind_detected"].append(kind)
+                out["n_bytes"].append(len(p))
+                out["feature"].append(feat)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, REAL_FEATURE_SCHEMA)
 
 
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:

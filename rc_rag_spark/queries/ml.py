@@ -1277,3 +1277,99 @@ def q219_video_keyframe_real(spark, sf_dir):
             F.col("motion").alias("max_motion"),
         )
     )
+
+
+@register(
+    "q220_multimodal_dispatch",
+    sql="""
+    WITH p AS (
+        SELECT doc_id, rpad(substr(text, 1, 128), 128, 'x') AS s
+        FROM documents),
+    u AS (
+        SELECT doc_id, i, ord(substr(s, i, 1)) AS b
+        FROM p, (SELECT unnest(generate_series(1, 128)) AS i) g),
+    agg AS (
+        SELECT doc_id,
+               SUM(CASE WHEN i <= 64 THEN b END) AS s64,
+               MAX(CASE WHEN i <= 64 THEN b END) AS m64,
+               SUM(b) AS s128
+        FROM u GROUP BY doc_id),
+    mot AS (
+        SELECT a.doc_id,
+               SUM(abs(c.b - a.b)) AS sdiff
+        FROM u a JOIN u c ON c.doc_id = a.doc_id AND c.i = a.i + 64
+        WHERE a.i <= 64 GROUP BY a.doc_id)
+    SELECT g.doc_id,
+           CASE g.doc_id % 3 WHEN 0 THEN 'image'
+                             WHEN 1 THEN 'audio'
+                             ELSE 'video' END AS kind_detected,
+           round(CASE g.doc_id % 3
+                 WHEN 0 THEN g.s64 / 64.0
+                 WHEN 1 THEN g.s64 / 64.0
+                 ELSE g.s128 / 128.0 END, 6) AS f_level,
+           round(CASE g.doc_id % 3
+                 WHEN 0 THEN CAST(g.m64 AS DOUBLE)
+                 WHEN 1 THEN CAST(g.m64 AS DOUBLE)
+                 ELSE m.sdiff / 64.0 END, 6) AS f_shape
+    FROM agg g JOIN mot m ON m.doc_id = g.doc_id
+    """,
+    tags=("multimodal", "decode", "dispatch"),
+)
+def q220_multimodal_dispatch(spark, sf_dir):
+    """Mixed-modality corpus through ONE dispatching pass
+    (extract_features_real): documents become PGM images (doc_id%3=0,
+    64 chars), 8-bit PCM WAVs (=1, 64 chars), or 2-frame Y4M clips
+    (=2, 128 chars); a single Arrow mapInPandas sniffs each
+    container's magic, decodes with the matching stdlib codec, and
+    emits [level, shape] features — mean pixel/sample/luma and max
+    pixel/sample or inter-frame motion. The oracle recomputes all
+    three branches from ord() arithmetic keyed on doc_id % 3 (the
+    image and audio branches share numbers by construction — the
+    DISPATCH is what distinguishes them, pinned by kind_detected).
+    Scale shape: payload synthesis is codegen'd binary concat chosen
+    by a CASE; decode cost is bounded per payload; one row out per
+    document, no shuffle."""
+    import struct as _struct
+
+    from rc_rag_spark.operators import multimodal as MM
+    from rc_rag_spark.sources import table as _table
+
+    wav_header = (
+        b"RIFF" + _struct.pack("<I", 36 + 64) + b"WAVE"
+        + b"fmt " + _struct.pack("<I", 16)
+        + _struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+        + b"data" + _struct.pack("<I", 64)
+    )
+    d = _table(spark, sf_dir, "documents")
+    px64 = F.rpad(F.substring("text", 1, 64), 64, "x")
+    px128 = F.rpad(F.substring("text", 1, 128), 128, "x")
+    image = F.concat(
+        F.encode(F.lit("P5\n8 8\n255\n"), "UTF-8"), F.encode(px64, "UTF-8")
+    )
+    audio = F.concat(F.lit(wav_header), F.encode(px64, "UTF-8"))
+    video = F.concat(
+        F.encode(F.lit("YUV4MPEG2 W8 H8 F25:1 Ip A1:1 Cmono\n"), "UTF-8"),
+        F.encode(F.lit("FRAME\n"), "UTF-8"),
+        F.encode(F.substring(px128, 1, 64), "UTF-8"),
+        F.encode(F.lit("FRAME\n"), "UTF-8"),
+        F.encode(F.substring(px128, 65, 64), "UTF-8"),
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("media").alias("kind"),
+        F.when(F.col("doc_id") % 3 == 0, image)
+        .when(F.col("doc_id") % 3 == 1, audio)
+        .otherwise(video)
+        .alias("payload"),
+        F.struct(
+            F.lit(8).alias("width"), F.lit(8).alias("height"),
+            F.lit(0).alias("duration_ms"), F.lit("mixed").alias("codec"),
+        ).alias("meta"),
+    )
+    feats = MM.extract_features_real(media)
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        "kind_detected",
+        F.round(F.element_at("feature", 1), 6).alias("f_level"),
+        F.round(F.element_at("feature", 2), 6).alias("f_shape"),
+    )

@@ -169,3 +169,44 @@ def test_q99_image_resize_runs(spark, sf_dir):
     out = q.REGISTRY["q99_image_resize"].fn(spark, sf_dir).collect()
     assert len(out) == 1 and out[0]["kind"] == "image"
     assert out[0]["min_w"] == 32 and out[0]["max_h"] == 32
+
+
+def test_extract_features_real_dispatch_and_quarantine(spark):
+    """extract_features_real routes by container magic (image/audio/
+    video through their real codecs) and QUARANTINES undecodable
+    payloads as kind_detected='unknown' with a NULL feature instead
+    of failing the batch."""
+    import struct
+
+    from rc_rag_spark.operators import audiocodec, videocodec
+    from rc_rag_spark.operators.imagecodec import SimpleImage, encode_pnm
+
+    img = encode_pnm(SimpleImage("L", (2, 2), bytes([10, 20, 30, 40])))
+    wav = audiocodec.encode_wav(audiocodec.SimpleAudio(8000, 1, 1, [5, 15]))
+    y4m = videocodec.encode_y4m(
+        videocodec.SimpleVideo(
+            (2, 1), (25, 1), "mono",
+            [SimpleImage("L", (2, 1), bytes([0, 10])),
+             SimpleImage("L", (2, 1), bytes([4, 2]))],
+        )
+    )
+    # RIFF magic but truncated garbage: must quarantine, not raise
+    poison = b"RIFF" + struct.pack("<I", 4) + b"WAVEjunk"
+    rows = [
+        (0, "media", img, (2, 2, 0, "pgm")),
+        (1, "media", wav, (0, 0, 0, "wav")),
+        (2, "media", y4m, (2, 1, 80, "y4m")),
+        (3, "media", poison, (0, 0, 0, "?")),
+        (4, "media", b"plain bytes", (0, 0, 0, "?")),
+    ]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in MM.extract_features_real(media).collect()}
+    assert got[0]["kind_detected"] == "image"
+    assert got[0]["feature"] == [25.0, 40.0]
+    assert got[1]["kind_detected"] == "audio"
+    assert got[1]["feature"] == [10.0, 15.0]
+    assert got[2]["kind_detected"] == "video"
+    assert got[2]["feature"] == [4.0, 6.0]  # mean luma; mean |diff| per px
+    for pid in (3, 4):
+        assert got[pid]["kind_detected"] == "unknown"
+        assert got[pid]["feature"] is None
