@@ -99,6 +99,31 @@ def main() -> None:
     run_semdedup(None, "uncapped")
     run_semdedup(1024, "cap 1024")
 
+    # Hierarchical variant on the same mega-cluster corpus: the
+    # super-cap bounds level-2 task memory BEFORE leaf assignment, and
+    # only m = ceil(n/(64*512)) super-seeds are ever broadcast.
+    from rc_rag_spark.operators.semdedup import semdedup_hierarchical
+
+    t0 = time.perf_counter()
+    hout = semdedup_hierarchical(
+        vec_df, id_col="vec_id", vec_col="v",
+        target_cluster_size=512, max_cluster_size=1024,
+        super_factor=4, max_super_size=4096,
+        bit_exact=False,
+    )
+    hbiggest = (
+        hout.groupBy("scell", "ssalt", "cid", "salt").count()
+        .agg(F.max("count")).first()[0]
+    )
+    hkept = hout.where(F.col("kept") == 1).count()
+    hdt = time.perf_counter() - t0
+    print(f"hierarchical cap 1024: {hdt:.1f}s biggest-block={hbiggest} "
+          f"kept={hkept}", file=sys.stderr)
+    lines.append(
+        f"| hierarchical (super-cap 4096, cap 1024) | {hdt:.1f} s "
+        f"| {hbiggest:,} | {hkept:,} |"
+    )
+
     # ------------------------------------------------------- skew join
     # fact: n_fact rows, key 0 owns 20%; dim: 2,000 keys. Broadcast is
     # disabled so the join must shuffle — the regime the salting claim
