@@ -53,11 +53,17 @@ DEFAULT = [
     "q196_kmv_distinct",
     # round-5/7 additions: SemDeDup claims n·cap (oracle is quadratic
     # — the engine path must not be), PQ-coded ANN serving, real
-    # image/audio decode over mapInPandas
+    # image/audio/video decode over mapInPandas, two-level seeding,
+    # frame-join keyframe pipeline, mixed-modality dispatch
     "q212_semdedup_scaled",
     "q213_image_decode_stats",
     "q214_ivf_pq_adc",
     "q215_audio_decode_stats",
+    "q216_audio_stereo_downmix",
+    "q217_semdedup_hierarchical",
+    "q218_video_decode_stats",
+    "q219_video_keyframe_real",
+    "q220_multimodal_dispatch",
 ]
 
 
