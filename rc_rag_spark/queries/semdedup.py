@@ -1001,41 +1001,59 @@ def q214_ivf_pq_adc(spark, sf_dir):
     terms (q169 discipline) make cell choice, code choice, and the
     final ranking hash-identical on both engines; ties break by id."""
     e = table(spark, sf_dir, "embeddings")
-    xs = (
-        e.select(
-            "vec_id",
-            F.posexplode(F.col("embedding").cast("array<double>")).alias(
-                "pos0", "x"
+    # PACKED-VECTOR kernels (round-7 rewrite of the exploded
+    # (vec_id, pos)-row form): every distance is one zip_with +
+    # decimal fold over whole arrays, so the coarse stage flows n·k
+    # rows instead of n·k·d and the PQ stage n·S·k instead of n·d·k —
+    # the d-factor never hits a shuffle or an aggregation. The fold
+    # adds the SAME round-at-1e-12 decimal(28,12) terms the exploded
+    # form summed (decimal addition is exact, so grouping/order can't
+    # change the value) — cell choice, codes, LUT, and the final
+    # ranking stay hash-identical to the DuckDB oracle.
+    ev = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).localCheckpoint(eager=True)
+
+    def sq_dist(a, b):
+        return F.aggregate(
+            F.zip_with(
+                a, b,
+                lambda x, c: F.round((x - c) * (x - c), 12).cast(
+                    "decimal(28,12)"
+                ),
             ),
+            F.lit(0).cast("decimal(28,12)"),
+            lambda acc, t: (acc + t).cast("decimal(28,12)"),
         )
-        .select(
-            "vec_id",
-            (F.col("pos0") + 1).cast("int").alias("pos"),
-            F.floor(F.col("pos0") / 16).cast("int").alias("s"),
-            "x",
+
+    def subspaces(df, out_id):
+        """(id, s, sv): the S=4 16-dim subvector slices of v."""
+        return df.select(
+            out_id,
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("s"),
+            "v",
+        ).select(
+            out_id, "s",
+            F.slice("v", F.col("s") * 16 + 1, 16).alias("sv"),
         )
-        .localCheckpoint(eager=True)
-    )
-    seeds = xs.where(F.col("vec_id") < 4).select(
-        F.col("vec_id").cast("int").alias("cid"), "pos", F.col("x").alias("c")
-    )
-    cb = xs.where(F.col("vec_id") < 4).select(
-        F.col("vec_id").cast("int").alias("pcid"),
-        "s",
-        "pos",
-        F.col("x").alias("c"),
-    )
-    term = F.round(
-        (F.col("x") - F.col("c")) * (F.col("x") - F.col("c")), 12
-    ).cast("decimal(28,12)")
 
-    corpus = xs.where(F.col("vec_id") >= 5)
-    queries = xs.where(F.col("vec_id") < 5)
+    seeds_p = ev.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("v").alias("cv"),
+        F.lit(1).alias("_j"),
+    )
+    cb_p = subspaces(
+        ev.where(F.col("vec_id") < 4).select(
+            F.col("vec_id").cast("int").alias("pcid"), "v"
+        ),
+        "pcid",
+    ).select("pcid", "s", F.col("sv").alias("csv"))
 
-    dc = (
-        corpus.join(F.broadcast(seeds), "pos")
-        .groupBy("vec_id", "cid")
-        .agg(F.sum(term).alias("dist"))
+    corpus_v = ev.where(F.col("vec_id") >= 5).withColumn("_j", F.lit(1))
+    queries_v = ev.where(F.col("vec_id") < 5).withColumn("_j", F.lit(1))
+
+    dc = corpus_v.join(F.broadcast(seeds_p), "_j").select(
+        "vec_id", "cid", sq_dist(F.col("v"), F.col("cv")).alias("dist")
     )
     w_cell = Window.partitionBy("vec_id").orderBy("dist", "cid")
     cell = (
@@ -1044,10 +1062,10 @@ def q214_ivf_pq_adc(spark, sf_dir):
         .select("vec_id", F.col("cid").alias("cell"))
     )
 
-    dpq = (
-        corpus.join(F.broadcast(cb), ["s", "pos"])
-        .groupBy("vec_id", "s", "pcid")
-        .agg(F.sum(term).alias("dist"))
+    corpus_sub = subspaces(corpus_v, "vec_id")
+    dpq = corpus_sub.join(F.broadcast(cb_p), "s").select(
+        "vec_id", "s", "pcid",
+        sq_dist(F.col("sv"), F.col("csv")).alias("dist"),
     )
     w_code = Window.partitionBy("vec_id", "s").orderBy("dist", "pcid")
     codes = (
@@ -1056,10 +1074,8 @@ def q214_ivf_pq_adc(spark, sf_dir):
         .select("vec_id", "s", F.col("pcid").alias("code"))
     )
 
-    dq = (
-        queries.join(F.broadcast(seeds), "pos")
-        .groupBy("vec_id", "cid")
-        .agg(F.sum(term).alias("dist"))
+    dq = queries_v.join(F.broadcast(seeds_p), "_j").select(
+        "vec_id", "cid", sq_dist(F.col("v"), F.col("cv")).alias("dist")
     )
     w_probe = Window.partitionBy("vec_id").orderBy("dist", "cid")
     probe = (
@@ -1068,13 +1084,10 @@ def q214_ivf_pq_adc(spark, sf_dir):
         .select(F.col("vec_id").alias("query_id"), F.col("cid").alias("cell"))
     )
 
-    lut = (
-        queries.join(F.broadcast(cb), ["s", "pos"])
-        .groupBy("vec_id", "s", "pcid")
-        .agg(F.sum(term).alias("pdist"))
-        .select(
-            F.col("vec_id").alias("query_id"), "s", "pcid", "pdist"
-        )
+    queries_sub = subspaces(queries_v, "vec_id")
+    lut = queries_sub.join(F.broadcast(cb_p), "s").select(
+        F.col("vec_id").alias("query_id"), "s", "pcid",
+        sq_dist(F.col("sv"), F.col("csv")).alias("pdist"),
     )
 
     cand = (
