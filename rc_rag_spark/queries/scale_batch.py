@@ -123,15 +123,39 @@ def q169_kmeans_embeddings(spark, sf_dir):
     c = x.where(F.col("vec_id") < _KM_K).select(
         F.col("vec_id").cast("int").alias("cid"), "pos", F.col("x").alias("c")
     )
+    # Packed twin of the corpus for the distance stage (round-7): the
+    # assignment flows n·k rows (one zip_with + exact-decimal fold per
+    # (vector, centroid) pair) instead of n·d·k exploded rows — the
+    # d-factor only appears in the per-dimension MEAN stage, where
+    # long form is the natural shape. Fold terms are the same
+    # round-at-1e-12 decimal(28,12) values the exploded sum added
+    # (decimal addition is exact), so assignments and centroids stay
+    # hash-identical to the oracle's chained CTEs.
+    ev = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("_j", F.lit(1)).localCheckpoint(eager=True)
+
     a = None
     for _ in range(_KM_STEPS):
-        dist_term = F.round(
-            (F.col("x") - F.col("c")) * (F.col("x") - F.col("c")), 12
-        ).cast("decimal(28,12)")
-        d = (
-            x.join(F.broadcast(c), "pos")
-            .groupBy("vec_id", "cid")
-            .agg(F.sum(dist_term).alias("dist"))
+        cp = c.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("cv")
+        ).withColumn("_j", F.lit(1))
+        d = ev.join(F.broadcast(cp), "_j").select(
+            "vec_id",
+            "cid",
+            F.aggregate(
+                F.zip_with(
+                    F.col("v"), F.col("cv"),
+                    lambda xx, cc: F.round(
+                        (xx - cc) * (xx - cc), 12
+                    ).cast("decimal(28,12)"),
+                ),
+                F.lit(0).cast("decimal(28,12)"),
+                lambda acc, t: (acc + t).cast("decimal(28,12)"),
+            ).alias("dist"),
         )
         w = Window.partitionBy("vec_id").orderBy("dist", "cid")
         a = (
