@@ -599,42 +599,60 @@ def q179_srp_signatures(spark, sf_dir):
     )
     corpus = e.unionByName(planted)
 
-    x = corpus.select(
-        "vec_id", F.posexplode("v").alias("pos0", "x")
-    ).select("vec_id", (F.col("pos0") + 1).cast("int").alias("pos"), "x")
-    xj = x.select(
-        "vec_id",
-        "pos",
-        "x",
-        F.explode(F.sequence(F.lit(0), F.lit(_SRP_BITS - 1))).alias("j"),
-    )
-    r = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        "#",
-                        F.lit("srp"),
-                        F.col("j").cast("string"),
-                        F.col("pos").cast("string"),
-                    )
+    # Packed projection (round-7): the 16 hyperplanes are materialized
+    # ONCE as a 16-row broadcast table of md5-derived coefficient
+    # arrays — the exploded form recomputed an interpreted md5 for
+    # every (vector, plane, dim) row (n·16·d of them); now there are
+    # exactly 16·d md5 calls total and each signature bit is one
+    # zip_with + exact-decimal fold over the packed vector (n·16 rows
+    # through the aggregation, no d-factor). Same round-at-1e-12
+    # decimal terms ⇒ identical sign decisions ⇒ identical codes.
+    dim_row = corpus.select(F.size("v").alias("d")).first()
+    dim = int(dim_row["d"])
+
+    def r_of(j_col, pos_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "#",
+                            F.lit("srp"),
+                            j_col.cast("string"),
+                            pos_col.cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
                 ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 2001
-        - 1000
-    )
-    term = F.round(r * F.col("x"), 12).cast("decimal(28,12)")
-    bits = (
-        xj.select("vec_id", "j", term.alias("t"))
-        .groupBy("vec_id", "j")
-        .agg(
-            F.when(F.sum("t") >= 0, 1).otherwise(0).alias("bit")
+                16,
+                10,
+            ).cast("long")
+            % 2001
+            - 1000
         )
+
+    planes = spark.range(_SRP_BITS).select(
+        F.col("id").cast("int").alias("j"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda p: r_of(F.col("id"), p),
+        ).alias("rv"),
+        F.lit(1).alias("_jk"),
+    )
+    proj = F.aggregate(
+        F.zip_with(
+            F.col("v"), F.col("rv"),
+            lambda x, r: F.round(r * x, 12).cast("decimal(28,12)"),
+        ),
+        F.lit(0).cast("decimal(28,12)"),
+        lambda acc, t: (acc + t).cast("decimal(28,12)"),
+    )
+    bits = corpus.withColumn("_jk", F.lit(1)).join(
+        F.broadcast(planes), "_jk"
+    ).select(
+        "vec_id", "j",
+        F.when(proj >= 0, 1).otherwise(0).alias("bit"),
     )
     codes = (
         bits.groupBy("vec_id")
