@@ -480,32 +480,43 @@ def q178_pq_codes(spark, sf_dir):
     DECIMAL distance terms keep assignment and error hash-identical
     under any partitioning (the q169 discipline)."""
     e = table(spark, sf_dir, "embeddings")
-    xs = (
-        e.select(
+    # Packed subvector assignment (round-7, the q214 kernel shape):
+    # (vec, s) slices join the 16-row packed codebook on s and each
+    # distance is one zip_with + exact-decimal fold — n·S·k rows flow
+    # through the aggregation instead of n·d·k exploded ones. Same
+    # round-at-1e-12 decimal terms ⇒ identical codes and sq_err.
+    ev = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).localCheckpoint(eager=True)
+
+    def subspaces(df):
+        return df.select(
             "vec_id",
-            F.posexplode(F.col("embedding").cast("array<double>")).alias(
-                "pos", "x"
+            F.explode(
+                F.sequence(F.lit(0), F.lit(_PQ_SUB - 1))
+            ).alias("s"),
+            "v",
+        ).select(
+            "vec_id", "s",
+            F.slice("v", F.col("s") * _PQ_DIM + 1, _PQ_DIM).alias("sv"),
+        )
+
+    cb_p = subspaces(ev.where(F.col("vec_id") < _PQ_K)).select(
+        F.col("vec_id").cast("int").alias("cid"), "s",
+        F.col("sv").alias("csv"),
+    )
+    d = subspaces(ev).join(F.broadcast(cb_p), "s").select(
+        "vec_id", "s", "cid",
+        F.aggregate(
+            F.zip_with(
+                F.col("sv"), F.col("csv"),
+                lambda x, c: F.round((x - c) * (x - c), 12).cast(
+                    "decimal(28,12)"
+                ),
             ),
-        )
-        .withColumn("pos", (F.col("pos") + 1).cast("int"))
-        .withColumn(
-            "s", F.floor((F.col("pos") - 1) / _PQ_DIM).cast("int")
-        )
-        .localCheckpoint(eager=True)
-    )
-    cb = xs.where(F.col("vec_id") < _PQ_K).select(
-        F.col("vec_id").cast("int").alias("cid"),
-        "s",
-        "pos",
-        F.col("x").alias("c"),
-    )
-    dist_term = F.round(
-        (F.col("x") - F.col("c")) * (F.col("x") - F.col("c")), 12
-    ).cast("decimal(28,12)")
-    d = (
-        xs.join(F.broadcast(cb.drop("s")), "pos")
-        .groupBy("vec_id", "s", "cid")
-        .agg(F.sum(dist_term).alias("dist"))
+            F.lit(0).cast("decimal(28,12)"),
+            lambda acc, t: (acc + t).cast("decimal(28,12)"),
+        ).alias("dist"),
     )
     w = Window.partitionBy("vec_id", "s").orderBy("dist", "cid")
     a = (
