@@ -64,6 +64,42 @@ from rc_rag_spark.sources import table
 # q175 — SemDeDup: cluster-then-dedup over embeddings ∪ planted copies.
 
 _SD_K = 4            # clusters; seeds = embeddings of vec_id 0..k-1
+
+
+def _assign_packed(corpus_v, k):
+    """Shared packed k-means assignment (round-7): (vec_id, cid) by
+    argmin over the first-k seed vectors, each distance one zip_with +
+    exact-decimal fold per (vector, seed) pair — n·k rows through the
+    aggregation instead of the exploded form's n·d·k. The fold adds
+    the same round-at-1e-12 decimal(28,12) terms, so assignments are
+    hash-identical to the chained-CTE oracles. `corpus_v` must carry
+    (vec_id, v: array<double>)."""
+    seeds = corpus_v.where(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("v").alias("cv"),
+        F.lit(1).alias("_jk"),
+    )
+    d = corpus_v.withColumn("_jk", F.lit(1)).join(
+        F.broadcast(seeds), "_jk"
+    ).select(
+        "vec_id", "cid",
+        F.aggregate(
+            F.zip_with(
+                F.col("v"), F.col("cv"),
+                lambda x, c: F.round((x - c) * (x - c), 12).cast(
+                    "decimal(28,12)"
+                ),
+            ),
+            F.lit(0).cast("decimal(28,12)"),
+            lambda acc, t: (acc + t).cast("decimal(28,12)"),
+        ).alias("dist"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
 _SD_THRESHOLD = 0.95  # cosine cut inside a cluster
 
 
@@ -134,6 +170,13 @@ def q175_semdedup(spark, sf_dir):
     )
     corpus = e.unionByName(planted).localCheckpoint(eager=True)
 
+    # Exploded long-form assignment kept deliberately (measured): with
+    # the checkpointed corpus feeding BOTH this stage and the pair
+    # stage, the codegen'd pos-join sum beats the interpreted
+    # _assign_packed fold here (7.0 s vs 8.2 s at sf0.1) — the packed
+    # kernel wins where it removes an eager exploded checkpoint or an
+    # md5 storm (q169/q178/q179/q214) or a raw scan (q180), not where
+    # the exploded sum already ran inside whole-stage codegen.
     x = corpus.select(
         "vec_id", F.posexplode("v").alias("pos", "x")
     ).withColumn("pos", (F.col("pos") + 1).cast("int"))
@@ -755,28 +798,11 @@ def q180_cluster_balanced_sample(spark, sf_dir):
     table. (A per-cluster exact-T variant would row_number within
     cid; the rate form avoids that skew-prone sort entirely.)"""
     e = table(spark, sf_dir, "embeddings")
-    x = e.select(
-        "vec_id",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias(
-            "pos", "x"
+    assign = _assign_packed(
+        e.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
         ),
-    ).withColumn("pos", (F.col("pos") + 1).cast("int"))
-    c = x.where(F.col("vec_id") < _SD_K).select(
-        F.col("vec_id").cast("int").alias("cid"), "pos", F.col("x").alias("c")
-    )
-    dist_term = F.round(
-        (F.col("x") - F.col("c")) * (F.col("x") - F.col("c")), 12
-    ).cast("decimal(28,12)")
-    d = (
-        x.join(F.broadcast(c), "pos")
-        .groupBy("vec_id", "cid")
-        .agg(F.sum(dist_term).alias("dist"))
-    )
-    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
-    assign = (
-        d.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "cid")
+        _SD_K,
     )
     sizes = assign.groupBy("cid").agg(F.count("*").alias("n_c"))
     h = (
