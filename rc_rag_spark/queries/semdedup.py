@@ -1351,3 +1351,270 @@ def q217_semdedup_hierarchical(spark, sf_dir):
         super_factor=4,
         max_super_size=_SD3_SUPER_CAP,
     )
+
+
+# --------------------------------------------------------------------------
+# q221 — IVFADC with RESIDUAL PQ encoding (the full Jegou formulation).
+
+
+@register(
+    "q221_ivfadc_residual",
+    sql=f"""
+    WITH x AS (
+        SELECT vec_id,
+               CAST(generate_subscripts(embedding, 1) AS INTEGER) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings),
+    seeds AS (SELECT CAST(vec_id AS INTEGER) AS cid, pos, x AS c
+              FROM x WHERE vec_id < 4),
+    dc AS (
+        SELECT x.vec_id, seeds.cid,
+               SUM(CAST(round((x.x - seeds.c) * (x.x - seeds.c), 12)
+                        AS DECIMAL(28,12))) AS dist
+        FROM x JOIN seeds ON seeds.pos = x.pos
+        WHERE x.vec_id >= 5
+        GROUP BY x.vec_id, seeds.cid),
+    cell AS (
+        SELECT vec_id, cid AS cell FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cid) AS rn
+            FROM dc) WHERE rn = 1),
+    -- corpus residuals w.r.t. the assigned coarse centroid
+    res AS (
+        SELECT x.vec_id, x.pos,
+               CAST((x.pos - 1) // 16 AS INTEGER) AS s,
+               x.x - sc.c AS r
+        FROM x
+        JOIN cell ON cell.vec_id = x.vec_id
+        JOIN seeds sc ON sc.cid = cell.cell AND sc.pos = x.pos
+        WHERE x.vec_id >= 5),
+    -- codebook: residual subvectors of vectors 5..8 (pcid = id-5)
+    cb AS (SELECT CAST(vec_id - 5 AS INTEGER) AS pcid, s, pos, r AS c
+           FROM res WHERE vec_id < 9),
+    dpq AS (
+        SELECT res.vec_id, res.s, cb.pcid,
+               SUM(CAST(round((res.r - cb.c) * (res.r - cb.c), 12)
+                        AS DECIMAL(28,12))) AS dist
+        FROM res JOIN cb ON cb.pos = res.pos AND cb.s = res.s
+        GROUP BY res.vec_id, res.s, cb.pcid),
+    codes AS (
+        SELECT vec_id, s, pcid AS code FROM (
+            SELECT vec_id, s, pcid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                      ORDER BY dist, pcid) AS rn
+            FROM dpq) WHERE rn = 1),
+    dq AS (
+        SELECT x.vec_id AS query_id, seeds.cid,
+               SUM(CAST(round((x.x - seeds.c) * (x.x - seeds.c), 12)
+                        AS DECIMAL(28,12))) AS dist
+        FROM x JOIN seeds ON seeds.pos = x.pos
+        WHERE x.vec_id < 5
+        GROUP BY x.vec_id, seeds.cid),
+    probe AS (
+        SELECT query_id, cid AS cell FROM (
+            SELECT query_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY dist, cid) AS rn
+            FROM dq) WHERE rn <= {_ADC_PROBE}),
+    -- query residual PER PROBED CELL (this is what raw-PQ ADC skips)
+    qres AS (
+        SELECT p.query_id, p.cell, x.pos,
+               CAST((x.pos - 1) // 16 AS INTEGER) AS s,
+               x.x - sc.c AS r
+        FROM probe p
+        JOIN x ON x.vec_id = p.query_id
+        JOIN seeds sc ON sc.cid = p.cell AND sc.pos = x.pos),
+    lut AS (
+        SELECT q.query_id, q.cell, q.s, cb.pcid,
+               SUM(CAST(round((q.r - cb.c) * (q.r - cb.c), 12)
+                        AS DECIMAL(28,12))) AS pdist
+        FROM qres q JOIN cb ON cb.pos = q.pos AND cb.s = q.s
+        GROUP BY q.query_id, q.cell, q.s, cb.pcid),
+    cand AS (
+        SELECT p.query_id, p.cell, c.vec_id, k.s, k.code
+        FROM probe p
+        JOIN cell c ON c.cell = p.cell
+        JOIN codes k ON k.vec_id = c.vec_id),
+    adc AS (
+        SELECT cand.query_id, cand.vec_id AS neighbor_id,
+               SUM(l.pdist) AS approx_dist
+        FROM cand
+        JOIN lut l ON l.query_id = cand.query_id AND l.cell = cand.cell
+                  AND l.s = cand.s AND l.pcid = cand.code
+        GROUP BY cand.query_id, cand.vec_id)
+    SELECT query_id, neighbor_id,
+           round(CAST(approx_dist AS DOUBLE), 9) AS approx_dist,
+           CAST(rank AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY query_id
+              ORDER BY approx_dist, neighbor_id) AS rank
+          FROM adc)
+    WHERE rank <= {_ADC_K}
+    """,
+    tags=("ann", "ivf", "pq", "adc", "residual", "embeddings"),
+)
+def q221_ivfadc_residual(spark, sf_dir):
+    """IVFADC with RESIDUAL product quantization — the full Jegou et
+    al. 2011 formulation that q214 simplifies: PQ codes are learned on
+    r = x − c(cell) rather than on raw vectors, which is what makes
+    the fine quantizer's budget go to the DELTA around each coarse
+    centroid instead of re-describing the centroid itself; the query
+    side must therefore build one LUT PER PROBED CELL (q − c(cell) vs
+    the codebook) — the extra lut key that distinguishes real IVFADC
+    from raw-PQ ADC. All stages are the q214 packed kernels: coarse
+    assignment and per-subspace code choice are zip_with +
+    exact-decimal folds (n·k and n·S·k agg rows — no d-factor), the
+    residual subtraction is a plain per-element double subtraction
+    (bit-identical in both engines), and candidates are scored from
+    4-int codes with a broadcast LUT — codes-only shuffle. The oracle
+    replays assignment, residuals, codebook, codes, per-cell LUTs,
+    and ranking in DuckDB CTEs; hash-identical at three SFs."""
+    e = table(spark, sf_dir, "embeddings")
+    ev = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).localCheckpoint(eager=True)
+
+    def fold_sq(a, b):
+        return F.aggregate(
+            F.zip_with(
+                a, b,
+                lambda x, c: F.round((x - c) * (x - c), 12).cast(
+                    "decimal(28,12)"
+                ),
+            ),
+            F.lit(0).cast("decimal(28,12)"),
+            lambda acc, t: (acc + t).cast("decimal(28,12)"),
+        )
+
+    def subspaces(df, keys, vec="rv"):
+        return df.select(
+            *keys,
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("s"),
+            vec,
+        ).select(
+            *keys, "s",
+            F.slice(vec, F.col("s") * 16 + 1, 16).alias("sv"),
+        )
+
+    seeds_p = ev.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("v").alias("cv"),
+        F.lit(1).alias("_j"),
+    )
+    corpus_v = ev.where(F.col("vec_id") >= 5).withColumn("_j", F.lit(1))
+    queries_v = ev.where(F.col("vec_id") < 5).withColumn("_j", F.lit(1))
+
+    dc = corpus_v.join(F.broadcast(seeds_p), "_j").select(
+        "vec_id", "cid", fold_sq(F.col("v"), F.col("cv")).alias("dist")
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    cell = (
+        dc.withColumn("rn", F.row_number().over(w_cell))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("cell"))
+    )
+
+    # corpus residuals: one zip_with against the assigned centroid
+    resid = (
+        corpus_v.join(cell, "vec_id")
+        .join(
+            F.broadcast(
+                seeds_p.select(F.col("cid").alias("cell"), "cv")
+            ),
+            "cell",
+        )
+        .select(
+            "vec_id", "cell",
+            F.zip_with(
+                F.col("v"), F.col("cv"), lambda x, c: x - c
+            ).alias("rv"),
+        )
+    )
+    cb_p = subspaces(
+        resid.where(F.col("vec_id") < 9).select(
+            (F.col("vec_id") - 5).cast("int").alias("pcid"), "rv"
+        ),
+        ["pcid"],
+    ).select("pcid", "s", F.col("sv").alias("csv"))
+
+    dpq = subspaces(resid, ["vec_id"]).join(F.broadcast(cb_p), "s").select(
+        "vec_id", "s", "pcid",
+        fold_sq(F.col("sv"), F.col("csv")).alias("dist"),
+    )
+    w_code = Window.partitionBy("vec_id", "s").orderBy("dist", "pcid")
+    codes = (
+        dpq.withColumn("rn", F.row_number().over(w_code))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "s", F.col("pcid").alias("code"))
+    )
+
+    dq = queries_v.join(F.broadcast(seeds_p), "_j").select(
+        "vec_id", "cid", fold_sq(F.col("v"), F.col("cv")).alias("dist")
+    )
+    w_probe = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    probe = (
+        dq.withColumn("rn", F.row_number().over(w_probe))
+        .where(F.col("rn") <= _ADC_PROBE)
+        .select(F.col("vec_id").alias("query_id"), F.col("cid").alias("cell"))
+    )
+
+    # query residual per probed cell -> one LUT per (query, cell)
+    qres = (
+        probe.join(
+            queries_v.select(F.col("vec_id").alias("query_id"), "v"),
+            "query_id",
+        )
+        .join(
+            F.broadcast(
+                seeds_p.select(F.col("cid").alias("cell"), "cv")
+            ),
+            "cell",
+        )
+        .select(
+            "query_id", "cell",
+            F.zip_with(
+                F.col("v"), F.col("cv"), lambda x, c: x - c
+            ).alias("rv"),
+        )
+    )
+    lut = subspaces(qres, ["query_id", "cell"]).join(
+        F.broadcast(cb_p), "s"
+    ).select(
+        "query_id", "cell", "s", "pcid",
+        fold_sq(F.col("sv"), F.col("csv")).alias("pdist"),
+    )
+
+    cand = (
+        probe.join(cell, "cell")
+        .join(codes, "vec_id")
+        .select(
+            "query_id", "cell", "vec_id", "s",
+            F.col("code").alias("pcid"),
+        )
+    )
+    adc = (
+        cand.join(F.broadcast(lut), ["query_id", "cell", "s", "pcid"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("pdist").alias("approx_dist"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "approx_dist",
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        "approx_dist", "neighbor_id"
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w_rank).cast("int"))
+        .where(F.col("rank") <= _ADC_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("approx_dist").cast("double"), 9).alias(
+                "approx_dist"
+            ),
+            "rank",
+        )
+    )
