@@ -864,3 +864,120 @@ def q159_mixture_weights(spark, sf_dir):
             F.col("raw_w").cast("double") / F.col("zsum").cast("double"), 9
         ).alias("sample_weight"),
     )
+
+
+# --------------------------------------------------------------------------
+# q222 — content-defined chunking (rolling-hash CDC) + cross-doc dup chunks.
+
+_CDC_W = 8          # rolling window (chars)
+_CDC_B = 31         # polynomial base
+_CDC_MOD = 1048573  # prime modulus
+_CDC_MASK = 64      # boundary when h % 64 == 0 -> expected ~64-char chunks
+_CDC_LEN = 256      # analyzed prefix per document
+
+
+@register(
+    "q222_cdc_chunking",
+    sql=f"""
+    WITH p AS (
+        SELECT doc_id, rpad(substr(text, 1, {_CDC_LEN}), {_CDC_LEN}, 'x') AS s
+        FROM documents),
+    h AS (
+        SELECT doc_id, s, i,
+               ({' + '.join(f"CAST(ord(substr(s, i - {j}, 1)) AS BIGINT)"
+                            f" * {_CDC_B**j}"
+                            for j in range(_CDC_W))}) % {_CDC_MOD} AS hv
+        FROM p, (SELECT unnest(generate_series({_CDC_W}, {_CDC_LEN})) AS i) g),
+    ends AS (
+        SELECT doc_id, s, i AS e FROM h
+        WHERE hv % {_CDC_MASK} = 0 OR i = {_CDC_LEN}),
+    chunks AS (
+        SELECT doc_id, e,
+               COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY e), 0)
+                   + 1 AS b,
+               s
+        FROM ends),
+    cs AS (
+        SELECT doc_id, md5(substr(s, b, e - b + 1)) AS ch,
+               e - b + 1 AS clen
+        FROM chunks),
+    global_cnt AS (
+        SELECT ch, COUNT(DISTINCT doc_id) AS nd FROM cs GROUP BY ch)
+    SELECT cs.doc_id,
+           CAST(COUNT(*) AS INTEGER) AS n_chunks,
+           CAST(SUM(CASE WHEN g.nd > 1 THEN 1 ELSE 0 END) AS INTEGER)
+               AS dup_chunks,
+           round(AVG(cs.clen), 6) AS avg_len,
+           CAST(MAX(cs.clen) AS INTEGER) AS max_len
+    FROM cs JOIN global_cnt g ON g.ch = cs.ch
+    GROUP BY cs.doc_id
+    """,
+    tags=("corpus", "dedup", "cdc", "chunking"),
+)
+def q222_cdc_chunking(spark, sf_dir):
+    """Content-defined chunking — the rolling-hash primitive behind
+    shift-robust corpus dedup (Rabin/FastCDC lineage, public): a
+    boundary lands wherever the polynomial hash of the trailing
+    {_CDC_W}-char window satisfies h % {_CDC_MASK} == 0, so an edit
+    moves only the boundaries NEAR it and unchanged content re-chunks
+    identically — which is exactly what lets duplicated passages be
+    found across documents regardless of offset. Each document's
+    {_CDC_LEN}-char prefix is chunked, chunks are md5-keyed, and a
+    global distinct-doc count per key flags cross-document duplicate
+    chunks (dup_chunks per doc). Everything is integer arithmetic +
+    md5 on identical substrings, so DuckDB replays it exactly. Scale
+    shape: the position stream is a bounded explode per document
+    (native, codegen'd hash polynomial — no UDF), boundaries collapse
+    it ~{_CDC_MASK}:1 before the only shuffle (the chunk-hash count),
+    and the per-doc report is one partial agg. A production variant
+    with min/max chunk clamps drops into the same plan."""
+    d = table(spark, sf_dir, "documents")
+    p = d.select(
+        "doc_id",
+        F.rpad(F.substring("text", 1, _CDC_LEN), _CDC_LEN, "x").alias("s"),
+    )
+    i = F.col("i")
+    terms = [
+        F.ascii(F.expr(f"substr(s, i - {j}, 1)")).cast("bigint")
+        * F.lit(_CDC_B ** j)
+        for j in range(_CDC_W)
+    ]
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = acc + t
+    hv = acc % F.lit(_CDC_MOD)
+    h = p.select(
+        "doc_id", "s",
+        F.explode(F.sequence(F.lit(_CDC_W), F.lit(_CDC_LEN))).alias("i"),
+    ).select("doc_id", "s", "i", hv.alias("hv"))
+    ends = h.where(
+        (F.col("hv") % _CDC_MASK == 0) | (i == _CDC_LEN)
+    ).select("doc_id", "s", F.col("i").alias("e"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("e")
+    chunks = ends.select(
+        "doc_id", "e",
+        (F.coalesce(F.lag("e").over(w), F.lit(0)) + 1).alias("b"),
+        "s",
+    )
+    cs = chunks.select(
+        "doc_id",
+        F.md5(F.expr("substr(s, b, e - b + 1)")).alias("ch"),
+        (F.col("e") - F.col("b") + 1).alias("clen"),
+    )
+    global_cnt = cs.groupBy("ch").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    return (
+        cs.join(global_cnt, "ch")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_chunks"),
+            F.sum((F.col("nd") > 1).cast("int")).cast("int").alias(
+                "dup_chunks"
+            ),
+            F.round(F.avg("clen"), 6).alias("avg_len"),
+            F.max("clen").cast("int").alias("max_len"),
+        )
+    )
