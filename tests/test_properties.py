@@ -259,3 +259,85 @@ def test_hash_checked_results_partition_independent(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", before)
     for n in names:
         assert low[n] == high[n], n
+
+
+# ---------------------------------------------------------------- codecs
+
+_PCM_RANGES = {1: (0, 255), 2: (-(2**15), 2**15 - 1),
+               3: (-(2**23), 2**23 - 1), 4: (-(2**31), 2**31 - 1)}
+
+
+@settings(max_examples=40, deadline=None, derandomize=True)
+@given(
+    st.sampled_from([1, 2, 3, 4]),
+    st.integers(1, 3),
+    st.integers(1, 48000),
+    st.data(),
+)
+def test_wav_roundtrip_any_width_channels(width, n_ch, rate, data):
+    """encode_wav -> decode is the identity for every PCM width and
+    channel count, at any sample rate."""
+    from rc_rag_spark.operators import audiocodec as AC
+
+    lo, hi = _PCM_RANGES[width]
+    n_frames = data.draw(st.integers(0, 12))
+    samples = data.draw(
+        st.lists(st.integers(lo, hi), min_size=n_frames * n_ch,
+                 max_size=n_frames * n_ch)
+    )
+    clip = AC.SimpleAudio(rate, n_ch, width, samples)
+    out = AC.decode(AC.encode_wav(clip))
+    assert (out.sample_rate, out.n_channels, out.sample_width) == (
+        rate, n_ch, width
+    )
+    assert out.samples == samples
+
+
+@settings(max_examples=40, deadline=None, derandomize=True)
+@given(st.integers(1, 8), st.integers(1, 8), st.integers(0, 4), st.data())
+def test_y4m_roundtrip_mono(w, h, n_frames, data):
+    """encode_y4m -> decode is the identity for mono streams of any
+    geometry and frame count."""
+    from rc_rag_spark.operators import videocodec as VC
+    from rc_rag_spark.operators.imagecodec import SimpleImage
+
+    frames = [
+        SimpleImage(
+            "L", (w, h),
+            bytes(data.draw(
+                st.lists(st.integers(0, 255), min_size=w * h,
+                         max_size=w * h)
+            )),
+        )
+        for _ in range(n_frames)
+    ]
+    clip = VC.SimpleVideo((w, h), (30, 1), "mono", frames)
+    out = VC.decode(VC.encode_y4m(clip))
+    assert out.size == (w, h) and out.n_frames == n_frames
+    assert [f.data for f in out.frames] == [f.data for f in frames]
+
+
+@settings(max_examples=30, deadline=None, derandomize=True)
+@given(st.integers(1, 6), st.integers(1, 2000), st.integers(1, 2000),
+       st.data())
+def test_audio_resample_preserves_values_and_count(n_ch, src_rate,
+                                                   dst_rate, data):
+    """Nearest-neighbor resample: output frame count is exactly
+    n*dst//src, and every emitted frame is one of the source frames
+    (never interpolated/invented)."""
+    from rc_rag_spark.operators import audiocodec as AC
+
+    n_frames = data.draw(st.integers(0, 20))
+    samples = data.draw(
+        st.lists(st.integers(-100, 100), min_size=n_frames * n_ch,
+                 max_size=n_frames * n_ch)
+    )
+    clip = AC.SimpleAudio(src_rate, n_ch, 2, samples)
+    out = clip.resample(dst_rate)
+    assert out.n_frames == n_frames * dst_rate // src_rate
+    src_frames = [
+        tuple(samples[i * n_ch : (i + 1) * n_ch]) for i in range(n_frames)
+    ]
+    for i in range(out.n_frames):
+        fr = tuple(out.samples[i * n_ch : (i + 1) * n_ch])
+        assert fr == src_frames[i * n_frames // out.n_frames]
