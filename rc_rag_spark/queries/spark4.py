@@ -152,3 +152,229 @@ def q225_lateral_topk(spark, sf_dir):
         ) o
         """
     )
+
+
+@register(
+    "q226_pipe_syntax_pricing",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+               AS revenue
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    HAVING COUNT(*) > 10
+    """,
+    tags=("sql-pipe", "agg", "spark4"),
+)
+def q226_pipe_syntax_pricing(spark, sf_dir):
+    """SQL pipe syntax (Spark 4.0's `|>` operators, SPARK-49555): the
+    q01 pricing rollup re-spelled as a linear pipeline —
+    FROM |> WHERE |> EXTEND |> AGGREGATE ... GROUP BY |> WHERE (post-agg
+    HAVING) |> SELECT. Pipe SQL is a parser front end over the same
+    Catalyst plans, so the check pins that each staged operator
+    (EXTEND's computed column, AGGREGATE's implicit grouping output,
+    the post-aggregate WHERE) lowers to exactly the classic-SQL
+    semantics the oracle states. Decimal discipline identical to q01,
+    so the hash is drift-free; the physical plan remains the same
+    map-side-combine hash agg (grouping cardinality 6)."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "q226_lineitem"
+    )
+    return spark.sql(
+        """
+        FROM q226_lineitem
+        |> WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |> EXTEND CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (1 - CAST(l_discount AS DECIMAL(3,2))) AS disc_price
+        |> AGGREGATE COUNT(*) AS n_items,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                         AS sum_qty,
+                     CAST(SUM(disc_price) AS DOUBLE) AS revenue
+           GROUP BY l_returnflag, l_linestatus
+        |> WHERE n_items > 10
+        |> SELECT l_returnflag, l_linestatus, n_items, sum_qty, revenue
+        """
+    )
+
+
+_Q227_ARGS = {"lo": 50_000.0, "hi": 400_000.0, "status": "F"}
+
+
+@register(
+    "q227_parameterized_sql",
+    sql=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM orders
+    WHERE o_totalprice BETWEEN {_Q227_ARGS["lo"]} AND {_Q227_ARGS["hi"]}
+      AND o_orderstatus = '{_Q227_ARGS["status"]}'
+    GROUP BY o_orderpriority
+    """,
+    tags=("parameterized-sql", "spark4"),
+)
+def q227_parameterized_sql(spark, sf_dir):
+    """Named-parameter-marker SQL (spark.sql(..., args={...}), Spark
+    3.4+ / first-class in the 4.x line): the query text carries :lo /
+    :hi / :status markers and the literals are bound server-side as
+    typed parameters — the injection-safe front door a query service
+    exposes. The oracle inlines the same constants, so a binding bug
+    (type coercion, off-by-one on BETWEEN bounds) surfaces as a hash
+    mismatch. Plan-wise the bound literals participate in constant
+    folding and parquet predicate pushdown exactly like inline
+    literals."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("q227_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price
+        FROM q227_orders
+        WHERE o_totalprice BETWEEN :lo AND :hi
+          AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args=_Q227_ARGS,
+    )
+
+
+@register(
+    "q228_collated_grouping",
+    sql="""
+    WITH m AS (
+        SELECT CASE
+                 WHEN c_custkey % 3 = 0 THEN lower(c_mktsegment)
+                 WHEN c_custkey % 3 = 1 THEN c_mktsegment
+                 ELSE upper(substr(c_mktsegment, 1, 1))
+                      || lower(substr(c_mktsegment, 2))
+               END AS seg_m
+        FROM customer)
+    SELECT lower(min(seg_m)) AS segment,
+           COUNT(*) AS n_rows,
+           CAST(COUNT(DISTINCT seg_m) AS INTEGER) AS n_case_variants
+    FROM m
+    GROUP BY lower(seg_m)
+    """,
+    tags=("collation", "spark4"),
+)
+def q228_collated_grouping(spark, sf_dir):
+    """String collations (Spark 4.0, SPARK-46830): market segments are
+    deterministically case-mangled three ways by custkey residue, then
+    grouped under the UTF8_LCASE collation — the engine-native way to
+    get case-insensitive GROUP BY / DISTINCT without rewriting every
+    expression through lower(). The collated grouping key itself is an
+    arbitrary case representative, so the output canonicalizes through
+    lower(min(seg_m)) over the BINARY-collated source column (min is
+    deterministic there); n_case_variants counts binary-distinct
+    spellings inside each case-insensitive group (exactly 3 per
+    segment). The oracle replays the semantics with lower(). At scale
+    collation-aware grouping hashes the collation key directly — one
+    shuffle, no expression rewrite."""
+    c = table(spark, sf_dir, "customer")
+    k = F.col("c_custkey") % 3
+    seg_m = (
+        F.when(k == 0, F.lower("c_mktsegment"))
+        .when(k == 1, F.col("c_mktsegment"))
+        .otherwise(
+            F.concat(
+                F.upper(F.substring("c_mktsegment", 1, 1)),
+                F.lower(F.expr("substr(c_mktsegment, 2)")),
+            )
+        )
+    )
+    return (
+        c.select(seg_m.alias("seg_m"))
+        .groupBy(F.collate("seg_m", "UTF8_LCASE").alias("_ci_key"))
+        .agg(
+            F.lower(F.min("seg_m")).alias("segment"),
+            F.count("*").alias("n_rows"),
+            F.count_distinct(F.collate("seg_m", "UTF8_BINARY"))
+            .cast("int")
+            .alias("n_case_variants"),
+        )
+        .select("segment", "n_rows", "n_case_variants")
+    )
+
+
+_Q229_N = 20_000
+_Q229_PARTS = 8
+
+
+@register(
+    "q229_python_datasource",
+    sql=f"""
+    WITH t AS (
+        SELECT i AS id,
+               CAST(i % 7 AS INTEGER) AS k,
+               CAST((i * 31) % 1000 AS DOUBLE) / 10.0 AS v
+        FROM generate_series(0, {_Q229_N - 1}) s(i))
+    SELECT k, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sum_v,
+           MAX(id) AS max_id
+    FROM t GROUP BY k
+    """,
+    tags=("datasource", "python-api", "spark4"),
+)
+def q229_python_datasource(spark, sf_dir):
+    """Python Data Source API (Spark 4.0, SPARK-44076): a custom batch
+    source registered with spark.dataSource.register and read through
+    the normal spark.read.format(...) front door. The source splits its
+    row range into 8 InputPartitions, so the scan is genuinely parallel
+    (one Python reader per partition, Arrow-batched back to the JVM) —
+    the extension point for reading bespoke feeds (internal formats,
+    service APIs) as first-class tables. Rows are a deterministic
+    arithmetic series, so DuckDB's generate_series recomputes the
+    aggregate exactly; the grouped result is also independent of the
+    partition count, which is the partition-correctness check."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    n, parts = _Q229_N, _Q229_PARTS
+
+    class SynthReader(DataSourceReader):
+        def __init__(self, options):
+            self.n = int(options.get("n", 0))
+            self.parts = int(options.get("parts", 1))
+
+        def partitions(self):
+            return [InputPartition(i) for i in range(self.parts)]
+
+        def read(self, partition):
+            i = partition.value
+            chunk = (self.n + self.parts - 1) // self.parts
+            lo, hi = i * chunk, min((i + 1) * chunk, self.n)
+            for rid in range(lo, hi):
+                yield (rid, rid % 7, float((rid * 31) % 1000) / 10.0)
+
+    class SynthSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "rc_rag_synthrange"
+
+        def schema(self):
+            return "id bigint, k int, v double"
+
+        def reader(self, schema):
+            return SynthReader(self.options)
+
+    spark.dataSource.register(SynthSource)
+    df = (
+        spark.read.format("rc_rag_synthrange")
+        .option("n", str(n))
+        .option("parts", str(parts))
+        .load()
+    )
+    return df.groupBy("k").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("v").cast("decimal(18,6)")).cast("double").alias("sum_v"),
+        F.max("id").alias("max_id"),
+    )
