@@ -1,10 +1,13 @@
-"""Spark-4-native surfaces: Python UDTF (Arrow-optimized table
-function), the VARIANT semi-structured type, and correlated LATERAL
-subqueries — the three query-surface additions of the Spark 4 line,
-each oracle-checked. The reference pipeline has no counterpart for
-any of these (it is a fixed Python loop); they are part of the
-engine's derived surface, proving the repo tracks the platform's
-current query capabilities rather than a Spark-3 subset."""
+"""Spark-4-native surfaces, each oracle-checked: Python UDTF
+(Arrow-optimized table function), the VARIANT semi-structured type,
+correlated LATERAL subqueries, SQL pipe syntax (`|>`), named-parameter
+SQL, string collations (UTF8_LCASE grouping), the Python Data Source
+API (batch read here; the streaming-reader and writer halves live in
+rc_rag_spark/sources/pyds.py), and SQL UDFs (CREATE FUNCTION ...
+RETURN). The reference pipeline has no counterpart for any of these
+(it is a fixed Python loop); they are part of the engine's derived
+surface, proving the repo tracks the platform's current query
+capabilities rather than a Spark-3 subset."""
 
 from __future__ import annotations
 
@@ -273,7 +276,10 @@ def q228_collated_grouping(spark, sf_dir):
     lower(min(seg_m)) over the BINARY-collated source column (min is
     deterministic there); n_case_variants counts binary-distinct
     spellings inside each case-insensitive group (exactly 3 per
-    segment). The oracle replays the semantics with lower(). At scale
+    segment). The oracle replays the semantics with lower(), which
+    agrees with UTF8_LCASE only for ASCII data (Unicode case folding —
+    dotted/dotless I, sharp s — would diverge); TPC-H's c_mktsegment
+    is ASCII-only, so the equivalence is exact here. At scale
     collation-aware grouping hashes the collation key directly — one
     shuffle, no expression rewrite."""
     c = table(spark, sf_dir, "customer")
@@ -326,9 +332,13 @@ def q229_python_datasource(spark, sf_dir):
     source registered with spark.dataSource.register and read through
     the normal spark.read.format(...) front door. The source splits its
     row range into 8 InputPartitions, so the scan is genuinely parallel
-    (one Python reader per partition, Arrow-batched back to the JVM) —
-    the extension point for reading bespoke feeds (internal formats,
-    service APIs) as first-class tables. Rows are a deterministic
+    (one Python reader per partition) — the extension point for reading
+    bespoke feeds (internal formats, service APIs) as first-class
+    tables. The reader yields pyarrow.RecordBatch objects (the API
+    accepts either rows or batches): columnar batches skip per-row
+    Python object construction entirely, which is the 100 TB form — a
+    row-tuple generator would re-box every cell through the Python
+    interpreter before Arrow serialization. Rows are a deterministic
     arithmetic series, so DuckDB's generate_series recomputes the
     aggregate exactly; the grouped result is also independent of the
     partition count, which is the partition-correctness check."""
@@ -349,11 +359,21 @@ def q229_python_datasource(spark, sf_dir):
             return [InputPartition(i) for i in range(self.parts)]
 
         def read(self, partition):
+            import numpy as np
+            import pyarrow as pa
+
             i = partition.value
             chunk = (self.n + self.parts - 1) // self.parts
             lo, hi = i * chunk, min((i + 1) * chunk, self.n)
-            for rid in range(lo, hi):
-                yield (rid, rid % 7, float((rid * 31) % 1000) / 10.0)
+            ids = np.arange(lo, hi, dtype=np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, type=pa.int64()),
+                    pa.array((ids % 7).astype(np.int32), type=pa.int32()),
+                    pa.array((ids * 31) % 1000 / 10.0, type=pa.float64()),
+                ],
+                names=["id", "k", "v"],
+            )
 
     class SynthSource(DataSource):
         @classmethod
