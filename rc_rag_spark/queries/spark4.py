@@ -398,3 +398,171 @@ def q229_python_datasource(spark, sf_dir):
         F.sum(F.col("v").cast("decimal(18,6)")).cast("double").alias("sum_v"),
         F.max("id").alias("max_id"),
     )
+
+
+_Q230_N = 12_000
+
+
+@register(
+    "q230_python_datasource_writer",
+    sql=f"""
+    WITH t AS (
+        SELECT i AS id,
+               CAST(i % 7 AS INTEGER) AS k,
+               CAST((i * 31) % 1000 AS DOUBLE) / 10.0 AS v
+        FROM generate_series(0, {_Q230_N - 1}) s(i))
+    SELECT k, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sum_v,
+           MAX(id) AS max_id
+    FROM t GROUP BY k
+    """,
+    tags=("datasource", "python-api", "writer", "spark4"),
+)
+def q230_python_datasource_writer(spark, sf_dir):
+    """Writer half of the Python Data Source API (SPARK-44076): a
+    native series DataFrame is written through the custom
+    rc_rag_jsonldir sink (DataSourceArrowWriter — each executor task
+    streams its Arrow batches to one JSONL file and reports a
+    WriterCommitMessage; the driver's commit() publishes a _MANIFEST
+    of exactly the committed files), then read back THROUGH the
+    manifest and aggregated. The oracle recomputes the same aggregate
+    from generate_series, so any loss, duplication, or value mangling
+    across the write -> two-phase commit -> read-back path breaks the
+    hash. Files from aborted/speculative task attempts never reach the
+    manifest — the exactly-once contract a 100 TB sink needs under
+    task retries (tests/test_pyds.py pins it directly). Eagerness
+    note: the write executes during query construction (a sink cannot
+    be lazy); the returned plan is the lazy read-back."""
+    import tempfile
+
+    from rc_rag_spark.sources import pyds
+
+    pyds.register_all(spark)
+    d = tempfile.mkdtemp(prefix="rc_rag_q230_")
+    src = pyds.series_batch_df(spark, _Q230_N).repartition(4)
+    src.write.format("rc_rag_jsonldir").option("path", d).mode(
+        "append"
+    ).save()
+    files, _ = pyds.manifest_files(d)
+    back = spark.read.schema(pyds.ROW_SCHEMA).json(
+        [f"{d}/{f}" for f in files]
+    )
+    return back.groupBy("k").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("v").cast("decimal(18,6)")).cast("double").alias("sum_v"),
+        F.max("id").alias("max_id"),
+    )
+
+
+@register(
+    "q231_sql_udf_scalar",
+    sql="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(3,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE)
+               AS charged
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag
+    """,
+    tags=("sql-udf", "spark4"),
+)
+def q231_sql_udf_scalar(spark, sf_dir):
+    """Scalar SQL UDF (Spark 4.0, SPARK-46057): CREATE TEMPORARY
+    FUNCTION ... RETURNS DECIMAL ... RETURN <expr> — the charged-price
+    formula factored into a named, typed, catalog-registered function
+    instead of being repeated inline. SQL UDFs are inlined by the
+    analyzer into the calling plan (no per-row dispatch, full codegen
+    and pushdown), so this is the ZERO-COST abstraction path — unlike
+    every Python UDF shape, nothing leaves the JVM. The oracle inlines
+    the identical decimal arithmetic; declared parameter/return types
+    make the UDF's decimal typing explicit, so an analyzer
+    type-widening regression breaks the hash."""
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION q231_charged(
+            p DECIMAL(12,2), d DECIMAL(3,2), t DECIMAL(3,2))
+        RETURNS DECIMAL(18,6)
+        RETURN p * (1 - d) * (1 + t)
+        """
+    )
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "q231_lineitem"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(*) AS n_items,
+               CAST(SUM(q231_charged(
+                   CAST(l_extendedprice AS DECIMAL(12,2)),
+                   CAST(l_discount AS DECIMAL(3,2)),
+                   CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS charged
+        FROM q231_lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag
+        """
+    )
+
+
+@register(
+    "q232_sql_udf_table",
+    sql="""
+    WITH bands AS (
+        SELECT o_orderpriority,
+               'base' AS tier,
+               least(o_totalprice, 150000.0) AS amount
+        FROM orders
+        UNION ALL
+        SELECT o_orderpriority, 'excess' AS tier,
+               o_totalprice - 150000.0 AS amount
+        FROM orders
+        WHERE o_totalprice > 150000.0)
+    SELECT o_orderpriority, tier,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(amount AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM bands
+    GROUP BY o_orderpriority, tier
+    """,
+    tags=("sql-udf", "udtf", "spark4"),
+)
+def q232_sql_udf_table(spark, sf_dir):
+    """Table-valued SQL UDF (SPARK-46057): RETURNS TABLE(...) RETURN
+    SELECT — each order's price decomposes into banded rows ('base'
+    capped at 150 k, 'excess' above it) through a catalog-registered
+    table function invoked per row via LATERAL. The analyzer inlines
+    the body (no Python, no UDTF dispatch — contrast q223, where the
+    same LATERAL shape dispatches a real Python UDTF), then Catalyst
+    DECORRELATES: the observed plan evaluates the bands over DISTINCT
+    o_totalprice values and joins back on the value (two dedup
+    exchanges + the final agg; the join-back broadcasts at this SF and
+    degrades to a sort-merge join on the high-cardinality value at
+    scale). That is the general correlated-TVF contract, priced
+    honestly: for a hot path this particular body should be written as
+    the inline UNION ALL (one exchange, the oracle's shape) or as
+    posexplode over an array<struct> literal; the query exists to pin
+    the catalog-registered-TVF surface, not to recommend it for the
+    100 TB inner loop. Banding is the warehouse idiom for tiered
+    pricing/progressive rates."""
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION q232_bands(p DOUBLE)
+        RETURNS TABLE(tier STRING, amount DOUBLE)
+        RETURN
+            SELECT 'base', least(p, 150000.0D)
+            UNION ALL
+            SELECT 'excess', p - 150000.0D WHERE p > 150000.0D
+        """
+    )
+    table(spark, sf_dir, "orders").createOrReplaceTempView("q232_orders")
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority, b.tier,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(b.amount AS DECIMAL(18,4))) AS DOUBLE)
+                   AS total
+        FROM q232_orders o, LATERAL q232_bands(o.o_totalprice) b
+        GROUP BY o.o_orderpriority, b.tier
+        """
+    )

@@ -1,0 +1,273 @@
+"""Python Data Source API (Spark 4.0, SPARK-44076) — the streaming
+and writer halves, completing the extension point whose batch-read
+third is pinned by q229 (rc_rag_spark/queries/spark4.py).
+
+Three sources/sinks, all deterministic so batch twins can replay them:
+
+- ``rc_rag_rangestream`` — a PARTITIONED streaming source
+  (DataSourceStreamReader): each micro-batch advances the offset by
+  ``rowsPerBatch`` rows and splits the batch's row range into
+  ``numPartitions`` InputPartitions, so every micro-batch is read by
+  N parallel Python readers, each yielding one Arrow RecordBatch.
+  This is the scale shape — offsets are planned on the driver but the
+  DATA never moves through it.
+- ``rc_rag_simplerangestream`` — the same row stream through
+  SimpleDataSourceStreamReader, the driver-side convenience API for
+  low-rate feeds (read + latest-offset planning in one call, plus
+  readBetweenOffsets for checkpoint replay). Kept deliberately tiny:
+  its documented use is control-plane-rate feeds only.
+- ``rc_rag_jsonldir`` — a writer-only sink (DataSourceArrowWriter):
+  each executor task serializes its Arrow RecordBatches to one
+  JSON-lines file, returns the file name + row count as its
+  WriterCommitMessage, and the driver's commit() writes a _MANIFEST
+  listing exactly the committed files — the two-phase-commit contract
+  (task write → driver commit) that makes a custom sink exactly-once
+  under task retries: uncommitted files are absent from the manifest.
+
+Row schema shared by the synthetic sources (same arithmetic series as
+q229, so DuckDB generate_series / spark.range twins replay it):
+
+    id bigint, k int, v double
+    k = id % 7,  v = ((id * 31) % 1000) / 10.0
+
+Tests: tests/test_pyds.py — live >=4-micro-batch runs against batch
+twins (the same harness contract as the rate-source streaming tests),
+checkpoint-recovery replay via readBetweenOffsets, and a writer
+round-trip hash check against the source DataFrame.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceStreamReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+    WriterCommitMessage,
+)
+
+ROW_SCHEMA = "id bigint, k int, v double"
+
+
+def _arrow_batch(lo: int, hi: int):
+    """One Arrow RecordBatch for the synthetic series rows [lo, hi)."""
+    import numpy as np
+    import pyarrow as pa
+
+    ids = np.arange(lo, hi, dtype=np.int64)
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(ids, type=pa.int64()),
+            pa.array((ids % 7).astype(np.int32), type=pa.int32()),
+            pa.array((ids * 31) % 1000 / 10.0, type=pa.float64()),
+        ],
+        names=["id", "k", "v"],
+    )
+
+
+def series_batch_df(spark, n: int):
+    """Batch twin: the first n rows of the synthetic series as a
+    native spark.range plan (what any committed stream prefix must
+    equal)."""
+    from pyspark.sql import functions as F
+
+    return spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % 7).cast("int").alias("k"),
+        ((F.col("id") * 31) % 1000 / 10.0).alias("v"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Partitioned streaming source (the scale path)
+# --------------------------------------------------------------------------
+
+
+class _RangeStreamReader(DataSourceStreamReader):
+    """Offset = {"index": next unread row id}. Each micro-batch spans
+    [start, start + rowsPerBatch) unless maxRows caps the stream; the
+    span splits into numPartitions contiguous InputPartitions. All
+    state lives in the offset dict — the reader object itself is
+    stateless across restarts, which is what checkpoint recovery
+    requires."""
+
+    def __init__(self, options):
+        self.rows_per_batch = int(options.get("rowsperbatch", 20))
+        self.num_partitions = int(options.get("numpartitions", 2))
+        self.max_rows = int(options.get("maxrows", 0))  # 0 = unbounded
+
+    def initialOffset(self):
+        return {"index": 0}
+
+    def latestOffset(self):
+        # advances one batch per poll; a real feed would report its
+        # tail here (e.g. the topic's end offset)
+        self._latest = getattr(self, "_latest", 0) + self.rows_per_batch
+        if self.max_rows:
+            self._latest = min(self._latest, self.max_rows)
+        return {"index": self._latest}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["index"], end["index"]
+        n = max(self.num_partitions, 1)
+        chunk = max((hi - lo + n - 1) // n, 1)
+        return [
+            InputPartition((p_lo, min(p_lo + chunk, hi)))
+            for p_lo in range(lo, hi, chunk)
+        ]
+
+    def read(self, partition):
+        lo, hi = partition.value
+        if hi > lo:
+            yield _arrow_batch(lo, hi)
+
+    def commit(self, end: dict):
+        # nothing to release: the series is recomputable from offsets
+        pass
+
+
+class _SimpleRangeStreamReader(SimpleDataSourceStreamReader):
+    """Driver-side simple reader: read() returns (rows, next offset)
+    in one call; readBetweenOffsets() replays a committed span after
+    restart. Row-tuple form is acceptable HERE ONLY because the simple
+    API is documented for low-rate feeds — the partitioned Arrow
+    reader above is the data-plane shape."""
+
+    def __init__(self, options):
+        self.rows_per_batch = int(options.get("rowsperbatch", 20))
+        self.max_rows = int(options.get("maxrows", 0))
+
+    def initialOffset(self):
+        return {"index": 0}
+
+    def _rows(self, lo: int, hi: int):
+        return [
+            (i, i % 7, (i * 31) % 1000 / 10.0) for i in range(lo, hi)
+        ]
+
+    def read(self, start: dict):
+        lo = start["index"]
+        hi = lo + self.rows_per_batch
+        if self.max_rows:
+            hi = min(hi, self.max_rows)
+        return iter(self._rows(lo, hi)), {"index": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._rows(start["index"], end["index"]))
+
+
+class RangeStreamDataSource(DataSource):
+    """format("rc_rag_rangestream") — partitioned streaming source."""
+
+    @classmethod
+    def name(cls):
+        return "rc_rag_rangestream"
+
+    def schema(self):
+        return ROW_SCHEMA
+
+    def streamReader(self, schema):
+        return _RangeStreamReader(self.options)
+
+
+class SimpleRangeStreamDataSource(DataSource):
+    """format("rc_rag_simplerangestream") — simple streaming source."""
+
+    @classmethod
+    def name(cls):
+        return "rc_rag_simplerangestream"
+
+    def schema(self):
+        return ROW_SCHEMA
+
+    def simpleStreamReader(self, schema):
+        return _SimpleRangeStreamReader(self.options)
+
+
+# --------------------------------------------------------------------------
+# Writer-only sink (two-phase commit)
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class _FileCommit(WriterCommitMessage):
+    filename: str
+    rows: int
+
+
+class _JsonlDirWriter(DataSourceArrowWriter):
+    """Each task streams its Arrow batches into one .jsonl file named
+    by task UUID (so a retried task never collides with the attempt it
+    replaces), then reports the name to the driver. Files from failed
+    or speculative attempts are left dangling but NEVER appear in
+    _MANIFEST — readers of the sink must go through the manifest."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("rc_rag_jsonldir requires a path option")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        fname = f"part-{uuid.uuid4().hex}.jsonl"
+        n = 0
+        os.makedirs(self.path, exist_ok=True)
+        with open(os.path.join(self.path, fname), "w") as f:
+            for batch in iterator:
+                for rec in batch.to_pylist():
+                    f.write(json.dumps(rec, default=str) + "\n")
+                    n += 1
+        return _FileCommit(fname, n)
+
+    def commit(self, messages):
+        files = sorted(
+            (m.filename, m.rows) for m in messages if m is not None
+        )
+        manifest = {
+            "files": [f for f, _ in files],
+            "rows": sum(r for _, r in files),
+        }
+        with open(os.path.join(self.path, "_MANIFEST"), "w") as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self.path, m.filename))
+                except OSError:
+                    pass
+
+
+class JsonlDirDataSource(DataSource):
+    """format("rc_rag_jsonldir") — manifest-committed JSONL sink."""
+
+    @classmethod
+    def name(cls):
+        return "rc_rag_jsonldir"
+
+    def writer(self, schema, overwrite: bool):
+        return _JsonlDirWriter(self.options, overwrite)
+
+
+def manifest_files(path: str) -> tuple[list[str], int]:
+    """Read a sink directory's _MANIFEST → (committed files, rows)."""
+    with open(os.path.join(path, "_MANIFEST")) as f:
+        m = json.load(f)
+    return m["files"], m["rows"]
+
+
+def register_all(spark) -> None:
+    """Idempotently register every Data Source in this module."""
+    for src in (
+        RangeStreamDataSource,
+        SimpleRangeStreamDataSource,
+        JsonlDirDataSource,
+    ):
+        spark.dataSource.register(src)

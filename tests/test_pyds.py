@@ -1,0 +1,227 @@
+"""Python Data Source API — streaming-reader and writer halves
+(rc_rag_spark/sources/pyds.py).
+
+Contract mirrors the rate-source live tests in test_streaming.py:
+every streaming check runs a REAL unbounded StreamingQuery through
+>= 4 live micro-batches and compares the committed prefix against a
+native batch twin; the writer check is a full write -> manifest ->
+read-back -> exact-content round trip."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import time
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from rc_rag_spark.sources import pyds
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    pyds.register_all(spark)
+
+
+def _run_live(stream_df, min_batches=4, timeout=120):
+    """Unbounded query (processingTime trigger), stop after
+    >= min_batches committed. Returns (rows, max committed batchId)."""
+    name = "mem_" + uuid.uuid4().hex[:8]
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    spark = stream_df.sparkSession
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        lp = q.lastProgress
+        if lp is not None and lp["batchId"] >= min_batches:
+            break
+        time.sleep(0.3)
+    q.stop()
+    q.awaitTermination(30)
+    committed = [p["batchId"] for p in q.recentProgress]
+    assert committed and max(committed) >= min_batches, (
+        f"only {committed} batches committed within {timeout}s"
+    )
+    return spark.table(name).collect(), max(committed)
+
+
+def _twin_map(spark, n):
+    return {
+        r["id"]: (r["k"], r["v"])
+        for r in pyds.series_batch_df(spark, n).collect()
+    }
+
+
+def _assert_prefix(spark, rows, max_batch, rows_per_batch):
+    """Committed rows == the series prefix for the committed batches
+    (one batch of slack: stop() can land after we read lastProgress)."""
+    n_committed = (max_batch + 1) * rows_per_batch
+    twin = _twin_map(spark, n_committed + rows_per_batch)
+    got = {r["id"]: (r["k"], r["v"]) for r in rows}
+    assert len(got) == len(rows), "duplicate ids emitted"
+    # soundness: every emitted row is the twin's row at that id
+    for rid, kv in got.items():
+        assert kv == twin[rid], (rid, kv, twin[rid])
+    # completeness: everything from fully-committed batches arrived
+    missing = [i for i in range(n_committed) if i not in got]
+    assert not missing, f"gaps in committed prefix: {missing[:10]}"
+
+
+def test_partitioned_stream_live_micro_batches_match_batch_twin(spark):
+    """rc_rag_rangestream (partitioned DataSourceStreamReader, Arrow
+    RecordBatch per partition) through >= 4 live micro-batches: the
+    committed prefix must equal the native spark.range twin exactly —
+    every id exactly once, every (k, v) bit-identical."""
+    R = 20
+    rows, max_batch = _run_live(
+        spark.readStream.format("rc_rag_rangestream")
+        .option("rowsPerBatch", R)
+        .option("numPartitions", 3)
+        .load()
+    )
+    _assert_prefix(spark, rows, max_batch, R)
+
+
+def test_partitioned_stream_plans_real_partitions():
+    """The offset span of each micro-batch splits into numPartitions
+    contiguous, disjoint, covering InputPartitions — the property that
+    makes the scan parallel instead of a driver funnel."""
+    r = pyds._RangeStreamReader(
+        {"rowsperbatch": "20", "numpartitions": "3"}
+    )
+    parts = r.partitions({"index": 40}, {"index": 60})
+    spans = [p.value for p in parts]
+    assert len(spans) == 3
+    # disjoint + covering
+    covered = sorted(i for lo, hi in spans for i in range(lo, hi))
+    assert covered == list(range(40, 60))
+    # and the reader yields exactly the span, as one Arrow batch
+    batch = next(iter(r.read(parts[0])))
+    assert batch.num_rows == spans[0][1] - spans[0][0]
+    assert batch.column(0).to_pylist() == list(range(*spans[0]))
+
+
+def test_simple_stream_live_micro_batches_match_batch_twin(spark):
+    """rc_rag_simplerangestream (SimpleDataSourceStreamReader) through
+    >= 4 live micro-batches == batch twin on the committed prefix."""
+    R = 10
+    rows, max_batch = _run_live(
+        spark.readStream.format("rc_rag_simplerangestream")
+        .option("rowsPerBatch", R)
+        .load()
+    )
+    _assert_prefix(spark, rows, max_batch, R)
+
+
+def test_simple_stream_read_between_offsets_replays_exactly():
+    """readBetweenOffsets(a, b) — the checkpoint-recovery path Spark
+    calls when restarting a query whose batch [a, b) was planned but
+    not committed — must replay exactly the rows read() produced for
+    the same span, or recovery silently corrupts."""
+    r = pyds._SimpleRangeStreamReader({"rowsperbatch": "7"})
+    it, nxt = r.read({"index": 14})
+    first = list(it)
+    assert nxt == {"index": 21}
+    replay = list(r.readBetweenOffsets({"index": 14}, {"index": 21}))
+    assert replay == first
+    assert [t[0] for t in replay] == list(range(14, 21))
+
+
+def test_simple_stream_checkpoint_restart_exactly_once(spark):
+    """Stop a checkpointed query mid-stream and restart it from the
+    same checkpoint into a fault-tolerant FILE sink: the combined
+    output must be a contiguous id prefix with NO gaps and NO
+    duplicates. This is the path that exercises readBetweenOffsets —
+    on restart Spark replays the planned-but-uncommitted batch from
+    the offset log through it — composed with the file sink's own
+    commit manifest for end-to-end exactly-once."""
+    ckpt = tempfile.mkdtemp(prefix="rc_rag_pyds_ckpt_")
+    out = tempfile.mkdtemp(prefix="rc_rag_pyds_out_")
+    R = 10
+    try:
+        def start():
+            return (
+                spark.readStream.format("rc_rag_simplerangestream")
+                .option("rowsPerBatch", R)
+                .load()
+                .writeStream.format("json")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(processingTime="0 seconds")
+                .start()
+            )
+
+        def run_until(q, min_batches):
+            t0 = time.time()
+            while time.time() - t0 < 120:
+                lp = q.lastProgress
+                if lp is not None and lp["batchId"] >= min_batches:
+                    break
+                time.sleep(0.3)
+            q.stop()
+            q.awaitTermination(30)
+
+        q1 = start()
+        run_until(q1, 2)
+        b1 = max(p["batchId"] for p in q1.recentProgress)
+        ids1 = sorted(
+            r["id"]
+            for r in spark.read.schema(pyds.ROW_SCHEMA).json(out).collect()
+        )
+        assert ids1, "first run wrote nothing"
+
+        q2 = start()
+        run_until(q2, b1 + 2)
+        rows = spark.read.schema(pyds.ROW_SCHEMA).json(out).collect()
+        ids = sorted(r["id"] for r in rows)
+        assert len(ids) == len(set(ids)), "duplicates after restart"
+        assert ids == list(range(len(ids))), "gap after restart"
+        # run 2 genuinely resumed past run 1's frontier
+        assert max(ids) > max(ids1)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_jsonldir_writer_roundtrip_exact(spark):
+    """Write a 4-partition DataFrame through the custom Arrow sink,
+    read back ONLY the manifest-committed files: content must match
+    the source exactly (id-keyed full-row comparison), the manifest
+    row count must match, and one committed file per input partition
+    must exist."""
+    d = tempfile.mkdtemp(prefix="rc_rag_pyds_sink_")
+    try:
+        src = pyds.series_batch_df(spark, 5000).repartition(4)
+        src.write.format("rc_rag_jsonldir").option("path", d).mode(
+            "append"
+        ).save()
+        files, n_rows = pyds.manifest_files(d)
+        assert n_rows == 5000 and len(files) == 4
+        # a dangling file (failed/speculative attempt) must be invisible
+        with open(os.path.join(d, "part-dangling.jsonl"), "w") as f:
+            f.write(json.dumps({"id": 999999, "k": 0, "v": 0.0}) + "\n")
+        back = spark.read.schema(pyds.ROW_SCHEMA).json(
+            [os.path.join(d, f) for f in files]
+        )
+        got = {r["id"]: (r["k"], r["v"]) for r in back.collect()}
+        want = {r["id"]: (r["k"], r["v"]) for r in src.collect()}
+        assert got == want
+        assert 999999 not in got
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_jsonldir_writer_requires_path(spark):
+    df = pyds.series_batch_df(spark, 10)
+    with pytest.raises(Exception, match="path"):
+        df.write.format("rc_rag_jsonldir").mode("append").save()
