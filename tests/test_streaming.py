@@ -324,9 +324,22 @@ def test_stateful_user_totals_transform_with_state(spark, events_dir):
     """transformWithStateInPandas (Spark-4 StatefulProcessor) running
     totals == batch aggregation == the applyInPandasWithState twin.
     Needs the RocksDB state store provider (scoped to this test) and
-    protobuf (the state-server wire format) — skipped cleanly where
-    protobuf isn't installed, mirroring the PIL-gated decode smoke."""
-    pytest.importorskip("google.protobuf")
+    protobuf (the state-server wire format). Where protobuf is absent
+    this is an expected failure, not a skip: the dependency is
+    pyspark's own state-server client (stateful_processor_api_client
+    imports the full google.protobuf runtime — not vendorable), and
+    the applyInPandasWithState twin above covers the semantics."""
+    import importlib.util
+
+    try:
+        has_protobuf = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # no `google` namespace package at all
+        has_protobuf = False
+    if not has_protobuf:
+        pytest.xfail(
+            "google.protobuf not installed: transformWithStateInPandas "
+            "requires pyspark's protobuf state-server client"
+        )
     conf = spark.conf
     key = "spark.sql.streaming.stateStore.providerClass"
     saved = conf.get(key, None)
