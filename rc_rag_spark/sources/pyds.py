@@ -16,13 +16,17 @@ Three sources/sinks, all deterministic so batch twins can replay them:
   low-rate feeds (read + latest-offset planning in one call, plus
   readBetweenOffsets for checkpoint replay). Kept deliberately tiny:
   its documented use is control-plane-rate feeds only.
-- ``rc_rag_jsonldir`` — a writer-only sink (DataSourceArrowWriter):
-  each executor task serializes its Arrow RecordBatches to one
+- ``rc_rag_jsonldir`` — a writer-only sink in BOTH modes: batch
+  (DataSourceArrowWriter) and streaming (DataSourceStreamArrowWriter).
+  Each executor task serializes its Arrow RecordBatches to one
   JSON-lines file, returns the file name + row count as its
-  WriterCommitMessage, and the driver's commit() writes a _MANIFEST
-  listing exactly the committed files — the two-phase-commit contract
-  (task write → driver commit) that makes a custom sink exactly-once
-  under task retries: uncommitted files are absent from the manifest.
+  WriterCommitMessage, and the driver's commit() publishes a manifest
+  listing exactly the committed files (`_MANIFEST` for batch, one
+  `_MANIFEST-<batchId>` per streaming epoch) — the two-phase-commit
+  contract (task write → driver commit) that makes a custom sink
+  exactly-once under task retries and micro-batch replays:
+  uncommitted files are absent from the manifests, and a replayed
+  epoch rewrites its own manifest.
 
 Row schema shared by the synthetic sources (same arithmetic series as
 q229, so DuckDB generate_series / spark.range twins replay it):
@@ -46,6 +50,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -245,8 +250,57 @@ class _JsonlDirWriter(DataSourceArrowWriter):
                     pass
 
 
+class _JsonlDirStreamWriter(DataSourceStreamArrowWriter):
+    """Streaming half of the sink: identical per-task file writes, but
+    commit() is PER EPOCH — it publishes _MANIFEST-<batchId> listing
+    that micro-batch's committed files. Exactly-once composes from two
+    facts: (a) a replayed micro-batch rewrites the SAME manifest name,
+    shadowing the aborted attempt's files, and (b) readers union only
+    manifest-listed files. abort() deletes the epoch's partial files."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("rc_rag_jsonldir requires a path option")
+
+    def write(self, iterator):
+        fname = f"part-{uuid.uuid4().hex}.jsonl"
+        n = 0
+        os.makedirs(self.path, exist_ok=True)
+        with open(os.path.join(self.path, fname), "w") as f:
+            for batch in iterator:
+                for rec in batch.to_pylist():
+                    f.write(json.dumps(rec, default=str) + "\n")
+                    n += 1
+        return _FileCommit(fname, n)
+
+    def commit(self, messages, batchId: int):
+        files = sorted(
+            (m.filename, m.rows) for m in messages if m is not None
+        )
+        manifest = {
+            "files": [f for f, _ in files],
+            "rows": sum(r for _, r in files),
+            "batch_id": batchId,
+        }
+        with open(
+            os.path.join(self.path, f"_MANIFEST-{batchId}"), "w"
+        ) as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages, batchId: int):
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self.path, m.filename))
+                except OSError:
+                    pass
+
+
 class JsonlDirDataSource(DataSource):
-    """format("rc_rag_jsonldir") — manifest-committed JSONL sink."""
+    """format("rc_rag_jsonldir") — manifest-committed JSONL sink,
+    usable as a batch sink (df.write) and a streaming sink
+    (df.writeStream; one manifest per micro-batch epoch)."""
 
     @classmethod
     def name(cls):
@@ -255,12 +309,31 @@ class JsonlDirDataSource(DataSource):
     def writer(self, schema, overwrite: bool):
         return _JsonlDirWriter(self.options, overwrite)
 
+    def streamWriter(self, schema, overwrite: bool):
+        return _JsonlDirStreamWriter(self.options)
+
 
 def manifest_files(path: str) -> tuple[list[str], int]:
     """Read a sink directory's _MANIFEST → (committed files, rows)."""
     with open(os.path.join(path, "_MANIFEST")) as f:
         m = json.load(f)
     return m["files"], m["rows"]
+
+
+def stream_manifest_files(path: str) -> tuple[list[str], int, list[int]]:
+    """Union a streaming sink's per-epoch manifests → (committed
+    files across all epochs, total rows, sorted epoch ids)."""
+    files: list[str] = []
+    rows = 0
+    epochs: list[int] = []
+    for entry in sorted(os.listdir(path)):
+        if entry.startswith("_MANIFEST-"):
+            with open(os.path.join(path, entry)) as f:
+                m = json.load(f)
+            files += m["files"]
+            rows += m["rows"]
+            epochs.append(m["batch_id"])
+    return files, rows, sorted(epochs)
 
 
 def register_all(spark) -> None:

@@ -225,3 +225,54 @@ def test_jsonldir_writer_requires_path(spark):
     df = pyds.series_batch_df(spark, 10)
     with pytest.raises(Exception, match="path"):
         df.write.format("rc_rag_jsonldir").mode("append").save()
+
+
+def test_jsonldir_stream_writer_per_epoch_manifests(spark):
+    """Custom STREAMING sink (DataSourceStreamArrowWriter): the
+    rc_rag_rangestream source written through rc_rag_jsonldir for
+    >= 4 live micro-batches. Each committed epoch publishes its own
+    _MANIFEST-<batchId>; the union of manifest-listed files must be
+    exactly the series prefix covered by the committed epochs —
+    custom source -> custom sink end to end, no built-in connector on
+    either side."""
+    out = tempfile.mkdtemp(prefix="rc_rag_pyds_ssink_")
+    R = 20
+    try:
+        q = (
+            spark.readStream.format("rc_rag_rangestream")
+            .option("rowsPerBatch", R)
+            .option("numPartitions", 2)
+            .load()
+            .writeStream.format("rc_rag_jsonldir")
+            .option("path", out)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="rc_rag_pyds_ssink_ckpt_"),
+            )
+            .outputMode("append")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        t0 = time.time()
+        while time.time() - t0 < 120:
+            lp = q.lastProgress
+            if lp is not None and lp["batchId"] >= 4:
+                break
+            time.sleep(0.3)
+        q.stop()
+        q.awaitTermination(30)
+
+        files, n_rows, epochs = pyds.stream_manifest_files(out)
+        assert len(epochs) >= 4
+        assert epochs == list(range(len(epochs))), "epoch gap"
+        # every committed epoch contributed numPartitions files
+        assert len(files) == 2 * len(epochs)
+        back = spark.read.schema(pyds.ROW_SCHEMA).json(
+            [os.path.join(out, f) for f in files]
+        )
+        got = {r["id"]: (r["k"], r["v"]) for r in back.collect()}
+        assert len(got) == n_rows == len(epochs) * R
+        twin = _twin_map(spark, len(epochs) * R)
+        assert got == twin
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -64,6 +64,19 @@ DEFAULT = [
     "q218_video_decode_stats",
     "q219_video_keyframe_real",
     "q220_multimodal_dispatch",
+    # round-7/9 additions: IVFADC residual serving, CDC rolling-hash
+    # chunking (stringwise over full text — the one to watch), the
+    # Spark-4 surface queries, the Data Source API batch read +
+    # writer round-trip, SQL UDFs
+    "q221_ivfadc_residual",
+    "q222_cdc_chunking",
+    "q226_pipe_syntax_pricing",
+    "q227_parameterized_sql",
+    "q228_collated_grouping",
+    "q229_python_datasource",
+    "q230_python_datasource_writer",
+    "q231_sql_udf_scalar",
+    "q232_sql_udf_table",
 ]
 
 
