@@ -3,8 +3,11 @@
 correlated LATERAL subqueries, SQL pipe syntax (`|>`), named-parameter
 SQL, string collations (UTF8_LCASE grouping), the Python Data Source
 API (batch read here; the streaming-reader and writer halves live in
-rc_rag_spark/sources/pyds.py), and SQL UDFs (CREATE FUNCTION ...
-RETURN). The reference pipeline has no counterpart for any of these
+rc_rag_spark/sources/pyds.py), SQL UDFs (CREATE FUNCTION ... RETURN,
+scalar and table-valued), recursive CTEs (WITH RECURSIVE),
+EXECUTE IMMEDIATE with session variables + IDENTIFIER binding, and
+SQL scripting (BEGIN/DECLARE/SET blocks). The reference pipeline has
+no counterpart for any of these
 (it is a fixed Python loop); they are part of the engine's derived
 surface, proving the repo tracks the platform's current query
 capabilities rather than a Spark-3 subset."""
@@ -566,3 +569,148 @@ def q232_sql_udf_table(spark, sf_dir):
         GROUP BY o.o_orderpriority, b.tier
         """
     )
+
+
+@register(
+    "q233_recursive_cte_keywalk",
+    sql="""
+    WITH RECURSIVE walk(k, price, depth) AS (
+        SELECT o_orderkey, o_totalprice, 0 FROM orders
+        UNION ALL
+        SELECT k // 10, price, depth + 1 FROM walk WHERE k > 0)
+    SELECT depth, COUNT(*) AS n_nodes,
+           CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS depth_value
+    FROM walk
+    GROUP BY depth
+    """,
+    tags=("recursive-cte", "iterative", "spark4"),
+)
+def q233_recursive_cte_keywalk(spark, sf_dir):
+    """Recursive CTE (Spark 4.0, SPARK-24497): every order walks its
+    key's decimal-digit ancestry (parent = k div 10, root at 0) — a
+    guaranteed-acyclic forest whose recursion depth is log10(maxkey),
+    so the loop terminates in ~6-12 iterations at ANY data scale. This
+    is ENGINE-NATIVE iteration: the fixpoint loop runs inside one SQL
+    query (each step a shuffle-free projection + filter over the
+    previous frontier, union-all accumulated), where the repo's other
+    iterative operators (PageRank q205, BFS, power iteration) drive
+    the loop from Python with checkpoint-bounded lineage. For
+    bounded-depth hierarchy walks (org charts, BOM explosions,
+    category trees) the recursive CTE is the 100 TB form — no driver
+    round trip per step. Integer `div` on both engines, so there is
+    no floating-point key division to drift; per-depth decimal SUM
+    keeps the value hash exact."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("q233_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(k, price, depth) AS (
+            SELECT o_orderkey, o_totalprice, 0 FROM q233_orders
+            UNION ALL
+            SELECT k div 10, price, depth + 1 FROM walk WHERE k > 0)
+        SELECT depth, COUNT(*) AS n_nodes,
+               CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+                   AS depth_value
+        FROM walk
+        GROUP BY depth
+        """
+    )
+
+
+@register(
+    "q234_execute_immediate",
+    sql="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM orders
+    WHERE o_totalprice > 250000.0
+    GROUP BY o_orderstatus
+    """,
+    tags=("execute-immediate", "identifier", "spark4"),
+)
+def q234_execute_immediate(spark, sf_dir):
+    """EXECUTE IMMEDIATE + session VARIABLE + IDENTIFIER (Spark 4.0):
+    the statement text lives in a DECLAREd session variable (itself
+    set through a named parameter, never string-spliced), the table
+    name binds through the IDENTIFIER() clause and the threshold
+    through a named USING parameter — the injection-safe dynamic-SQL
+    front door for query services that template over table names (a
+    raw f-string table name is the classic SQL-injection hole;
+    IDENTIFIER validates its argument as exactly one identifier).
+    Lowering is the ordinary Catalyst plan of the inner statement —
+    the oracle inlines both bindings, so a binding/quoting bug breaks
+    the hash."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("q234_orders")
+    stmt = (
+        "SELECT o_orderstatus, COUNT(*) AS n_orders, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) "
+        "AS total_price "
+        "FROM IDENTIFIER(:tbl) WHERE o_totalprice > :thr "
+        "GROUP BY o_orderstatus"
+    )
+    spark.sql("DECLARE OR REPLACE VARIABLE q234_stmt STRING")
+    spark.sql("SET VAR q234_stmt = :s", args={"s": stmt})
+    return spark.sql(
+        "EXECUTE IMMEDIATE q234_stmt "
+        "USING 250000.0 AS thr, 'q234_orders' AS tbl"
+    )
+
+
+@register(
+    "q235_sql_scripting",
+    sql="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_above,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS value_above
+    FROM orders
+    WHERE o_totalprice > (
+        SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*)
+        FROM orders)
+    GROUP BY o_orderpriority
+    """,
+    tags=("sql-scripting", "spark4"),
+)
+def q235_sql_scripting(spark, sf_dir):
+    """SQL scripting (Spark 4.0, SPARK-48338): a BEGIN ... END block
+    with DECLARE'd local variables, a SET from a scalar subquery, and
+    a final SELECT whose result is the block's result — procedural
+    control flow (the feature also supports IF/WHILE/FOR) executed
+    statement-by-statement by the engine, replacing driver-side Python
+    glue for multi-step jobs. The threshold is the exact-decimal mean
+    (decimal SUM / COUNT, one double division), so both engines
+    compute the bit-identical cut and the above-mean membership
+    cannot drift; the oracle replays the script as a scalar subquery.
+    Scale: each statement is an ordinary Catalyst plan; the variable
+    is a driver-held scalar, not data movement."""
+    saved = spark.conf.get("spark.sql.scripting.enabled", None)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        table(spark, sf_dir, "orders").createOrReplaceTempView(
+            "q235_orders"
+        )
+        return spark.sql(
+            """
+            BEGIN
+              DECLARE thr DOUBLE DEFAULT 0.0;
+              SET thr = (
+                  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                              AS DOUBLE) / COUNT(*)
+                  FROM q235_orders);
+              SELECT o_orderpriority,
+                     COUNT(*) AS n_above,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                          AS DOUBLE) AS value_above
+              FROM q235_orders
+              WHERE o_totalprice > thr
+              GROUP BY o_orderpriority;
+            END
+            """
+        )
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", saved)
