@@ -714,3 +714,42 @@ def q235_sql_scripting(spark, sf_dir):
             spark.conf.unset("spark.sql.scripting.enabled")
         else:
             spark.conf.set("spark.sql.scripting.enabled", saved)
+
+
+@register(
+    "q236_file_metadata_columns",
+    sql="""
+    SELECT 'orders.parquet' AS file_name,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM orders
+    """,
+    tags=("metadata-columns", "lineage", "spark4"),
+)
+def q236_file_metadata_columns(spark, sf_dir):
+    """Hidden file-metadata columns (`_metadata.file_name` /
+    `row_index` etc., SPARK-37273): the scan projects per-file lineage
+    without any extra column stored in the data — the mechanism a
+    curation pipeline uses to attribute every training row back to its
+    source file (and to re-shard or quarantine by file). The fixture
+    is a single file per table, so the oracle states the name as a
+    literal and the grouped aggregate pins that metadata projection
+    changes nothing about the data plan; the multi-file semantics
+    (per-file row_index ranges, file_name distribution) are pinned by
+    tests/test_stages_sources.py::test_file_metadata_columns_multifile.
+    Scale: _metadata is populated from the file index at scan time —
+    zero I/O added, and filters on it prune files like partition
+    predicates."""
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        df.select(F.col("_metadata.file_name").alias("file_name"),
+                  "o_totalprice")
+        .groupBy("file_name")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )

@@ -231,3 +231,38 @@ def test_jsonl_malformed_line_policies(spark, tmp_path):
             spark, str(p), schema="id bigint, text string",
             mode="FAILFAST",
         ).collect()
+
+
+def test_file_metadata_columns_multifile(spark, sf_dir, tmp_path):
+    """Hidden `_metadata` columns over a MULTI-file table (the case
+    q236's single-file oracle can't express): file_name distributes
+    rows across the part files it names, and row_index is a dense
+    0..n_i-1 range WITHIN each file — the per-file lineage a curation
+    pipeline uses to attribute rows back to shards."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "multi")
+    table(spark, sf_dir, "orders").repartition(4).write.parquet(d)
+    df = spark.read.parquet(d)
+    per_file = (
+        df.select(
+            F.col("_metadata.file_name").alias("fn"),
+            F.col("_metadata.row_index").alias("ri"),
+        )
+        .groupBy("fn")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("ri").alias("lo"),
+            F.max("ri").alias("hi"),
+            F.countDistinct("ri").alias("n_distinct"),
+        )
+        .collect()
+    )
+    assert len(per_file) == 4
+    total = 0
+    for r in per_file:
+        # dense per-file range [0, n)
+        assert (r["lo"], r["hi"], r["n_distinct"]) == (0, r["n"] - 1, r["n"])
+        assert r["fn"].endswith(".parquet")
+        total += r["n"]
+    assert total == table(spark, sf_dir, "orders").count()

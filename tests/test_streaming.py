@@ -573,3 +573,49 @@ def test_interval_join_live_micro_batches_match_batch_twin(spark):
     cross = {(v, v + 5) for b in range(max_batch)
              for v in range(b * R + R - 5, b * R + R)}
     assert cross <= got
+
+
+def test_statestore_reader_matches_batch_counts(spark, events_dir):
+    """State-store data source (`spark.read.format("statestore")`,
+    SPARK-45511): after an availableNow streaming aggregation drains a
+    file source, reading the checkpoint's state directly must yield
+    exactly the batch groupBy counts — the ops surface for inspecting
+    (and debugging) live streaming state without stopping a job."""
+    import tempfile as _tf
+
+    ckpt = _tf.mkdtemp(prefix="rc_rag_ss_ckpt_")
+    try:
+        schema = spark.read.parquet(events_dir).schema
+        stream = (
+            W.read_stream_dir(spark, events_dir, schema)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"))
+        )
+        name = "mem_" + uuid.uuid4().hex[:8]
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        state = spark.read.format("statestore").load(ckpt)
+        got = {
+            r["key"]["user_id"]: r["value"]["count"]
+            for r in state.collect()
+        }
+        want = {
+            r["user_id"]: r["n"]
+            for r in spark.read.parquet(events_dir)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert got == want and len(want) > 0
+    finally:
+        import shutil as _sh
+
+        _sh.rmtree(ckpt, ignore_errors=True)
