@@ -1,0 +1,91 @@
+"""Evidence-drift guard: the repo's own evidence artifacts must cover
+the CURRENT query registry, or pytest fails.
+
+Rounds 6 and 8 both shipped late query additions without regenerating
+PARITY.md / PLANS.md / the README and SURVEY counts, so a user
+auditing the corpus saw unevidenced queries. This makes the drift
+structural instead of procedural: adding a query without re-running
+`tools/parity_report.py` and `tools/plan_audit.py` (and syncing the
+two prose counts) cannot survive a green suite."""
+
+from __future__ import annotations
+
+import os
+import re
+
+import rc_rag_spark.queries as q
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _read(name: str) -> str:
+    with open(os.path.join(REPO, name)) as f:
+        return f.read()
+
+
+def _registry_counts() -> tuple[int, int]:
+    total = len(q.REGISTRY)
+    oracled = sum(1 for s in q.REGISTRY.values() if s.sql)
+    return total, oracled
+
+
+def test_parity_report_covers_registry():
+    """PARITY.md footer: '**N hash-match, M rows-only, 0 failures.**'
+    must account for every registered query (N == oracled, M == the
+    rows-only remainder) — and report zero failures."""
+    total, oracled = _registry_counts()
+    m = re.search(
+        r"\*\*(\d+) hash-match, (\d+) rows-only, (\d+) failures?\.\*\*",
+        _read("PARITY.md"),
+    )
+    assert m, "PARITY.md footer missing — regenerate tools/parity_report.py"
+    n_match, n_rows_only, n_fail = map(int, m.groups())
+    assert n_fail == 0
+    assert (n_match, n_rows_only) == (oracled, total - oracled), (
+        f"PARITY.md covers {n_match}+{n_rows_only} queries but the "
+        f"registry has {oracled} oracled + {total - oracled} rows-only — "
+        "re-run `python tools/parity_report.py`"
+    )
+
+
+def test_plan_audit_covers_registry():
+    """PLANS.md footer: '**N queries audited, 0 cartesian products,
+    0 plan errors...' must audit every registered query."""
+    total, _ = _registry_counts()
+    m = re.search(
+        r"\*\*(\d+) queries audited, (\d+) cartesian products?, "
+        r"(\d+) plan errors?",
+        _read("PLANS.md"),
+    )
+    assert m, "PLANS.md footer missing — regenerate tools/plan_audit.py"
+    n_audited, n_cartesian, n_err = map(int, m.groups())
+    assert n_cartesian == 0 and n_err == 0
+    assert n_audited == total, (
+        f"PLANS.md audits {n_audited} queries but the registry has "
+        f"{total} — re-run `python tools/plan_audit.py`"
+    )
+
+
+def test_prose_counts_match_registry():
+    """README.md and SURVEY.md state the corpus size in prose
+    ('N named queries, M with DuckDB oracle' / 'N queries, M
+    DuckDB-hash-checked'); both must match the registry."""
+    total, oracled = _registry_counts()
+    readme = re.findall(
+        r"(\d+) named queries, (\d+) with DuckDB oracle", _read("README.md")
+    )
+    assert readme, "README.md corpus-count sentence missing"
+    assert tuple(map(int, readme[-1])) == (total, oracled), (
+        f"README.md says {readme[-1]}; registry is "
+        f"{total}/{oracled} — sync the count"
+    )
+    # SURVEY §8 is a running round log; earlier rounds' counts stay —
+    # the LAST stated count is the current one and must match.
+    survey = re.findall(
+        r"(\d+) queries, (\d+) DuckDB-hash-checked", _read("SURVEY.md")
+    )
+    assert survey, "SURVEY.md corpus-count sentence missing"
+    assert tuple(map(int, survey[-1])) == (total, oracled), (
+        f"SURVEY.md says {survey[-1]}; registry is "
+        f"{total}/{oracled} — sync the count"
+    )

@@ -77,6 +77,10 @@ DEFAULT = [
     "q230_python_datasource_writer",
     "q231_sql_udf_scalar",
     "q232_sql_udf_table",
+    "q233_recursive_cte_keywalk",
+    "q234_execute_immediate",
+    "q235_sql_scripting",
+    "q236_file_metadata_columns",
 ]
 
 
