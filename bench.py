@@ -56,6 +56,11 @@ HEADLINE = [
     "q214_ivf_pq_adc",
     "q172_bpe_merges",
     "q168_retrieval_gd_training",
+    # round-9 anchor: the MinHash-LSH -> min-label-propagation cluster
+    # pipeline (~7.6 s at sf0.1, the heaviest single query) — the
+    # dedup family had no anchor; totals jump vs r8 by ~this much,
+    # see anchor_sec/legacy_sec for the like-for-like comparison.
+    "q102_dedup_clusters",
 ]
 
 # Multi-second anchors: stable to ~±3% run-to-run, the signal. The
@@ -66,6 +71,7 @@ ANCHORS = {
     "q214_ivf_pq_adc",
     "q172_bpe_merges",
     "q168_retrieval_gd_training",
+    "q102_dedup_clusters",
 }
 
 

@@ -981,3 +981,161 @@ def q222_cdc_chunking(spark, sf_dir):
             F.max("clen").cast("int").alias("max_len"),
         )
     )
+
+
+@register(
+    "q237_temperature_source_mixing",
+    sql="""
+    WITH c AS (
+        SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+    w AS (
+        SELECT source, n_docs,
+               CAST(round(sqrt(n_docs), 9) AS DECIMAL(28,9)) AS w
+        FROM c),
+    t AS (
+        SELECT CAST(SUM(w) AS DOUBLE) AS tw, SUM(n_docs) AS nt FROM w),
+    r AS (
+        SELECT source, n_docs,
+               least(1.0,
+                     CAST(CAST(floor(0.5 * nt) AS BIGINT) AS DOUBLE)
+                     * (CAST(w AS DOUBLE) / tw) / n_docs) AS rate
+        FROM w, t),
+    u AS (
+        SELECT source,
+               CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
+        FROM documents)
+    SELECT r.source, r.n_docs,
+           COUNT(CASE WHEN u.u < r.rate THEN 1 END) AS n_sampled,
+           round(r.rate, 6) AS rate
+    FROM u JOIN r ON u.source = r.source
+    GROUP BY r.source, r.n_docs, r.rate
+    """,
+    tags=("curation", "mixing", "sampling"),
+)
+def q237_temperature_source_mixing(spark, sf_dir):
+    """Temperature-scaled source mixing — the data-recipe operator
+    behind multi-source LLM corpora (sample source s with probability
+    ∝ n_s^α, α=0.5 here, so small sources are up-weighted relative to
+    their share): per-source acceptance rate r_s = min(1, N·p_s/n_s)
+    for a target budget N = ⌊half the corpus⌋, applied as a
+    DETERMINISTIC hash-Bernoulli (md5-prefix uniform in [0,1), the
+    q96 idiom) instead of RNG — reproducible across engines, runs,
+    partitionings. Numeric discipline: √n_s is rounded then summed as
+    DECIMAL so the normalizer is order-independent; every division is
+    a single double op replicated verbatim in the oracle. Plan shape:
+    tiny per-source dim (aggregate → 20 rows) broadcast back onto the
+    fact table — one fact shuffle for the source counts, one
+    broadcast join, one final agg; at 100 TB the dim stays tiny, and
+    the sample itself never materializes on the driver."""
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    w = counts.withColumn(
+        "w", F.round(F.sqrt("n_docs"), 9).cast("decimal(28,9)")
+    )
+    tot = w.agg(
+        F.sum("w").cast("double").alias("tw"),
+        F.sum("n_docs").alias("nt"),
+    )
+    rates = (
+        w.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "rate",
+            F.least(
+                F.lit(1.0),
+                F.floor(F.lit(0.5) * F.col("nt")).cast("double")
+                * (F.col("w").cast("double") / F.col("tw"))
+                / F.col("n_docs"),
+            ),
+        )
+        .select("source", "n_docs", "rate")
+    )
+    u = d.select(
+        "source",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16, 10,
+            ).cast("bigint").cast("double")
+            / F.lit(4294967296.0)
+        ).alias("u"),
+    )
+    return (
+        u.join(F.broadcast(rates), "source")
+        .groupBy("source", "n_docs", "rate")
+        .agg(
+            F.count(F.when(F.col("u") < F.col("rate"), 1)).alias(
+                "n_sampled"
+            )
+        )
+        .select(
+            "source", "n_docs", "n_sampled", F.round("rate", 6).alias("rate")
+        )
+    )
+
+
+@register(
+    "q238_epoch_shuffle_shards",
+    sql="""
+    WITH k AS (
+        SELECT doc_id, n_chars,
+               md5(CAST(doc_id AS VARCHAR) || ':7') AS key,
+               CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'),
+                                         1, 8)) AS BIGINT) % 8 AS INTEGER)
+                   AS shard
+        FROM documents),
+    p AS (
+        SELECT shard, doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY shard ORDER BY key, doc_id)
+                   AS pos
+        FROM k)
+    SELECT shard, COUNT(*) AS n_docs,
+           MIN(CASE WHEN pos = 1 THEN doc_id END) AS first_doc,
+           CAST(SUM(CAST(pos AS DECIMAL(18,0)) * n_chars) AS DOUBLE)
+               AS order_checksum
+    FROM p
+    GROUP BY shard
+    """,
+    tags=("curation", "shuffle", "sharding"),
+)
+def q238_epoch_shuffle_shards(spark, sf_dir):
+    """Deterministic epoch shuffle + sharding — the training-order
+    operator: every document gets a pseudorandom key md5(doc_id:seed)
+    (seed=7 = the epoch), is assigned to one of 8 shards by key
+    bucket, and receives its within-shard position by key order. This
+    is how a 100 TB corpus is re-shuffled per epoch WITHOUT an RNG or
+    a global sort: the md5 key is reproducible on any engine, shard
+    assignment is a narrow per-row expression, and ordering is a
+    per-shard (partition-local) sort — one hash exchange on shard,
+    never a single-partition global ORDER BY. The order_checksum
+    (Σ pos·n_chars, exact decimal) pins the COMPLETE per-shard
+    permutation: any engine that orders differently breaks the hash;
+    first_doc pins the head element directly. Changing the seed
+    re-permutes everything; same seed is bit-stable across runs."""
+    d = table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":7")))
+    k = d.select(
+        "doc_id",
+        "n_chars",
+        key.alias("key"),
+        (
+            F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint") % 8
+        ).cast("int").alias("shard"),
+    )
+    p = k.withColumn(
+        "pos",
+        F.row_number().over(
+            Window.partitionBy("shard").orderBy("key", "doc_id")
+        ),
+    )
+    return p.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.min(F.when(F.col("pos") == 1, F.col("doc_id"))).alias(
+            "first_doc"
+        ),
+        F.sum(F.col("pos").cast("decimal(18,0)") * F.col("n_chars"))
+        .cast("double")
+        .alias("order_checksum"),
+    )

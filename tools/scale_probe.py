@@ -81,6 +81,8 @@ DEFAULT = [
     "q234_execute_immediate",
     "q235_sql_scripting",
     "q236_file_metadata_columns",
+    "q237_temperature_source_mixing",
+    "q238_epoch_shuffle_shards",
 ]
 
 
