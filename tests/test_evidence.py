@@ -89,3 +89,16 @@ def test_prose_counts_match_registry():
         f"SURVEY.md says {survey[-1]}; registry is "
         f"{total}/{oracled} — sync the count"
     )
+
+
+def test_bench_headline_names_exist():
+    """bench.py silently drops HEADLINE names missing from the
+    registry (`[n for n in HEADLINE if n in q.REGISTRY]`) — a typo'd
+    or renamed anchor would vanish from the benchmark without any
+    failure. Pin every name, and that the ANCHORS split is a subset
+    of the headline set."""
+    import bench
+
+    missing = [n for n in bench.HEADLINE if n not in q.REGISTRY]
+    assert not missing, f"bench HEADLINE not in registry: {missing}"
+    assert bench.ANCHORS <= set(bench.HEADLINE)
