@@ -276,3 +276,51 @@ def test_jsonldir_stream_writer_per_epoch_manifests(spark):
         assert got == twin
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_writer_abort_removes_partial_files(tmp_path):
+    """abort() — called by Spark when any task of a batch write fails —
+    must delete the files the succeeded tasks already wrote, so a
+    failed job leaves no orphan data a manifest-less reader could
+    mistake for output. Driven directly (no Spark): write two task
+    outputs, abort with their commit messages, assert both gone and
+    no _MANIFEST exists."""
+    import pyarrow as pa
+
+    d = str(tmp_path / "sink")
+    w = pyds._JsonlDirWriter({"path": d}, overwrite=False)
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array([1, 2]), pa.array([0, 1]), pa.array([0.0, 3.1])],
+        names=["id", "k", "v"],
+    )
+    msgs = [w.write(iter([batch])), w.write(iter([batch]))]
+    assert sorted(os.listdir(d)) == sorted(m.filename for m in msgs)
+    w.abort(msgs + [None])  # a failed task reports None
+    assert os.listdir(d) == []
+
+
+def test_stream_writer_abort_and_epoch_replay(tmp_path):
+    """Streaming abort for epoch N must remove that epoch's partial
+    files and leave earlier committed epochs intact; a subsequent
+    successful replay of epoch N must publish _MANIFEST-N shadowing
+    nothing from epoch N-1."""
+    import pyarrow as pa
+
+    d = str(tmp_path / "ssink")
+    w = pyds._JsonlDirStreamWriter({"path": d})
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array([1]), pa.array([1]), pa.array([3.1])],
+        names=["id", "k", "v"],
+    )
+    m0 = w.write(iter([batch]))
+    w.commit([m0], batchId=0)
+    # epoch 1 fails mid-flight
+    m1_bad = w.write(iter([batch]))
+    w.abort([m1_bad, None], batchId=1)
+    assert not os.path.exists(os.path.join(d, m1_bad.filename))
+    # replay epoch 1 successfully
+    m1 = w.write(iter([batch]))
+    w.commit([m1], batchId=1)
+    files, rows, epochs = pyds.stream_manifest_files(d)
+    assert epochs == [0, 1] and rows == 2
+    assert set(files) == {m0.filename, m1.filename}
