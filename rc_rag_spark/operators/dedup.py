@@ -179,36 +179,21 @@ def minhash_signature(
     return F.array(*cols)
 
 
-def minhash_det_pairs(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    shingle_n: int = 3,
-    num_hashes: int = 8,
-    jaccard_threshold: float = 0.5,
-) -> DataFrame:
-    """Deterministic MinHash-LSH near-duplicate pairs, fully
-    oracle-checkable: shingle → md5-minhash signature → band join
-    (one band per hash, OR-construction) → exact-Jaccard verify.
+def _minhash_stage(df, id_col, text_col, shingle_n, num_hashes):
+    """Shared staging for the deterministic MinHash family:
+    (id, shingles, base hashes) checkpointed once, plus the exploded
+    (id, band_idx, band_sig) band table.
 
-    Scale shape: the candidate join is an equi-join on
-    (band_idx, signature_value) — shuffle O(n·num_hashes), never the
-    O(n²) cross product; the verify re-joins shingle arrays by id so
-    the band shuffle moves only (id, band, sig) triples.
-
-    Returns (id_a, id_b, jaccard) with id_a < id_b and
-    jaccard >= jaccard_threshold, for pairs colliding on >= 1 band.
-    """
-    # Stage tokens → shingles → signature as separate projections so
-    # each HOF lambda folds over a materialized array attribute
-    # (interpreted HOF eval has no common-subexpression elimination —
-    # an inlined tokenizer re-runs per array element; measured 50×+
-    # slowdown). The emptiness filter tests size(_toks) — filtering on
-    # size(_shingles) would be pushed below the shingle projection and
-    # re-inline the shingle expression into the Filter. localCheckpoint
-    # materializes the shingled corpus once for its three consumers
-    # (signatures + both verify sides) — at cluster scale this is the
-    # persisted candidate table any LSH pipeline stages anyway.
+    Tokens → shingles → signature are SEPARATE projections so each
+    HOF lambda folds over a materialized array attribute (interpreted
+    HOF eval has no common-subexpression elimination — an inlined
+    tokenizer re-runs per array element; measured 50×+ slowdown). The
+    emptiness filter tests size(_toks) — filtering on size(_shingles)
+    would be pushed below the shingle projection and re-inline the
+    shingle expression into the Filter. localCheckpoint materializes
+    the shingled corpus once for its consumers (signatures + verify
+    sides) — at cluster scale this is the persisted candidate table
+    any LSH pipeline stages anyway."""
     sh = (
         df.select(
             F.col(id_col).alias("_id"),
@@ -234,6 +219,30 @@ def minhash_det_pairs(
         "_id",
         F.posexplode("_sig").alias("_band_idx", "_band_sig"),
     )
+    return sh, bands
+
+
+def minhash_det_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Deterministic MinHash-LSH near-duplicate pairs, fully
+    oracle-checkable: shingle → md5-minhash signature → band join
+    (one band per hash, OR-construction) → exact-Jaccard verify.
+
+    Scale shape: the candidate join is an equi-join on
+    (band_idx, signature_value) — shuffle O(n·num_hashes), never the
+    O(n²) cross product; the verify re-joins shingle arrays by id so
+    the band shuffle moves only (id, band, sig) triples.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and
+    jaccard >= jaccard_threshold, for pairs colliding on >= 1 band.
+    """
+    sh, bands = _minhash_stage(df, id_col, text_col, shingle_n, num_hashes)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -418,4 +427,72 @@ def simhash_near_dup_pairs(
     return (
         out.where(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def minhash_incremental_pairs(
+    index_df: DataFrame,
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental near-dup detection: probe a NEW batch against an
+    existing corpus index — the daily-increment production shape,
+    where re-running all-corpus dedup for every arriving batch would
+    redo O(n_index) signature work and an O(n_index·bands) self-join
+    per day.
+
+    Here the candidate join is new-bands ⋈ index-bands ONLY (never
+    index × index): shuffle O((n_new + n_index)·bands) of slim
+    (id, band, sig) triples, with the quadratic-ish verify bounded by
+    actual collisions. At cluster scale the index band table and
+    shingle table are written once (bucketed by band_sig) and only the
+    increment's signatures are computed per batch — this function is
+    the per-batch probe.
+
+    Returns (new_id, index_id, jaccard) for colliding pairs with
+    jaccard >= threshold. A new row with NO output pair is novel and
+    would be admitted into the corpus (and its signatures appended to
+    the index)."""
+    sh_i, bands_i = _minhash_stage(
+        index_df, id_col, text_col, shingle_n, num_hashes
+    )
+    sh_n, bands_n = _minhash_stage(
+        new_df, id_col, text_col, shingle_n, num_hashes
+    )
+    cand = (
+        bands_n.alias("n")
+        .join(
+            bands_i.alias("i"),
+            (F.col("n._band_idx") == F.col("i._band_idx"))
+            & (F.col("n._band_sig") == F.col("i._band_sig")),
+        )
+        .select(
+            F.col("n._id").alias("new_id"),
+            F.col("i._id").alias("index_id"),
+        )
+        .dropDuplicates(["new_id", "index_id"])
+    )
+    sn = sh_n.select(
+        F.col("_id").alias("new_id"), F.col("_shingles").alias("_sha")
+    )
+    si = sh_i.select(
+        F.col("_id").alias("index_id"), F.col("_shingles").alias("_shb")
+    )
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    union = F.size(F.array_union("_sha", "_shb"))
+    return (
+        cand.join(sn, "new_id")
+        .join(si, "index_id")
+        .withColumn(
+            "jaccard",
+            F.when(union == 0, F.lit(0.0)).otherwise(
+                inter.cast("double") / union
+            ),
+        )
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("new_id", "index_id", "jaccard")
     )

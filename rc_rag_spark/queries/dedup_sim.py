@@ -1231,3 +1231,101 @@ def q145_curriculum_order(spark, sf_dir):
         .alias("stage"),
         (F.col("doc_id") % 8).cast("int").alias("shard"),
     )
+
+
+@register(
+    "q239_incremental_minhash_dedup",
+    sql=f"""
+    WITH idx AS (SELECT doc_id, text FROM documents),
+    inc AS (
+        SELECT doc_id + 1000000 AS doc_id,
+               array_to_string(
+                   string_split(text, ' ')[1:greatest(
+                       len(string_split(text, ' ')) - 3, 1)], ' ') AS text
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    shi AS (
+        SELECT doc_id, {_sql_minhash_grams("text")} AS grams FROM idx
+    ),
+    shn AS (
+        SELECT doc_id, {_sql_minhash_grams("text")} AS grams FROM inc
+    ),
+    hsi AS (
+        SELECT doc_id, grams,
+               list_transform(grams, s ->
+                   CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)) AS h
+        FROM shi WHERE len(grams) > 0
+    ),
+    hsn AS (
+        SELECT doc_id, grams,
+               list_transform(grams, s ->
+                   CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)) AS h
+        FROM shn WHERE len(grams) > 0
+    ),
+    sigi AS MATERIALIZED (
+        SELECT doc_id, grams,
+               [list_min(list_transform(h, x ->
+                    ((1000003 * (j + 1) + 12345) * x + 7919 * (j + 1) + 17)
+                    % 2147483647))
+                for j in generate_series(0, 7)] AS sig
+        FROM hsi
+    ),
+    sign AS MATERIALIZED (
+        SELECT doc_id, grams,
+               [list_min(list_transform(h, x ->
+                    ((1000003 * (j + 1) + 12345) * x + 7919 * (j + 1) + 17)
+                    % 2147483647))
+                for j in generate_series(0, 7)] AS sig
+        FROM hsn
+    ),
+    cand AS (
+        SELECT n.doc_id AS new_id, i.doc_id AS index_id,
+               n.grams AS gn, i.grams AS gi
+        FROM sign n JOIN sigi i
+          ON len(list_filter(generate_series(1, 8),
+                             k -> n.sig[k] = i.sig[k])) > 0
+    ),
+    pj AS (
+        SELECT new_id, index_id,
+               CASE WHEN len(list_distinct(list_concat(gn, gi))) = 0
+                    THEN 0.0
+                    ELSE CAST(len(list_intersect(gn, gi)) AS DOUBLE)
+                         / len(list_distinct(list_concat(gn, gi)))
+               END AS jaccard
+        FROM cand
+    )
+    SELECT new_id, index_id, round(jaccard, 9) AS jaccard
+    FROM pj WHERE jaccard >= 0.5
+    """,
+    tags=("dedup", "lsh", "incremental"),
+)
+def q239_incremental_minhash_dedup(spark, sf_dir):
+    """Incremental near-dup probe — the production shape q62 doesn't
+    cover: an arriving BATCH (every 10th doc, last-3-words-mutated,
+    new ids) is checked against the EXISTING corpus index, with the
+    candidate join strictly new-bands ⋈ index-bands (never
+    index × index, never new × new). Per arriving batch the work is
+    O(n_new) signatures + an equi-join probe into the banded index —
+    at 100 TB the index's shingle/band tables are persisted & bucketed
+    once, and each daily increment pays only its own probe; re-running
+    full-corpus dedup per batch would redo the O(n_index²/bands)
+    self-join daily. New rows with no emitted pair are novel
+    (admitted + appended to the index). Same deterministic md5-minhash
+    family as q62, so the full probe is hash-checked; mutated docs
+    must rediscover their originals."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    increment = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(
+            F.slice(words, 1, F.greatest(F.size(words) - 3, F.lit(1))),
+            " ",
+        ).alias("text"),
+    )
+    pairs = DD.minhash_incremental_pairs(
+        d.select("doc_id", "text"), increment, "doc_id", "text",
+        shingle_n=3, num_hashes=8, jaccard_threshold=0.5,
+    )
+    return pairs.select(
+        "new_id", "index_id", F.round("jaccard", 9).alias("jaccard")
+    )

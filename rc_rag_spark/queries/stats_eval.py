@@ -342,3 +342,114 @@ def q204_bootstrap_ci(spark, sf_dir):
         F.round(F.expr("percentile(m, 0.025)"), 9).alias("ci_lo"),
         F.round(F.expr("percentile(m, 0.975)"), 9).alias("ci_hi"),
     ).drop("point")
+
+
+@register(
+    "q240_psi_drift",
+    sql="""
+    WITH binned AS (
+        SELECT source,
+               CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS epoch,
+               least(CAST(n_chars // 200 AS INTEGER), 9) AS bin
+        FROM documents),
+    cells AS (
+        SELECT source, epoch, bin, COUNT(*) AS n
+        FROM binned GROUP BY source, epoch, bin),
+    grid AS (
+        SELECT s.source, b.bin,
+               coalesce(a.n, 0) AS na, coalesce(bb.n, 0) AS nb
+        FROM (SELECT DISTINCT source FROM binned) s
+        CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bin) b
+        LEFT JOIN cells a  ON a.source = s.source AND a.bin = b.bin
+                           AND a.epoch = 'a'
+        LEFT JOIN cells bb ON bb.source = s.source AND bb.bin = b.bin
+                           AND bb.epoch = 'b'),
+    tot AS (
+        SELECT source,
+               SUM(na) AS ta, SUM(nb) AS tb,
+               COUNT(*) AS nbins
+        FROM grid GROUP BY source),
+    props AS (
+        SELECT g.source, g.bin,
+               (CAST(g.na AS DOUBLE) + 0.5)
+                   / (CAST(t.ta AS DOUBLE) + 0.5 * t.nbins) AS pa,
+               (CAST(g.nb AS DOUBLE) + 0.5)
+                   / (CAST(t.tb AS DOUBLE) + 0.5 * t.nbins) AS pb
+        FROM grid g JOIN tot t ON t.source = g.source)
+    SELECT source,
+           round(SUM((pa - pb) * ln(pa / pb)), 6) AS psi,
+           CAST(SUM(CASE WHEN (pa - pb) * ln(pa / pb) > 0.01 THEN 1
+                         ELSE 0 END) AS INTEGER) AS n_hot_bins
+    FROM props
+    GROUP BY source
+    """,
+    tags=("stats", "drift", "quality"),
+)
+def q240_psi_drift(spark, sf_dir):
+    """Population Stability Index per source — the standard
+    data-drift monitor a training pipeline runs between ingestion
+    epochs (here: even vs odd doc_id as epochs A/B, n_chars binned
+    into 10 fixed-width buckets): PSI = Σ_bins (p_A − p_B)·ln(p_A/p_B),
+    with Laplace +0.5 smoothing so empty bins contribute finitely.
+    The full (source × bin) grid is densified BEFORE the ratio (a
+    missing bin in one epoch is exactly the drift signal — dropping
+    it, the classic PSI bug, understates drift); n_hot_bins counts
+    bins contributing > 0.01. Plan: one count shuffle over the fact,
+    then a tiny (sources × 10) grid of arithmetic — the monitor costs
+    one aggregation at any corpus size. Thresholds in practice:
+    < 0.1 stable, 0.1–0.25 drifting, > 0.25 investigate."""
+    d = table(spark, sf_dir, "documents")
+    binned = d.select(
+        "source",
+        F.when(F.col("doc_id") % 2 == 0, "a").otherwise("b").alias(
+            "epoch"
+        ),
+        F.least(
+            F.floor(F.col("n_chars") / 200).cast("int"), F.lit(9)
+        ).alias("bin"),
+    )
+    cells = binned.groupBy("source", "epoch", "bin").agg(
+        F.count("*").alias("n")
+    )
+    sources = binned.select("source").distinct()
+    bins = spark.range(10).select(F.col("id").cast("int").alias("bin"))
+    grid = (
+        sources.crossJoin(F.broadcast(bins))
+        .join(
+            cells.where(F.col("epoch") == "a").select(
+                "source", "bin", F.col("n").alias("na")
+            ),
+            ["source", "bin"],
+            "left",
+        )
+        .join(
+            cells.where(F.col("epoch") == "b").select(
+                "source", "bin", F.col("n").alias("nb")
+            ),
+            ["source", "bin"],
+            "left",
+        )
+        .fillna(0, ["na", "nb"])
+    )
+    tot = grid.groupBy("source").agg(
+        F.sum("na").alias("ta"),
+        F.sum("nb").alias("tb"),
+        F.count("*").alias("nbins"),
+    )
+    props = grid.join(tot, "source").select(
+        "source",
+        "bin",
+        (
+            (F.col("na").cast("double") + 0.5)
+            / (F.col("ta").cast("double") + 0.5 * F.col("nbins"))
+        ).alias("pa"),
+        (
+            (F.col("nb").cast("double") + 0.5)
+            / (F.col("tb").cast("double") + 0.5 * F.col("nbins"))
+        ).alias("pb"),
+    )
+    term = (F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb"))
+    return props.groupBy("source").agg(
+        F.round(F.sum(term), 6).alias("psi"),
+        F.sum((term > 0.01).cast("int")).cast("int").alias("n_hot_bins"),
+    )

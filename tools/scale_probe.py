@@ -83,6 +83,8 @@ DEFAULT = [
     "q236_file_metadata_columns",
     "q237_temperature_source_mixing",
     "q238_epoch_shuffle_shards",
+    "q239_incremental_minhash_dedup",
+    "q240_psi_drift",
 ]
 
 
