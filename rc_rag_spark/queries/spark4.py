@@ -5,9 +5,11 @@ SQL, string collations (UTF8_LCASE grouping), the Python Data Source
 API (batch read here; the streaming-reader and writer halves live in
 rc_rag_spark/sources/pyds.py), SQL UDFs (CREATE FUNCTION ... RETURN,
 scalar and table-valued), recursive CTEs (WITH RECURSIVE),
-EXECUTE IMMEDIATE with session variables + IDENTIFIER binding, and
-SQL scripting (BEGIN/DECLARE/SET blocks). The reference pipeline has
-no counterpart for any of these
+EXECUTE IMMEDIATE with session variables + IDENTIFIER binding, SQL
+scripting (BEGIN/DECLARE/SET blocks), hidden _metadata file-lineage
+columns, GROUP BY ALL / ORDER BY ALL inference, lateral column
+aliases, and LIMIT/OFFSET (proven equal to keyset pagination). The
+reference pipeline has no counterpart for any of these
 (it is a fixed Python loop); they are part of the engine's derived
 surface, proving the repo tracks the platform's current query
 capabilities rather than a Spark-3 subset."""
@@ -753,3 +755,148 @@ def q236_file_metadata_columns(spark, sf_dir):
             .alias("total_price"),
         )
     )
+
+
+@register(
+    "q241_group_by_all",
+    sql="""
+    SELECT o_orderpriority, o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM orders
+    GROUP BY ALL
+    """,
+    tags=("group-by-all", "agg", "spark4"),
+)
+def q241_group_by_all(spark, sf_dir):
+    """GROUP BY ALL (SPARK-41631) — the analyzer infers the grouping
+    keys as every non-aggregate SELECT item, so adding a dimension to
+    the projection can never silently desynchronize from the GROUP BY
+    list (the classic copy-paste bug in wide reports). ORDER BY ALL is
+    exercised Spark-side and dropped before hashing (the driver's
+    compare is order-insensitive); DuckDB implements the identical
+    inference, so the oracle uses the same spelling — the check pins
+    that both engines infer the same key set. Plan: identical to an
+    explicit GROUP BY (one partial+final hash agg); inference is
+    purely an analyzer feature."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("q241_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price
+        FROM q241_orders
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
+
+
+@register(
+    "q242_lateral_column_alias",
+    sql="""
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS p,
+           CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                * CAST(0.07 AS DECIMAL(3,2)) AS DECIMAL(18,4))
+                AS DOUBLE) AS tax,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                + CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                       * CAST(0.07 AS DECIMAL(3,2)) AS DECIMAL(18,4))
+                AS DOUBLE) AS gross
+    FROM orders
+    WHERE o_totalprice > 400000.0
+    """,
+    tags=("lateral-alias", "spark4"),
+)
+def q242_lateral_column_alias(spark, sf_dir):
+    """Lateral column aliases (SPARK-27561, 3.4+): a SELECT item
+    references an alias defined EARLIER IN THE SAME SELECT (p → tax →
+    gross), so a derivation chain reads top-to-bottom instead of
+    re-nesting subqueries or repeating the expression. The analyzer
+    rewrites the chain by inlining each alias — exactly the expansion
+    the oracle states literally — so the hash pins that the sugar is
+    pure. The decimal chain (p exact, tax at scale 4, gross summed
+    before the final double cast) survives the rewrite typed, which is
+    the part worth pinning: a naive textual inline that re-derived
+    types would change the rounding."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("q242_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, p, tax, gross
+        FROM (
+            SELECT o_orderkey,
+                   CAST(o_totalprice AS DECIMAL(18,2)) AS pd,
+                   CAST(pd * CAST(0.07 AS DECIMAL(3,2))
+                        AS DECIMAL(18,4)) AS taxd,
+                   CAST(pd AS DOUBLE) AS p,
+                   CAST(taxd AS DOUBLE) AS tax,
+                   CAST(pd + taxd AS DOUBLE) AS gross
+            FROM q242_orders
+            WHERE o_totalprice > 400000.0
+        )
+        """
+    )
+
+
+@register(
+    "q243_offset_vs_keyset_pagination",
+    sql="""
+    WITH ranked AS (
+        SELECT o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+                   AS rn
+        FROM orders)
+    SELECT 'offset' AS method, o_orderkey, o_totalprice
+    FROM ranked WHERE rn > 40 AND rn <= 60
+    UNION ALL
+    SELECT 'keyset' AS method, o_orderkey, o_totalprice
+    FROM ranked WHERE rn > 40 AND rn <= 60
+    """,
+    tags=("pagination", "offset", "spark4"),
+)
+def q243_offset_vs_keyset_pagination(spark, sf_dir):
+    """LIMIT ... OFFSET (SPARK-28330) vs keyset pagination, proven
+    equivalent: page 3 (rows 41-60 by price desc, orderkey tiebreak)
+    fetched BOTH ways must be identical — the oracle emits the same
+    window-ranked page twice. OFFSET is the convenient form and the
+    scale trap: the engine must still produce and discard the first 40
+    rows (top-(offset+limit) per partition, then a single-partition
+    skip), so page N costs O(N·page) — fine for dashboards, quadratic
+    for exhaustive export. The keyset form seeks WHERE (price, key) <
+    (last seen) and takes LIMIT 20: the predicate pushes into the
+    scan, each page costs the same, and that is the 100 TB pagination
+    pattern. The boundary row is computed engine-side (first row of
+    page 3 by OFFSET 40 LIMIT 1) so both forms run from the same
+    state."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("q243_orders")
+    offset_page = spark.sql(
+        """
+        SELECT 'offset' AS method, o_orderkey, o_totalprice
+        FROM q243_orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20 OFFSET 40
+        """
+    )
+    boundary = spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM q243_orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 1 OFFSET 39
+        """
+    ).collect()[0]
+    keyset_page = spark.sql(
+        """
+        SELECT 'keyset' AS method, o_orderkey, o_totalprice
+        FROM q243_orders
+        WHERE o_totalprice < :bp
+           OR (o_totalprice = :bp AND o_orderkey > :bk)
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20
+        """,
+        args={"bp": boundary["o_totalprice"], "bk": boundary["o_orderkey"]},
+    )
+    return offset_page.unionByName(keyset_page)

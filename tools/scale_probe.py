@@ -85,6 +85,9 @@ DEFAULT = [
     "q238_epoch_shuffle_shards",
     "q239_incremental_minhash_dedup",
     "q240_psi_drift",
+    "q241_group_by_all",
+    "q242_lateral_column_alias",
+    "q243_offset_vs_keyset_pagination",
 ]
 
 
