@@ -91,6 +91,28 @@ def main() -> None:
         "dedup_clusters",
         lambda: DD.dedup_clusters(pairs).count(),
     )
+    # Incremental probe vs full re-dedup on the same arriving batch
+    # (1/factor of the corpus, mutated): the q239 claim measured. The
+    # probe HERE re-stages the index signatures too (in production
+    # they are persisted once), so the reported win is a lower bound —
+    # the self-join asymmetry alone.
+    increment = docs.where(F.col("doc_id") % factor == 0).select(
+        (F.col("doc_id") + 100_000_000).alias("doc_id"),
+        F.concat(F.lit("inc "), F.col("text")).alias("text"),
+    )
+    idx = docs.select("doc_id", "text")
+    timed(
+        "incremental_probe (new×index only)",
+        lambda: DD.minhash_incremental_pairs(
+            idx, increment, "doc_id", "text"
+        ).count(),
+    )
+    timed(
+        "full re-dedup of index∪increment",
+        lambda: DD.minhash_det_pairs(
+            idx.unionByName(increment), "doc_id", "text"
+        ).count(),
+    )
     timed(
         "bm25",
         lambda: C.bm25_scores(docs, ("spark", "hash", "vector")).count(),
