@@ -900,3 +900,72 @@ def q243_offset_vs_keyset_pagination(spark, sf_dir):
         args={"bp": boundary["o_totalprice"], "bk": boundary["o_orderkey"]},
     )
     return offset_page.unionByName(keyset_page)
+
+
+_Z_INTERLEAVE = " + ".join(
+    f"((x >> {i}) & 1) * {1 << (2 * i)} + ((y >> {i}) & 1) * {1 << (2 * i + 1)}"
+    for i in range(8)
+)
+
+
+@register(
+    "q244_zorder_layout",
+    sql=f"""
+    WITH dims AS (
+        SELECT CAST(o_custkey % 256 AS BIGINT) AS x,
+               CAST(CAST(floor(o_totalprice / 2000) AS BIGINT) % 256
+                    AS BIGINT) AS y
+        FROM orders),
+    zed AS (
+        SELECT x, y, ({_Z_INTERLEAVE}) AS z FROM dims)
+    SELECT CAST(z >> 8 AS INTEGER) AS zbucket,
+           COUNT(*) AS n_orders,
+           CAST(MIN(x) AS INTEGER) AS x_lo,
+           CAST(MAX(x) AS INTEGER) AS x_hi,
+           CAST(MIN(y) AS INTEGER) AS y_lo,
+           CAST(MAX(y) AS INTEGER) AS y_hi,
+           CAST(MAX(x) - MIN(x) AS INTEGER) AS x_span,
+           CAST(MAX(y) - MIN(y) AS INTEGER) AS y_span
+    FROM zed
+    GROUP BY zbucket
+    """,
+    tags=("zorder", "layout", "clustering"),
+)
+def q244_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) clustering key — the multi-dimensional data
+    LAYOUT operator behind file-skipping on 100 TB tables: interleave
+    the bits of two 8-bit dimension buckets (custkey residue, price
+    band) into a 16-bit Morton code, then group by the code's top 8
+    bits. Each such zbucket is BY CONSTRUCTION a 16×16 tile in (x, y)
+    space, and the emitted x_span/y_span ≤ 15 prove the locality
+    property the hash pins: sort-write a table by z and every file's
+    min/max zone maps cover a small rectangle in BOTH dimensions, so a
+    predicate on EITHER dimension prunes ~15/16 of the files (a
+    1-D sort gives this for one dimension only; a hash layout gives it
+    for none — every file matches every predicate). The bit interleave
+    is integer arithmetic replicated verbatim in the oracle; at scale
+    the pattern is `df.withColumn("z", ...).repartitionByRange("z")
+    .sortWithinPartitions("z").write...`, and this query is the
+    correctness kernel of that pipeline."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("q244_orders")
+    return spark.sql(
+        f"""
+        WITH dims AS (
+            SELECT CAST(o_custkey % 256 AS BIGINT) AS x,
+                   CAST(CAST(floor(o_totalprice / 2000) AS BIGINT) % 256
+                        AS BIGINT) AS y
+            FROM q244_orders),
+        zed AS (
+            SELECT x, y, ({_Z_INTERLEAVE}) AS z FROM dims)
+        SELECT CAST(z >> 8 AS INT) AS zbucket,
+               COUNT(*) AS n_orders,
+               CAST(MIN(x) AS INT) AS x_lo,
+               CAST(MAX(x) AS INT) AS x_hi,
+               CAST(MIN(y) AS INT) AS y_lo,
+               CAST(MAX(y) AS INT) AS y_hi,
+               CAST(MAX(x) - MIN(x) AS INT) AS x_span,
+               CAST(MAX(y) - MIN(y) AS INT) AS y_span
+        FROM zed
+        GROUP BY zbucket
+        """
+    )

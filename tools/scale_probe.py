@@ -88,6 +88,7 @@ DEFAULT = [
     "q241_group_by_all",
     "q242_lateral_column_alias",
     "q243_offset_vs_keyset_pagination",
+    "q244_zorder_layout",
 ]
 
 
