@@ -6,6 +6,7 @@ formulation over the documents table."""
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from rc_rag_spark.operators import corpus as C
 from rc_rag_spark.queries.core import register
@@ -1138,4 +1139,312 @@ def q238_epoch_shuffle_shards(spark, sf_dir):
         F.sum(F.col("pos").cast("decimal(18,0)") * F.col("n_chars"))
         .cast("double")
         .alias("order_checksum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q246 — preference-pair construction (the DPO/RLHF data-prep shape)
+
+
+@register(
+    "q246_preference_pairs",
+    sql="""
+    WITH ranked AS (
+        SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY value DESC, event_id) AS rb,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY value ASC, event_id) AS rw
+        FROM events),
+    best AS (SELECT user_id, event_id AS chosen_event_id,
+                    value AS chosen_value
+             FROM ranked WHERE rb = 1),
+    worst AS (SELECT user_id, event_id AS rejected_event_id,
+                     value AS rejected_value
+              FROM ranked WHERE rw = 1)
+    SELECT b.user_id, b.chosen_event_id, w.rejected_event_id,
+           b.chosen_value, w.rejected_value,
+           CAST(CAST(b.chosen_value AS DECIMAL(18,2))
+                - CAST(w.rejected_value AS DECIMAL(18,2))
+                AS DOUBLE) AS margin
+    FROM best b JOIN worst w ON b.user_id = w.user_id
+    WHERE b.chosen_event_id != w.rejected_event_id
+      AND CAST(b.chosen_value AS DECIMAL(18,2))
+          - CAST(w.rejected_value AS DECIMAL(18,2)) >= 50
+    """,
+    tags=("training", "preference", "dpo"),
+)
+def q246_preference_pairs(spark, sf_dir):
+    """Preference-pair (chosen, rejected) construction — the data-prep
+    step behind DPO/RLHF reward modeling, mapped onto the events table
+    (user_id = the prompt group, value = the per-response reward):
+    within every group take the highest- and lowest-reward responses
+    (fully tie-broken on event_id so the pair is deterministic), keep
+    groups whose reward MARGIN clears a threshold (weak pairs teach
+    nothing), and emit the pair with its margin. The margin arithmetic
+    runs in DECIMAL(18,2) — rewards carry two decimals, so chosen
+    minus rejected is exact and the >= 50 gate can never flip on
+    float noise between engines.
+
+    Scale shape: one hash shuffle on the group key; both extremes come
+    from the SAME per-group window sort (Catalyst computes rb and rw
+    in one Window node over one Exchange), then a self-join of two
+    one-row-per-group sides — at 100 TB this is the standard
+    pair-mining plan, and heavy prompt groups (many responses) cost
+    only their own partition's sort, never a cross product."""
+    e = table(spark, sf_dir, "events")
+    wb = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), "event_id"
+    )
+    ww = Window.partitionBy("user_id").orderBy(
+        F.col("value").asc(), "event_id"
+    )
+    ranked = e.select(
+        "user_id", "event_id", "value",
+        F.row_number().over(wb).alias("rb"),
+        F.row_number().over(ww).alias("rw"),
+    )
+    best = ranked.where(F.col("rb") == 1).select(
+        "user_id",
+        F.col("event_id").alias("chosen_event_id"),
+        F.col("value").alias("chosen_value"),
+    )
+    worst = ranked.where(F.col("rw") == 1).select(
+        "user_id",
+        F.col("event_id").alias("rejected_event_id"),
+        F.col("value").alias("rejected_value"),
+    )
+    margin = F.col("chosen_value").cast("decimal(18,2)") - F.col(
+        "rejected_value"
+    ).cast("decimal(18,2)")
+    return (
+        best.join(worst, "user_id")
+        .where(
+            (F.col("chosen_event_id") != F.col("rejected_event_id"))
+            & (margin >= 50)
+        )
+        .select(
+            "user_id", "chosen_event_id", "rejected_event_id",
+            "chosen_value", "rejected_value",
+            margin.cast("double").alias("margin"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q247 — token-budget corpus selection (quality-threshold knapsack)
+
+# Integer-exact quality bucket: letters-per-kilochar, via integer div.
+# Spark interpolates this verbatim; the DuckDB twin needs the 'g'
+# flag (DuckDB regexp_replace is first-match-only by default).
+_Q247_LETTERS = "length(regexp_replace(text, '[^A-Za-z]', ''))"
+_Q247_LETTERS_DUCK = "length(regexp_replace(text, '[^A-Za-z]', '', 'g'))"
+
+
+@register(
+    "q247_token_budget_selection",
+    sql=f"""
+    WITH d AS (
+        SELECT doc_id, source,
+               CAST(ceil(n_chars / 4.0) AS BIGINT) AS tokens,
+               (1000 * {_Q247_LETTERS_DUCK}) // n_chars AS bucket
+        FROM documents),
+    tot AS (SELECT CAST(SUM(tokens) AS BIGINT) // 2 AS budget FROM d),
+    grid AS (
+        SELECT bucket, CAST(SUM(tokens) AS BIGINT) AS btok,
+               CAST(SUM(CAST(SUM(tokens) AS BIGINT)) OVER (
+                   ORDER BY bucket DESC
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM d GROUP BY bucket),
+    marked AS (
+        SELECT g.bucket, g.btok, g.cum, t.budget,
+               CASE WHEN g.cum <= t.budget THEN 'full'
+                    WHEN g.cum - g.btok < t.budget THEN 'boundary'
+                    ELSE 'out' END AS cls
+        FROM grid g, tot t),
+    bsel AS (
+        SELECT d.doc_id, d.source, d.tokens,
+               CAST(SUM(d.tokens) OVER (
+                   ORDER BY d.doc_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS bcum,
+               m.budget - (m.cum - m.btok) AS remaining
+        FROM d JOIN marked m ON d.bucket = m.bucket
+        WHERE m.cls = 'boundary'),
+    sel AS (
+        SELECT d.doc_id, d.source, d.tokens, 0 AS from_boundary
+        FROM d JOIN marked m ON d.bucket = m.bucket
+        WHERE m.cls = 'full'
+        UNION ALL
+        SELECT doc_id, source, tokens, 1
+        FROM bsel WHERE bcum <= remaining)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_selected,
+           CAST(SUM(tokens) AS BIGINT) AS tokens_selected,
+           CAST(SUM(from_boundary) AS BIGINT) AS n_from_boundary
+    FROM sel GROUP BY source
+    """,
+    tags=("training", "selection", "budget"),
+)
+def q247_token_budget_selection(spark, sf_dir):
+    """Quality-filtered corpus selection under a global TOKEN BUDGET —
+    the data-curation step that decides which half of a crawl a
+    training run actually sees. Naive formulation ("sort all docs by
+    quality, take the prefix whose tokens fit the budget") is a global
+    sort over every document: dead at 100 TB. The scalable shape used
+    here is QUANTILE-THRESHOLD selection:
+
+      1. score every doc with an integer-exact quality bucket
+         (letters-per-kilochar via integer division — no float
+         boundary can flip a bucket between engines);
+      2. aggregate tokens per bucket (grid of <= 1001 rows), and walk
+         the grid best-first with a cumulative window: buckets that
+         fit entirely are taken whole ('full'), the single bucket
+         where the budget crosses becomes the 'boundary';
+      3. ONLY the boundary bucket — ~1/1000 of the corpus — gets a
+         per-doc ordered prefix-sum to spend the remaining budget
+         (deterministic doc_id order).
+
+    So the one true sort touches a thousandth of the data, everything
+    else is hash aggregation; this is exactly how budgeted selection
+    (quality pruning, dataset mixing under a token cap) runs on real
+    pretraining corpora. Output: per-source selected doc/token counts
+    plus how many rode the boundary bucket."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.ceil(F.col("n_chars") / 4.0).cast("bigint").alias("tokens"),
+        F.expr(f"(1000 * {_Q247_LETTERS}) div n_chars").alias("bucket"),
+    )
+    budget = d.agg(
+        F.expr("CAST(SUM(tokens) AS BIGINT) div 2").alias("budget")
+    )
+    wgrid = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    grid = (
+        d.groupBy("bucket")
+        .agg(F.sum("tokens").alias("btok"))
+        .select("bucket", "btok", F.sum("btok").over(wgrid).alias("cum"))
+    )
+    marked = grid.crossJoin(F.broadcast(budget)).select(
+        "bucket", "btok", "cum", "budget",
+        F.when(F.col("cum") <= F.col("budget"), "full")
+        .when(F.col("cum") - F.col("btok") < F.col("budget"), "boundary")
+        .otherwise("out")
+        .alias("cls"),
+    )
+    full = d.join(
+        F.broadcast(marked.where(F.col("cls") == "full").select("bucket")),
+        "bucket",
+    ).select("doc_id", "source", "tokens", F.lit(0).alias("from_boundary"))
+    wb = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    bsel = (
+        d.join(
+            F.broadcast(
+                marked.where(F.col("cls") == "boundary").select(
+                    "bucket",
+                    (
+                        F.col("budget") - (F.col("cum") - F.col("btok"))
+                    ).alias("remaining"),
+                )
+            ),
+            "bucket",
+        )
+        .select(
+            "doc_id", "source", "tokens", "remaining",
+            F.sum("tokens").over(wb).alias("bcum"),
+        )
+        .where(F.col("bcum") <= F.col("remaining"))
+        .select("doc_id", "source", "tokens", F.lit(1).alias("from_boundary"))
+    )
+    return (
+        full.unionByName(bsel)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_selected"),
+            F.sum("tokens").alias("tokens_selected"),
+            F.sum("from_boundary").cast("bigint").alias("n_from_boundary"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q248 — length-bucketed batching and the padding waste it saves
+
+
+@register(
+    "q248_length_bucket_batching",
+    sql="""
+    WITH d AS (
+        SELECT doc_id, CAST(ceil(n_chars / 4.0) AS BIGINT) AS tokens
+        FROM documents),
+    b AS (
+        SELECT doc_id, tokens,
+               ntile(8) OVER (ORDER BY tokens, doc_id) AS bucket
+        FROM d),
+    g AS (SELECT CAST(MAX(tokens) AS BIGINT) AS gmax FROM d)
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(tokens) AS BIGINT) AS max_tokens,
+           CAST(SUM(tokens) AS BIGINT) AS sum_tokens,
+           CAST(COUNT(*) * MAX(tokens) AS BIGINT) AS padded_tokens,
+           CAST(COUNT(*) * g.gmax AS BIGINT) AS padded_global,
+           round(CAST(COUNT(*) * MAX(tokens) - SUM(tokens) AS DOUBLE)
+                 / (COUNT(*) * MAX(tokens)), 6) AS waste_bucketed,
+           round(CAST(COUNT(*) * g.gmax - SUM(tokens) AS DOUBLE)
+                 / (COUNT(*) * g.gmax), 6) AS waste_global
+    FROM b, g GROUP BY bucket, g.gmax
+    """,
+    tags=("training", "batching", "padding"),
+)
+def q248_length_bucket_batching(spark, sf_dir):
+    """Length-bucketed batching — the inference/training BATCHER's
+    core decision: group sequences of similar token length so each
+    batch pads to its own max instead of the corpus max, and measure
+    the padding waste each policy burns. Docs are ntile'd into 8
+    equal-count buckets over (tokens, doc_id) — the full tie-break
+    makes the bucket assignment, and hence every downstream number,
+    engine-deterministic. Per bucket: the padded token bill under
+    bucketed batching (n x bucket max) vs naive global batching
+    (n x corpus max), and both waste ratios.
+
+    Scale note: ntile over a global ORDER BY is a single-partition
+    sort — fine for this 500-row demo table, but the 100 TB form
+    replaces it with range partitioning on approx token-count
+    quantiles (approxQuantile / RangePartitioner), which yields the
+    same equal-mass buckets without ever totally ordering the data;
+    the per-bucket aggregate is identical from there on. The corpus
+    max rides a broadcast one-row cross join, not a second scan
+    shuffle."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.ceil(F.col("n_chars") / 4.0).cast("bigint").alias("tokens"),
+    )
+    b = d.select(
+        "tokens",
+        F.ntile(8).over(Window.orderBy("tokens", "doc_id")).alias("bucket"),
+    )
+    g = d.agg(F.max("tokens").alias("gmax"))
+    agg = b.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.min("tokens").alias("min_tokens"),
+        F.max("tokens").alias("max_tokens"),
+        F.sum("tokens").alias("sum_tokens"),
+    )
+    return agg.crossJoin(F.broadcast(g)).select(
+        "bucket", "n_docs", "min_tokens", "max_tokens", "sum_tokens",
+        (F.col("n_docs") * F.col("max_tokens")).alias("padded_tokens"),
+        (F.col("n_docs") * F.col("gmax")).alias("padded_global"),
+        F.round(
+            (F.col("n_docs") * F.col("max_tokens") - F.col("sum_tokens"))
+            .cast("double")
+            / (F.col("n_docs") * F.col("max_tokens")),
+            6,
+        ).alias("waste_bucketed"),
+        F.round(
+            (F.col("n_docs") * F.col("gmax") - F.col("sum_tokens"))
+            .cast("double")
+            / (F.col("n_docs") * F.col("gmax")),
+            6,
+        ).alias("waste_global"),
     )

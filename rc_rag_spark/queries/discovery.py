@@ -260,3 +260,213 @@ def q210_joinability_audit(spark, sf_dir):
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+# --------------------------------------------------------------------------
+# q250 — declarative data-quality rule engine (the Deequ/dbt-test shape)
+
+
+@register(
+    "q250_dq_rules",
+    sql="""
+    WITH rowlocal AS (
+        SELECT
+            SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS r1,
+            SUM(CASE WHEN o_totalprice <= 0
+                       OR o_totalprice > 1000000 THEN 1 ELSE 0 END) AS r2,
+            SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                     THEN 1 ELSE 0 END) AS r3,
+            SUM(CASE WHEN o_orderdate > TIMESTAMP '1998-08-02'
+                     THEN 1 ELSE 0 END) AS r6,
+            COUNT(*) - COUNT(DISTINCT o_orderkey) AS r5
+        FROM orders),
+    refint AS (
+        SELECT COUNT(*) AS r4
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_custkey IS NULL),
+    report AS (
+        SELECT 1 AS rule_id, 'not_null:o_custkey' AS rule_name,
+               CAST(r1 AS BIGINT) AS n_violations FROM rowlocal
+        UNION ALL
+        SELECT 2, 'range:o_totalprice(0,1e6]', CAST(r2 AS BIGINT)
+        FROM rowlocal
+        UNION ALL
+        SELECT 3, 'enum:o_orderstatus{O,F,P}', CAST(r3 AS BIGINT)
+        FROM rowlocal
+        UNION ALL
+        SELECT 4, 'ref:o_custkey->customer', CAST(r4 AS BIGINT)
+        FROM refint
+        UNION ALL
+        SELECT 5, 'unique:o_orderkey', CAST(r5 AS BIGINT) FROM rowlocal
+        UNION ALL
+        SELECT 6, 'freshness:o_orderdate<=1998-08-02', CAST(r6 AS BIGINT)
+        FROM rowlocal)
+    SELECT rule_id, rule_name, n_violations,
+           CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS status
+    FROM report
+    """,
+    tags=("quality", "validation", "governance"),
+)
+def q250_dq_rules(spark, sf_dir):
+    """Declarative data-quality rule engine — the Deequ / dbt-test /
+    Great-Expectations shape: a fixed rule set evaluated into a
+    (rule, violations, status) report in as few passes as the rule
+    classes allow. Rule classes and their plan cost:
+
+      - ROW-LOCAL rules (not-null, range, enum membership, freshness
+        cutoff) all fold into ONE conditional aggregate — a single
+        scan regardless of how many such rules are registered;
+      - UNIQUENESS is the same scan's COUNT(*) - COUNT(DISTINCT pk)
+        (Spark computes it in the same Aggregate node);
+      - REFERENTIAL integrity is the one rule that genuinely needs a
+        join: a null-producing left join (anti-join shape) against
+        the dimension's key projection.
+
+    At 100 TB the engine runs the row-local bundle map-side-combined,
+    broadcasts the dimension keyset when it fits, and the report is
+    six rows however wide the table — checks cost scans, not rules.
+    The 1998-08-02 freshness cutoff is TPC-H's dataset end date, so
+    the rule passes on clean fixtures and trips on future-dated
+    rows."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    rowlocal = o.agg(
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("r1"),
+        F.sum(
+            (
+                (F.col("o_totalprice") <= 0)
+                | (F.col("o_totalprice") > 1000000)
+            ).cast("long")
+        ).alias("r2"),
+        F.sum(
+            (~F.col("o_orderstatus").isin("O", "F", "P")).cast("long")
+        ).alias("r3"),
+        F.sum(
+            (F.col("o_orderdate") > F.lit("1998-08-02").cast("timestamp"))
+            .cast("long")
+        ).alias("r6"),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("r5"),
+    )
+    r4 = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count("*").alias("r4"))
+    )
+    rules = [
+        (1, "not_null:o_custkey", "r1", rowlocal),
+        (2, "range:o_totalprice(0,1e6]", "r2", rowlocal),
+        (3, "enum:o_orderstatus{O,F,P}", "r3", rowlocal),
+        (4, "ref:o_custkey->customer", "r4", r4),
+        (5, "unique:o_orderkey", "r5", rowlocal),
+        (6, "freshness:o_orderdate<=1998-08-02", "r6", rowlocal),
+    ]
+    parts = [
+        src.select(
+            F.lit(rid).alias("rule_id"),
+            F.lit(name).alias("rule_name"),
+            F.col(col).cast("bigint").alias("n_violations"),
+        )
+        for rid, name, col, src in rules
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "rule_id", "rule_name", "n_violations",
+        F.when(F.col("n_violations") == 0, "pass")
+        .otherwise("fail")
+        .alias("status"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q251 — k-anonymity audit across a generalization ladder (GROUPING SETS)
+
+
+_K_ANON = 5
+
+
+@register(
+    "q251_k_anonymity",
+    sql=f"""
+    WITH q AS (
+        SELECT c_nationkey AS nat, c_mktsegment AS seg,
+               CAST(floor(c_acctbal / 100) AS BIGINT) AS band100,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS band1000
+        FROM customer),
+    g AS (
+        SELECT nat, seg, band100, band1000, COUNT(*) AS cnt,
+               GROUPING(band100) AS g100, GROUPING(band1000) AS g1000
+        FROM q
+        GROUP BY GROUPING SETS ((nat, seg, band100),
+                                (nat, seg, band1000),
+                                (nat, seg))),
+    lv AS (
+        SELECT CASE WHEN g100 = 0 THEN 'L0:band100'
+                    WHEN g1000 = 0 THEN 'L1:band1000'
+                    ELSE 'L2:no_band' END AS level,
+               cnt
+        FROM g)
+    SELECT level,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN cnt < {_K_ANON} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_small_groups,
+           CAST(SUM(CASE WHEN cnt < {_K_ANON} THEN cnt ELSE 0 END)
+                AS BIGINT) AS n_rows_at_risk,
+           CAST(MIN(cnt) AS BIGINT) AS min_group_size
+    FROM lv GROUP BY level
+    """,
+    tags=("privacy", "governance", "groupingsets"),
+)
+def q251_k_anonymity(spark, sf_dir):
+    """k-anonymity audit over a GENERALIZATION LADDER — the privacy
+    gate a training-data release runs before shipping: every
+    quasi-identifier combination (nation, segment, account-balance
+    band) must describe at least k=5 (_K_ANON) people, else those rows
+    re-identify. The ladder evaluates three generalization levels —
+    fine bands (/100), coarse bands (/1000), no band — in ONE scan
+    via GROUPING SETS: Catalyst expands the sets inside a single
+    Expand + Aggregate pair, so adding ladder rungs costs a constant
+    factor on one shuffle, never extra scans (the same trick as the
+    q04/q05/q06 rollup family, pointed at governance instead of BI).
+    GROUPING() bits identify each rung. Per level: group count,
+    groups below k, rows at risk, and the worst (smallest) group —
+    the release decision reads off whichever rung first drives
+    rows-at-risk to an acceptable floor. At 100 TB this is one
+    Expand(3x) aggregate on the quasi-identifier key space; the
+    report is |levels| rows."""
+    c = table(spark, sf_dir, "customer")
+    q = c.select(
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 100).cast("bigint").alias("band100"),
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("band1000"),
+    )
+    q.createOrReplaceTempView("q251_quasi")
+    g = spark.sql(
+        """
+        SELECT nat, seg, band100, band1000, COUNT(*) AS cnt,
+               GROUPING(band100) AS g100, GROUPING(band1000) AS g1000
+        FROM q251_quasi
+        GROUP BY GROUPING SETS ((nat, seg, band100),
+                                (nat, seg, band1000),
+                                (nat, seg))
+        """
+    )
+    lv = g.select(
+        F.when(F.col("g100") == 0, "L0:band100")
+        .when(F.col("g1000") == 0, "L1:band1000")
+        .otherwise("L2:no_band")
+        .alias("level"),
+        "cnt",
+    )
+    k = F.lit(_K_ANON)
+    return lv.groupBy("level").agg(
+        F.count("*").alias("n_groups"),
+        F.sum((F.col("cnt") < k).cast("long")).cast("bigint").alias(
+            "n_small_groups"
+        ),
+        F.sum(F.when(F.col("cnt") < k, F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("n_rows_at_risk"),
+        F.min("cnt").cast("bigint").alias("min_group_size"),
+    )

@@ -1064,3 +1064,144 @@ def q144_event_transitions(spark, sf_dir):
             F.col("n").cast("double") / F.sum("n").over(wn), 9
         ).alias("p"),
     )
+
+
+# --------------------------------------------------------------------------
+# q244 — interval-overlap sweep line: peak concurrent sessions per hour
+
+
+@register(
+    "q244_peak_concurrency",
+    sql="""
+    WITH o AS (
+        SELECT user_id, ts, event_id,
+               lag(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events),
+    s AS (
+        SELECT user_id, ts,
+               SUM(CASE WHEN prev_ts IS NULL
+                         OR ts - prev_ts > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS sid
+        FROM o),
+    iv AS (SELECT user_id, sid, MIN(ts) AS s_start, MAX(ts) AS s_end
+           FROM s GROUP BY user_id, sid),
+    edges AS (
+        SELECT user_id, s_start AS ts, 1 AS d FROM iv
+        UNION ALL
+        SELECT user_id, s_end, -1 FROM iv),
+    hg AS (
+        SELECT date_trunc('hour', ts) AS hour,
+               SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS n_starts,
+               SUM(CASE WHEN d = -1 THEN 1 ELSE 0 END) AS n_ends
+        FROM edges GROUP BY 1),
+    ci AS (
+        SELECT hour, n_starts, n_ends,
+               COALESCE(SUM(n_starts - n_ends) OVER (
+                   ORDER BY hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS carry_in
+        FROM hg),
+    run AS (
+        SELECT date_trunc('hour', ts) AS hour,
+               SUM(d) OVER (PARTITION BY date_trunc('hour', ts)
+                            ORDER BY ts, d DESC, user_id
+                            ROWS UNBOUNDED PRECEDING) AS r
+        FROM edges),
+    pk AS (SELECT hour, MAX(r) AS mx FROM run GROUP BY hour)
+    SELECT ci.hour,
+           CAST(ci.carry_in AS INTEGER) AS carry_in,
+           CAST(GREATEST(ci.carry_in, ci.carry_in + pk.mx)
+                AS INTEGER) AS peak,
+           CAST(ci.n_starts AS INTEGER) AS n_starts,
+           CAST(ci.n_ends AS INTEGER) AS n_ends
+    FROM ci JOIN pk ON ci.hour = pk.hour
+    """,
+    tags=("interval", "sweepline", "sessions"),
+)
+def q244_peak_concurrency(spark, sf_dir):
+    """Peak concurrent sessions per hour — the DISTRIBUTED SWEEP LINE.
+
+    The textbook sweep line (+1 at every interval start, -1 at every
+    end, running sum, max) is a single global sort: useless at 100 TB.
+    This decomposes it into bucket-local sweeps plus a tiny carry-in
+    grid, which is how interval-overlap counting actually scales:
+
+      1. sessionize events per user (30-min gap, the shared session
+         policy) -> intervals (s_start, s_end) that CROSS hour
+         boundaries;
+      2. explode each interval into a +1/-1 edge stream;
+      3. per HOUR bucket: an ordered running sum over only that
+         hour's edges (parallel across hours - the partition key IS
+         the bucket);
+      4. carry_in(h) = #starts before h minus #ends before h, i.e. a
+         cumulative sum over the per-hour start/end COUNTS - a grid
+         of |hours| rows, so the one global ordered window runs on a
+         few hundred rows, never on raw edges;
+      5. peak(h) = max(carry_in, carry_in + max running sum), the
+         max() covering hours whose first edges are all endings.
+
+    Closed-interval semantics: at equal timestamps +1 sorts before -1
+    (d DESC), so a session ending the same microsecond another starts
+    counts as overlap. The per-hour peak is invariant to tie order
+    among same-sign edges, making the hash deterministic. At 100 TB
+    the edge stream shuffles once on the hour bucket; skewed hours
+    split by sub-bucketing (minute) with the same carry-in trick one
+    level down."""
+    e = table(spark, sf_dir, "events")
+    wlag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "user_id", "ts", "event_id",
+        F.lag("ts").over(wlag).alias("prev_ts"),
+    ).select(
+        "user_id", "ts",
+        F.sum(
+            F.when(
+                F.col("prev_ts").isNull()
+                | (F.col("ts") - F.col("prev_ts") > F.expr("INTERVAL 30 MINUTES")),
+                1,
+            ).otherwise(0)
+        ).over(wlag.rowsBetween(Window.unboundedPreceding, 0)).alias("sid"),
+    )
+    iv = s.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    edges = iv.select(
+        "user_id", F.col("s_start").alias("ts"), F.lit(1).alias("d")
+    ).unionByName(
+        iv.select("user_id", F.col("s_end").alias("ts"), F.lit(-1).alias("d"))
+    )
+    hg = edges.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).alias("n_starts"),
+        F.sum(F.when(F.col("d") == -1, 1).otherwise(0)).alias("n_ends"),
+    )
+    wgrid = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, -1)
+    ci = hg.select(
+        "hour", "n_starts", "n_ends",
+        F.coalesce(
+            F.sum(F.col("n_starts") - F.col("n_ends")).over(wgrid), F.lit(0)
+        ).alias("carry_in"),
+    )
+    wrun = Window.partitionBy(F.date_trunc("hour", "ts")).orderBy(
+        "ts", F.col("d").desc(), "user_id"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    pk = (
+        edges.select(
+            F.date_trunc("hour", "ts").alias("hour"),
+            F.sum("d").over(wrun).alias("r"),
+        )
+        .groupBy("hour")
+        .agg(F.max("r").alias("mx"))
+    )
+    return ci.join(pk, "hour").select(
+        "hour",
+        F.col("carry_in").cast("int").alias("carry_in"),
+        F.greatest(
+            F.col("carry_in"), F.col("carry_in") + F.col("mx")
+        ).cast("int").alias("peak"),
+        F.col("n_starts").cast("int").alias("n_starts"),
+        F.col("n_ends").cast("int").alias("n_ends"),
+    )

@@ -902,70 +902,73 @@ def q243_offset_vs_keyset_pagination(spark, sf_dir):
     return offset_page.unionByName(keyset_page)
 
 
-_Z_INTERLEAVE = " + ".join(
-    f"((x >> {i}) & 1) * {1 << (2 * i)} + ((y >> {i}) & 1) * {1 << (2 * i + 1)}"
-    for i in range(8)
-)
-
-
 @register(
-    "q244_zorder_layout",
-    sql=f"""
-    WITH dims AS (
-        SELECT CAST(o_custkey % 256 AS BIGINT) AS x,
-               CAST(CAST(floor(o_totalprice / 2000) AS BIGINT) % 256
-                    AS BIGINT) AS y
-        FROM orders),
-    zed AS (
-        SELECT x, y, ({_Z_INTERLEAVE}) AS z FROM dims)
-    SELECT CAST(z >> 8 AS INTEGER) AS zbucket,
-           COUNT(*) AS n_orders,
-           CAST(MIN(x) AS INTEGER) AS x_lo,
-           CAST(MAX(x) AS INTEGER) AS x_hi,
-           CAST(MIN(y) AS INTEGER) AS y_lo,
-           CAST(MAX(y) AS INTEGER) AS y_hi,
-           CAST(MAX(x) - MIN(x) AS INTEGER) AS x_span,
-           CAST(MAX(y) - MIN(y) AS INTEGER) AS y_span
-    FROM zed
-    GROUP BY zbucket
+    "q249_try_arithmetic",
+    sql="""
+    SELECT
+        CAST(COUNT(CASE WHEN o_custkey % 7 = 0 THEN 1 END)
+             AS BIGINT) AS n_div_zero,
+        CAST(SUM(CASE WHEN o_custkey % 7 != 0
+                      THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT) // (o_custkey % 7)
+                 END) AS BIGINT) AS sum_safe_div_cents,
+        CAST(COUNT(CASE WHEN o_custkey > 0 THEN 1 END)
+             AS BIGINT) AS n_overflow,
+        CAST(SUM(CAST(substr(o_orderpriority, 1, 1) AS BIGINT))
+             AS BIGINT) AS sum_prio_digit,
+        CAST(COUNT(CASE WHEN NOT regexp_matches(o_orderstatus, '^[0-9]+$')
+                        THEN 1 END) AS BIGINT) AS n_bad_casts,
+        CAST(COUNT(CASE WHEN o_orderkey % 3 >= 2 THEN 1 END)
+             AS BIGINT) AS n_elem_missing
+    FROM orders
     """,
-    tags=("zorder", "layout", "clustering"),
+    tags=("spark4", "ansi", "try"),
 )
-def q244_zorder_layout(spark, sf_dir):
-    """Z-order (Morton) clustering key — the multi-dimensional data
-    LAYOUT operator behind file-skipping on 100 TB tables: interleave
-    the bits of two 8-bit dimension buckets (custkey residue, price
-    band) into a 16-bit Morton code, then group by the code's top 8
-    bits. Each such zbucket is BY CONSTRUCTION a 16×16 tile in (x, y)
-    space, and the emitted x_span/y_span ≤ 15 prove the locality
-    property the hash pins: sort-write a table by z and every file's
-    min/max zone maps cover a small rectangle in BOTH dimensions, so a
-    predicate on EITHER dimension prunes ~15/16 of the files (a
-    1-D sort gives this for one dimension only; a hash layout gives it
-    for none — every file matches every predicate). The bit interleave
-    is integer arithmetic replicated verbatim in the oracle; at scale
-    the pattern is `df.withColumn("z", ...).repartitionByRange("z")
-    .sortWithinPartitions("z").write...`, and this query is the
-    correctness kernel of that pipeline."""
-    table(spark, sf_dir, "orders").createOrReplaceTempView("q244_orders")
+def q249_try_arithmetic(spark, sf_dir):
+    """ANSI-mode error-safe arithmetic (Spark 4 runs ANSI ON by
+    default, SPARK-44111): the try_* family converts what would be a
+    hard task failure — divide-by-zero, BIGINT overflow, malformed
+    cast, out-of-bounds element — into NULL, which is the only sane
+    semantics for a 100 TB batch job where one poison row must not
+    kill a 1000-executor stage. One pass over orders exercises each
+    family member against engineered poison:
+
+      - try_divide by (custkey % 7): zero every 7th row -> NULL;
+      - try_add(BIGINT_MAX, custkey): overflows for every positive
+        key -> NULL;
+      - try_cast of the status letter to INT: always malformed ->
+        NULL (counted), vs the priority's leading digit which casts
+        cleanly (summed);
+      - try_element_at past the end of a 2-element array -> NULL.
+
+    The oracle replays the NULL-propagation contract with explicit
+    CASE guards — DuckDB has no try_* and errors on the raw ops, so
+    the guards ARE the semantics being pinned. The safe-division sum
+    runs on exact integer CENTS with integer division (a rounded
+    double division ties differently under Spark's HALF_UP vs
+    DuckDB's HALF_EVEN — measured, not hypothetical). All counts/sums compile
+    into a single map-side-combine hash aggregate: zero extra
+    shuffles for the entire safety surface."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("q249_orders")
     return spark.sql(
-        f"""
-        WITH dims AS (
-            SELECT CAST(o_custkey % 256 AS BIGINT) AS x,
-                   CAST(CAST(floor(o_totalprice / 2000) AS BIGINT) % 256
-                        AS BIGINT) AS y
-            FROM q244_orders),
-        zed AS (
-            SELECT x, y, ({_Z_INTERLEAVE}) AS z FROM dims)
-        SELECT CAST(z >> 8 AS INT) AS zbucket,
-               COUNT(*) AS n_orders,
-               CAST(MIN(x) AS INT) AS x_lo,
-               CAST(MAX(x) AS INT) AS x_hi,
-               CAST(MIN(y) AS INT) AS y_lo,
-               CAST(MAX(y) AS INT) AS y_hi,
-               CAST(MAX(x) - MIN(x) AS INT) AS x_span,
-               CAST(MAX(y) - MIN(y) AS INT) AS y_span
-        FROM zed
-        GROUP BY zbucket
+        """
+        SELECT
+            CAST(COUNT(CASE WHEN try_divide(o_totalprice,
+                            CAST(o_custkey % 7 AS DOUBLE)) IS NULL
+                            THEN 1 END) AS BIGINT) AS n_div_zero,
+            CAST(SUM(CASE WHEN o_custkey % 7 != 0
+                     THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT) div (o_custkey % 7)
+                     END) AS BIGINT) AS sum_safe_div_cents,
+            CAST(COUNT(CASE WHEN try_add(9223372036854775807L, o_custkey)
+                            IS NULL THEN 1 END) AS BIGINT) AS n_overflow,
+            CAST(SUM(try_cast(substr(o_orderpriority, 1, 1) AS BIGINT))
+                 AS BIGINT) AS sum_prio_digit,
+            CAST(COUNT(CASE WHEN try_cast(o_orderstatus AS INT) IS NULL
+                            THEN 1 END) AS BIGINT) AS n_bad_casts,
+            CAST(COUNT(CASE WHEN try_element_at(array(1, 2),
+                            CAST(o_orderkey % 3 + 1 AS INT)) IS NULL
+                            THEN 1 END) AS BIGINT) AS n_elem_missing
+        FROM q249_orders
         """
     )

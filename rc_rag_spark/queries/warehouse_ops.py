@@ -293,3 +293,142 @@ def q196_kmv_distinct(spark, sf_dir):
             F.abs(est - F.col("n_exact")) / F.col("n_exact"), 9
         ).alias("rel_error"),
     )
+
+
+# --------------------------------------------------------------------------
+# q245 — compaction planner: size-ordered next-fit bin packing per partition
+
+
+@register(
+    "q245_compaction_binpack",
+    sql="""
+    WITH files AS (
+        SELECT date_trunc('month', l_shipdate) AS part,
+               l_suppkey % 40 AS file_id,
+               CAST(128 * COUNT(*) + SUM(CAST(l_quantity AS BIGINT))
+                    AS BIGINT) AS size_bytes
+        FROM lineitem
+        GROUP BY 1, 2),
+    tgt AS (
+        SELECT part, COUNT(*) AS n_files,
+               CAST(SUM(size_bytes) AS BIGINT) AS total_bytes,
+               4 * CAST(ceil(CAST(SUM(size_bytes) AS DOUBLE) / COUNT(*))
+                        AS BIGINT) AS target
+        FROM files GROUP BY part),
+    packed AS (
+        SELECT f.part, f.file_id, f.size_bytes, t.target,
+               SUM(f.size_bytes) OVER (
+                   PARTITION BY f.part
+                   ORDER BY f.size_bytes DESC, f.file_id
+                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM files f JOIN tgt t ON f.part = t.part),
+    binned AS (
+        SELECT part, file_id, size_bytes, target,
+               CAST(floor(CAST(cum - size_bytes AS DOUBLE) / target)
+                    AS BIGINT) AS bin
+        FROM packed),
+    bins AS (
+        SELECT part, bin, COUNT(*) AS files_in_bin,
+               CAST(SUM(size_bytes) AS BIGINT) AS bin_bytes
+        FROM binned GROUP BY part, bin)
+    SELECT t.part,
+           CAST(t.n_files AS INTEGER) AS n_files,
+           t.total_bytes,
+           t.target,
+           CAST(COUNT(*) AS INTEGER) AS n_bins,
+           MAX(b.bin_bytes) AS max_bin_bytes,
+           CAST(MAX(b.files_in_bin) AS INTEGER) AS max_files_per_bin,
+           round(CAST(t.total_bytes AS DOUBLE)
+                 / (COUNT(*) * t.target), 6) AS fill_ratio
+    FROM bins b JOIN tgt t ON b.part = t.part
+    GROUP BY t.part, t.n_files, t.total_bytes, t.target
+    """,
+    tags=("maintenance", "compaction", "binpack"),
+)
+def q245_compaction_binpack(spark, sf_dir):
+    """Small-file compaction planner — the table-MAINTENANCE operator
+    behind OPTIMIZE/rewriteDataFiles on 100 TB tables: given a file
+    inventory (simulated here as one pseudo-file per (month partition,
+    suppkey residue) with an integer-exact size proxy), pack each
+    partition's files into target-sized output bins and report the
+    before/after shape the maintenance scheduler acts on.
+
+    The packing is size-descending NEXT-FIT: order files largest
+    first, running-sum their sizes, bin = floor((cum - size)/target).
+    That is exactly what a windowed engine can do in ONE pass with no
+    sequential driver loop — first-fit-decreasing needs a mutable
+    per-bin state and cannot be expressed as a window; next-fit on a
+    size-sorted stream is the standard compromise (every bin except
+    the last per partition is filled past `target - max_remaining
+    file`, and a file never splits). The adaptive target (4x mean
+    file size) keeps the plan meaningful at every scale factor.
+
+    Scale shape: files-per-partition is the only window partition —
+    the inventory is |partitions|x|files| rows (metadata-scale, not
+    data-scale), so the whole plan costs one shuffle over the file
+    manifest, the same input Delta/Iceberg compaction planners read.
+    Skewed partitions (many files) are bounded by the manifest size,
+    never by table bytes."""
+    li = table(spark, sf_dir, "lineitem")
+    files = li.groupBy(
+        F.date_trunc("month", "l_shipdate").alias("part"),
+        (F.col("l_suppkey") % 40).alias("file_id"),
+    ).agg(
+        (
+            128 * F.count("*")
+            + F.sum(F.col("l_quantity").cast("bigint"))
+        ).alias("size_bytes")
+    )
+    tgt = files.groupBy("part").agg(
+        F.count("*").alias("n_files"),
+        F.sum("size_bytes").alias("total_bytes"),
+    ).select(
+        "part", "n_files", "total_bytes",
+        (
+            4
+            * F.ceil(
+                F.col("total_bytes").cast("double") / F.col("n_files")
+            ).cast("bigint")
+        ).alias("target"),
+    )
+    wpack = Window.partitionBy("part").orderBy(
+        F.col("size_bytes").desc(), "file_id"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    binned = (
+        files.join(tgt.select("part", "target"), "part")
+        .select(
+            "part", "file_id", "size_bytes", "target",
+            F.sum("size_bytes").over(wpack).alias("cum"),
+        )
+        .select(
+            "part", "size_bytes", "target",
+            F.floor(
+                (F.col("cum") - F.col("size_bytes")).cast("double")
+                / F.col("target")
+            ).cast("bigint").alias("bin"),
+        )
+    )
+    bins = binned.groupBy("part", "bin").agg(
+        F.count("*").alias("files_in_bin"),
+        F.sum("size_bytes").alias("bin_bytes"),
+    )
+    return (
+        bins.join(tgt, "part")
+        .groupBy("part", "n_files", "total_bytes", "target")
+        .agg(
+            F.count("*").cast("int").alias("n_bins"),
+            F.max("bin_bytes").alias("max_bin_bytes"),
+            F.max("files_in_bin").cast("int").alias("max_files_per_bin"),
+        )
+        .select(
+            "part",
+            F.col("n_files").cast("int").alias("n_files"),
+            "total_bytes", "target", "n_bins", "max_bin_bytes",
+            "max_files_per_bin",
+            F.round(
+                F.col("total_bytes").cast("double")
+                / (F.col("n_bins") * F.col("target")),
+                6,
+            ).alias("fill_ratio"),
+        )
+    )

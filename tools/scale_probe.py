@@ -88,7 +88,14 @@ DEFAULT = [
     "q241_group_by_all",
     "q242_lateral_column_alias",
     "q243_offset_vs_keyset_pagination",
-    "q244_zorder_layout",
+    "q244_peak_concurrency",
+    "q245_compaction_binpack",
+    "q246_preference_pairs",
+    "q247_token_budget_selection",
+    "q248_length_bucket_batching",
+    "q249_try_arithmetic",
+    "q250_dq_rules",
+    "q251_k_anonymity",
 ]
 
 
