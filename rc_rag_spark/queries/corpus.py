@@ -1448,3 +1448,210 @@ def q248_length_bucket_batching(spark, sf_dir):
             6,
         ).alias("waste_global"),
     )
+
+
+# --------------------------------------------------------------------------
+# q255 — capped mixture allocation by water-filling (sqrt temperature)
+
+
+@register(
+    "q255_capped_mixture_waterfill",
+    sql="""
+    WITH s AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+               sqrt(CAST(COUNT(*) AS DOUBLE)) AS w
+        FROM documents GROUP BY source),
+    tot AS (
+        SELECT CAST(3 * SUM(n) AS BIGINT) // 5 AS budget,
+               CAST(SUM(n) AS BIGINT) AS ntot,
+               SUM(w) AS wtot
+        FROM s),
+    g AS (
+        SELECT s.source, s.n, s.w, t.budget,
+               CAST(SUM(s.n) OVER (
+                   ORDER BY s.n, s.source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS BIGINT) AS cum_n,
+               SUM(s.w) OVER (
+                   ORDER BY s.n, s.source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS cum_w
+        FROM s, tot t),
+    lam AS (
+        SELECT g.source, g.n, g.w,
+               (g.budget - COALESCE(g.cum_n, 0))
+               / (t.wtot - COALESCE(g.cum_w, 0.0)) AS lam
+        FROM g, tot t),
+    crit AS (SELECT MAX(lam) AS lamstar FROM lam)
+    SELECT l.source, l.n,
+           CAST(least(CAST(l.n AS DOUBLE),
+                      floor(c.lamstar * l.w)) AS BIGINT) AS allocated,
+           l.n <= CAST(floor(c.lamstar * l.w) AS BIGINT) AS saturated,
+           round(c.lamstar, 6) AS lambda_star
+    FROM lam l, crit c
+    """,
+    tags=("training", "mixture", "waterfill"),
+)
+def q255_capped_mixture_waterfill(spark, sf_dir):
+    """Capped mixture allocation by WATER-FILLING — the solver behind
+    temperature sampling when sources can RUN OUT: allocate a global
+    document budget across sources proportionally to sqrt(n)
+    (temperature 0.5) subject to the availability cap a_i <= n_i.
+    Plain proportional allocation over-asks small sources; the
+    correct answer is a_i = min(n_i, lambda * w_i) with lambda chosen
+    so the total spends the budget — small sources saturate, their
+    unspent share re-floods the big ones.
+
+    lambda is found in closed form on the per-source grid: sort
+    sources by saturation order (ratio n/w = sqrt(n), so smallest
+    first), prefix-sum docs and weights, and for each candidate
+    saturated-prefix compute lambda_k = (budget - cum_n)/(W - cum_w);
+    lambda* is the largest fixed point (MAX over candidates where the
+    source's own ratio clears it). Everything after the one groupBy
+    runs on the |sources| grid (20 rows), so the 100 TB cost is ONE
+    count-by-source scan; sqrt is IEEE-exact in both engines and the
+    ordered prefix-sums add in the same sequence, so lambda* and
+    every floor() land bit-identically. Output: per-source
+    allocation, saturation flag, and lambda* (the oracle replays the
+    identical walk)."""
+    d = table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(F.count("*").cast("bigint").alias("n")).select(
+        "source", "n", F.sqrt(F.col("n").cast("double")).alias("w")
+    )
+    tot = s.agg(
+        F.expr("CAST(3 * SUM(n) AS BIGINT) div 5").alias("budget"),
+        F.sum("w").alias("wtot"),
+    )
+    wg = Window.orderBy("n", "source").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    g = s.crossJoin(F.broadcast(tot)).select(
+        "source", "n", "w", "budget", "wtot",
+        F.sum("n").over(wg).alias("cum_n"),
+        F.sum("w").over(wg).alias("cum_w"),
+    )
+    lam = g.select(
+        "source", "n", "w",
+        (
+            (F.col("budget") - F.coalesce(F.col("cum_n"), F.lit(0)))
+            / (F.col("wtot") - F.coalesce(F.col("cum_w"), F.lit(0.0)))
+        ).alias("lam"),
+    )
+    crit = lam.agg(F.max("lam").alias("lamstar"))
+    return lam.crossJoin(F.broadcast(crit)).select(
+        "source", "n",
+        F.least(
+            F.col("n").cast("double"), F.floor(F.col("lamstar") * F.col("w"))
+        ).cast("bigint").alias("allocated"),
+        (
+            F.col("n")
+            <= F.floor(F.col("lamstar") * F.col("w")).cast("bigint")
+        ).alias("saturated"),
+        F.round(F.col("lamstar"), 6).alias("lambda_star"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q256 — rendezvous (HRW) sharding and its minimal-movement property
+
+
+_HRW_SHARDS = 8
+
+
+def _hrw_weight_sql(shard_expr: str) -> str:
+    """DuckDB 60-bit md5 weight for (doc_id, shard) — same digest
+    recipe as the q110/q237 hash-sampling twins."""
+    return (
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' || "
+        f"CAST({shard_expr} AS VARCHAR)), 1, 15)) AS BIGINT)"
+    )
+
+
+@register(
+    "q256_rendezvous_sharding",
+    sql=f"""
+    WITH pairs AS (
+        SELECT doc_id, n_chars, s.shard,
+               {_hrw_weight_sql('s.shard')} AS wt
+        FROM documents
+        CROSS JOIN (SELECT unnest(range({_HRW_SHARDS})) AS shard) s),
+    a8 AS (
+        SELECT doc_id, n_chars, shard AS shard8
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY doc_id ORDER BY wt DESC, shard) AS rn
+              FROM pairs)
+        WHERE rn = 1),
+    a7 AS (
+        SELECT doc_id, shard AS shard7
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY doc_id ORDER BY wt DESC, shard) AS rn
+              FROM pairs WHERE shard != {_HRW_SHARDS - 1})
+        WHERE rn = 1)
+    SELECT a8.shard8 AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(a8.n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(CASE WHEN a8.shard8 != a7.shard7 THEN 1 ELSE 0 END)
+                AS BIGINT) AS moved_if_shard7_lost
+    FROM a8 JOIN a7 ON a8.doc_id = a7.doc_id
+    GROUP BY a8.shard8
+    """,
+    tags=("sharding", "rendezvous", "consistent-hashing"),
+)
+def q256_rendezvous_sharding(spark, sf_dir):
+    """Rendezvous (highest-random-weight) sharding — how a 100 TB
+    corpus is assigned to N storage/training shards so that LOSING a
+    shard moves only that shard's documents, never reshuffles the
+    world (mod-N hashing moves ~(N-1)/N of ALL docs on resize; HRW
+    moves exactly 1/N). Each (doc, shard) pair gets a deterministic
+    60-bit md5 weight; a doc lives on its argmax shard. The query
+    computes the assignment for 8 shards AND the counterfactual
+    assignment with shard 7 removed, then proves the minimal-movement
+    property in-band: moved_if_shard7_lost is nonzero ONLY for docs
+    whose 8-shard argmax was shard 7 (they re-land on their runner-up
+    shard; every other doc's argmax is untouched by construction).
+
+    Scale shape: the pair fan-out is a broadcast-range cross join
+    (x N, map-side, no shuffle), the argmax is one per-doc reduce —
+    in production N weights are computed inline per row and max_by
+    picks the shard with zero fan-out at all. Balance (n_docs,
+    n_chars per shard) comes out of the same aggregate."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    shards = spark.range(_HRW_SHARDS).select(
+        F.col("id").cast("int").alias("shard")
+    )
+    pairs = d.crossJoin(F.broadcast(shards)).select(
+        "doc_id", "n_chars", "shard",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit("#"),
+                        F.col("shard").cast("string"),
+                    )
+                ),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("bigint").alias("wt"),
+    )
+    a8 = pairs.groupBy("doc_id").agg(
+        F.expr("max_by(shard, struct(wt, -shard))").alias("shard8"),
+        F.first("n_chars").alias("n_chars"),
+    )
+    a7 = (
+        pairs.where(F.col("shard") != _HRW_SHARDS - 1)
+        .groupBy("doc_id")
+        .agg(F.expr("max_by(shard, struct(wt, -shard))").alias("shard7"))
+    )
+    return (
+        a8.join(a7, "doc_id")
+        .groupBy(F.col("shard8").alias("shard"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+            F.sum(
+                (F.col("shard8") != F.col("shard7")).cast("long")
+            ).cast("bigint").alias("moved_if_shard7_lost"),
+        )
+    )

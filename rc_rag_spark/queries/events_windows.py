@@ -1205,3 +1205,57 @@ def q244_peak_concurrency(spark, sf_dir):
         F.col("n_starts").cast("int").alias("n_starts"),
         F.col("n_ends").cast("int").alias("n_ends"),
     )
+
+
+# --------------------------------------------------------------------------
+# q253 — exact distinct counting via mergeable bitmap aggregates
+
+
+@register(
+    "q253_bitmap_distinct",
+    sql="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+           CAST(COUNT(DISTINCT CAST(ceil(user_id / 32768.0) AS BIGINT))
+                AS INTEGER) AS n_buckets
+    FROM events GROUP BY event_type
+    """,
+    tags=("bitmap", "distinct", "sketch"),
+)
+def q253_bitmap_distinct(spark, sf_dir):
+    """EXACT distinct counting through mergeable bitmaps (Spark 3.5
+    bitmap aggregates, SPARK-44310) — the middle ground between a
+    COUNT(DISTINCT) expand (exact, but shuffles every distinct value)
+    and the q132 HLL sketch (mergeable, but approximate). Two-level
+    plan:
+
+      1. GROUP BY (event_type, bitmap_bucket_number(user_id)):
+         bitmap_construct_agg(bitmap_bit_position(user_id)) packs each
+         32768-id bucket into a fixed 4 KB bitmap — and because it is
+         a true aggregate, map-side partials OR together before the
+         shuffle, so the exchange carries at most
+         |groups| x |buckets| x 4 KB however many raw rows exist;
+      2. GROUP BY event_type: SUM(bitmap_count(bm)) — buckets
+         partition the id space, so popcounts add up to the EXACT
+         distinct count.
+
+    The oracle pins exactness against COUNT(DISTINCT) and the bucket
+    fan-out against the id-space arithmetic (Spark's buckets are
+    1-based: bitmap_bucket_number(0)=0 but ids 1..32768 share bucket
+    1, hence the ceil() twin). This is the shape for
+    exact distinct users at 100 TB when ids are dense integers (the
+    bitmap is the roaring-bitmap trick without the jar); sparse/wide
+    keyspaces fall back to q132's HLL with its documented error."""
+    e = table(spark, sf_dir, "events")
+    buckets = e.groupBy(
+        "event_type",
+        F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+    ).agg(
+        F.bitmap_construct_agg(
+            F.expr("bitmap_bit_position(user_id)")
+        ).alias("bm")
+    )
+    return buckets.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("bm")).cast("bigint").alias("n_users_exact"),
+        F.count("*").cast("int").alias("n_buckets"),
+    )

@@ -972,3 +972,112 @@ def q249_try_arithmetic(spark, sf_dir):
         FROM q249_orders
         """
     )
+
+
+@register(
+    "q252_xml_extract",
+    sql="""
+    WITH x AS (
+        SELECT '<order><key>' || o_orderkey || '</key><prio>'
+               || o_orderpriority || '</prio><price>'
+               || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+               || '</price></order>' AS xml
+        FROM orders),
+    p AS (
+        SELECT CAST(regexp_extract(xml, '<key>([0-9]+)</key>', 1)
+                    AS BIGINT) AS okey,
+               regexp_extract(xml, '<prio>([^<]*)</prio>', 1) AS prio,
+               CAST(regexp_extract(xml, '<price>([0-9.]+)</price>', 1)
+                    AS DECIMAL(18,2)) AS price
+        FROM x)
+    SELECT substr(prio, 1, 1) AS prio_class,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MAX(okey) AS BIGINT) AS max_key,
+           CAST(SUM(price) AS DOUBLE) AS sum_price
+    FROM p GROUP BY substr(prio, 1, 1)
+    """,
+    tags=("spark4", "xml", "parsing"),
+)
+def q252_xml_extract(spark, sf_dir):
+    """Native XML parsing (Spark 4.0, SPARK-44751): rows are rendered
+    to XML documents, then parsed back through `from_xml` with an
+    explicit schema — the engine-native path for the XML feeds (SEC
+    filings, PubMed, legacy SOAP dumps) that still feed real corpora.
+    The struct comes back typed (BIGINT key, DECIMAL(18,2) price), so
+    the downstream aggregate runs on exact decimals, and the price is
+    serialized from DECIMAL on both sides so the string form never
+    carries float noise. The oracle has no XML parser and replays the
+    extraction with anchored regexps — a deliberately different
+    decoder pinning the same semantics. At scale from_xml is a
+    per-row JVM expression inside whole-stage codegen: no UDF, no
+    Python, shuffles only at the final 5-group aggregate. (The
+    sibling spark.read.format('xml') file source shares the parser;
+    the function form is what a 100 TB pipeline maps over an already
+    loaded column.)"""
+    o = table(spark, sf_dir, "orders")
+    x = o.select(
+        F.concat(
+            F.lit("<order><key>"), F.col("o_orderkey"),
+            F.lit("</key><prio>"), F.col("o_orderpriority"),
+            F.lit("</prio><price>"),
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+            F.lit("</price></order>"),
+        ).alias("xml")
+    )
+    p = x.select(
+        F.from_xml(
+            "xml", "key BIGINT, prio STRING, price DECIMAL(18,2)"
+        ).alias("s")
+    ).select("s.key", "s.prio", "s.price")
+    return p.groupBy(
+        F.substring("prio", 1, 1).alias("prio_class")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.max("key").alias("max_key"),
+        F.sum("price").cast("double").alias("sum_price"),
+    )
+
+
+@register(
+    "q254_listagg",
+    sql="""
+    WITH d AS (SELECT DISTINCT c_nationkey AS nat,
+                               c_mktsegment AS seg
+               FROM customer)
+    SELECT nat,
+           string_agg(seg, ',' ORDER BY seg) AS segments,
+           CAST(COUNT(*) AS INTEGER) AS n_segments
+    FROM d GROUP BY nat
+    """,
+    tags=("spark4", "listagg", "aggregate"),
+)
+def q254_listagg(spark, sf_dir):
+    """Native LISTAGG (Spark 4.0, SPARK-42746): ordered, de-duplicated
+    string aggregation as a first-class aggregate — `LISTAGG(DISTINCT
+    seg, ',') WITHIN GROUP (ORDER BY seg)` — replacing the
+    array_sort(collect_set(...)) + array_join idiom (q48) the corpus
+    needed on Spark 3. WITHIN GROUP ordering is part of the aggregate
+    contract, so the output string is deterministic under any
+    partitioning: each partial aggregates its local values, the merge
+    keeps the multiset, and ordering applies once at final — which is
+    why LISTAGG without WITHIN GROUP is nondeterministic by spec and
+    never belongs in a hash-checked pipeline. The dedup runs as an
+    explicit DISTINCT stage before the aggregate: Spark 4.1's
+    LISTAGG(DISTINCT x) WITHIN GROUP (ORDER BY x) trips an internal
+    SortOrder cast bug when parsed from SQL, and the pre-aggregation
+    DISTINCT is the plan the optimizer produces for it anyway (one
+    extra partial-dedup, same single shuffle key). DuckDB replays it
+    as string_agg(... ORDER BY) over the same deduped input."""
+    c = table(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("q254_customer")
+    return spark.sql(
+        """
+        WITH d AS (SELECT DISTINCT c_nationkey AS nat,
+                                   c_mktsegment AS seg
+                   FROM q254_customer)
+        SELECT nat,
+               listagg(seg, ',') WITHIN GROUP (ORDER BY seg) AS segments,
+               CAST(COUNT(*) AS INT) AS n_segments
+        FROM d GROUP BY nat
+        """
+    )

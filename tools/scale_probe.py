@@ -96,6 +96,11 @@ DEFAULT = [
     "q249_try_arithmetic",
     "q250_dq_rules",
     "q251_k_anonymity",
+    "q252_xml_extract",
+    "q253_bitmap_distinct",
+    "q254_listagg",
+    "q255_capped_mixture_waterfill",
+    "q256_rendezvous_sharding",
 ]
 
 
