@@ -1373,3 +1373,115 @@ def q220_multimodal_dispatch(spark, sf_dir):
         F.round(F.element_at("feature", 1), 6).alias("f_level"),
         F.round(F.element_at("feature", 2), 6).alias("f_shape"),
     )
+
+
+# --------------------------------------------------------------------------
+# q258 — synchronous label propagation (community detection), 3 unrolled
+# iterations over the customer↔supplier trade graph
+
+_LPA_ITERS = 3
+
+_LPA_BASE = """
+    e0 AS (
+        SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    edges AS (
+        SELECT src, dst FROM e0
+        UNION ALL
+        SELECT dst, src FROM e0),
+    l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges)"""
+
+
+def _lpa_oracle_sql() -> str:
+    ctes = [_LPA_BASE]
+    for k in range(1, _LPA_ITERS + 1):
+        ctes.append(f"""
+    n{k} AS (
+        SELECT e.src, l.lbl, COUNT(*) AS c
+        FROM edges e JOIN l{k - 1} l ON e.dst = l.node
+        GROUP BY e.src, l.lbl),
+    l{k} AS (
+        SELECT src AS node, lbl
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY src ORDER BY c DESC, lbl) AS rn
+              FROM n{k})
+        WHERE rn = 1)""")
+    return (
+        "WITH " + ",".join(ctes) + f"""
+    SELECT lbl AS community,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(CASE WHEN node LIKE 'c%' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN node LIKE 's%' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_suppliers
+    FROM l{_LPA_ITERS} GROUP BY lbl
+    """
+    )
+
+
+@register(
+    "q258_label_propagation",
+    sql=_lpa_oracle_sql(),
+    tags=("graph", "community", "iterative"),
+)
+def q258_label_propagation(spark, sf_dir):
+    """Synchronous label propagation (community detection) — the
+    missing sibling of the corpus's other graph kernels (q139
+    PageRank = eigenvector, q102 min-label = connectivity): every
+    node starts as its own label, and each of 3 unrolled iterations
+    reassigns every node to its neighbors' MAJORITY label. LPA is
+    notoriously nondeterministic in textbook form; here it is fully
+    pinned — synchronous updates (iteration k reads only k-1's
+    labels) and total tie-break (max count, then lexicographically
+    smallest label) — so the oracle's identical unrolled walk
+    hash-matches. Per iteration the plan is exactly one equi-join of
+    the edge list against the |nodes|-row label table plus one
+    (src, lbl) count and one per-src top-1 window — the same
+    join+partial-agg shuffle shape as a PageRank step, so the 100 TB
+    cost driver is the edge list; pre-partitioning edges by dst lets
+    every iteration reuse one exchange (the localCheckpoint pins the
+    deduped edges exactly like q139). Output: per-community size and
+    bipartite composition."""
+    from rc_rag_spark.sources import table
+    from pyspark.sql.window import Window
+
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    e0 = (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    w = Window.partitionBy("src").orderBy(F.col("c").desc(), "lbl")
+    for _ in range(_LPA_ITERS):
+        nb = edges.join(
+            labels, edges.dst == labels.node
+        ).select("src", "lbl")
+        cnt = nb.groupBy("src", "lbl").agg(F.count("*").alias("c"))
+        labels = (
+            cnt.select("src", "lbl", F.row_number().over(w).alias("rn"))
+            .where(F.col("rn") == 1)
+            .select(F.col("src").alias("node"), "lbl")
+        )
+    return labels.groupBy(F.col("lbl").alias("community")).agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        F.sum(F.col("node").startswith("c").cast("long"))
+        .cast("bigint")
+        .alias("n_customers"),
+        F.sum(F.col("node").startswith("s").cast("long"))
+        .cast("bigint")
+        .alias("n_suppliers"),
+    )

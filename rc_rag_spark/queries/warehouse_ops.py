@@ -432,3 +432,123 @@ def q245_compaction_binpack(spark, sf_dir):
             ).alias("fill_ratio"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q257 — zone-map (min/max file stats) pruning evaluator
+
+
+@register(
+    "q257_zonemap_pruning",
+    sql="""
+    WITH files AS (
+        SELECT date_trunc('month', l_shipdate) AS part,
+               l_suppkey % 40 AS file_id,
+               CAST(MIN(l_orderkey) AS BIGINT) AS ok_min,
+               CAST(MAX(l_orderkey) AS BIGINT) AS ok_max,
+               CAST(MIN(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q_min,
+               CAST(MAX(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q_max,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem GROUP BY 1, 2),
+    span AS (SELECT CAST(MAX(ok_max) AS BIGINT) AS okm FROM files),
+    preds AS (
+        SELECT f.*,
+               p.pred,
+               CASE p.pred
+                    WHEN 'orderkey_band' THEN
+                        NOT (f.ok_max < s.okm // 10
+                             OR f.ok_min > s.okm // 5)
+                    WHEN 'quantity_gt_45' THEN f.q_max > 45
+                    WHEN 'orderkey_point' THEN
+                        s.okm // 2 BETWEEN f.ok_min AND f.ok_max
+               END AS must_scan
+        FROM files f
+        CROSS JOIN span s
+        CROSS JOIN (SELECT unnest(['orderkey_band', 'quantity_gt_45',
+                                   'orderkey_point']) AS pred) p)
+    SELECT pred,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(CASE WHEN must_scan THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_skipped,
+           CAST(SUM(CASE WHEN must_scan THEN n_rows ELSE 0 END)
+                AS BIGINT) AS rows_scanned,
+           round(CAST(SUM(CASE WHEN must_scan THEN 0 ELSE 1 END)
+                      AS DOUBLE) / COUNT(*), 6) AS skip_ratio
+    FROM preds GROUP BY pred
+    """,
+    tags=("maintenance", "zonemap", "pruning"),
+)
+def q257_zonemap_pruning(spark, sf_dir):
+    """Zone-map pruning evaluator — the metadata-only planning step a
+    lakehouse scan runs BEFORE touching data: every file carries
+    min/max column stats (parquet footers / Iceberg-Delta manifests);
+    a predicate skips a file when its stat range proves emptiness.
+    Using the q245 pseudo-file inventory (month x suppkey-residue)
+    with min/max over orderkey and quantity, three predicate shapes
+    are evaluated against the zone maps alone:
+
+      - a selective orderkey BAND (relative to the key span, so the
+        test is meaningful at every SF),
+      - a high-quantity filter (q_max > 45 — quantities are uniform
+        per file, so zone maps prune ~nothing: the classic
+        'stats exist but layout doesn't help' case),
+      - an orderkey POINT lookup (prunes every file whose range
+        misses the key).
+
+    The skip ratios are the empirical argument FOR the q171 Z-order
+    layout: orderkey is uncorrelated with the (month, supplier)
+    file grain, so even the band predicate scans most files — sort
+    or cluster by the predicate column and the same evaluator
+    reports the win. Scale shape: runs entirely on the file manifest
+    (|files| rows), the same input the real planner reads; the
+    fact-table scan cost is what it AVOIDS."""
+    li = table(spark, sf_dir, "lineitem")
+    files = li.groupBy(
+        F.date_trunc("month", "l_shipdate").alias("part"),
+        (F.col("l_suppkey") % 40).alias("file_id"),
+    ).agg(
+        F.min("l_orderkey").cast("bigint").alias("ok_min"),
+        F.max("l_orderkey").cast("bigint").alias("ok_max"),
+        F.min(F.col("l_quantity").cast("bigint")).alias("q_min"),
+        F.max(F.col("l_quantity").cast("bigint")).alias("q_max"),
+        F.count("*").cast("bigint").alias("n_rows"),
+    )
+    span = files.agg(F.max("ok_max").alias("okm"))
+    preds = spark.createDataFrame(
+        [("orderkey_band",), ("quantity_gt_45",), ("orderkey_point",)],
+        "pred STRING",
+    )
+    j = files.crossJoin(F.broadcast(span)).crossJoin(F.broadcast(preds))
+    okm = F.col("okm")
+    must_scan = (
+        F.when(
+            F.col("pred") == "orderkey_band",
+            ~(
+                (F.col("ok_max") < F.expr("okm div 10"))
+                | (F.col("ok_min") > F.expr("okm div 5"))
+            ),
+        )
+        .when(F.col("pred") == "quantity_gt_45", F.col("q_max") > 45)
+        .when(
+            F.col("pred") == "orderkey_point",
+            F.expr("okm div 2").between(F.col("ok_min"), F.col("ok_max")),
+        )
+    )
+    return (
+        j.select("pred", "n_rows", must_scan.alias("must_scan"))
+        .groupBy("pred")
+        .agg(
+            F.count("*").cast("bigint").alias("n_files"),
+            F.sum((~F.col("must_scan")).cast("long"))
+            .cast("bigint")
+            .alias("n_skipped"),
+            F.sum(
+                F.when(F.col("must_scan"), F.col("n_rows")).otherwise(0)
+            ).cast("bigint").alias("rows_scanned"),
+            F.round(
+                F.sum((~F.col("must_scan")).cast("long")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("skip_ratio"),
+        )
+    )

@@ -101,6 +101,8 @@ DEFAULT = [
     "q254_listagg",
     "q255_capped_mixture_waterfill",
     "q256_rendezvous_sharding",
+    "q257_zonemap_pruning",
+    "q258_label_propagation",
 ]
 
 
