@@ -470,3 +470,149 @@ def q251_k_anonymity(spark, sf_dir):
         .alias("n_rows_at_risk"),
         F.min("cnt").cast("bigint").alias("min_group_size"),
     )
+
+
+# --------------------------------------------------------------------------
+# q259 — dataset version manifest (order-independent content hashing)
+
+
+@register(
+    "q259_dataset_manifest",
+    sql="""
+    WITH h AS (
+        SELECT source, n_chars,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                                        || text || ':' || lang), 1, 15))
+                    AS BIGINT) AS rh
+        FROM documents)
+    SELECT COALESCE(source, 'ALL') AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+           CAST(bit_xor(rh) AS BIGINT) AS content_hash
+    FROM h GROUP BY ROLLUP (source)
+    """,
+    tags=("governance", "versioning", "manifest"),
+)
+def q259_dataset_manifest(spark, sf_dir):
+    """Dataset version MANIFEST — the reproducibility primitive a
+    training run records before it starts: an order-independent
+    content hash per source plus a corpus-level hash, so "did the
+    data change since the last run?" is one manifest diff, never a
+    re-read. Each row hashes to a 60-bit md5 digest over its identity
+    AND content (doc_id, text, lang); rows combine with BIT_XOR — the
+    associative/commutative fold that makes the digest independent of
+    partitioning, task order, and file layout (any engine, any
+    parallelism, same hash), and incrementally maintainable: XOR the
+    hash of added/removed rows into the stored manifest and the new
+    version id is exact without touching the rest (the same algebra
+    as q156's incremental aggregate, applied to content identity).
+    ROLLUP emits per-source rows and the 'ALL' corpus row from one
+    aggregate. At 100 TB this is a single map-side-combined scan;
+    the manifest (|sources|+1 rows) is the entire artifact."""
+    d = table(spark, sf_dir, "documents")
+    h = d.select(
+        "source", "n_chars",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("doc_id").cast("string"),
+                        "text",
+                        "lang",
+                    )
+                ),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("bigint").alias("rh"),
+    )
+    return h.rollup("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars_total"),
+        F.bit_xor("rh").cast("bigint").alias("content_hash"),
+    ).select(
+        F.coalesce(F.col("source"), F.lit("ALL")).alias("source"),
+        "n_docs", "n_chars_total", "content_hash",
+    )
+
+
+# --------------------------------------------------------------------------
+# q260 — join-key skew diagnosis (the report you run BEFORE salting)
+
+
+def _skew_audit_sql(col: str, table_name: str) -> str:
+    return f"""
+        SELECT '{col}' AS key_col,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(cnt) AS BIGINT) AS n_rows,
+               CAST(MAX(cnt) AS BIGINT) AS max_per_key,
+               round(CAST(MAX(cnt) AS DOUBLE) * COUNT(*) / SUM(cnt), 6)
+                   AS key_skew_factor,
+               CAST(MAX(bucket_rows) AS BIGINT) AS max_bucket_rows,
+               round(CAST(MAX(bucket_rows) AS DOUBLE) * 32 / SUM(cnt), 6)
+                   AS bucket_imbalance
+        FROM (
+            SELECT cnt,
+                   SUM(cnt) OVER (PARTITION BY k % 32) AS bucket_rows
+            FROM (SELECT {col} AS k, COUNT(*) AS cnt
+                  FROM {table_name} GROUP BY {col}))"""
+
+
+@register(
+    "q260_skew_diagnosis",
+    sql=f"""
+    {_skew_audit_sql('l_suppkey', 'lineitem')}
+    UNION ALL
+    {_skew_audit_sql('l_orderkey', 'lineitem')}
+    """,
+    tags=("scale", "skew", "diagnosis"),
+)
+def q260_skew_diagnosis(spark, sf_dir):
+    """Join-key SKEW DIAGNOSIS — the metadata report that decides,
+    before any 100 TB join runs, whether a key needs salting (q134),
+    AQE skew splitting, or nothing. For each candidate join key it
+    computes, from one per-key count aggregate:
+
+      - key_skew_factor = max_per_key / mean_per_key — how hot the
+        hottest KEY is (drives the salting decision: a factor near 1
+        means uniform, q134's stress key hit ~80,000x);
+      - bucket_imbalance = max over 32 hash buckets of bucket rows /
+        mean bucket rows — how hot the hottest REDUCER would be under
+        a 32-partition hash shuffle; this is the number that actually
+        predicts the straggler, because many warm keys can pile into
+        one bucket even when no single key is hot.
+
+    Both audited columns come from the same fact table on purpose:
+    l_suppkey (low cardinality, many rows per key) vs l_orderkey
+    (high cardinality, few rows per key) bracket the two regimes a
+    planner meets. Cost: one groupBy per key column over the fact
+    table — the same partial-agg shuffle any count runs; the
+    diagnosis output is 2 rows. The bucket sum rides a window over
+    the per-key grid, never the raw rows."""
+    li = table(spark, sf_dir, "lineitem")
+
+    def audit(col):
+        cnt = li.groupBy(F.col(col).alias("k")).agg(
+            F.count("*").alias("cnt")
+        )
+        wb = Window.partitionBy(F.col("k") % 32)
+        g = cnt.select("cnt", F.sum("cnt").over(wb).alias("bucket_rows"))
+        return g.agg(
+            F.lit(col).alias("key_col"),
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.sum("cnt").cast("bigint").alias("n_rows"),
+            F.max("cnt").cast("bigint").alias("max_per_key"),
+            F.round(
+                F.max("cnt").cast("double") * F.count("*") / F.sum("cnt"), 6
+            ).alias("key_skew_factor"),
+            F.max("bucket_rows").cast("bigint").alias("max_bucket_rows"),
+            F.round(
+                F.max("bucket_rows").cast("double") * 32 / F.sum("cnt"), 6
+            ).alias("bucket_imbalance"),
+        ).select(
+            "key_col", "n_keys", "n_rows", "max_per_key",
+            "key_skew_factor", "max_bucket_rows", "bucket_imbalance",
+        )
+
+    return audit("l_suppkey").unionByName(audit("l_orderkey"))

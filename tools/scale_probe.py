@@ -103,6 +103,8 @@ DEFAULT = [
     "q256_rendezvous_sharding",
     "q257_zonemap_pruning",
     "q258_label_propagation",
+    "q259_dataset_manifest",
+    "q260_skew_diagnosis",
 ]
 
 
