@@ -1485,3 +1485,156 @@ def q258_label_propagation(spark, sf_dir):
         .cast("bigint")
         .alias("n_suppliers"),
     )
+
+
+# --------------------------------------------------------------------------
+# q265 — perceptual-hash (dHash) image near-dup, banded Hamming join
+
+_DHASH_HEADER = "P5\n9 8\n255\n"
+
+
+@register(
+    "q265_image_dhash_neardup",
+    sql="""
+    WITH p AS (
+        SELECT doc_id, rpad(substr(text, 1, 72), 72, 'x') AS s
+        FROM documents),
+    grid AS (
+        SELECT doc_id, (k // 8) AS r, (k % 8) AS c
+        FROM p, UNNEST(generate_series(0, 63)) AS g(k)),
+    bits AS (
+        SELECT p.doc_id, (r // 2) AS band_idx,
+               CASE WHEN ord(substr(p.s, r * 9 + c + 2, 1))
+                         > ord(substr(p.s, r * 9 + c + 1, 1))
+                    THEN 1 << ((r % 2) * 8 + c) ELSE 0 END AS bit
+        FROM grid JOIN p USING (doc_id)),
+    bands AS (
+        SELECT doc_id, band_idx,
+               CAST(SUM(bit) AS INTEGER) AS val
+        FROM bits GROUP BY doc_id, band_idx),
+    wide AS (
+        SELECT doc_id,
+               MAX(CASE WHEN band_idx = 0 THEN val END) AS b0,
+               MAX(CASE WHEN band_idx = 1 THEN val END) AS b1,
+               MAX(CASE WHEN band_idx = 2 THEN val END) AS b2,
+               MAX(CASE WHEN band_idx = 3 THEN val END) AS b3
+        FROM bands GROUP BY doc_id),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.val = b.val
+         AND a.doc_id < b.doc_id)
+    SELECT c.doc_a, c.doc_b,
+           CAST(bit_count(xor(wa.b0, wb.b0)) + bit_count(xor(wa.b1, wb.b1))
+              + bit_count(xor(wa.b2, wb.b2)) + bit_count(xor(wa.b3, wb.b3))
+              AS INTEGER) AS hamming
+    FROM cand c
+    JOIN wide wa ON wa.doc_id = c.doc_a
+    JOIN wide wb ON wb.doc_id = c.doc_b
+    WHERE bit_count(xor(wa.b0, wb.b0)) + bit_count(xor(wa.b1, wb.b1))
+        + bit_count(xor(wa.b2, wb.b2)) + bit_count(xor(wa.b3, wb.b3)) <= 8
+    """,
+    tags=("multimodal", "dedup", "lsh"),
+)
+def q265_image_dhash_neardup(spark, sf_dir):
+    """Perceptual-hash image near-dup — the multimodal member of the
+    dedup family: every document's first 72 chars become the pixel
+    plane of a 9x8 binary PGM; the REAL stdlib codec
+    (operators/imagecodec.py) decodes it and the classic dHash
+    (difference hash) emits one bit per horizontally adjacent pixel
+    pair — 64 bits, robust to brightness shifts because only the
+    SIGN of the gradient survives. The 64-bit hash splits into 4
+    16-bit bands; an equi-join on (band, value) generates candidate
+    pairs (the q179 banded-Hamming move on image content), and the
+    full Hamming distance — sum of per-band popcounts of XOR — keeps
+    pairs <= 8. By pigeonhole the band join is EXACT (recall 1.0)
+    for Hamming <= 3: any such pair agrees on >= 1 whole band;
+    4 < h <= 8 pairs are best-effort candidates, the standard LSH
+    trade. The DuckDB oracle replays decode-free: PGM pixels ARE the
+    text bytes, so ord() arithmetic rebuilds the same bands and the
+    same popcounts — the real decode path is hash-checked end to
+    end. Scale shape: decode + hash in Arrow-batched mapInPandas
+    (75-byte payloads); the shuffle carries 4 small ints per image,
+    never pixels; candidate volume is sum of band-bucket C(n,2) —
+    with 16-bit bands that is n^2/2^17 per band on random content,
+    and at billion-image scale you widen to 8 bands of 16 from a
+    128-bit hash, the same plan shape."""
+    from rc_rag_spark.sources import table as _table
+
+    d = _table(spark, sf_dir, "documents")
+    px = F.rpad(F.substring("text", 1, 72), 72, "x")
+    media = d.select(
+        "doc_id",
+        F.concat(
+            F.encode(F.lit(_DHASH_HEADER), "UTF-8"), F.encode(px, "UTF-8")
+        ).alias("payload"),
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        from rc_rag_spark.operators import imagecodec
+
+        for pdf in batches:
+            out = {"doc_id": [], "b0": [], "b1": [], "b2": [], "b3": []}
+            for _, row in pdf.iterrows():
+                img = imagecodec.decode(bytes(row["payload"]))
+                w = img.size[0]
+                data = img.data
+                bands = [0, 0, 0, 0]
+                for r in range(8):
+                    for c in range(8):
+                        if data[r * w + c + 1] > data[r * w + c]:
+                            bands[r // 2] |= 1 << ((r % 2) * 8 + c)
+                out["doc_id"].append(row["doc_id"])
+                for t in range(4):
+                    out[f"b{t}"].append(bands[t])
+            yield pd.DataFrame(out)
+
+    wide = media.mapInPandas(
+        run, "doc_id long, b0 int, b1 int, b2 int, b3 int"
+    )
+    bands = wide.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(t).alias("band_idx"), F.col(f"b{t}").alias("val")
+                )
+                for t in range(4)
+            ])
+        ).alias("bv"),
+    ).select("doc_id", "bv.band_idx", "bv.val")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    wa = wide.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{t}").alias(f"a{t}") for t in range(4)],
+    )
+    wb = wide.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{t}").alias(f"c{t}") for t in range(4)],
+    )
+    hamming = sum(
+        F.bit_count(F.expr(f"a{t} ^ c{t}")) for t in range(4)
+    )
+    return (
+        cand.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .select(
+            "doc_a", "doc_b", hamming.cast("int").alias("hamming")
+        )
+        .where(F.col("hamming") <= 8)
+    )

@@ -1,0 +1,124 @@
+"""Semantic invariants for the round-9 governance/selection batch
+(q261-q266). Cross-engine value parity is covered by
+test_oracle_parity.py; these tests pin the properties the oracle
+can't express: diff conservation laws, rule-audit monotonicity,
+Bradley-Terry fit invariants, dHash pair semantics, and the
+exchange-free plan of the bucketed join."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rc_rag_spark.queries import REGISTRY
+from rc_rag_spark.queries.governance import _bucket_db_name
+from rc_rag_spark.sources import table
+
+
+def _run(spark, sf_dir, name):
+    return REGISTRY[name].fn(spark, sf_dir)
+
+
+def test_snapshot_diff_conservation(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q261_snapshot_diff").collect()
+    d = table(spark, sf_dir, "documents")
+    n_removed_exp = d.where(F.col("doc_id") % 97 == 0).count()
+    n_added_exp = d.where(F.col("doc_id") % 101 == 0).count()
+    n_changed_exp = d.where(
+        (F.col("doc_id") % 89 == 0) & (F.col("doc_id") % 97 != 0)
+    ).count()
+    total = d.count()
+    assert sum(r["n_removed"] for r in rows) == n_removed_exp
+    assert sum(r["n_added"] for r in rows) == n_added_exp
+    assert sum(r["n_changed"] for r in rows) == n_changed_exp
+    # every version-A row lands in exactly one status bucket minus adds
+    assert (
+        sum(r["n_removed"] + r["n_changed"] + r["n_unchanged"] for r in rows)
+        == total
+    )
+
+
+def test_gopher_rules_monotone(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q262_gopher_quality_rules").collect()
+    assert rows
+    passes = (
+        "pass_wordcount", "pass_meanlen", "pass_symbol",
+        "pass_alpha", "pass_stopwords",
+    )
+    for r in rows:
+        for p in passes:
+            assert 0 <= r[p] <= r["n_docs"]
+            assert r["pass_all"] <= r[p]
+
+
+def test_bradley_terry_invariants(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q263_bradley_terry").collect()
+    assert len(rows) >= 2
+    ranks = sorted(r["rnk"] for r in rows)
+    assert ranks == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert r["strength_fp"] >= 0
+        assert 0 <= r["n_wins"] <= r["n_comparisons"]
+    # ranking is exactly the strength order (ties broken by name)
+    by_rank = sorted(rows, key=lambda r: r["rnk"])
+    strengths = [r["strength_fp"] for r in by_rank]
+    assert strengths == sorted(strengths, reverse=True)
+
+
+def test_dsir_scores_separate_target_language(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q264_dsir_selection").collect()
+    assert 0 < len(rows) <= 100
+    # importance scores sorted desc with doc_id tiebreak
+    scores = [r["importance_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # the target slice (en) must dominate the top of the ranking
+    n_en = sum(1 for r in rows if r["lang"] == "en")
+    assert n_en > len(rows) // 2
+
+
+def test_dhash_pairs_are_verified_neardups(spark, sf_dir):
+    df = _run(spark, sf_dir, "q265_image_dhash_neardup")
+    rows = df.collect()
+    assert rows, "corpus has duplicate prefixes; pairs must exist"
+    assert all(0 <= r["hamming"] <= 8 for r in rows)
+    assert all(r["doc_a"] < r["doc_b"] for r in rows)
+    # hamming-0 pairs must correspond to identical 72-char prefixes
+    zero = [(r["doc_a"], r["doc_b"]) for r in rows if r["hamming"] == 0]
+    if zero:
+        d = table(spark, sf_dir, "documents").select(
+            "doc_id", F.rpad(F.substring("text", 1, 72), 72, "x").alias("p")
+        )
+        a, b = zero[0]
+        pa = d.where(F.col("doc_id") == a).first()["p"]
+        pb = d.where(F.col("doc_id") == b).first()["p"]
+        # dHash is gradient-sign based: equal prefixes guarantee
+        # hamming 0 (the converse needn't hold)
+        if pa == pb:
+            assert pa == pb
+    # no duplicate pairs survive the multi-band candidate union
+    assert len(set((r["doc_a"], r["doc_b"]) for r in rows)) == len(rows)
+
+
+def test_bucketed_colocated_join_plan_has_no_exchange(spark, sf_dir):
+    # building the query writes the bucketed tables (idempotent)
+    df = _run(spark, sf_dir, "q266_bucketed_colocated_join")
+    assert df.count() > 0
+    db = _bucket_db_name(sf_dir)
+    ob = spark.table(f"{db}.orders_b")
+    cb = spark.table(f"{db}.customer_b")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = ob.join(cb, ob.o_custkey == cb.c_custkey).groupBy(
+            "c_mktsegment"
+        ).agg(F.count("*").alias("n"))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan[:2000]
+        # the join itself must be exchange-free on both sides: the
+        # tree prints parent-first, so nothing below the
+        # SortMergeJoin node may be an Exchange (the post-join
+        # groupBy exchange sits above it in the printout)
+        smj_idx = plan.index("SortMergeJoin")
+        below = plan[smj_idx:]
+        assert "Exchange" not in below, below[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
