@@ -937,36 +937,61 @@ def q222_cdc_chunking(spark, sf_dir):
         "doc_id",
         F.rpad(F.substring("text", 1, _CDC_LEN), _CDC_LEN, "x").alias("s"),
     )
-    i = F.col("i")
-    terms = [
-        F.ascii(F.expr(f"substr(s, i - {j}, 1)")).cast("bigint")
-        * F.lit(_CDC_B ** j)
-        for j in range(_CDC_W)
-    ]
-    acc = terms[0]
-    for t in terms[1:]:
-        acc = acc + t
-    hv = acc % F.lit(_CDC_MOD)
-    h = p.select(
-        "doc_id", "s",
-        F.explode(F.sequence(F.lit(_CDC_W), F.lit(_CDC_LEN))).alias("i"),
-    ).select("doc_id", "s", "i", hv.alias("hv"))
-    ends = h.where(
-        (F.col("hv") % _CDC_MASK == 0) | (i == _CDC_LEN)
-    ).select("doc_id", "s", F.col("i").alias("e"))
-    from pyspark.sql import Window
 
-    w = Window.partitionBy("doc_id").orderBy("e")
-    chunks = ends.select(
-        "doc_id", "e",
-        (F.coalesce(F.lag("e").over(w), F.lit(0)) + 1).alias("b"),
-        "s",
-    )
-    cs = chunks.select(
-        "doc_id",
-        F.md5(F.expr("substr(s, b, e - b + 1)")).alias("ch"),
-        (F.col("e") - F.col("b") + 1).alias("clen"),
-    )
+    # Boundary scan + chunk hashing as ONE vectorized Arrow batch
+    # kernel. Two slower shapes were measured and rejected:
+    #   - position explode + window lag (r7): duplicates the 256-char
+    #     payload once per position and shuffles it — 6.45x growth at
+    #     10x documents (SCALING.md);
+    #   - native higher-order filter/zip_with: no explode, but Spark
+    #     evaluates HOF lambdas INTERPRETED per element (249
+    #     positions x 8 substr calls per doc) — measured 15x slower
+    #     than the explode at sf0.1.
+    # The numpy kernel computes all window hashes for a whole Arrow
+    # batch with 8 vectorized shift-multiply passes, then md5s the
+    # ~len/mask chunks per doc; rows leave the kernel already at
+    # chunk granularity (32-hex key + length), so nothing downstream
+    # ever carries the payload.
+    def chunk_batches(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, chs, lens = [], [], []
+            if len(pdf):
+                arr = np.frombuffer(
+                    "".join(pdf["s"]).encode("latin-1"), dtype=np.uint8
+                ).reshape(len(pdf), _CDC_LEN).astype(np.int64)
+                acc = np.zeros(
+                    (len(pdf), _CDC_LEN - _CDC_W + 1), dtype=np.int64
+                )
+                for j in range(_CDC_W):
+                    acc += (
+                        arr[:, _CDC_W - 1 - j : _CDC_LEN - j]
+                        * (_CDC_B ** j)
+                    )
+                is_end = (acc % _CDC_MOD) % _CDC_MASK == 0
+                is_end[:, -1] = True
+                for row, (doc_id, s) in enumerate(
+                    zip(pdf["doc_id"], pdf["s"])
+                ):
+                    b = 0
+                    for k in np.nonzero(is_end[row])[0]:
+                        e = int(k) + _CDC_W  # 1-based end position
+                        piece = s[b:e]
+                        ids.append(doc_id)
+                        chs.append(
+                            hashlib.md5(piece.encode("utf-8")).hexdigest()
+                        )
+                        lens.append(e - b)
+                        b = e
+            yield pd.DataFrame(
+                {"doc_id": ids, "ch": chs, "clen": lens}
+            )
+
+    cs = p.mapInPandas(chunk_batches, "doc_id long, ch string, clen int")
     global_cnt = cs.groupBy("ch").agg(
         F.countDistinct("doc_id").alias("nd")
     )
