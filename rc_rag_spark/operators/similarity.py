@@ -368,3 +368,94 @@ def brute_force_topk_pruned(
         local.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= k)
     )
+
+
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    query_id_col: str = "query_id",
+    max_queries: int = 4096,
+) -> DataFrame:
+    """Label-aware exact top-k: for every query, the k most-similar
+    corpus vectors whose `group_col` DIFFERS from the query's — the
+    hard-negative mining step of contrastive/embedding training
+    (in-batch negatives are easy; the negatives that teach are the
+    near-misses from OTHER classes). Same 100 TB shape as
+    brute_force_topk_pruned: the query matrix (plus its group vector)
+    broadcasts once, each corpus partition scores its block with one
+    NumPy matmul, same-group candidates are masked out of the score
+    matrix, and only the local top-k per query crosses the shuffle —
+    O(partitions x queries x k) rows, never corpus x queries. The
+    same max_queries budget applies (hard-negative mining typically
+    runs per training batch, comfortably under it)."""
+    import numpy as np
+    import pandas as pd
+
+    n_q = queries.limit(max_queries + 1).count()
+    if n_q > max_queries:
+        raise ValueError(
+            f"hard_negative_topk broadcasts the query side; the query "
+            f"set exceeds max_queries={max_queries}. Mine negatives in "
+            f"query batches, or use lsh_topk_join buckets per group."
+        )
+    spark = corpus.sparkSession
+    q_pdf = queries.select(
+        F.col(query_id_col).alias("qid"),
+        F.col(group_col).alias("qg"),
+        F.col(vec_col).alias("qv"),
+    ).toPandas()
+    q_ids = q_pdf["qid"].to_numpy()
+    q_grp = q_pdf["qg"].to_numpy()
+    q_mat = np.array([np.asarray(v, dtype=np.float64) for v in q_pdf["qv"]])
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    bc = spark.sparkContext.broadcast((q_ids, q_grp, q_mat, q_norm))
+
+    def local_topk(batches):
+        q_ids_b, q_grp_b, q_mat_b, q_norm_b = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c_mat = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            c_grp = pdf[group_col].to_numpy()
+            c_norm = np.linalg.norm(c_mat, axis=1)
+            sims = (c_mat @ q_mat_b.T) / np.outer(c_norm, q_norm_b)
+            # mask same-group candidates: they are positives, not
+            # negatives — never allowed into the top-k
+            mask = c_grp[:, None] == q_grp_b[None, :]
+            sims = np.where(mask, -np.inf, sims)
+            ids = pdf[id_col].to_numpy()
+            out = {query_id_col: [], "neighbor_id": [],
+                   "neighbor_group": [], "similarity": []}
+            for j, qid in enumerate(q_ids_b):
+                col = sims[:, j]
+                top = np.lexsort((ids, -col))[:k]
+                top = top[np.isfinite(col[top])]
+                out[query_id_col].extend([qid] * len(top))
+                out["neighbor_id"].extend(ids[top])
+                out["neighbor_group"].extend(c_grp[top])
+                out["similarity"].extend(col[top])
+            yield pd.DataFrame(out)
+
+    qid_type = dict(queries.dtypes)[query_id_col]
+    nid_type = dict(corpus.dtypes)[id_col]
+    grp_type = dict(corpus.dtypes)[group_col]
+    local = corpus.select(id_col, group_col, vec_col).mapInPandas(
+        local_topk,
+        schema=(
+            f"{query_id_col} {qid_type}, neighbor_id {nid_type}, "
+            f"neighbor_group {grp_type}, similarity double"
+        ),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("similarity").desc(), F.col("neighbor_id")
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+    )

@@ -1329,3 +1329,70 @@ def q239_incremental_minhash_dedup(spark, sf_dir):
     return pairs.select(
         "new_id", "index_id", F.round("jaccard", 9).alias("jaccard")
     )
+
+
+# --------------------------------------------------------------------------
+# q267 — hard-negative mining (contrastive-training data prep)
+
+
+@register(
+    "q267_hard_negative_mining",
+    sql="""
+    WITH q AS (SELECT vec_id AS query_id, label AS qlabel,
+                      embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 8),
+         c AS (SELECT vec_id, label, embedding::DOUBLE[] AS cv
+               FROM embeddings WHERE vec_id >= 8),
+         scored AS (
+           SELECT q.query_id, q.qlabel,
+                  c.vec_id AS neighbor_id, c.label AS neighbor_group,
+                  list_dot_product(c.cv, q.qv)
+                  / (sqrt(list_dot_product(c.cv, c.cv))
+                     * sqrt(list_dot_product(q.qv, q.qv))) AS similarity
+           FROM c CROSS JOIN q
+           WHERE c.label != q.qlabel)
+    SELECT query_id, qlabel, neighbor_id, neighbor_group,
+           round(similarity, 9) AS similarity,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY query_id
+              ORDER BY similarity DESC, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= 5
+    """,
+    tags=("similarity", "training", "contrastive"),
+)
+def q267_hard_negative_mining(spark, sf_dir):
+    """Hard-negative mining — the contrastive-training data-prep
+    step: for each anchor embedding, the 5 most-similar vectors from
+    a DIFFERENT class (operators/similarity.py hard_negative_topk).
+    Random negatives are trivially separable and teach nothing; the
+    near-miss negatives this emits are what make an embedding model
+    learn margins (the standard recipe behind dense-retriever
+    training, e.g. DPR/ANCE-style mining, public literature). Scale
+    shape: identical to the pruned exact-kNN path — the 8-anchor
+    matrix broadcasts with its label vector, each corpus partition
+    does one NumPy matmul, masks SAME-class columns to -inf
+    (positives must never leak into the negative set), and ships
+    only its local top-5 per anchor; the final window sees
+    O(partitions x anchors x 5) rows. The DuckDB oracle replays it
+    as the label-filtered cross join — exhaustive at sf, while the
+    engine path stays the partition-pruned kernel that survives a
+    billion-vector corpus."""
+    e = table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding"
+    )
+    corpus = e.where(F.col("vec_id") >= 8)
+    out = SIM.hard_negative_topk(corpus, queries, k=5)
+    qlab = queries.select(
+        "query_id", F.col("label").alias("qlabel")
+    )
+    return (
+        out.join(F.broadcast(qlab), "query_id")
+        .select(
+            "query_id", "qlabel", "neighbor_id", "neighbor_group",
+            F.round("similarity", 9).alias("similarity"),
+            F.col("rank").alias("rnk"),
+        )
+    )

@@ -1638,3 +1638,121 @@ def q265_image_dhash_neardup(spark, sf_dir):
         )
         .where(F.col("hamming") <= 8)
     )
+
+
+# --------------------------------------------------------------------------
+# q268 — audio silence segmentation (real decode -> gaps-and-islands)
+
+_SIL_THRESH = 112   # unsigned 8-bit: |amp-128| < 16  <=>  byte > 112
+_SIL_MINRUN = 3
+
+
+@register(
+    "q268_audio_silence_segments",
+    sql=f"""
+    WITH p AS (
+        SELECT doc_id, rpad(substr(text, 1, 64), 64, 'x') AS s
+        FROM documents),
+    u AS (
+        SELECT doc_id, i, ord(substr(s, i, 1)) AS b
+        FROM p, (SELECT unnest(generate_series(1, 64)) AS i) g),
+    sil AS (
+        SELECT doc_id, i,
+               i - row_number() OVER (PARTITION BY doc_id ORDER BY i)
+                   AS island
+        FROM u WHERE b > {_SIL_THRESH}),
+    runs AS (
+        SELECT doc_id, island,
+               CAST(COUNT(*) AS BIGINT) AS len,
+               CAST(MIN(i) AS BIGINT) AS start
+        FROM sil GROUP BY doc_id, island),
+    agg AS (
+        SELECT doc_id,
+               CAST(COUNT(CASE WHEN len >= {_SIL_MINRUN} THEN 1 END)
+                    AS BIGINT) AS n_segments,
+               CAST(SUM(len) AS BIGINT) AS total_silent,
+               CAST(MAX(len) AS BIGINT) AS longest_run,
+               CAST(COALESCE(MIN(CASE WHEN len >= {_SIL_MINRUN}
+                                      THEN start END), 0) AS BIGINT)
+                   AS first_start
+        FROM runs GROUP BY doc_id)
+    SELECT p.doc_id,
+           COALESCE(a.n_segments, 0) AS n_segments,
+           COALESCE(a.total_silent, 0) AS total_silent,
+           COALESCE(a.longest_run, 0) AS longest_run,
+           COALESCE(a.first_start, 0) AS first_start
+    FROM p LEFT JOIN agg a ON a.doc_id = p.doc_id
+    """,
+    tags=("multimodal", "decode", "segmentation"),
+)
+def q268_audio_silence_segments(spark, sf_dir):
+    """Silence segmentation over REAL decoded audio — the
+    voice-activity-detection primitive a speech-data pipeline runs
+    before chunking: decode the clip (the q215 8-bit mono WAV byte
+    trick, so DuckDB can replay from ord()), mark samples within 16
+    of the 128 midline as silent, and extract MAXIMAL silent runs
+    (>= {_SIL_MINRUN} samples) — classic gaps-and-islands, but with
+    the run detection done sample-local inside the SAME Arrow batch
+    that decoded the clip, so no per-sample row ever exists in the
+    engine: one row in (payload), one row out (doc_id, segment
+    stats). The oracle builds the islands relationally (i minus
+    row_number) to pin the exact same runs. Scale shape: decode +
+    segmentation cost is linear in clip length inside mapInPandas;
+    the only shuffle is whatever the caller aggregates next. At real
+    sample rates you'd window the VAD per second and emit (doc_id,
+    segment) rows instead — same kernel, coarser rows."""
+    import struct as _struct
+
+    header = (
+        b"RIFF" + _struct.pack("<I", 36 + 64) + b"WAVE"
+        + b"fmt " + _struct.pack("<I", 16)
+        + _struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+        + b"data" + _struct.pack("<I", 64)
+    )
+    from rc_rag_spark.sources import table as _table
+
+    d = _table(spark, sf_dir, "documents")
+    px = F.rpad(F.substring("text", 1, 64), 64, "x")
+    media = d.select(
+        "doc_id",
+        F.concat(F.lit(header), F.encode(px, "UTF-8")).alias("payload"),
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        from rc_rag_spark.operators import audiocodec
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "n_segments": [], "total_silent": [],
+                "longest_run": [], "first_start": [],
+            }
+            for _, row in pdf.iterrows():
+                clip = audiocodec.decode(bytes(row["payload"]))
+                n_seg = total = longest = first = 0
+                run_len = 0
+                for idx, s in enumerate(clip.samples, start=1):
+                    if s > _SIL_THRESH:
+                        run_len += 1
+                        total += 1
+                        if run_len > longest:
+                            longest = run_len
+                        if run_len == _SIL_MINRUN:
+                            n_seg += 1
+                            if first == 0:
+                                first = idx - _SIL_MINRUN + 1
+                    else:
+                        run_len = 0
+                out["doc_id"].append(row["doc_id"])
+                out["n_segments"].append(n_seg)
+                out["total_silent"].append(total)
+                out["longest_run"].append(longest)
+                out["first_start"].append(first)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        run,
+        "doc_id long, n_segments long, total_silent long, "
+        "longest_run long, first_start long",
+    )

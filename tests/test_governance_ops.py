@@ -81,19 +81,24 @@ def test_dhash_pairs_are_verified_neardups(spark, sf_dir):
     assert rows, "corpus has duplicate prefixes; pairs must exist"
     assert all(0 <= r["hamming"] <= 8 for r in rows)
     assert all(r["doc_a"] < r["doc_b"] for r in rows)
-    # hamming-0 pairs must correspond to identical 72-char prefixes
-    zero = [(r["doc_a"], r["doc_b"]) for r in rows if r["hamming"] == 0]
-    if zero:
-        d = table(spark, sf_dir, "documents").select(
-            "doc_id", F.rpad(F.substring("text", 1, 72), 72, "x").alias("p")
-        )
-        a, b = zero[0]
-        pa = d.where(F.col("doc_id") == a).first()["p"]
-        pb = d.where(F.col("doc_id") == b).first()["p"]
-        # dHash is gradient-sign based: equal prefixes guarantee
-        # hamming 0 (the converse needn't hold)
-        if pa == pb:
-            assert pa == pb
+    # completeness at hamming 0: every identical-prefix pair MUST be
+    # reported with hamming 0 (equal pixels => equal gradient signs,
+    # and the band join cannot miss an identical hash)
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.rpad(F.substring("text", 1, 72), 72, "x").alias("p")
+    )
+    dup = (
+        d.alias("x")
+        .join(d.alias("y"), (F.col("x.p") == F.col("y.p"))
+              & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .collect()
+    )
+    zero = set(
+        (r["doc_a"], r["doc_b"]) for r in rows if r["hamming"] == 0
+    )
+    for r in dup:
+        assert (r["a"], r["b"]) in zero
     # no duplicate pairs survive the multi-band candidate union
     assert len(set((r["doc_a"], r["doc_b"]) for r in rows)) == len(rows)
 
@@ -122,3 +127,31 @@ def test_bucketed_colocated_join_plan_has_no_exchange(spark, sf_dir):
         assert "Exchange" not in below, below[:2000]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_hard_negatives_never_share_group(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q267_hard_negative_mining").collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        assert r["neighbor_group"] != r["qlabel"]
+        by_q.setdefault(r["query_id"], []).append(r["rnk"])
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 5
+
+
+def test_audio_silence_segment_invariants(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q268_audio_silence_segments").collect()
+    assert rows
+    assert any(r["n_segments"] > 0 for r in rows)
+    for r in rows:
+        assert r["total_silent"] >= r["longest_run"] >= 0
+        assert 3 * r["n_segments"] <= max(r["total_silent"], 0) or (
+            r["n_segments"] == 0
+        )
+        if r["n_segments"] > 0:
+            assert r["longest_run"] >= 3
+            assert 1 <= r["first_start"] <= 64
+        else:
+            assert r["first_start"] == 0
