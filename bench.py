@@ -61,6 +61,13 @@ HEADLINE = [
     # dedup family had no anchor; totals jump vs r8 by ~this much,
     # see anchor_sec/legacy_sec for the like-for-like comparison.
     "q102_dedup_clusters",
+    # round-9 anchors (late-round): the vectorized Arrow-batch CDC
+    # kernel (~1.5 s — rewritten this round, 5.5x over the explode
+    # plan, worth watching for regressions) and the fixed-point
+    # Bradley-Terry fit (~3.5 s — fact-table pair mining + unrolled
+    # MM iterations over a checkpointed comparison matrix).
+    "q222_cdc_chunking",
+    "q263_bradley_terry",
 ]
 
 # Multi-second anchors: stable to ~±3% run-to-run, the signal. The
@@ -72,6 +79,8 @@ ANCHORS = {
     "q172_bpe_merges",
     "q168_retrieval_gd_training",
     "q102_dedup_clusters",
+    "q222_cdc_chunking",
+    "q263_bradley_terry",
 }
 
 
