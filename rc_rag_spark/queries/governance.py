@@ -19,6 +19,10 @@
     ``bucketBy`` on the join key so the join runs with NO exchange
     on either side (storage-partitioned join; the layout decision
     that amortizes one shuffle across every future join at 100 TB).
+  - q269: dynamic partition pruning — a year-partitioned fact scan
+    whose partition filter arrives at RUNTIME from the joined dim's
+    values (Catalyst's dynamicpruning subquery), so unselected
+    partition directories are never opened.
 
 Scale notes (100 TB):
   - q261 is one full-outer hash join on the primary key with
@@ -666,6 +670,88 @@ def q266_bucketed_colocated_join(spark, sf_dir):
         .agg(
             F.count("*").cast("bigint").alias("n_orders"),
             F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q269 — dynamic partition pruning (runtime scan elimination)
+
+
+@register(
+    "q269_dynamic_partition_pruning",
+    sql="""
+    WITH dim AS (
+        SELECT CAST(year(l_shipdate) AS INTEGER) AS o_year
+        FROM lineitem
+        WHERE l_returnflag = 'R'
+        GROUP BY 1
+        ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(18,2))) DESC,
+                 o_year
+        LIMIT 2)
+    SELECT o.o_year, o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM (SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                 o_orderpriority, o_totalprice
+          FROM orders) o
+    JOIN dim ON o.o_year = dim.o_year
+    GROUP BY o.o_year, o.o_orderpriority
+    """,
+    tags=("scale", "partitioning", "dpp"),
+)
+def q269_dynamic_partition_pruning(spark, sf_dir):
+    """Dynamic partition pruning — the runtime scan eliminator that
+    matters most at 100 TB: the fact table is PHYSICALLY partitioned
+    by year (written once per SF, drop-first/overwrite like q266's
+    buckets), the dimension side is only known at RUNTIME (the top-2
+    revenue years, computed from lineitem), and Catalyst pushes the
+    dim's join-key values into the fact scan's PartitionFilters as a
+    dynamicpruning subquery — so five of the seven year-directories
+    are never opened, let alone read (plan asserted in
+    tests/test_governance_ops.py). Static predicate pushdown can't do
+    this: the years aren't literals in the query. At warehouse scale
+    this is the difference between scanning 100 TB and scanning the
+    two partitions the dim actually selects; it composes with
+    broadcast (the 2-row dim broadcasts, and the same broadcast
+    feeds the pruning subquery — reuse, not a second job). The
+    oracle replays the semantics partition-free from the raw
+    table."""
+    base = os.path.join(
+        tempfile.gettempdir(), _bucket_db_name(sf_dir) + "_dpp"
+    )
+    o = table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        "o_orderpriority",
+        "o_totalprice",
+    )
+    o.write.mode("overwrite").partitionBy("o_year").parquet(base)
+    fact = spark.read.parquet(base)
+    li = table(spark, sf_dir, "lineitem")
+    # the dim side needs a genuinely SELECTIVE Filter for Catalyst's
+    # PartitionPruning rule to fire (aggregate + limit alone don't
+    # qualify as `hasSelectivePredicate`): top returned-revenue years
+    dim = (
+        li.where(F.col("l_returnflag") == "R")
+        .groupBy(F.year("l_shipdate").cast("int").alias("o_year"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias(
+                "rev"
+            )
+        )
+        .orderBy(F.col("rev").desc(), "o_year")
+        .limit(2)
+        .select("o_year")
+    )
+    return (
+        fact.join(F.broadcast(dim), "o_year")
+        .groupBy("o_year", "o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
             .cast("double")
             .alias("revenue"),

@@ -155,3 +155,13 @@ def test_audio_silence_segment_invariants(spark, sf_dir):
             assert 1 <= r["first_start"] <= 64
         else:
             assert r["first_start"] == 0
+
+
+def test_dpp_prunes_fact_partitions_at_runtime(spark, sf_dir):
+    df = _run(spark, sf_dir, "q269_dynamic_partition_pruning")
+    rows = df.collect()
+    assert rows
+    # only the 2 dim-selected years survive
+    assert len(set(r["o_year"] for r in rows)) == 2
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:3000]
