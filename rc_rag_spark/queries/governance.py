@@ -23,6 +23,13 @@
     whose partition filter arrives at RUNTIME from the joined dim's
     values (Catalyst's dynamicpruning subquery), so unselected
     partition directories are never opened.
+  - q270: fill-in-the-middle (FIM) transform — PSM/SPM re-serialization
+    at deterministic third-points (Bavarian et al. 2022), pure
+    codegen'd string arithmetic.
+  - q271: vocabulary coverage / OOV-rate audit per source against a
+    top-k global vocab (broadcast back; the corpus never re-shuffles).
+  - q272: boilerplate-prefix mining — 4-word-prefix grouping, the
+    cheap template detector that runs before any pairwise dedup.
 
 Scale notes (100 TB):
   - q261 is one full-outer hash join on the primary key with
@@ -756,4 +763,205 @@ def q269_dynamic_partition_pruning(spark, sf_dir):
             .cast("double")
             .alias("revenue"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# q270 — fill-in-the-middle (FIM) transform
+
+
+@register(
+    "q270_fim_transform",
+    sql="""
+    WITH p AS (
+        SELECT doc_id,
+               text AS s,
+               length(text) AS n,
+               length(text) // 3 AS p1,
+               (2 * length(text)) // 3 AS p2
+        FROM documents WHERE length(text) >= 9)
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'psm' ELSE 'spm' END AS mode,
+           CAST(p1 AS BIGINT) AS len_prefix,
+           CAST(p2 - p1 AS BIGINT) AS len_middle,
+           CAST(n - p2 AS BIGINT) AS len_suffix,
+           md5(CASE WHEN doc_id % 2 = 0
+                    THEN '<PRE>' || substr(s, 1, p1)
+                         || '<SUF>' || substr(s, p2 + 1)
+                         || '<MID>' || substr(s, p1 + 1, p2 - p1)
+                    ELSE '<SUF>' || substr(s, p2 + 1)
+                         || '<PRE>' || substr(s, 1, p1)
+                         || '<MID>' || substr(s, p1 + 1, p2 - p1)
+               END) AS fim_hash
+    FROM p
+    """,
+    tags=("training", "transform", "fim"),
+)
+def q270_fim_transform(spark, sf_dir):
+    """Fill-in-the-middle (FIM) transform — the data-prep rewrite
+    behind infilling-capable code/text models (Bavarian et al. 2022,
+    "Efficient Training of Language Models to Fill in the Middle"):
+    split each document at deterministic third-points into
+    (prefix, middle, suffix) and re-serialize with the middle moved
+    to the END, in PSM order for even ids and SPM for odd — the
+    50/50 mode mix the paper recommends. The emitted md5 pins the
+    exact transformed string per mode without shipping it; length
+    bookkeeping pins the split. Scale shape: pure per-row codegen'd
+    string arithmetic — no shuffle, no UDF; at 100 TB this transform
+    runs at scan speed and is exactly the kind of map a curation
+    pipeline fuses onto the final write."""
+    d = table(spark, sf_dir, "documents")
+    p = d.where(F.length("text") >= 9).select(
+        "doc_id",
+        F.col("text").alias("s"),
+        F.length("text").alias("n"),
+        F.expr("length(text) div 3").alias("p1"),
+        F.expr("(2 * length(text)) div 3").alias("p2"),
+    )
+    pre = F.expr("substr(s, 1, p1)")
+    mid = F.expr("substr(s, p1 + 1, p2 - p1)")
+    suf = F.expr("substr(s, p2 + 1)")
+    psm = F.concat(
+        F.lit("<PRE>"), pre, F.lit("<SUF>"), suf, F.lit("<MID>"), mid
+    )
+    spm = F.concat(
+        F.lit("<SUF>"), suf, F.lit("<PRE>"), pre, F.lit("<MID>"), mid
+    )
+    even = F.col("doc_id") % 2 == 0
+    return p.select(
+        "doc_id",
+        F.when(even, F.lit("psm")).otherwise(F.lit("spm")).alias("mode"),
+        F.col("p1").cast("bigint").alias("len_prefix"),
+        (F.col("p2") - F.col("p1")).cast("bigint").alias("len_middle"),
+        (F.col("n") - F.col("p2")).cast("bigint").alias("len_suffix"),
+        F.md5(F.when(even, psm).otherwise(spm)).alias("fim_hash"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q271 — vocabulary coverage / OOV rate per source
+
+_VOCAB_SIZE = 256
+
+
+@register(
+    "q271_vocab_coverage",
+    sql=f"""
+    WITH tok AS (
+        SELECT source, unnest(regexp_split_to_array(trim(lower(text)),
+                                                    '\\s+')) AS w
+        FROM documents WHERE length(trim(text)) > 0),
+    vocab AS (
+        SELECT w FROM (
+            SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+            ORDER BY c DESC, w LIMIT {_VOCAB_SIZE})),
+    m AS (
+        SELECT t.source,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(COUNT(v.w) AS BIGINT) AS n_covered,
+               CAST(COUNT(DISTINCT CASE WHEN v.w IS NULL THEN t.w END)
+                    AS BIGINT) AS n_oov_types
+        FROM tok t LEFT JOIN vocab v ON t.w = v.w
+        GROUP BY t.source)
+    SELECT source, n_tokens, n_covered, n_oov_types,
+           CAST(n_tokens - n_covered AS DOUBLE) / n_tokens AS oov_rate
+    FROM m
+    """,
+    tags=("textstats", "tokenizer", "coverage"),
+)
+def q271_vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage / OOV audit — the report that decides
+    whether a tokenizer's vocab serves a new source: build the
+    top-{_VOCAB_SIZE} word vocabulary from global counts
+    (deterministic count-then-word ordering), then measure, per
+    source, how many token OCCURRENCES the vocab covers and how many
+    distinct out-of-vocab TYPES remain. High OOV-rate sources either
+    need vocab expansion or produce fertility blow-ups downstream
+    (every OOV word splits into many subwords). The rate is one
+    exact integer division per source. Scale shape: one token
+    explode feeding two partial-agg shuffles (vocab build, per-source
+    fold); the vocab itself is top-k — {_VOCAB_SIZE} rows, broadcast
+    back against the token stream, so the coverage join never
+    shuffles the corpus."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.where(F.length(F.trim("text")) > 0).select(
+        "source",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"),
+    )
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "w")
+        .limit(_VOCAB_SIZE)
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    m = (
+        tok.join(F.broadcast(vocab), "w", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.count("in_vocab").cast("bigint").alias("n_covered"),
+            F.countDistinct(
+                F.when(F.col("in_vocab").isNull(), F.col("w"))
+            ).cast("bigint").alias("n_oov_types"),
+        )
+    )
+    return m.select(
+        "source", "n_tokens", "n_covered", "n_oov_types",
+        (
+            (F.col("n_tokens") - F.col("n_covered")).cast("double")
+            / F.col("n_tokens")
+        ).alias("oov_rate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q272 — boilerplate prefix mining
+
+
+@register(
+    "q272_boilerplate_prefixes",
+    sql="""
+    WITH p AS (
+        SELECT doc_id, source,
+               array_to_string(regexp_split_to_array(trim(lower(text)),
+                                                     '\\s+')[1:4], ' ')
+                   AS prefix
+        FROM documents
+        WHERE len(regexp_split_to_array(trim(lower(text)), '\\s+')) >= 4)
+    SELECT prefix,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(MIN(doc_id) AS BIGINT) AS example_doc
+    FROM p GROUP BY prefix HAVING COUNT(*) >= 3
+    """,
+    tags=("curation", "boilerplate", "templates"),
+)
+def q272_boilerplate_prefixes(spark, sf_dir):
+    """Boilerplate-prefix mining — the cheap template detector web
+    pipelines run before near-dup: group documents by their first
+    four (lowercased) words; any prefix shared by >= 3 documents is
+    a boilerplate candidate (cookie banners, licence headers, forum
+    signatures — content that inflates n-gram counts and leaks
+    across train/test). Reported with how many sources it spans
+    (cross-source prefixes are template-library boilerplate;
+    single-source ones are site chrome) and a deterministic example
+    id. Scale shape: a 4-word prefix is a bounded-size key — one
+    partial-agg shuffle over ~30 bytes/doc, no explode, no pairwise
+    anything; the q188/q222 chunk-level machinery only runs on what
+    survives this filter."""
+    d = table(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.lower("text")), r"\s+")
+    p = d.where(F.size(ws) >= 4).select(
+        "doc_id", "source",
+        F.array_join(F.slice(ws, 1, 4), " ").alias("prefix"),
+    )
+    return (
+        p.groupBy("prefix")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.min("doc_id").cast("bigint").alias("example_doc"),
+        )
+        .where(F.col("n_docs") >= 3)
     )
