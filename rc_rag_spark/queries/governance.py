@@ -431,8 +431,10 @@ def q263_bradley_terry(spark, sf_dir):
     for _ in range(_BT_ITERS):
         terms = (
             sym.alias("sym")
-            .join(scores.alias("si"), F.col("sym.i") == F.col("si.i"))
-            .join(scores.alias("sj"), F.col("sym.j") == F.col("sj.i"))
+            .join(F.broadcast(scores.alias("si")),
+                  F.col("sym.i") == F.col("si.i"))
+            .join(F.broadcast(scores.alias("sj")),
+                  F.col("sym.j") == F.col("sj.i"))
             .select(
                 F.col("sym.i").alias("i"),
                 F.expr(
@@ -443,7 +445,7 @@ def q263_bradley_terry(spark, sf_dir):
         d = terms.groupBy("i").agg(F.sum("term").alias("d"))
         scores = (
             d.alias("t")
-            .join(wins.alias("w"), "i")
+            .join(F.broadcast(wins.alias("w")), "i")
             .select(
                 "i",
                 F.expr(
@@ -455,8 +457,8 @@ def q263_bradley_terry(spark, sf_dir):
         F.sum("n").cast("bigint").alias("n_comparisons")
     )
     out = (
-        scores.join(wins, "i")
-        .join(ncomp, "i")
+        scores.join(F.broadcast(wins), "i")
+        .join(F.broadcast(ncomp), "i")
         .select(
             F.col("i").alias("nation"),
             F.col("wins").alias("n_wins"),

@@ -165,3 +165,73 @@ def test_dpp_prunes_fact_partitions_at_runtime(spark, sf_dir):
     assert len(set(r["o_year"] for r in rows)) == 2
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:3000]
+
+
+def test_manifest_xor_algebra_is_incremental(spark, sf_dir):
+    """q259's claim: the BIT_XOR content hash is incrementally
+    maintainable — XOR-ing the row-hashes of removed and added rows
+    into the stored corpus hash yields the next version's hash
+    exactly. Verify it against the q261 snapshot simulation: build
+    manifest(A), apply the diff algebra for A->B (remove %97, revise
+    %89, add %101), and compare with manifest(B) computed from
+    scratch."""
+    d = table(spark, sf_dir, "documents")
+
+    def rowhash(text_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.col("doc_id").cast("string"),
+                            text_col, F.col("lang"),
+                        )
+                    ),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("bigint")
+        )
+
+    def corpus_hash(df, text_col):
+        return df.agg(
+            F.bit_xor(rowhash(text_col)).cast("bigint").alias("h")
+        ).first()["h"]
+
+    h_a = corpus_hash(d, F.col("text"))
+    # version B, as q261 simulates it (but keyed like q259's manifest)
+    revised = F.when(
+        F.col("doc_id") % 89 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+    ).otherwise(F.col("text"))
+    b = (
+        d.where(F.col("doc_id") % 97 != 0)
+        .select("doc_id", revised.alias("text"), "lang")
+        .unionByName(
+            d.where(F.col("doc_id") % 101 == 0).select(
+                (F.col("doc_id") + 10_000_000).alias("doc_id"),
+                "text", "lang",
+            )
+        )
+    )
+    h_b = corpus_hash(b, F.col("text"))
+    # incremental maintenance: h_b == h_a XOR hash(removed-old-rows)
+    # XOR hash(changed-old) XOR hash(changed-new) XOR hash(added)
+    deltas = [
+        corpus_hash(d.where(F.col("doc_id") % 97 == 0), F.col("text")),
+        corpus_hash(
+            d.where((F.col("doc_id") % 89 == 0) & (F.col("doc_id") % 97 != 0)),
+            F.col("text"),
+        ),
+        corpus_hash(
+            d.where((F.col("doc_id") % 89 == 0) & (F.col("doc_id") % 97 != 0)),
+            F.concat(F.col("text"), F.lit(" [rev2]")),
+        ),
+        corpus_hash(d.where(F.col("doc_id") % 101 == 0).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"), "text", "lang"
+        ), F.col("text")),
+    ]
+    h_inc = h_a
+    for x in deltas:
+        if x is not None:
+            h_inc ^= x
+    assert h_inc == h_b

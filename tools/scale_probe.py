@@ -105,6 +105,18 @@ DEFAULT = [
     "q258_label_propagation",
     "q259_dataset_manifest",
     "q260_skew_diagnosis",
+    "q261_snapshot_diff",
+    "q262_gopher_quality_rules",
+    "q263_bradley_terry",
+    "q264_dsir_selection",
+    "q265_image_dhash_neardup",
+    "q266_bucketed_colocated_join",
+    "q267_hard_negative_mining",
+    "q268_audio_silence_segments",
+    "q269_dynamic_partition_pruning",
+    "q270_fim_transform",
+    "q271_vocab_coverage",
+    "q272_boilerplate_prefixes",
 ]
 
 
