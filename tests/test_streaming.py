@@ -448,7 +448,7 @@ def _rate_stream(spark, rows_per_batch=20):
     )
 
 
-def _run_live_batches(stream_df, output_mode, min_batches=4, timeout=120):
+def _run_live_batches(stream_df, output_mode, min_batches=4, timeout=300):
     """Run a REAL unbounded StreamingQuery (processingTime trigger, not
     availableNow) until >= min_batches micro-batches committed, then
     stop. Returns (rows, max committed batchId)."""
