@@ -1756,3 +1756,138 @@ def q268_audio_silence_segments(spark, sf_dir):
         "doc_id long, n_segments long, total_silent long, "
         "longest_run long, first_start long",
     )
+
+
+# --------------------------------------------------------------------------
+# q273 — video scene segmentation (real decode -> MAD cuts -> scenes)
+
+_SCN_FRAMES = 6
+_SCN_T = 500   # scene-cut threshold on the 64-px sum of |f_{k+1}-f_k|
+
+
+@register(
+    "q273_video_scene_segments",
+    sql=f"""
+    WITH p AS (
+        SELECT doc_id,
+               rpad(substr(text, 1, {_SCN_FRAMES * 64}),
+                    {_SCN_FRAMES * 64}, 'x') AS s
+        FROM documents),
+    u AS (
+        SELECT doc_id, i, ord(substr(s, i, 1)) AS b
+        FROM p, (SELECT unnest(generate_series(1,
+                      {_SCN_FRAMES * 64})) AS i) g),
+    pair AS (
+        SELECT a.doc_id, (a.i - 1) // 64 AS k,
+               abs(c.b - a.b) AS d
+        FROM u a JOIN u c
+          ON c.doc_id = a.doc_id AND c.i = a.i + 64
+        WHERE a.i <= {(_SCN_FRAMES - 1) * 64}),
+    mad AS (
+        SELECT doc_id, k, CAST(SUM(d) AS BIGINT) AS mad
+        FROM pair GROUP BY doc_id, k),
+    cuts AS (
+        SELECT doc_id, k, mad,
+               CASE WHEN mad > {_SCN_T} THEN 1 ELSE 0 END AS cut
+        FROM mad),
+    -- frame j belongs to scene_id = number of cuts strictly before j;
+    -- frame 0 always opens scene 0
+    frames AS (
+        SELECT doc_id, j FROM (SELECT DISTINCT doc_id FROM p),
+             (SELECT unnest(generate_series(0, {_SCN_FRAMES - 1})) AS j) g),
+    assigned AS (
+        SELECT f.doc_id, f.j,
+               COALESCE(SUM(c.cut), 0) AS scene_id
+        FROM frames f LEFT JOIN cuts c
+          ON c.doc_id = f.doc_id AND c.k < f.j
+        GROUP BY f.doc_id, f.j),
+    scenes AS (
+        SELECT doc_id, scene_id, COUNT(*) AS scene_len
+        FROM assigned GROUP BY doc_id, scene_id)
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_scenes,
+           CAST(MAX(s.scene_len) AS BIGINT) AS longest_scene,
+           CAST(COALESCE((SELECT MIN(k) + 1 FROM cuts c
+                          WHERE c.doc_id = s.doc_id AND c.cut = 1), 0)
+                AS BIGINT) AS first_cut,
+           CAST((SELECT SUM(mad) FROM mad m WHERE m.doc_id = s.doc_id)
+                AS BIGINT) AS total_motion
+    FROM scenes s GROUP BY s.doc_id
+    """,
+    tags=("multimodal", "decode", "segmentation"),
+)
+def q273_video_scene_segments(spark, sf_dir):
+    """Scene segmentation over REAL decoded video — the shot-boundary
+    detector a video-data pipeline runs before sampling training
+    frames (one keyframe per SCENE beats one per N frames): each
+    document's first {_SCN_FRAMES * 64} chars become a
+    {_SCN_FRAMES}-frame 8x8 mono Y4M clip; the stdlib codec decodes
+    real frames, consecutive frames score mean-absolute-difference,
+    and a cut fires where the 64-px MAD sum exceeds {_SCN_T} —
+    scenes are the islands between cuts (the q268 audio-VAD move on
+    the third modality, completing segmentation coverage across
+    image/audio/video). Everything per clip happens INSIDE the Arrow
+    batch that decoded it: frame diffs, cut detection, scene
+    bookkeeping — one row in, one row out, integer-exact. The DuckDB
+    oracle rebuilds frames from ord() arithmetic with a positional
+    +64 self-join (the q218 pairing), then assigns frames to scenes
+    relationally (scene_id = cuts strictly before the frame). Scale
+    shape: at real resolutions the decode+MAD kernel is linear in
+    pixels and embarrassingly parallel; only (doc_id, 4 ints) ever
+    leave the executor — a 100 TB video corpus segments at scan
+    speed with zero shuffle."""
+    from rc_rag_spark.sources import table as _table
+
+    d = _table(spark, sf_dir, "documents")
+    px = F.rpad(
+        F.substring("text", 1, _SCN_FRAMES * 64), _SCN_FRAMES * 64, "x"
+    )
+    frame_parts = [F.encode(F.lit("YUV4MPEG2 W8 H8 F25:1 Ip A1:1 Cmono\n"),
+                            "UTF-8")]
+    for k in range(_SCN_FRAMES):
+        frame_parts.append(F.encode(F.lit("FRAME\n"), "UTF-8"))
+        frame_parts.append(
+            F.encode(F.substring(px, k * 64 + 1, 64), "UTF-8")
+        )
+    media = d.select(
+        "doc_id", F.concat(*frame_parts).alias("payload")
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        from rc_rag_spark.operators import videocodec
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "n_scenes": [], "longest_scene": [],
+                "first_cut": [], "total_motion": [],
+            }
+            for _, row in pdf.iterrows():
+                clip = videocodec.decode(bytes(row["payload"]))
+                planes = [f.data for f in clip.frames]
+                mads = [
+                    sum(
+                        abs(b1 - b0)
+                        for b0, b1 in zip(planes[k], planes[k + 1])
+                    )
+                    for k in range(len(planes) - 1)
+                ]
+                cuts = [k for k, m in enumerate(mads) if m > _SCN_T]
+                bounds = [0] + [k + 1 for k in cuts] + [len(planes)]
+                lens = [
+                    bounds[i + 1] - bounds[i]
+                    for i in range(len(bounds) - 1)
+                ]
+                out["doc_id"].append(row["doc_id"])
+                out["n_scenes"].append(len(lens))
+                out["longest_scene"].append(max(lens))
+                out["first_cut"].append(cuts[0] + 1 if cuts else 0)
+                out["total_motion"].append(sum(mads))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        run,
+        "doc_id long, n_scenes long, longest_scene long, "
+        "first_cut long, total_motion long",
+    )

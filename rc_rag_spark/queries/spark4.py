@@ -1,5 +1,6 @@
 """Spark-4-native surfaces, each oracle-checked: Python UDTF
-(Arrow-optimized table function), the VARIANT semi-structured type,
+(Arrow-optimized table function), the VARIANT semi-structured type
+(scalar variant_get in q224; the variant_explode TVF in q274),
 correlated LATERAL subqueries, SQL pipe syntax (`|>`), named-parameter
 SQL, string collations (UTF8_LCASE grouping), the Python Data Source
 API (batch read here; the streaming-reader and writer halves live in
@@ -1096,3 +1097,76 @@ def q254_listagg(spark, sf_dir):
         FROM d GROUP BY nat
         """
     )
+
+
+# --------------------------------------------------------------------------
+# q274 — variant_explode: shredding a VARIANT object into rows
+
+
+@register(
+    "q274_variant_explode",
+    sql="""
+    WITH src AS (
+        SELECT event_type AS et,
+               CASE WHEN value < 100 THEN 'low'
+                    WHEN value < 300 THEN 'mid'
+                    ELSE 'high' END AS band,
+               CASE WHEN CAST(props ->> 'k' AS INTEGER) % 2 = 0
+                    THEN 'even' ELSE 'odd' END AS kp
+        FROM events),
+    pairs AS (
+        SELECT 'band' AS field, band AS val, 0 AS enc_pos FROM src
+        UNION ALL
+        SELECT 'et', et, 1 FROM src
+        UNION ALL
+        SELECT 'kp', kp, 2 FROM src)
+    SELECT field, val,
+           CAST(MIN(enc_pos) AS INTEGER) AS enc_pos,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM pairs GROUP BY field, val
+    """,
+    tags=("variant", "json", "spark4", "udtf"),
+)
+def q274_variant_explode(spark, sf_dir):
+    """variant_explode — the VARIANT table-valued function that shreds
+    a semi-structured object into (pos, key, value) rows, completing
+    the VARIANT surface q224's scalar variant_get started: each event
+    serializes three derived attributes to JSON, parses to VARIANT,
+    and LATERAL variant_explode fans every object field out as a row
+    (the streaming-telemetry move: one ragged blob column -> a long
+    key/value table without a schema migration). The aggregate pins
+    two things the oracle replays from first principles: the
+    per-(field, value) row counts, and enc_pos — the variant
+    encoding's FIELD ORDER, which is sorted-by-key (band < et < kp)
+    regardless of the JSON's insertion order (et first): a probe of
+    the binary format's canonical key dictionary. CAST(variant AS
+    STRING) on string fields yields the raw string (no JSON quotes),
+    which is what lets DuckDB compare values directly. Scale:
+    parse_json + variant_explode are native codegen'd; the explode
+    multiplies rows by object width BEFORE the one count shuffle, so
+    at 100 TB you shred only the fields you need (variant_get prunes;
+    explode is for full-table pivots like this audit)."""
+    e = table(spark, sf_dir, "events")
+    j = F.to_json(
+        F.struct(
+            F.col("event_type").alias("et"),
+            F.when(F.col("value") < 100, "low")
+            .when(F.col("value") < 300, "mid")
+            .otherwise("high")
+            .alias("band"),
+            F.when(
+                F.get_json_object("props", "$.k").cast("int") % 2 == 0,
+                "even",
+            ).otherwise("odd").alias("kp"),
+        )
+    )
+    view = "q274_events_json"
+    e.select(j.alias("j")).createOrReplaceTempView(view)
+    return spark.sql(f"""
+        SELECT v.key AS field,
+               CAST(v.value AS STRING) AS val,
+               CAST(MIN(v.pos) AS INTEGER) AS enc_pos,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM {view}, LATERAL variant_explode(parse_json(j)) AS v
+        GROUP BY v.key, CAST(v.value AS STRING)
+    """)

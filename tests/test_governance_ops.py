@@ -235,3 +235,18 @@ def test_manifest_xor_algebra_is_incremental(spark, sf_dir):
         if x is not None:
             h_inc ^= x
     assert h_inc == h_b
+
+
+def test_video_scene_segment_invariants(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q273_video_scene_segments").collect()
+    assert rows
+    assert any(r["n_scenes"] > 1 for r in rows)
+    for r in rows:
+        assert 1 <= r["n_scenes"] <= 6
+        assert 1 <= r["longest_scene"] <= 6
+        # n_scenes cuts partition 6 frames; longest scene bounds
+        assert r["longest_scene"] >= (6 + r["n_scenes"] - 1) // r["n_scenes"]
+        if r["n_scenes"] == 1:
+            assert r["first_cut"] == 0
+        else:
+            assert 1 <= r["first_cut"] <= 5

@@ -117,6 +117,8 @@ DEFAULT = [
     "q270_fim_transform",
     "q271_vocab_coverage",
     "q272_boilerplate_prefixes",
+    "q273_video_scene_segments",
+    "q274_variant_explode",
 ]
 
 
