@@ -877,6 +877,51 @@ _CDC_MASK = 64      # boundary when h % 64 == 0 -> expected ~64-char chunks
 _CDC_LEN = 256      # analyzed prefix per document
 
 
+def _cdc_chunk_batches(batches):
+    """The q222 CDC kernel, module-level so tests can drive it
+    directly on pandas batches (Spark-free) — e.g. the
+    shift-robustness property test in tests/test_governance_ops.py.
+    Expects columns (doc_id, s) with s exactly _CDC_LEN chars;
+    yields (doc_id, ch, clen) at chunk granularity."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        ids, chs, lens = [], [], []
+        if len(pdf):
+            arr = np.frombuffer(
+                "".join(pdf["s"]).encode("latin-1"), dtype=np.uint8
+            ).reshape(len(pdf), _CDC_LEN).astype(np.int64)
+            acc = np.zeros(
+                (len(pdf), _CDC_LEN - _CDC_W + 1), dtype=np.int64
+            )
+            for j in range(_CDC_W):
+                acc += (
+                    arr[:, _CDC_W - 1 - j : _CDC_LEN - j]
+                    * (_CDC_B ** j)
+                )
+            is_end = (acc % _CDC_MOD) % _CDC_MASK == 0
+            is_end[:, -1] = True
+            for row, (doc_id, s) in enumerate(
+                zip(pdf["doc_id"], pdf["s"])
+            ):
+                b = 0
+                for k in np.nonzero(is_end[row])[0]:
+                    e = int(k) + _CDC_W  # 1-based end position
+                    piece = s[b:e]
+                    ids.append(doc_id)
+                    chs.append(
+                        hashlib.md5(piece.encode("utf-8")).hexdigest()
+                    )
+                    lens.append(e - b)
+                    b = e
+        yield pd.DataFrame(
+            {"doc_id": ids, "ch": chs, "clen": lens}
+        )
+
+
 @register(
     "q222_cdc_chunking",
     sql=f"""
@@ -952,46 +997,9 @@ def q222_cdc_chunking(spark, sf_dir):
     # ~len/mask chunks per doc; rows leave the kernel already at
     # chunk granularity (32-hex key + length), so nothing downstream
     # ever carries the payload.
-    def chunk_batches(batches):
-        import hashlib
-
-        import numpy as np
-        import pandas as pd
-
-        for pdf in batches:
-            ids, chs, lens = [], [], []
-            if len(pdf):
-                arr = np.frombuffer(
-                    "".join(pdf["s"]).encode("latin-1"), dtype=np.uint8
-                ).reshape(len(pdf), _CDC_LEN).astype(np.int64)
-                acc = np.zeros(
-                    (len(pdf), _CDC_LEN - _CDC_W + 1), dtype=np.int64
-                )
-                for j in range(_CDC_W):
-                    acc += (
-                        arr[:, _CDC_W - 1 - j : _CDC_LEN - j]
-                        * (_CDC_B ** j)
-                    )
-                is_end = (acc % _CDC_MOD) % _CDC_MASK == 0
-                is_end[:, -1] = True
-                for row, (doc_id, s) in enumerate(
-                    zip(pdf["doc_id"], pdf["s"])
-                ):
-                    b = 0
-                    for k in np.nonzero(is_end[row])[0]:
-                        e = int(k) + _CDC_W  # 1-based end position
-                        piece = s[b:e]
-                        ids.append(doc_id)
-                        chs.append(
-                            hashlib.md5(piece.encode("utf-8")).hexdigest()
-                        )
-                        lens.append(e - b)
-                        b = e
-            yield pd.DataFrame(
-                {"doc_id": ids, "ch": chs, "clen": lens}
-            )
-
-    cs = p.mapInPandas(chunk_batches, "doc_id long, ch string, clen int")
+    cs = p.mapInPandas(
+        _cdc_chunk_batches, "doc_id long, ch string, clen int"
+    )
     global_cnt = cs.groupBy("ch").agg(
         F.countDistinct("doc_id").alias("nd")
     )
