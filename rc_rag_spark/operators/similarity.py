@@ -424,10 +424,20 @@ def hard_negative_topk(
             )
             c_grp = pdf[group_col].to_numpy()
             c_norm = np.linalg.norm(c_mat, axis=1)
-            sims = (c_mat @ q_mat_b.T) / np.outer(c_norm, q_norm_b)
-            # mask same-group candidates: they are positives, not
-            # negatives — never allowed into the top-k
-            mask = c_grp[:, None] == q_grp_b[None, :]
+            # clamped denominator: zero-norm vectors would otherwise
+            # divide 0/0 -> NaN + RuntimeWarnings and silently shrink
+            # the top-k through the isfinite filter
+            denom = np.outer(
+                np.maximum(c_norm, 1e-300), np.maximum(q_norm_b, 1e-300)
+            )
+            sims = (c_mat @ q_mat_b.T) / denom
+            # mask same-group candidates (positives, never in top-k)
+            # and zero-norm rows/columns (cosine undefined) explicitly
+            mask = (
+                (c_grp[:, None] == q_grp_b[None, :])
+                | (c_norm[:, None] == 0.0)
+                | (q_norm_b[None, :] == 0.0)
+            )
             sims = np.where(mask, -np.inf, sims)
             ids = pdf[id_col].to_numpy()
             out = {query_id_col: [], "neighbor_id": [],

@@ -891,8 +891,11 @@ def _cdc_chunk_batches(batches):
     for pdf in batches:
         ids, chs, lens = [], [], []
         if len(pdf):
+            # utf-32-le -> one uint32 CODEPOINT per char, matching the
+            # oracle's ord() for ALL text (latin-1 raised on any
+            # codepoint > U+00FF and killed the task)
             arr = np.frombuffer(
-                "".join(pdf["s"]).encode("latin-1"), dtype=np.uint8
+                "".join(pdf["s"]).encode("utf-32-le"), dtype=np.uint32
             ).reshape(len(pdf), _CDC_LEN).astype(np.int64)
             acc = np.zeros(
                 (len(pdf), _CDC_LEN - _CDC_W + 1), dtype=np.int64

@@ -439,12 +439,19 @@ def q230_python_datasource_writer(spark, sf_dir):
     task retries (tests/test_pyds.py pins it directly). Eagerness
     note: the write executes during query construction (a sink cannot
     be lazy); the returned plan is the lazy read-back."""
+    import os
+    import shutil
     import tempfile
 
     from rc_rag_spark.sources import pyds
 
     pyds.register_all(spark)
-    d = tempfile.mkdtemp(prefix="rc_rag_q230_")
+    # deterministic per-SF sink path, dropped first: repeated
+    # parity/bench/scale runs reuse ONE directory instead of leaking a
+    # fresh mkdtemp per invocation (the q266/q269 external-path pattern)
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    d = os.path.join(tempfile.gettempdir(), f"rc_rag_q230_{tag}")
+    shutil.rmtree(d, ignore_errors=True)
     src = pyds.series_batch_df(spark, _Q230_N).repartition(4)
     src.write.format("rc_rag_jsonldir").option("path", d).mode(
         "append"

@@ -97,15 +97,27 @@ def series_batch_df(spark, n: int):
 class _RangeStreamReader(DataSourceStreamReader):
     """Offset = {"index": next unread row id}. Each micro-batch spans
     [start, start + rowsPerBatch) unless maxRows caps the stream; the
-    span splits into numPartitions contiguous InputPartitions. All
-    state lives in the offset dict — the reader object itself is
-    stateless across restarts, which is what checkpoint recovery
-    requires."""
+    span splits into numPartitions contiguous InputPartitions.
+
+    Restart safety: a fresh reader object starts with ``_latest = 0``,
+    so the synthetic tail pointer must be FAST-FORWARDED from every
+    engine-supplied offset (``partitions(start, end)`` and
+    ``commit(end)`` both carry the checkpointed position). Without
+    that, the first post-restart ``latestOffset()`` would report an
+    end BEHIND the committed start and the engine would re-plan (and an
+    append sink would re-emit) already-committed rows. ``partitions``
+    additionally clamps ``hi >= lo`` so a stale tail can never produce
+    a negative span. Pinned by
+    tests/test_pyds.py::test_partitioned_stream_checkpoint_restart_exactly_once."""
 
     def __init__(self, options):
         self.rows_per_batch = int(options.get("rowsperbatch", 20))
         self.num_partitions = int(options.get("numpartitions", 2))
         self.max_rows = int(options.get("maxrows", 0))  # 0 = unbounded
+        self._latest = 0
+
+    def _fast_forward(self, offset: dict) -> None:
+        self._latest = max(self._latest, int(offset["index"]))
 
     def initialOffset(self):
         return {"index": 0}
@@ -113,13 +125,16 @@ class _RangeStreamReader(DataSourceStreamReader):
     def latestOffset(self):
         # advances one batch per poll; a real feed would report its
         # tail here (e.g. the topic's end offset)
-        self._latest = getattr(self, "_latest", 0) + self.rows_per_batch
+        self._latest = self._latest + self.rows_per_batch
         if self.max_rows:
             self._latest = min(self._latest, self.max_rows)
         return {"index": self._latest}
 
     def partitions(self, start: dict, end: dict):
+        self._fast_forward(start)
+        self._fast_forward(end)
         lo, hi = start["index"], end["index"]
+        hi = max(hi, lo)  # never a negative span, even on stale state
         n = max(self.num_partitions, 1)
         chunk = max((hi - lo + n - 1) // n, 1)
         return [
@@ -133,8 +148,10 @@ class _RangeStreamReader(DataSourceStreamReader):
             yield _arrow_batch(lo, hi)
 
     def commit(self, end: dict):
-        # nothing to release: the series is recomputable from offsets
-        pass
+        # nothing to release (the series is recomputable from offsets),
+        # but the committed position fast-forwards the tail pointer so
+        # a restarted reader never plans behind the checkpoint
+        self._fast_forward(end)
 
 
 class _SimpleRangeStreamReader(SimpleDataSourceStreamReader):

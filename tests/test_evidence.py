@@ -91,6 +91,63 @@ def test_prose_counts_match_registry():
     )
 
 
+def test_evidence_not_stale_vs_source():
+    """PARITY.md / PLANS.md must be (re)committed AT or AFTER the
+    newest rc_rag_spark/ source commit — round 9 shipped a source
+    refactor (5cfbcd0) AFTER the final evidence regen (b784c97), so
+    the published evidence predated HEAD's source and only count
+    checks (not freshness) guarded it. Two layers:
+
+    - committed history: last-commit time of each evidence file >=
+      last-commit time of rc_rag_spark/;
+    - dirty working tree: if rc_rag_spark/ has uncommitted edits, the
+      evidence files' mtimes must be newer than the dirtiest source
+      mtime (regen after editing).
+
+    Set RC_RAG_EVIDENCE_LAX=1 to relax while iterating mid-round; the
+    strict default is what the driver and judge run."""
+    import subprocess
+
+    if os.environ.get("RC_RAG_EVIDENCE_LAX"):
+        import pytest
+
+        pytest.skip("RC_RAG_EVIDENCE_LAX set — mid-round iteration")
+
+    def commit_ts(path: str) -> int:
+        out = subprocess.run(
+            ["git", "-C", REPO, "log", "-1", "--format=%ct", "--", path],
+            capture_output=True, text=True, check=True,
+        ).stdout.strip()
+        return int(out) if out else 0
+
+    src_ts = commit_ts("rc_rag_spark")
+    for ev in ("PARITY.md", "PLANS.md"):
+        ev_ts = commit_ts(ev)
+        assert ev_ts >= src_ts, (
+            f"{ev} was last committed before the newest rc_rag_spark/ "
+            f"source commit — regenerate evidence (tools/parity_report.py "
+            f"/ tools/plan_audit.py) as the LAST commit of the round"
+        )
+
+    dirty = subprocess.run(
+        ["git", "-C", REPO, "status", "--porcelain", "--", "rc_rag_spark"],
+        capture_output=True, text=True, check=True,
+    ).stdout.splitlines()
+    dirty_files = [
+        os.path.join(REPO, line[3:].strip()) for line in dirty if line
+    ]
+    dirty_mtimes = [
+        os.path.getmtime(p) for p in dirty_files if os.path.exists(p)
+    ]
+    if dirty_mtimes:
+        newest_src = max(dirty_mtimes)
+        for ev in ("PARITY.md", "PLANS.md"):
+            assert os.path.getmtime(os.path.join(REPO, ev)) >= newest_src, (
+                f"rc_rag_spark/ has uncommitted edits newer than {ev} — "
+                f"regenerate evidence before committing"
+            )
+
+
 def test_bench_headline_names_exist():
     """bench.py silently drops HEADLINE names missing from the
     registry (`[n for n in HEADLINE if n in q.REGISTRY]`) — a typo'd

@@ -300,3 +300,43 @@ def test_cdc_chunking_is_shift_robust():
     # CDC re-alignment: the overwhelming majority of interior chunks
     # survive a prefix edit verbatim (fixed-size chunking: ~0%)
     assert shared >= 0.9 * total_interior, (shared, total_interior)
+
+
+def test_cdc_kernel_handles_non_latin1_text():
+    """Codepoints above U+00FF (CJK, emoji, Cyrillic) must flow through
+    the CDC kernel with ord() semantics — the latin-1 encode path
+    raised UnicodeEncodeError and killed the whole Spark task. The
+    kernel's rolling hash must equal a per-char ord() recomputation."""
+    import hashlib
+
+    import pandas as pd
+
+    from rc_rag_spark.queries.corpus import (
+        _CDC_B, _CDC_LEN, _CDC_MASK, _CDC_MOD, _CDC_W, _cdc_chunk_batches,
+    )
+
+    base = "héllo wörld 你好世界 привет मस्ते 🚀 "
+    texts = [
+        (base * 20)[:_CDC_LEN],
+        ("￿Ā" * _CDC_LEN)[:_CDC_LEN],  # boundary codepoints
+        ("plain ascii " * 30)[:_CDC_LEN],
+    ]
+    pdf = pd.DataFrame({"doc_id": [0, 1, 2], "s": texts})
+    out = pd.concat(list(_cdc_chunk_batches([pdf])))
+
+    # pure-Python golden: same rolling hash via ord()
+    for doc_id, s in enumerate(texts):
+        ends = []
+        for i in range(_CDC_W, _CDC_LEN + 1):
+            hv = sum(
+                ord(s[i - 1 - j]) * (_CDC_B ** j) for j in range(_CDC_W)
+            ) % _CDC_MOD
+            if hv % _CDC_MASK == 0 or i == _CDC_LEN:
+                ends.append(i)
+        golden = []
+        b = 0
+        for e in ends:
+            golden.append(hashlib.md5(s[b:e].encode("utf-8")).hexdigest())
+            b = e
+        got = list(out[out["doc_id"] == doc_id]["ch"])
+        assert got == golden, f"doc {doc_id}: kernel != ord() golden"

@@ -193,6 +193,81 @@ def test_simple_stream_checkpoint_restart_exactly_once(spark):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def test_partitioned_reader_fast_forwards_after_restart():
+    """A FRESH reader object (what checkpoint restart constructs) whose
+    first engine calls carry a committed offset must fast-forward its
+    synthetic tail: the next latestOffset() must be AHEAD of the
+    committed position, never behind it — the regression where a
+    restarted rc_rag_rangestream re-planned (and an append sink
+    re-emitted) already-committed rows."""
+    r = pyds._RangeStreamReader({"rowsperbatch": "20", "numpartitions": "2"})
+    # restart path 1: engine re-plans the uncommitted batch [40, 60)
+    r.partitions({"index": 40}, {"index": 60})
+    assert r.latestOffset() == {"index": 80}
+    # restart path 2: engine only calls commit(end) first
+    r2 = pyds._RangeStreamReader({"rowsperbatch": "20", "numpartitions": "2"})
+    r2.commit({"index": 100})
+    assert r2.latestOffset() == {"index": 120}
+    # stale-state clamp: a span behind the tail yields no negative work
+    assert r2.partitions({"index": 120}, {"index": 100}) == []
+
+
+def test_partitioned_stream_checkpoint_restart_exactly_once(spark):
+    """rc_rag_rangestream twin of the simple-reader restart test: stop
+    a checkpointed query mid-stream, restart from the same checkpoint
+    into a file sink — combined output must be a contiguous id prefix
+    with no gaps and no duplicates, and run 2 must advance past run
+    1's frontier (i.e. the restarted reader's latestOffset resumed
+    AHEAD of the committed offset instead of resetting to 0)."""
+    ckpt = tempfile.mkdtemp(prefix="rc_rag_pyds_pckpt_")
+    out = tempfile.mkdtemp(prefix="rc_rag_pyds_pout_")
+    R = 10
+    try:
+        def start():
+            return (
+                spark.readStream.format("rc_rag_rangestream")
+                .option("rowsPerBatch", R)
+                .option("numPartitions", 2)
+                .load()
+                .writeStream.format("json")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(processingTime="0 seconds")
+                .start()
+            )
+
+        def run_until(q, min_batches):
+            t0 = time.time()
+            while time.time() - t0 < 120:
+                lp = q.lastProgress
+                if lp is not None and lp["batchId"] >= min_batches:
+                    break
+                time.sleep(0.3)
+            q.stop()
+            q.awaitTermination(30)
+
+        q1 = start()
+        run_until(q1, 2)
+        b1 = max(p["batchId"] for p in q1.recentProgress)
+        ids1 = sorted(
+            r["id"]
+            for r in spark.read.schema(pyds.ROW_SCHEMA).json(out).collect()
+        )
+        assert ids1, "first run wrote nothing"
+
+        q2 = start()
+        run_until(q2, b1 + 2)
+        rows = spark.read.schema(pyds.ROW_SCHEMA).json(out).collect()
+        ids = sorted(r["id"] for r in rows)
+        assert len(ids) == len(set(ids)), "duplicates after restart"
+        assert ids == list(range(len(ids))), "gap after restart"
+        assert max(ids) > max(ids1)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def test_jsonldir_writer_roundtrip_exact(spark):
     """Write a 4-partition DataFrame through the custom Arrow sink,
     read back ONLY the manifest-committed files: content must match
