@@ -31,6 +31,7 @@ from rc_rag_spark.queries import retrieval_ops  # noqa: E402,F401
 from rc_rag_spark.queries import discovery  # noqa: E402,F401
 from rc_rag_spark.queries import spark4  # noqa: E402,F401
 from rc_rag_spark.queries import governance  # noqa: E402,F401
+from rc_rag_spark.queries import curation  # noqa: E402,F401
 
 
 def queries():

@@ -1277,14 +1277,10 @@ _Q247_LETTERS = "length(regexp_replace(text, '[^A-Za-z]', ''))"
 _Q247_LETTERS_DUCK = "length(regexp_replace(text, '[^A-Za-z]', '', 'g'))"
 
 
-@register(
-    "q247_token_budget_selection",
-    sql=f"""
-    WITH d AS (
-        SELECT doc_id, source,
-               CAST(ceil(n_chars / 4.0) AS BIGINT) AS tokens,
-               (1000 * {_Q247_LETTERS_DUCK}) // n_chars AS bucket
-        FROM documents),
+# Selection tail shared by q247 (proxy tokens) and q276 (real BPE
+# tokens): expects a CTE `d(doc_id, source, tokens, bucket)` to be in
+# scope; spends half the corpus's total tokens best-bucket-first.
+_BUDGET_TAIL_SQL = """
     tot AS (SELECT CAST(SUM(tokens) AS BIGINT) // 2 AS budget FROM d),
     grid AS (
         SELECT bucket, CAST(SUM(tokens) AS BIGINT) AS btok,
@@ -1318,7 +1314,17 @@ _Q247_LETTERS_DUCK = "length(regexp_replace(text, '[^A-Za-z]', '', 'g'))"
            CAST(SUM(tokens) AS BIGINT) AS tokens_selected,
            CAST(SUM(from_boundary) AS BIGINT) AS n_from_boundary
     FROM sel GROUP BY source
-    """,
+    """
+
+
+@register(
+    "q247_token_budget_selection",
+    sql=f"""
+    WITH d AS (
+        SELECT doc_id, source,
+               CAST(ceil(n_chars / 4.0) AS BIGINT) AS tokens,
+               (1000 * {_Q247_LETTERS_DUCK}) // n_chars AS bucket
+        FROM documents),{_BUDGET_TAIL_SQL}""",
     tags=("training", "selection", "budget"),
 )
 def q247_token_budget_selection(spark, sf_dir):
@@ -1350,6 +1356,15 @@ def q247_token_budget_selection(spark, sf_dir):
         F.ceil(F.col("n_chars") / 4.0).cast("bigint").alias("tokens"),
         F.expr(f"(1000 * {_Q247_LETTERS}) div n_chars").alias("bucket"),
     )
+    return token_budget_select(d)
+
+
+def token_budget_select(d):
+    """Quantile-threshold budget selection over a
+    (doc_id, source, tokens, bucket) DataFrame — the q247 kernel,
+    shared with q276 where `tokens` is the REAL BPE token count.
+    Spends half the corpus's total tokens best-bucket-first; only the
+    boundary bucket pays a per-doc ordered prefix sum."""
     budget = d.agg(
         F.expr("CAST(SUM(tokens) AS BIGINT) div 2").alias("budget")
     )

@@ -1,0 +1,610 @@
+"""Round-10 curation batch: real-BPE token accounting + the
+URL/domain curation family.
+
+  - q275: BPE ENCODE — apply the q172-learned merges to the corpus
+    and produce REAL per-document token counts. The scale shape is
+    encode-the-vocabulary, not encode-the-corpus: distinct words are
+    encoded once by an Arrow-batched kernel with the (tiny) merge
+    table shipped in the task closure, then per-doc token counts come
+    from a word-count join — the corpus itself is scanned once and
+    never re-tokenized per merge step. This is how tokenizer
+    application runs on a real pretraining corpus: vocab-sized Python
+    work, corpus-sized JVM work.
+  - q276: q247's token-budget selection re-expressed on q275's REAL
+    BPE token counts instead of the ceil(chars/4) proxy — the budget
+    a training run actually spends. Shares q247's quantile-threshold
+    kernel (corpus.token_budget_select) unchanged.
+  - q277: URL parsing — scheme/host/port/path/query-param/fragment
+    via Spark's codegen'd ``parse_url`` (java.net.URI semantics),
+    rolled up to distinct parse shapes. URLs are derived
+    deterministically from doc_id (the testdata has no URL column),
+    with page identity on ``doc_id % 499`` and presentation noise
+    (case, default ports, trailing slash, param order, fragments) on
+    doc_id — so the parse/canonicalize operators face realistic mess
+    while both engines can derive the identical input.
+  - q278: registrable-domain (eTLD+1) rollup — longest-suffix match
+    against a vendored public-suffix sample via two BROADCAST left
+    joins (2-label suffixes, then 1-label), the join shape a real
+    ~9k-entry PSL would use at 100 TB.
+  - q279: domain blocklist filter — broadcast join of each URL's
+    registrable domain against a blocklist; per-source kept/blocked
+    counts (kept == the LEFT ANTI JOIN the production filter runs).
+  - q280: URL canonicalization dedup — lowercase host, strip default
+    ports and fragments, trim trailing slash, SORT query params;
+    per-source canonical-URL dedup stats (page variants collapse to
+    one canonical form).
+
+These are "beyond-the-reference" training-data-pipeline operators
+(SURVEY.md §2.2): the reference corpus pipeline (reference:
+code/utils.py — document normalization before retrieval scoring)
+stops at text, so the URL family is the standard upstream curation
+stage (PSL rollup per Mozilla's public-suffix algorithm; canonical
+form per RFC 3986 §6) expressed as declarative Spark plans with
+DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window  # noqa: F401  (imported for parity with siblings)
+from pyspark.sql import functions as F
+
+from rc_rag_spark.queries.core import register
+from rc_rag_spark.queries.corpus import (
+    _BUDGET_TAIL_SQL,
+    _Q247_LETTERS,
+    _Q247_LETTERS_DUCK,
+    token_budget_select,
+)
+from rc_rag_spark.queries.scale_batch import (
+    _BPE_STEPS,
+    _bpe_cte_prefix,
+    q172_bpe_merges,
+)
+from rc_rag_spark.sources import table
+
+# --------------------------------------------------------------------------
+# q275/q276 — BPE encode: real token counts from the learned merges.
+
+# Oracle CTEs shared by q275 and q276: after the induction prefix,
+# s{R} IS the vocabulary encoded under the learned merges (induction's
+# apply step IS encode), so per-word token counts are COUNT(pos), and
+# per-doc counts are a word-frequency join.
+_BPE_DOC_CTES = f""",
+    wtoks AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS n_tok
+        FROM s{_BPE_STEPS} GROUP BY word),
+    doctoks AS (
+        SELECT doc_id, source,
+               unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+        FROM documents),
+    dw AS (
+        SELECT doc_id, source, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM doctoks WHERE tok <> '' GROUP BY doc_id, source, tok),
+    doc AS (
+        SELECT dw.doc_id, dw.source,
+               CAST(SUM(w.n_tok * dw.cnt) AS BIGINT) AS bpe_tokens
+        FROM dw JOIN wtoks w ON w.word = dw.tok
+        GROUP BY dw.doc_id, dw.source)"""
+
+
+def _bpe_encode_counts(merges):
+    """Greedy BPE encoder over a word, applying merges in RANK order,
+    each pass leftmost-first without overlap — the same simultaneous
+    odd-offset-within-run semantics the induction's apply step (and
+    the SQL oracle's window construction) uses. Returns token count."""
+
+    def count(word: str) -> int:
+        syms = list(word)
+        for left, right in merges:
+            out = []
+            i, n = 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    return count
+
+
+def bpe_doc_token_counts(spark, sf_dir):
+    """(doc_id, source, bpe_tokens): learn the _BPE_STEPS merges with
+    q172's distributed induction (the per-step tops collect as
+    _BPE_STEPS rows — nothing corpus-sized touches the driver), then
+    encode the DISTINCT-WORD vocabulary with an Arrow-batched kernel
+    carrying the merge list in its closure, and join token counts back
+    through per-doc word frequencies. Corpus work: one scan + one
+    (doc_id, word) partial agg; Python work: vocabulary-sized only."""
+    import pandas as pd
+
+    merge_rows = sorted(
+        q172_bpe_merges(spark, sf_dir).collect(), key=lambda r: r["step"]
+    )
+    merges = [(r["left_sym"], r["right_sym"]) for r in merge_rows]
+    kernel = _bpe_encode_counts(merges)
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    dw = toks.groupBy("doc_id", "source", "tok").agg(
+        F.count("*").alias("cnt")
+    )
+    vocab = dw.select("tok").distinct()
+
+    def encode_batches(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "tok": pdf["tok"],
+                    "n_tok": [kernel(w) for w in pdf["tok"]],
+                }
+            )
+
+    encoded = vocab.mapInPandas(encode_batches, "tok string, n_tok bigint")
+    return (
+        dw.join(F.broadcast(encoded), "tok")
+        .groupBy("doc_id", "source")
+        .agg(F.sum(F.col("n_tok") * F.col("cnt")).alias("bpe_tokens"))
+    )
+
+
+@register(
+    "q275_bpe_encode_tokens",
+    sql=_bpe_cte_prefix()
+    + _BPE_DOC_CTES
+    + """
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(d.bpe_tokens) AS BIGINT) AS bpe_tokens,
+           CAST(SUM(CAST(ceil(c.n_chars / 4.0) AS BIGINT)) AS BIGINT)
+               AS naive_tokens,
+           round(CAST(SUM(d.bpe_tokens) AS DOUBLE)
+                 / CAST(SUM(c.n_chars) AS DOUBLE), 6) AS tokens_per_char
+    FROM doc d JOIN documents c ON c.doc_id = d.doc_id
+    GROUP BY d.source""",
+    tags=("text", "tokenizer", "bpe", "encode"),
+)
+def q275_bpe_encode_tokens(spark, sf_dir):
+    """Real BPE token accounting per source: learn merges (q172), then
+    ENCODE via the broadcast-merge Arrow kernel over the distinct-word
+    vocabulary, per-doc counts by word-frequency join, rolled up per
+    source against the ceil(chars/4) proxy the budget queries used
+    until now. tokens_per_char exposes how far the proxy sits from the
+    learned tokenizer. The oracle replays induction + encode as one
+    chained-CTE program (the induction's apply step IS encode), so
+    every learned merge, every word's greedy segmentation, and every
+    doc rollup is hash-checked."""
+    per_doc = bpe_doc_token_counts(spark, sf_dir)
+    chars = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return (
+        per_doc.join(chars, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("bpe_tokens").cast("bigint").alias("bpe_tokens"),
+            F.sum(F.ceil(F.col("n_chars") / 4.0).cast("bigint"))
+            .cast("bigint")
+            .alias("naive_tokens"),
+            F.round(
+                F.sum("bpe_tokens").cast("double")
+                / F.sum("n_chars").cast("double"),
+                6,
+            ).alias("tokens_per_char"),
+        )
+    )
+
+
+@register(
+    "q276_token_budget_real_bpe",
+    sql=_bpe_cte_prefix()
+    + _BPE_DOC_CTES
+    + f""",
+    d AS (
+        SELECT o.doc_id, o.source, o.bpe_tokens AS tokens,
+               (1000 * {_Q247_LETTERS_DUCK.replace('text', 't.text')})
+                   // t.n_chars AS bucket
+        FROM doc o JOIN documents t ON t.doc_id = o.doc_id),{_BUDGET_TAIL_SQL}""",
+    tags=("training", "selection", "budget", "bpe"),
+)
+def q276_token_budget_real_bpe(spark, sf_dir):
+    """q247's quantile-threshold token-budget selection, spent in REAL
+    BPE tokens: the per-doc counts come from the learned tokenizer
+    (q275's encode path) instead of the ceil(chars/4) proxy, so the
+    selected half of the corpus is the half a training run would
+    actually fit. Same scalable kernel (token_budget_select): bucket
+    grid aggregation + one per-doc prefix sum over only the boundary
+    bucket."""
+    per_doc = bpe_doc_token_counts(spark, sf_dir)
+    buckets = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(f"(1000 * {_Q247_LETTERS}) div n_chars").alias("bucket"),
+    )
+    d = per_doc.join(buckets, "doc_id").select(
+        "doc_id", "source", F.col("bpe_tokens").alias("tokens"), "bucket"
+    )
+    return token_budget_select(d)
+
+
+# --------------------------------------------------------------------------
+# q277-q280 — URL/domain curation family.
+
+# Deterministic URL derivation (identical SQL in both engines): page
+# identity from doc_id % 499, presentation noise from doc_id itself.
+_PID = "(doc_id % 499)"
+_U_SCHEME = f"CASE WHEN {_PID} % 3 = 0 THEN 'https' ELSE 'http' END"
+_U_HOST_LOWER = (
+    f"CASE {_PID} % 4 WHEN 1 THEN 'www.' WHEN 2 THEN 'cdn.'"
+    f" WHEN 3 THEN 'a.b.' ELSE '' END"
+    f" || 'site' || CAST({_PID} % 97 AS STRING) || '.' || "
+    f"CASE {_PID} % 7 WHEN 0 THEN 'com' WHEN 1 THEN 'org'"
+    f" WHEN 2 THEN 'net' WHEN 3 THEN 'co.uk' WHEN 4 THEN 'ac.uk'"
+    f" WHEN 5 THEN 'io' ELSE 'com.au' END"
+)
+_U_HOST = (
+    f"CASE WHEN doc_id % 8 = 0 THEN upper({_U_HOST_LOWER})"
+    f" ELSE ({_U_HOST_LOWER}) END"
+)
+_U_PORT = (
+    f"CASE WHEN {_PID} % 5 = 0 THEN ':8080'"
+    f" WHEN doc_id % 5 = 1 THEN"
+    f" (CASE WHEN {_PID} % 3 = 0 THEN ':443' ELSE ':80' END)"
+    f" ELSE '' END"
+)
+_U_PATH = (
+    f"'/p/' || CAST({_PID} % 13 AS STRING)"
+    f" || CASE WHEN doc_id % 9 = 0 THEN '/' ELSE '' END"
+)
+_U_QUERY = (
+    f"CASE WHEN {_PID} % 2 = 0 THEN (CASE WHEN doc_id % 4 = 0"
+    f" THEN '?ref=r' || CAST({_PID} % 4 AS STRING)"
+    f" || '&q=' || CAST({_PID} % 11 AS STRING)"
+    f" ELSE '?q=' || CAST({_PID} % 11 AS STRING)"
+    f" || '&ref=r' || CAST({_PID} % 4 AS STRING) END) ELSE '' END"
+)
+_U_FRAG = (
+    "CASE WHEN doc_id % 6 = 0 THEN '#sec' || CAST(doc_id % 3 AS STRING)"
+    " ELSE '' END"
+)
+_URL_EXPR = (
+    f"({_U_SCHEME}) || '://' || ({_U_HOST}) || ({_U_PORT})"
+    f" || ({_U_PATH}) || ({_U_QUERY}) || ({_U_FRAG})"
+)
+
+# DuckDB-side parse (Spark uses parse_url; java.net.URI semantics):
+_DUCK_PARSE = """
+        SELECT doc_id, source, url,
+               regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+               regexp_extract(url, '^[a-z]+://([^/?#:]+)', 1) AS host,
+               nullif(regexp_extract(url,
+                   '^[a-z]+://[^/?#:]+:([0-9]+)', 1), '') AS port,
+               regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1)
+                   AS path,
+               nullif(regexp_extract(url, '\\?([^#]*)', 1), '')
+                   AS query,
+               nullif(regexp_extract(url, '[?&]q=([^&#]*)', 1), '')
+                   AS q_param,
+               nullif(regexp_extract(url, '#(.*)$', 1), '') AS frag
+        FROM u"""
+
+# Vendored public-suffix sample (a real deployment broadcasts the full
+# ~9k-entry PSL through the same two-join shape).
+_PSL2 = ["ac.uk", "co.uk", "com.au"]
+_PSL1 = ["com", "io", "net", "org"]
+_SUFFIX_BY_MOD = ["com", "org", "net", "co.uk", "ac.uk", "io", "com.au"]
+
+
+def _registrable_for_pid(pid: int) -> str:
+    return f"site{pid % 97}.{_SUFFIX_BY_MOD[pid % 7]}"
+
+
+_BLOCKLIST = sorted(
+    {_registrable_for_pid(p) for p in (0, 13, 101, 250, 444)}
+) + ["evil.example"]
+
+# lowercased host + suffix labels, shared by q278/q279 (both engines):
+_LHOST_LABELS = """
+               lower(host) AS lhost,
+               regexp_extract(lower(host), '([^.]+)$', 1) AS last1,
+               regexp_extract(lower(host), '([^.]+\\.[^.]+)$', 1) AS last2,
+               regexp_extract(lower(host),
+                   '([^.]+\\.[^.]+\\.[^.]+)$', 1) AS last3"""
+
+_REGISTRABLE_CASE = """
+               CASE WHEN p2.s IS NOT NULL THEN last3
+                    WHEN p1.s IS NOT NULL THEN last2
+                    ELSE lhost END AS registrable"""
+
+
+def _values_cte(name: str, items: list[str]) -> str:
+    rows = ", ".join(f"('{s}')" for s in items)
+    return f"{name}(s) AS (VALUES {rows})"
+
+
+def parse_urls(df):
+    """Attach proto/host/port/path/query/q_param/frag to any DataFrame
+    with a ``url`` column via Spark's parse_url — the JVM-side,
+    codegen'd parser (java.net.URI field semantics)."""
+    return df.select(
+        "*",
+        F.parse_url("url", F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.expr(
+            "nullif(regexp_extract(parse_url(url, 'AUTHORITY'),"
+            " ':([0-9]+)$', 1), '')"
+        ).alias("port"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("q")).alias("q_param"),
+        F.parse_url("url", F.lit("REF")).alias("frag"),
+    )
+
+
+def _parsed_urls(spark, sf_dir):
+    """documents -> (doc_id, source, url, parsed fields)."""
+    return parse_urls(
+        table(spark, sf_dir, "documents").select(
+            "doc_id", "source", F.expr(_URL_EXPR).alias("url")
+        )
+    )
+
+
+def _with_registrable(parsed):
+    """Attach the registrable domain (eTLD+1) via longest-suffix match:
+    two BROADCAST left joins against the vendored PSL sample (2-label
+    suffixes first, then 1-label), CASE-resolved — zero corpus
+    shuffles; at 100 TB the full PSL rides the same two broadcasts."""
+    spark = parsed.sparkSession
+    psl2 = spark.createDataFrame([(s,) for s in _PSL2], "s2 string")
+    psl1 = spark.createDataFrame([(s,) for s in _PSL1], "s1 string")
+    lab = parsed.select(
+        "*",
+        F.lower("host").alias("lhost"),
+        F.regexp_extract(F.lower("host"), r"([^.]+)$", 1).alias("last1"),
+        F.regexp_extract(F.lower("host"), r"([^.]+\.[^.]+)$", 1).alias(
+            "last2"
+        ),
+        F.regexp_extract(
+            F.lower("host"), r"([^.]+\.[^.]+\.[^.]+)$", 1
+        ).alias("last3"),
+    )
+    return (
+        lab.join(
+            F.broadcast(psl2), lab["last2"] == psl2["s2"], "left"
+        )
+        .join(F.broadcast(psl1), lab["last1"] == psl1["s1"], "left")
+        .select(
+            "*",
+            F.when(F.col("s2").isNotNull(), F.col("last3"))
+            .when(F.col("s1").isNotNull(), F.col("last2"))
+            .otherwise(F.col("lhost"))
+            .alias("registrable"),
+            F.when(F.col("s2").isNotNull(), F.col("s2"))
+            .when(F.col("s1").isNotNull(), F.col("s1"))
+            .otherwise(F.lit(None).cast("string"))
+            .alias("public_suffix"),
+        )
+    )
+
+
+@register(
+    "q277_url_parse",
+    sql=f"""
+    WITH u AS (
+        SELECT doc_id, source, {_URL_EXPR} AS url FROM documents),
+    p AS ({_DUCK_PARSE})
+    SELECT proto, host, port, path, query, q_param, frag,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(MIN(doc_id) AS BIGINT) AS sample_doc
+    FROM p
+    GROUP BY proto, host, port, path, query, q_param, frag
+    """,
+    tags=("url", "parse", "curation"),
+)
+def q277_url_parse(spark, sf_dir):
+    """URL decomposition at corpus scale: Spark's ``parse_url``
+    (codegen'd java.net.URI field extraction — PROTOCOL/HOST/PATH/
+    QUERY/per-key QUERY/REF, port from AUTHORITY) over deterministic
+    synthetic URLs, rolled up to distinct parse shapes. The oracle
+    re-derives every field with anchored regexes, so scheme/host/port
+    splitting, query-param extraction, and NULL-vs-empty semantics
+    (absent query/fragment must be NULL, not '') are all
+    hash-checked. One scan, one hash aggregate — no UDFs, nothing
+    leaves the JVM."""
+    return (
+        _parsed_urls(spark, sf_dir)
+        .groupBy("proto", "host", "port", "path", "query", "q_param", "frag")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.min("doc_id").alias("sample_doc"),
+        )
+    )
+
+
+@register(
+    "q278_registrable_domain_rollup",
+    sql=f"""
+    WITH {_values_cte('psl2', _PSL2)},
+    {_values_cte('psl1', _PSL1)},
+    u AS (
+        SELECT doc_id, source, {_URL_EXPR} AS url FROM documents),
+    p AS ({_DUCK_PARSE}),
+    lab AS (
+        SELECT p.*,{_LHOST_LABELS}
+        FROM p),
+    reg AS (
+        SELECT lab.*,{_REGISTRABLE_CASE},
+               COALESCE(p2.s, p1.s) AS public_suffix
+        FROM lab
+        LEFT JOIN psl2 p2 ON p2.s = lab.last2
+        LEFT JOIN psl1 p1 ON p1.s = lab.last1)
+    SELECT registrable, public_suffix,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT lhost) AS BIGINT) AS n_hosts,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+    FROM reg GROUP BY registrable, public_suffix
+    """,
+    tags=("url", "domain", "psl", "curation"),
+)
+def q278_registrable_domain_rollup(spark, sf_dir):
+    """Registrable-domain (eTLD+1) rollup — the unit of web curation
+    policy (per-site quotas, reputation, dedup scope). Longest-suffix
+    match against the vendored public-suffix sample via two broadcast
+    left joins (never a UDF, never a corpus shuffle): if the host's
+    last TWO labels are a public suffix (co.uk), the registrable
+    domain is three labels; else if the last label is (com), two; a
+    deep subdomain (a.b.site5.com) still resolves to site5.com. Hosts
+    are lowercased first so case noise can't split a domain."""
+    reg = _with_registrable(_parsed_urls(spark, sf_dir))
+    return reg.groupBy("registrable", "public_suffix").agg(
+        F.count("*").alias("n_urls"),
+        F.countDistinct("lhost").alias("n_hosts"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@register(
+    "q279_domain_blocklist_filter",
+    sql=f"""
+    WITH {_values_cte('psl2', _PSL2)},
+    {_values_cte('psl1', _PSL1)},
+    {_values_cte('blocklist', _BLOCKLIST)},
+    u AS (
+        SELECT doc_id, source, {_URL_EXPR} AS url FROM documents),
+    p AS ({_DUCK_PARSE}),
+    lab AS (
+        SELECT p.*,{_LHOST_LABELS}
+        FROM p),
+    reg AS (
+        SELECT lab.*,{_REGISTRABLE_CASE}
+        FROM lab
+        LEFT JOIN psl2 p2 ON p2.s = lab.last2
+        LEFT JOIN psl1 p1 ON p1.s = lab.last1),
+    flagged AS (
+        SELECT reg.source,
+               CASE WHEN b.s IS NULL THEN 0 ELSE 1 END AS blocked
+        FROM reg LEFT JOIN blocklist b ON b.s = reg.registrable)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(SUM(blocked) AS BIGINT) AS n_blocked,
+           CAST(COUNT(*) - SUM(blocked) AS BIGINT) AS n_kept
+    FROM flagged GROUP BY source
+    """,
+    tags=("url", "blocklist", "anti-join", "curation"),
+)
+def q279_domain_blocklist_filter(spark, sf_dir):
+    """Blocklist filtering at the registrable-domain level — the
+    production crawl filter: a broadcast join of each URL's eTLD+1
+    against the blocklist, counted per source. The kept set is exactly
+    what ``LEFT ANTI JOIN blocklist`` would pass (the flag formulation
+    is used so kept AND blocked are both auditable in one pass — a
+    governance requirement: you report what you removed). Case noise
+    in hosts cannot evade the filter because matching runs on the
+    lowercased registrable domain."""
+    reg = _with_registrable(_parsed_urls(spark, sf_dir))
+    spark_ = reg.sparkSession
+    bl = spark_.createDataFrame([(s,) for s in _BLOCKLIST], "b string")
+    flagged = reg.join(
+        F.broadcast(bl), reg["registrable"] == bl["b"], "left"
+    ).select(
+        "source",
+        F.when(F.col("b").isNull(), 0).otherwise(1).alias("blocked"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_urls"),
+        F.sum("blocked").cast("bigint").alias("n_blocked"),
+        (F.count("*") - F.sum("blocked")).cast("bigint").alias("n_kept"),
+    )
+
+
+# Canonical form (both engines): lowercase host, strip default ports
+# (http:80 / https:443) but KEEP real ones, trim one trailing slash,
+# sort query params, drop fragments.
+_DUCK_CANONICAL = """
+               proto || '://' || lower(host)
+               || CASE WHEN port IS NULL THEN ''
+                       WHEN (proto = 'http' AND port = '80')
+                         OR (proto = 'https' AND port = '443') THEN ''
+                       ELSE ':' || port END
+               || regexp_replace(path, '/$', '')
+               || CASE WHEN query IS NULL THEN ''
+                       ELSE '?' || array_to_string(
+                           list_sort(string_split(query, '&')), '&') END
+                   AS canonical"""
+
+
+@register(
+    "q280_url_canonical_dedup",
+    sql=f"""
+    WITH u AS (
+        SELECT doc_id, source, {_URL_EXPR} AS url FROM documents),
+    p AS ({_DUCK_PARSE}),
+    c AS (
+        SELECT source,{_DUCK_CANONICAL}
+        FROM p),
+    g AS (
+        SELECT source, canonical, CAST(COUNT(*) AS BIGINT) AS n
+        FROM c GROUP BY source, canonical)
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS n_urls,
+           CAST(COUNT(*) AS BIGINT) AS n_canonical,
+           CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_dup_urls,
+           CAST(MAX(n) AS BIGINT) AS max_variants
+    FROM g GROUP BY source
+    """,
+    tags=("url", "canonicalization", "dedup", "curation"),
+)
+def q280_url_canonical_dedup(spark, sf_dir):
+    """URL canonicalization + exact dedup — the first dedup pass of
+    every crawl pipeline: case-folded host, default ports stripped
+    (real ports kept), one trailing slash trimmed, query params
+    SORTED, fragments dropped. Presentation variants of the same page
+    (the noise dimensions of the URL derivation) collapse to one
+    canonical string; per-source stats count URLs vs canonical forms
+    and the largest variant cluster. All string work is codegen'd
+    (split/array_sort/array_join — no UDF); the only shuffle is the
+    (source, canonical) aggregate, which at 100 TB is the standard
+    two-level partial agg."""
+    p = _parsed_urls(spark, sf_dir)
+    g = (
+        p.select("source", canonical_url_col())
+        .groupBy("source", "canonical")
+        .agg(F.count("*").alias("n"))
+    )
+    return g.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_urls"),
+        F.count("*").alias("n_canonical"),
+        (F.sum("n") - F.count("*")).cast("bigint").alias("n_dup_urls"),
+        F.max("n").cast("bigint").alias("max_variants"),
+    )
+
+
+def canonical_url_col():
+    """The canonical-URL Column over parse_urls() output — lowercase
+    host, default ports stripped (real ports kept), one trailing slash
+    trimmed, query params sorted, fragment dropped."""
+    return F.concat(
+        F.col("proto"),
+        F.lit("://"),
+        F.lower("host"),
+        F.when(F.col("port").isNull(), "")
+        .when(
+            ((F.col("proto") == "http") & (F.col("port") == "80"))
+            | ((F.col("proto") == "https") & (F.col("port") == "443")),
+            "",
+        )
+        .otherwise(F.concat(F.lit(":"), F.col("port"))),
+        F.regexp_replace("path", r"/$", ""),
+        F.when(F.col("query").isNull(), "").otherwise(
+            F.concat(
+                F.lit("?"),
+                F.array_join(F.array_sort(F.split("query", "&")), "&"),
+            )
+        ),
+    ).alias("canonical")

@@ -310,12 +310,15 @@ _Z_FILES = 64      # morton >> 10: 65536 keys / 64 target files
 _BPE_STEPS = 3
 
 
-def _bpe_oracle_sql() -> str:
-    """Unrolled chained-CTE DuckDB formulation of the identical merge
-    steps: weighted pair counts -> deterministic top pair (count desc,
-    then left/right lexicographic) -> leftmost-greedy non-overlapping
-    merge via the even-offset-within-run window construction ->
-    reindex."""
+def _bpe_cte_prefix() -> str:
+    """The WITH-clause through s{_BPE_STEPS} (no final SELECT): the
+    unrolled chained-CTE DuckDB formulation of the merge-induction
+    steps — weighted pair counts -> deterministic top pair (count
+    desc, then left/right lexicographic) -> leftmost-greedy
+    non-overlapping merge via the odd-offset-within-run window
+    construction -> reindex. Shared by the q172 induction oracle and
+    the q275/q276 encode oracles (after step R, s{R} IS the vocabulary
+    encoded under the learned merges — induction's apply IS encode)."""
     parts = [
         """
     WITH toks AS (
@@ -368,14 +371,22 @@ def _bpe_oracle_sql() -> str:
         LEFT JOIN mm{s} ic ON ic.word = t.word AND ic.pos = t.pos - 1
         WHERE ic.pos IS NULL)""".format(s=s, p=p)
         )
+    return "".join(parts)
+
+
+def _bpe_oracle_sql() -> str:
+    """q172's oracle: the induction prefix plus a final SELECT that
+    emits the learned merge per step."""
     finals = " UNION ALL ".join(
         "SELECT {s} AS step, l AS left_sym, r AS right_sym, cnt"
         " AS pair_count FROM top{s}".format(s=s)
         for s in range(1, _BPE_STEPS + 1)
     )
-    parts.append("\n    SELECT CAST(step AS INTEGER) AS step, left_sym,"
-                 " right_sym, pair_count FROM (" + finals + ")")
-    return "".join(parts)
+    return (
+        _bpe_cte_prefix()
+        + "\n    SELECT CAST(step AS INTEGER) AS step, left_sym,"
+        " right_sym, pair_count FROM (" + finals + ")"
+    )
 
 
 @register(

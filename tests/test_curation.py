@@ -1,142 +1,155 @@
-"""End-to-end corpus-curation pipeline: the chained operators must
-equal composing them by hand, stages must resume from disk, and the
-attrition report must reconcile."""
+"""Round-10 curation family: BPE encode kernel semantics, PSL
+registrable-domain edges, URL canonicalization collapse, blocklist
+case-evasion, and the broadcast plan shape (rc_rag_spark/queries/
+curation.py)."""
 
 from __future__ import annotations
 
-import shutil
-import tempfile
-
-import pytest
 from pyspark.sql import functions as F
 
-from rc_rag_spark.operators import dedup as DD
-from rc_rag_spark.operators import textstats as TS
-from rc_rag_spark.pipeline.curation import (
-    CurationPipeline,
-    contaminated_ids,
-    near_dup_drop_ids,
-)
-from rc_rag_spark.sources import table
+from rc_rag_spark.queries import curation
 
 
-@pytest.fixture()
-def workdir():
-    d = tempfile.mkdtemp(prefix="curation_")
-    yield d
-    shutil.rmtree(d, ignore_errors=True)
+# --------------------------------------------------------------------------
+# BPE encode kernel (Spark-free)
 
 
-def _docs_with_dups(spark, sf_dir):
-    """Documents plus planted exact and near duplicates."""
-    d = table(spark, sf_dir, "documents")
-    exact = d.where(F.col("doc_id") % 17 == 0).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"),
-        "text", "lang", "source", "n_chars",
+def test_bpe_encode_greedy_run_semantics():
+    """The encode kernel must implement the SAME simultaneous
+    leftmost-non-overlapping pass the induction's apply step (and its
+    SQL window construction) uses: within a run of consecutive
+    matches, merges land on the odd offsets."""
+    count = curation._bpe_encode_counts([("a", "a")])
+    assert count("aaa") == 2      # [aa, a]
+    assert count("aaaa") == 2     # [aa, aa]
+    assert count("aaaaa") == 3    # [aa, aa, a]
+    assert count("ababa") == 5    # no aa pair at all
+
+
+def test_bpe_encode_applies_merges_in_rank_order():
+    """Rank order matters: with merges [(a,b), (ab,c)] the word 'abc'
+    becomes [ab, c] then [abc] — one token; with the ranks reversed,
+    (ab,c) can never fire before 'ab' exists, leaving two tokens."""
+    fwd = curation._bpe_encode_counts([("a", "b"), ("ab", "c")])
+    rev = curation._bpe_encode_counts([("ab", "c"), ("a", "b")])
+    assert fwd("abc") == 1
+    assert rev("abc") == 2
+    # merged symbols compare as STRINGS: 'ab' from a merge matches the
+    # left side of a later merge exactly
+    assert fwd("abcabc") == 2
+
+
+def test_bpe_encode_no_intra_pass_cascade():
+    """Within ONE merge pass the matches are simultaneous on the
+    pre-pass symbol sequence: merging (a,b) in 'aab' gives [a, ab]; the
+    freshly formed 'ab' must NOT immediately re-match inside the same
+    pass even when the merge's left symbol equals its output prefix."""
+    count = curation._bpe_encode_counts([("a", "ab")])
+    # symbols [a, a, b]: no (a, ab) pair exists pre-pass
+    assert count("aab") == 3
+
+
+# --------------------------------------------------------------------------
+# Registrable-domain (PSL) edges
+
+
+def _registrable(spark, hosts):
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    parsed = df.select(
+        "host",
+        F.lit("x").alias("source"),
+        F.lit("http").alias("proto"),
     )
-    words = F.split("text", " ")
-    near = d.where(F.col("doc_id") % 23 == 0).select(
-        (F.col("doc_id") + 2_000_000).alias("doc_id"),
-        F.array_join(
-            F.concat(F.slice(words, 1, 40), F.array(F.lit("zzz"))), " "
-        ).alias("text"),
-        "lang", "source", "n_chars",
+    out = curation._with_registrable(parsed)
+    return {r["host"]: (r["registrable"], r["public_suffix"])
+            for r in out.collect()}
+
+
+def test_registrable_domain_edges(spark):
+    got = _registrable(
+        spark,
+        [
+            "site5.com",            # 1-label suffix, bare
+            "www.site5.com",        # subdomain
+            "a.b.site5.com",        # deep subdomain
+            "site9.co.uk",          # 2-label suffix, bare
+            "cdn.site9.co.uk",      # 2-label suffix + subdomain
+            "SITE5.COM",            # case noise must not split
+            "localhost",            # no known suffix -> host itself
+            "site1.internal",       # unknown TLD -> host itself
+        ],
     )
-    return d.unionByName(exact).unionByName(near)
+    assert got["site5.com"] == ("site5.com", "com")
+    assert got["www.site5.com"] == ("site5.com", "com")
+    assert got["a.b.site5.com"] == ("site5.com", "com")
+    assert got["site9.co.uk"] == ("site9.co.uk", "co.uk")
+    assert got["cdn.site9.co.uk"] == ("site9.co.uk", "co.uk")
+    assert got["SITE5.COM"] == ("site5.com", "com")
+    assert got["localhost"] == ("localhost", None)
+    assert got["site1.internal"] == ("site1.internal", None)
 
 
-def test_pipeline_matches_manual_composition(spark, sf_dir, workdir):
-    docs = _docs_with_dups(spark, sf_dir)
-    bench = table(spark, sf_dir, "documents").where(F.col("doc_id") < 10)
+# --------------------------------------------------------------------------
+# Canonicalization collapse
 
-    pipe = (
-        CurationPipeline(spark, workdir)
-        .exact_dedup()
-        .near_dedup(jaccard_threshold=0.5)
-        .quality_filter(min_score=0.3)
-        .decontaminate(bench)
-    )
-    got = {r["doc_id"] for r in pipe.run(docs).select("doc_id").collect()}
 
-    # manual composition of the same operators — raw md5, NOT
-    # DD.fingerprint: exact_dedup deliberately keys on the raw text
-    # (the normalizing fingerprint would collapse case/punctuation
-    # variants, a different spec than the pipeline implements)
-    keep = (
-        docs.groupBy(F.md5(F.col("text")).alias("_fp"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    s1 = docs.join(keep, "doc_id", "left_semi")
-    s2 = s1.join(near_dup_drop_ids(s1), "doc_id", "left_anti")
-    s3 = s2.where(TS.quality_score(F.col("text")) >= 0.3)
-    s4 = s3.join(contaminated_ids(s3, bench), "doc_id", "left_anti")
-    want = {r["doc_id"] for r in s4.select("doc_id").collect()}
-
-    assert got == want and len(got) > 0
-
-    # the planted exact dups must be gone (min-id retention keeps the
-    # original), and at least one planted near-dup must be dropped
-    assert not any(i >= 1_000_000 and i < 2_000_000 for i in got)
-    assert any(i >= 2_000_000 for i in {r["doc_id"] for r in docs.collect()})
-    # report reconciles: in - dropped == out per step, chained
-    rep = pipe.report()
-    assert [n for n, *_ in rep] == [
-        "exact_dedup", "near_dedup", "quality_filter", "decontaminate"
+def test_canonical_collapses_presentation_variants(spark):
+    """Every presentation variant of one page — case, default port,
+    trailing slash, param order, fragment — must canonicalize to ONE
+    string; semantically different URLs (real port, different param
+    value, https vs http) must NOT collapse."""
+    variants = [
+        "http://WWW.Site5.COM/p/3?q=4&ref=r1",
+        "http://www.site5.com:80/p/3?q=4&ref=r1",
+        "http://www.site5.com/p/3/?q=4&ref=r1",
+        "http://www.site5.com/p/3?ref=r1&q=4",
+        "http://www.site5.com/p/3?q=4&ref=r1#sec2",
     ]
-    for name, rows_in, rows_out, dropped in rep:
-        assert rows_in - dropped == rows_out, name
-    assert rep[0][1] == docs.count()
-    assert rep[-1][2] == len(got)
+    distinct = [
+        "http://www.site5.com:8080/p/3?q=4&ref=r1",  # real port
+        "https://www.site5.com/p/3?q=4&ref=r1",      # scheme
+        "http://www.site5.com/p/3?q=5&ref=r1",       # param value
+        "http://www.site5.com/p/4?q=4&ref=r1",       # path
+    ]
+    df = spark.createDataFrame(
+        [(u,) for u in variants + distinct], "url string"
+    )
+    canon = (
+        curation.parse_urls(df)
+        .select(curation.canonical_url_col())
+        .collect()
+    )
+    vals = [r["canonical"] for r in canon]
+    collapsed = set(vals[: len(variants)])
+    assert collapsed == {"http://www.site5.com/p/3?q=4&ref=r1"}, vals
+    # the distinct set stays distinct from the collapsed one and from
+    # each other
+    assert len(set(vals)) == 1 + len(distinct)
 
 
-def test_pipeline_resumes_from_stages(spark, sf_dir, workdir):
-    """A second run with the same workdir must reuse the persisted
-    stages (no recompute) and return identical membership."""
-    docs = _docs_with_dups(spark, sf_dir)
-
-    def build():
-        return (
-            CurationPipeline(spark, workdir)
-            .exact_dedup()
-            .near_dedup()
-        )
-
-    first = {r["doc_id"] for r in build().run(docs).collect()}
-    import os
-    import time
-
-    stage0 = os.path.join(workdir, "00_exact_dedup", "_SUCCESS")
-    mtime = os.path.getmtime(stage0)
-    time.sleep(0.05)
-    second = {r["doc_id"] for r in build().run(docs).collect()}
-    assert second == first
-    assert os.path.getmtime(stage0) == mtime  # stage not rewritten
+def test_blocklist_matches_case_noised_hosts(spark):
+    """A blocklisted registrable domain must be caught even when the
+    URL presents the host in uppercase or behind a subdomain — the
+    match runs on the lowercased registrable, not the raw host."""
+    bl = set(curation._BLOCKLIST)
+    target = sorted(bl - {"evil.example"})[0]
+    urls = [
+        f"http://{target.upper()}/p/1",
+        f"http://www.{target}/p/1",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    reg = curation._with_registrable(curation.parse_urls(df))
+    assert [r["registrable"] for r in reg.collect()] == [target, target]
 
 
-def test_pipeline_invalidates_on_param_change(spark, sf_dir, workdir):
-    """Re-running with different step parameters must recompute the
-    stage (and cascade), never serve the stale-parameter table."""
-    import os
+def test_q278_plan_is_broadcast_only(spark):
+    """The PSL attach must be two BroadcastHashJoins — a SortMergeJoin
+    here would shuffle the whole corpus against an 7-row suffix
+    table."""
+    import rc_rag_spark.queries as q
 
-    docs = _docs_with_dups(spark, sf_dir)
-
-    def run_with(threshold):
-        return (
-            CurationPipeline(spark, workdir)
-            .exact_dedup()
-            .near_dedup(jaccard_threshold=threshold)
-            .run(docs)
-        )
-
-    first = {r["doc_id"] for r in run_with(0.5).collect()}
-    stage1 = os.path.join(workdir, "01_near_dedup", "_SUCCESS")
-    mtime = os.path.getmtime(stage1)
-    import time as _t
-
-    _t.sleep(0.05)
-    # different threshold -> manifest mismatch -> stage recomputed
-    loose = {r["doc_id"] for r in run_with(0.05).collect()}
-    assert os.path.getmtime(stage1) != mtime
-    # a looser jaccard threshold can only drop MORE docs
-    assert loose <= first and len(loose) < len(first)
+    plan = q.REGISTRY["q278_registrable_domain_rollup"].fn(
+        spark, "/root/testdata/sf0.001"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
