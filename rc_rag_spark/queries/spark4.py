@@ -1177,3 +1177,36 @@ def q274_variant_explode(spark, sf_dir):
         FROM {view}, LATERAL variant_explode(parse_json(j)) AS v
         GROUP BY v.key, CAST(v.value AS STRING)
     """)
+
+
+@register(
+    "q281_transform_with_state_batch",
+    sql="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY user_id
+    """,
+    tags=("stateful", "transformWithState", "spark4"),
+)
+def q281_transform_with_state_batch(spark, sf_dir):
+    """transformWithStateInPandas (SPARK-49564, the Spark-4
+    StatefulProcessor API) driven END-TO-END in batch mode: per-user
+    event totals accumulated in typed RocksDB value state through the
+    Python state-server protocol — getValueState / exists / get /
+    update over the wire for every key — then hash-checked against a
+    plain GROUP BY oracle. This is the operator the r1-r9 rounds could
+    only cover with an xfail'd live test: the state-server client
+    needs a protobuf runtime, supplied here by rc_rag_spark.vendor's
+    pbshim (a minimal pure-Python wire-format implementation) whenever
+    the real google.protobuf is absent. Every request the shim
+    serializes is parsed by the JVM state server and vice versa, so
+    the DuckDB hash check transitively validates the wire format too.
+    The decimal-exact accumulation inside the processor (HALF_UP cent
+    quantization, string-serialized Decimal state) makes the sums
+    bit-identical to the oracle's DECIMAL(12,2) aggregation."""
+    from rc_rag_spark.streaming.windows import user_totals_tws_batch
+    from rc_rag_spark.vendor import ensure_protobuf_shim
+
+    ensure_protobuf_shim(spark)
+    return user_totals_tws_batch(table(spark, sf_dir, "events"))

@@ -64,13 +64,19 @@ def _package_zip() -> str:
 
 
 def ensure_worker_imports(spark: SparkSession) -> None:
-    """Make rc_rag_spark importable on executor Python workers."""
+    """Make rc_rag_spark importable on executor Python workers, and —
+    when the real protobuf runtime is absent — ship the vendored
+    protobuf shim so transformWithStateInPandas' state-server client
+    can import google.protobuf in the workers."""
     try:
         sc = spark.sparkContext
         app_id = sc.applicationId
         if app_id in _SHIPPED_CONTEXTS:
             return
         sc.addPyFile(_package_zip())
+        from rc_rag_spark.vendor import ensure_protobuf_shim
+
+        ensure_protobuf_shim(spark)
         _SHIPPED_CONTEXTS.add(app_id)
     except Exception:
         pass
@@ -89,6 +95,16 @@ def build_session(
     builder = SparkSession.builder.appName(app_name)
     builder = builder.master(master or f"local[{cpus}]")
     conf = dict(DEFAULT_CONF)
+    # Protobuf shim for transformWithStateInPandas: its DRIVER-side
+    # Python worker inherits PYTHONPATH from the function env / JVM
+    # env (it never reads addPyFile includes), so the path must be in
+    # place BEFORE the JVM launches. No-op when real protobuf exists.
+    from rc_rag_spark.vendor import pythonpath_with_shim
+
+    shim_pp = pythonpath_with_shim()
+    if shim_pp is not None:
+        os.environ["PYTHONPATH"] = shim_pp
+        conf["spark.executorEnv.PYTHONPATH"] = shim_pp
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

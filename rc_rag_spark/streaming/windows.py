@@ -256,7 +256,23 @@ def stateful_user_totals_tws(df: DataFrame) -> DataFrame:
             F.count("*").cast("bigint").alias("n_events"),
             F.sum(dec("value", 12, 2)).cast("double").alias("sum_value"),
         )
+    return _tws_totals(df)
 
+
+def user_totals_tws_batch(df: DataFrame) -> DataFrame:
+    """The REAL transformWithStateInPandas path driven by a BATCH
+    DataFrame (Spark 4 executes the operator with a per-query RocksDB
+    state store and the same Python state-server protocol as
+    streaming) — unlike stateful_user_totals_tws, which degenerates
+    batch input to a plain aggregation. Batch mode needs the
+    StateStoreCoordinator that the StreamingQueryManager owns; merely
+    touching spark.streams instantiates it (otherwise every task dies
+    with RpcEndpointNotFoundException: StateStoreCoordinator)."""
+    _ = df.sparkSession.streams.active
+    return _tws_totals(df)
+
+
+def _tws_totals(df: DataFrame) -> DataFrame:
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,

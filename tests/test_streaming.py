@@ -323,23 +323,16 @@ def test_session_late_event_beyond_watermark_dropped(spark):
 def test_stateful_user_totals_transform_with_state(spark, events_dir):
     """transformWithStateInPandas (Spark-4 StatefulProcessor) running
     totals == batch aggregation == the applyInPandasWithState twin.
-    Needs the RocksDB state store provider (scoped to this test) and
-    protobuf (the state-server wire format). Where protobuf is absent
-    this is an expected failure, not a skip: the dependency is
-    pyspark's own state-server client (stateful_processor_api_client
-    imports the full google.protobuf runtime — not vendorable), and
-    the applyInPandasWithState twin above covers the semantics."""
-    import importlib.util
+    Needs the RocksDB state store provider (scoped to this test) and a
+    protobuf runtime for the state-server wire format: where the real
+    google.protobuf is absent, rc_rag_spark.vendor's pbshim (a minimal
+    pure-Python wire-format runtime) stands in — this live run IS its
+    end-to-end validation, since the JVM state server parses every
+    request the shim serializes and the shim parses every JVM
+    response."""
+    from rc_rag_spark.vendor import ensure_protobuf_shim
 
-    try:
-        has_protobuf = importlib.util.find_spec("google.protobuf") is not None
-    except ModuleNotFoundError:  # no `google` namespace package at all
-        has_protobuf = False
-    if not has_protobuf:
-        pytest.xfail(
-            "google.protobuf not installed: transformWithStateInPandas "
-            "requires pyspark's protobuf state-server client"
-        )
+    ensure_protobuf_shim(spark)  # no-op when real protobuf installed
     conf = spark.conf
     key = "spark.sql.streaming.stateStore.providerClass"
     saved = conf.get(key, None)
