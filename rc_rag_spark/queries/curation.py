@@ -585,6 +585,73 @@ def q280_url_canonical_dedup(spark, sf_dir):
     )
 
 
+_Q282_QUOTA = 3  # max docs kept per registrable domain
+
+
+@register(
+    "q282_domain_quota_sample",
+    sql=f"""
+    WITH {_values_cte('psl2', _PSL2)},
+    {_values_cte('psl1', _PSL1)},
+    u AS (
+        SELECT doc_id, source, {_URL_EXPR} AS url FROM documents),
+    p AS ({_DUCK_PARSE}),
+    lab AS (
+        SELECT p.*,{_LHOST_LABELS}
+        FROM p),
+    reg AS (
+        SELECT lab.*,{_REGISTRABLE_CASE},
+               COALESCE(p2.s, p1.s) AS public_suffix
+        FROM lab
+        LEFT JOIN psl2 p2 ON p2.s = lab.last2
+        LEFT JOIN psl1 p1 ON p1.s = lab.last1),
+    ranked AS (
+        SELECT registrable, public_suffix, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY registrable
+                   ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS rn
+        FROM reg)
+    SELECT public_suffix,
+           CAST(COUNT(DISTINCT registrable) AS BIGINT) AS n_domains,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rn <= {_Q282_QUOTA} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(MAX(rn) AS BIGINT) AS max_domain_docs
+    FROM ranked GROUP BY public_suffix
+    """,
+    tags=("url", "quota", "sampling", "curation"),
+)
+def q282_domain_quota_sample(spark, sf_dir):
+    """Per-domain quota sampling — "at most K documents per site", the
+    cap every crawl-derived corpus applies so a few giant domains
+    can't dominate training data. Selection inside a domain is by an
+    md5 hash of doc_id (an unbiased, deterministic, RNG-free shuffle
+    — crawl-order prefixes would bias toward homepage-adjacent pages),
+    doc_id as tiebreak; the kept set is rows with row_number <= K over
+    the registrable-domain partition. Scale: one shuffle on the domain
+    key; a pathological mega-domain skews that window, and the
+    mitigation is the TakeOrdered-per-key pattern (partial per-task
+    top-K before the shuffle) — at K=3 each task forwards at most K
+    rows per domain, which AQE-skew handling covers here. Output per
+    public suffix: domains, docs, kept-after-quota, largest domain."""
+    reg = _with_registrable(_parsed_urls(spark, sf_dir))
+    w = Window.partitionBy("registrable").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = reg.select(
+        "registrable", "public_suffix", "doc_id",
+        F.row_number().over(w).alias("rn"),
+    )
+    return ranked.groupBy("public_suffix").agg(
+        F.countDistinct("registrable").alias("n_domains"),
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.when(F.col("rn") <= _Q282_QUOTA, 1).otherwise(0)
+        ).cast("bigint").alias("n_kept"),
+        F.max("rn").cast("bigint").alias("max_domain_docs"),
+    )
+
+
 def canonical_url_col():
     """The canonical-URL Column over parse_urls() output — lowercase
     host, default ports stripped (real ports kept), one trailing slash

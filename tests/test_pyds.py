@@ -374,6 +374,69 @@ def test_writer_abort_removes_partial_files(tmp_path):
     assert os.listdir(d) == []
 
 
+def test_writer_kill_during_commit_publishes_nothing(tmp_path):
+    """Driver death BETWEEN task writes and commit() (the two-phase
+    gap): data files exist on disk, but no _MANIFEST was published —
+    a manifest-respecting reader must see ZERO rows, and a later
+    successful job in the same directory must publish a manifest
+    listing ONLY its own files. This is the crash window that makes
+    naive directory-listing readers wrong and the manifest contract
+    necessary."""
+    import pyarrow as pa
+
+    import pytest as _pytest
+
+    d = str(tmp_path / "ksink")
+    w = pyds._JsonlDirWriter({"path": d}, overwrite=False)
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array([1, 2]), pa.array([0, 1]), pa.array([0.0, 3.1])],
+        names=["id", "k", "v"],
+    )
+    orphan_msgs = [w.write(iter([batch])), w.write(iter([batch]))]
+    # driver "dies" here: neither commit() nor abort() runs
+    assert len(os.listdir(d)) == 2  # orphans are on disk...
+    with _pytest.raises(FileNotFoundError):
+        pyds.manifest_files(d)      # ...but unreachable via manifest
+
+    # a later job over the same path commits only its own files
+    w2 = pyds._JsonlDirWriter({"path": d}, overwrite=False)
+    m = w2.write(iter([batch]))
+    w2.commit([m])
+    files, rows = pyds.manifest_files(d)
+    assert files == [m.filename] and rows == 2
+    for orphan in orphan_msgs:
+        assert orphan.filename not in files
+
+
+def test_stream_writer_kill_during_epoch_commit_replays_cleanly(tmp_path):
+    """Streaming twin: a crash after epoch N's task writes but before
+    its _MANIFEST-N lands leaves orphans; on restart Spark REPLAYS the
+    epoch (offsets were never committed), and the replay's manifest
+    must supersede — committed union = exactly epoch 0 + the replayed
+    epoch 1, never the orphaned first attempt."""
+    import pyarrow as pa
+
+    d = str(tmp_path / "kssink")
+    w = pyds._JsonlDirStreamWriter({"path": d})
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array([1]), pa.array([1]), pa.array([3.1])],
+        names=["id", "k", "v"],
+    )
+    m0 = w.write(iter([batch]))
+    w.commit([m0], batchId=0)
+    orphan = w.write(iter([batch]))  # epoch 1 attempt; driver dies here
+    files, rows, epochs = pyds.stream_manifest_files(d)
+    assert epochs == [0] and files == [m0.filename]  # orphan invisible
+    # restart: epoch 1 replays through a fresh writer
+    w2 = pyds._JsonlDirStreamWriter({"path": d})
+    m1 = w2.write(iter([batch]))
+    w2.commit([m1], batchId=1)
+    files, rows, epochs = pyds.stream_manifest_files(d)
+    assert epochs == [0, 1] and rows == 2
+    assert set(files) == {m0.filename, m1.filename}
+    assert orphan.filename not in files
+
+
 def test_stream_writer_abort_and_epoch_replay(tmp_path):
     """Streaming abort for epoch N must remove that epoch's partial
     files and leave earlier committed epochs intact; a subsequent

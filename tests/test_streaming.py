@@ -361,6 +361,79 @@ def test_stateful_user_totals_transform_with_state(spark, events_dir):
             conf.set(key, saved)
 
 
+def test_tws_list_and_map_state_batch(spark, events_dir):
+    """transformWithStateInPandas with LIST state and MAP state in
+    batch mode — exercises the remaining state-server wire surface
+    (ListStateCall appendValue/get, MapStateCall containsKey/getValue/
+    updateValue/keys) through whatever protobuf runtime is active (the
+    vendored shim here), checked against a plain aggregation twin."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    from rc_rag_spark.vendor import ensure_protobuf_shim
+
+    ensure_protobuf_shim(spark)
+    _ = spark.streams.active  # StateStoreCoordinator for batch mode
+
+    class PerTypeCounts(StatefulProcessor):
+        def init(self, handle):
+            self._chunks = handle.getListState("chunks", "n BIGINT")
+            self._by_type = handle.getMapState(
+                "by_type", "et STRING", "c BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            for pdf in rows:
+                self._chunks.appendValue((len(pdf),))
+                for et, cnt in pdf["event_type"].value_counts().items():
+                    prev = (
+                        self._by_type.getValue((et,))[0]
+                        if self._by_type.containsKey((et,))
+                        else 0
+                    )
+                    self._by_type.updateValue((et,), (prev + int(cnt),))
+            list_sum = sum(t[0] for t in self._chunks.get())
+            n_types = sum(1 for _ in self._by_type.keys())
+            map_sum = sum(v[0] for _, v in self._by_type.iterator())
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "list_sum": [list_sum],
+                    "n_types": [n_types],
+                    "map_sum": [map_sum],
+                }
+            )
+
+        def close(self):
+            pass
+
+    ev = batch_events(spark, events_dir)
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=PerTypeCounts(),
+        outputStructType=(
+            "user_id bigint, list_sum bigint, n_types bigint, "
+            "map_sum bigint"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )
+    got = {
+        r["user_id"]: (r["list_sum"], r["n_types"], r["map_sum"])
+        for r in out.collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["t"], r["n"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("event_type").alias("t"),
+        )
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_cdc_latest_stream_matches_batch(spark, events_dir):
     """Streaming latest-wins CDC compaction == the batch window form
     (update mode: last emission per key is the compacted state)."""
