@@ -35,12 +35,14 @@ URL/domain curation family.
     one canonical form).
 
 These are "beyond-the-reference" training-data-pipeline operators
-(SURVEY.md §2.2): the reference corpus pipeline (reference:
-code/utils.py — document normalization before retrieval scoring)
-stops at text, so the URL family is the standard upstream curation
-stage (PSL rollup per Mozilla's public-suffix algorithm; canonical
-form per RFC 3986 §6) expressed as declarative Spark plans with
-DuckDB oracles.
+(SURVEY.md §2.2): the reference pipeline starts from already-curated
+text (reference: code/utils.py:16 has_answer / :26 Tokens — uncased
+word/ngram normalization is as far upstream as it goes), so the URL
+family supplies the standard upstream curation stage (PSL rollup per
+Mozilla's public-suffix algorithm; canonical form per RFC 3986 §6)
+expressed as declarative Spark plans with DuckDB oracles. The BPE
+pair extends q172 (itself beyond-reference) from merge induction to
+corpus encoding.
 """
 
 from __future__ import annotations

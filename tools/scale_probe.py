@@ -119,6 +119,19 @@ DEFAULT = [
     "q272_boilerplate_prefixes",
     "q273_video_scene_segments",
     "q274_variant_explode",
+    # round-10 additions: BPE encode (vocab-sized Arrow kernel +
+    # word-frequency join), budget selection on real tokens, the URL
+    # curation family (parse/PSL/blocklist/canonical/quota), and
+    # batch-mode transformWithState (per-key RocksDB state through
+    # the Python state server — the one with real per-key overhead)
+    "q275_bpe_encode_tokens",
+    "q276_token_budget_real_bpe",
+    "q277_url_parse",
+    "q278_registrable_domain_rollup",
+    "q279_domain_blocklist_filter",
+    "q280_url_canonical_dedup",
+    "q281_transform_with_state_batch",
+    "q282_domain_quota_sample",
 ]
 
 
