@@ -118,9 +118,21 @@ def bpe_doc_token_counts(spark, sf_dir):
     q172's distributed induction (the per-step tops collect as
     _BPE_STEPS rows — nothing corpus-sized touches the driver), then
     encode the DISTINCT-WORD vocabulary with an Arrow-batched kernel
-    carrying the merge list in its closure, and join token counts back
-    through per-doc word frequencies. Corpus work: one scan + one
-    (doc_id, word) partial agg; Python work: vocabulary-sized only."""
+    carrying the merge list in its closure, broadcast the encoded
+    vocab back, and partial-aggregate token counts per doc.
+
+    Shuffle accounting (the part that matters at 100 TB): the exploded
+    token stream never shuffles on a token key — it broadcast-joins
+    the (vocab-sized) word->n_tok map and immediately hash-aggregates
+    on doc_id, where map-side combine collapses each document to ONE
+    row before the exchange (a doc's tokens are contiguous in its
+    input split), so the only corpus-wide shuffle carries |docs| rows.
+    The vocabulary distinct is the other exchange, and it is
+    vocab-sized after per-task partial distinct. (An earlier draft
+    pre-aggregated on (doc_id, word) — a corpus-token-sized shuffle
+    that this formulation strictly dominates.) When the vocabulary
+    outgrows the broadcast budget (~100M+ words), swap the broadcast
+    for a shuffle join on tok; the doc_id partial agg is unchanged."""
     import pandas as pd
 
     merge_rows = sorted(
@@ -135,10 +147,7 @@ def bpe_doc_token_counts(spark, sf_dir):
         "source",
         F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"),
     ).where(F.col("tok") != "")
-    dw = toks.groupBy("doc_id", "source", "tok").agg(
-        F.count("*").alias("cnt")
-    )
-    vocab = dw.select("tok").distinct()
+    vocab = toks.select("tok").distinct()
 
     def encode_batches(batches):
         for pdf in batches:
@@ -151,9 +160,9 @@ def bpe_doc_token_counts(spark, sf_dir):
 
     encoded = vocab.mapInPandas(encode_batches, "tok string, n_tok bigint")
     return (
-        dw.join(F.broadcast(encoded), "tok")
+        toks.join(F.broadcast(encoded), "tok")
         .groupBy("doc_id", "source")
-        .agg(F.sum(F.col("n_tok") * F.col("cnt")).alias("bpe_tokens"))
+        .agg(F.sum("n_tok").alias("bpe_tokens"))
     )
 
 
