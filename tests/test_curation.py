@@ -142,6 +142,51 @@ def test_blocklist_matches_case_noised_hosts(spark):
     assert [r["registrable"] for r in reg.collect()] == [target, target]
 
 
+def test_parse_urls_agrees_with_urllib_grid(spark):
+    """Cross-validation against an independent implementation: for a
+    grid of component combinations (scheme x subdomain x case x port x
+    path x query x fragment — 432 URLs), Spark's parse_url
+    (java.net.URI) must agree with CPython's urllib.parse on scheme,
+    host, port, path, query, and fragment. One Spark job for the whole
+    grid."""
+    from itertools import product
+    from urllib.parse import urlsplit
+
+    urls = []
+    for scheme, sub, case_up, port, path, query, frag in product(
+        ["http", "https"],
+        ["", "www.", "a.b."],
+        [False, True],
+        ["", ":80", ":8080"],
+        ["/", "/p/3", "/p/3/"],
+        ["", "?q=1", "?q=1&ref=r2"],
+        ["", "#s"],
+    ):
+        host = f"{sub}site7.co.uk"
+        if case_up:
+            host = host.upper()
+        urls.append(f"{scheme}://{host}{port}{path}{query}{frag}")
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {
+        r["url"]: r
+        for r in curation.parse_urls(df).collect()
+    }
+    assert len(got) == len(urls)
+    for u in urls:
+        want = urlsplit(u)
+        r = got[u]
+        assert r["proto"] == want.scheme, u
+        # urllib lowercases hostname; java.net.URI preserves case
+        assert r["host"].lower() == want.hostname, u
+        assert (r["port"] or None) == (
+            str(want.port) if want.port is not None else None
+        ), u
+        assert r["path"] == want.path, u
+        assert (r["query"] or None) == (want.query or None), u
+        assert (r["frag"] or None) == (want.fragment or None), u
+
+
 def test_q278_plan_is_broadcast_only(spark):
     """The PSL attach must be two BroadcastHashJoins — a SortMergeJoin
     here would shuffle the whole corpus against an 7-row suffix

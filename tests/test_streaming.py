@@ -434,6 +434,118 @@ def test_tws_list_and_map_state_batch(spark, events_dir):
     assert got == want and len(want) > 0
 
 
+def test_tws_event_time_timers_fire_on_watermark(spark):
+    """transformWithStateInPandas with EVENT-TIME TIMERS: each key
+    registers a timer 5 minutes after its first event; when the
+    watermark passes the timer, handleExpiredTimer emits the key's
+    finalized count. Deterministic by construction: user 1's events
+    sit hours before user 99's, so the batch-1 watermark (13:30)
+    expires user 1's 10:05 timer while user 99's own 14:05 timer is
+    never reached. Exercises the RegisterTimer / ExpiryTimerRequest /
+    TimerValueRequest wire paths end-to-end through the active
+    protobuf runtime (the vendored shim here)."""
+    import time as _time
+
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    from rc_rag_spark.vendor import ensure_protobuf_shim
+
+    ensure_protobuf_shim(spark)
+
+    d = tempfile.mkdtemp(prefix="rc_rag_twstimer_")
+    conf = spark.conf
+    key = "spark.sql.streaming.stateStore.providerClass"
+    saved = conf.get(key, None)
+    conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider",
+    )
+    try:
+        schema = "event_id long, user_id long, ts timestamp, value double"
+
+        def write_one(rows):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(d)
+            _time.sleep(1.1)  # distinct mtimes order the micro-batches
+
+        ts = lambda s: __import__("datetime").datetime.fromisoformat(s)  # noqa: E731
+        write_one(
+            [
+                (1, 1, ts("2024-01-01 10:00:00"), 1.0),
+                (2, 1, ts("2024-01-01 10:02:00"), 2.0),
+                (3, 1, ts("2024-01-01 10:04:00"), 3.0),
+                (4, 99, ts("2024-01-01 14:00:00"), 9.0),
+            ]
+        )
+        write_one([(5, 99, ts("2024-01-01 14:01:00"), 9.0)])
+        write_one([(6, 99, ts("2024-01-01 14:02:00"), 9.0)])
+
+        class FinalizeAfterQuiet(StatefulProcessor):
+            def init(self, handle):
+                self._handle = handle
+                self._n = handle.getValueState("n", "n BIGINT")
+
+            def handleInputRows(self, key, rows, timerValues):
+                import pandas as pd
+
+                first = not self._n.exists()
+                n = 0 if first else self._n.get()[0]
+                first_ts = None
+                for pdf in rows:
+                    n += len(pdf)
+                    t = pdf["ts"].min()
+                    if first_ts is None or t < first_ts:
+                        first_ts = t
+                if first:
+                    expiry_ms = int(first_ts.timestamp() * 1000) + 300_000
+                    self._handle.registerTimer(expiry_ms)
+                self._n.update((n,))
+                yield pd.DataFrame(
+                    {"user_id": [key[0]], "phase": ["live"], "n": [n]}
+                )
+
+            def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+                import pandas as pd
+
+                n = self._n.get()[0] if self._n.exists() else 0
+                self._n.clear()
+                yield pd.DataFrame(
+                    {"user_id": [key[0]], "phase": ["final"], "n": [n]}
+                )
+
+            def close(self):
+                pass
+
+        src_schema = spark.read.parquet(d).schema
+        stream = (
+            spark.readStream.schema(src_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+            .withWatermark("ts", "30 minutes")
+        )
+        out = stream.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=FinalizeAfterQuiet(),
+            outputStructType="user_id bigint, phase string, n bigint",
+            outputMode="Update",
+            timeMode="EventTime",
+        )
+        rows = run_stream(spark, out, output_mode="update")
+        finals = {
+            r["user_id"]: r["n"] for r in rows if r["phase"] == "final"
+        }
+        lives = [r for r in rows if r["phase"] == "live"]
+        assert finals == {1: 3}, rows  # user 1 finalized with all 3
+        assert any(r["user_id"] == 99 for r in lives)  # 99 stayed live
+    finally:
+        if saved is None:
+            conf.unset(key)
+        else:
+            conf.set(key, saved)
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_cdc_latest_stream_matches_batch(spark, events_dir):
     """Streaming latest-wins CDC compaction == the batch window form
     (update mode: last emission per key is the compacted state)."""
