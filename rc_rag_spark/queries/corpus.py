@@ -1280,7 +1280,7 @@ _Q247_LETTERS_DUCK = "length(regexp_replace(text, '[^A-Za-z]', '', 'g'))"
 # Selection tail shared by q247 (proxy tokens) and q276 (real BPE
 # tokens): expects a CTE `d(doc_id, source, tokens, bucket)` to be in
 # scope; spends half the corpus's total tokens best-bucket-first.
-_BUDGET_TAIL_SQL = """
+_BUDGET_SEL_CTES = """
     tot AS (SELECT CAST(SUM(tokens) AS BIGINT) // 2 AS budget FROM d),
     grid AS (
         SELECT bucket, CAST(SUM(tokens) AS BIGINT) AS btok,
@@ -1308,7 +1308,10 @@ _BUDGET_TAIL_SQL = """
         WHERE m.cls = 'full'
         UNION ALL
         SELECT doc_id, source, tokens, 1
-        FROM bsel WHERE bcum <= remaining)
+        FROM bsel WHERE bcum <= remaining)"""
+
+# q247/q276 final over the sel CTE; q284 substitutes its own final.
+_BUDGET_TAIL_SQL = _BUDGET_SEL_CTES + """
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_selected,
            CAST(SUM(tokens) AS BIGINT) AS tokens_selected,
@@ -1362,9 +1365,24 @@ def q247_token_budget_selection(spark, sf_dir):
 def token_budget_select(d):
     """Quantile-threshold budget selection over a
     (doc_id, source, tokens, bucket) DataFrame — the q247 kernel,
-    shared with q276 where `tokens` is the REAL BPE token count.
+    shared with q276 (real BPE tokens) and q284 (funnel tail).
     Spends half the corpus's total tokens best-bucket-first; only the
     boundary bucket pays a per-doc ordered prefix sum."""
+    return (
+        budget_selected_docs(d)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_selected"),
+            F.sum("tokens").alias("tokens_selected"),
+            F.sum("from_boundary").cast("bigint").alias("n_from_boundary"),
+        )
+    )
+
+
+def budget_selected_docs(d):
+    """The selected-document set (doc_id, source, tokens,
+    from_boundary) BEFORE the per-source rollup — q284's funnel joins
+    against this."""
     budget = d.agg(
         F.expr("CAST(SUM(tokens) AS BIGINT) div 2").alias("budget")
     )
@@ -1407,15 +1425,7 @@ def token_budget_select(d):
         .where(F.col("bcum") <= F.col("remaining"))
         .select("doc_id", "source", "tokens", F.lit(1).alias("from_boundary"))
     )
-    return (
-        full.unionByName(bsel)
-        .groupBy("source")
-        .agg(
-            F.count("*").alias("n_selected"),
-            F.sum("tokens").alias("tokens_selected"),
-            F.sum("from_boundary").cast("bigint").alias("n_from_boundary"),
-        )
-    )
+    return full.unionByName(bsel)
 
 
 # --------------------------------------------------------------------------

@@ -52,9 +52,11 @@ from pyspark.sql import functions as F
 
 from rc_rag_spark.queries.core import register
 from rc_rag_spark.queries.corpus import (
+    _BUDGET_SEL_CTES,
     _BUDGET_TAIL_SQL,
     _Q247_LETTERS,
     _Q247_LETTERS_DUCK,
+    budget_selected_docs,
     token_budget_select,
 )
 from rc_rag_spark.queries.scale_batch import (
@@ -89,13 +91,16 @@ _BPE_DOC_CTES = f""",
         GROUP BY dw.doc_id, dw.source)"""
 
 
-def _bpe_encode_counts(merges):
+def _bpe_encode_segments(merges):
     """Greedy BPE encoder over a word, applying merges in RANK order,
     each pass leftmost-first without overlap — the same simultaneous
     odd-offset-within-run semantics the induction's apply step (and
-    the SQL oracle's window construction) uses. Returns token count."""
+    the SQL oracle's window construction) uses. Returns the token
+    (segment) list; encoding is LOSSLESS by construction —
+    ''.join(segments) == word (pinned by
+    tests/test_curation.py::test_bpe_encode_is_lossless)."""
 
-    def count(word: str) -> int:
+    def segments(word: str) -> list[str]:
         syms = list(word)
         for left, right in merges:
             out = []
@@ -108,9 +113,16 @@ def _bpe_encode_counts(merges):
                     out.append(syms[i])
                     i += 1
             syms = out
-        return len(syms)
+        return syms
 
-    return count
+    return segments
+
+
+def _bpe_encode_counts(merges):
+    """Token-count view of _bpe_encode_segments (the hot kernel shape
+    q275 ships to executors)."""
+    segments = _bpe_encode_segments(merges)
+    return lambda word: len(segments(word))
 
 
 def bpe_doc_token_counts(spark, sf_dir):
@@ -660,6 +672,171 @@ def q282_domain_quota_sample(spark, sf_dir):
             F.when(F.col("rn") <= _Q282_QUOTA, 1).otherwise(0)
         ).cast("bigint").alias("n_kept"),
         F.max("rn").cast("bigint").alias("max_domain_docs"),
+    )
+
+
+_Q284_QUALITY_MIN = 818  # letters-per-kilochar floor (binds ~half)
+
+
+@register(
+    "q284_crawl_curation_funnel",
+    sql=f"""
+    WITH {_values_cte('psl2', _PSL2)},
+    {_values_cte('psl1', _PSL1)},
+    u AS (
+        SELECT doc_id, source, {_URL_EXPR} AS url FROM documents),
+    p AS ({_DUCK_PARSE}),
+    lab AS (
+        SELECT p.*,{_LHOST_LABELS}
+        FROM p),
+    reg AS (
+        SELECT lab.*,{_REGISTRABLE_CASE}
+        FROM lab
+        LEFT JOIN psl2 p2 ON p2.s = lab.last2
+        LEFT JOIN psl1 p1 ON p1.s = lab.last1),
+    c AS (
+        SELECT doc_id, source, registrable,{_DUCK_CANONICAL}
+        FROM reg),
+    dedup AS (
+        SELECT doc_id, source, registrable FROM (
+            SELECT doc_id, source, registrable,
+                   ROW_NUMBER() OVER (PARTITION BY canonical
+                                      ORDER BY doc_id) AS rn
+            FROM c) WHERE rn = 1),
+    quota AS (
+        SELECT doc_id, source FROM (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY registrable
+                       ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS rn
+            FROM dedup) WHERE rn <= {_Q282_QUOTA}),
+    quality AS (
+        SELECT q.doc_id, q.source, t.n_chars,
+               (1000 * {_Q247_LETTERS_DUCK.replace('text', 't.text')})
+                   // t.n_chars AS bucket
+        FROM quota q JOIN documents t ON t.doc_id = q.doc_id),
+    d AS (
+        SELECT doc_id, source,
+               CAST(ceil(n_chars / 4.0) AS BIGINT) AS tokens, bucket
+        FROM quality WHERE bucket >= {_Q284_QUALITY_MIN}),{{SEL}}
+    f0 AS (SELECT source, COUNT(*) AS n_raw FROM documents
+           GROUP BY source),
+    f1 AS (SELECT source, COUNT(*) AS n_dedup FROM dedup
+           GROUP BY source),
+    f2 AS (SELECT source, COUNT(*) AS n_quota FROM quota
+           GROUP BY source),
+    f3 AS (SELECT source, COUNT(*) AS n_quality FROM d
+           GROUP BY source),
+    f4 AS (SELECT source, COUNT(*) AS n_selected,
+                  CAST(SUM(tokens) AS BIGINT) AS tokens_selected
+           FROM sel GROUP BY source)
+    SELECT f0.source,
+           CAST(n_raw AS BIGINT) AS n_raw,
+           CAST(COALESCE(n_dedup, 0) AS BIGINT) AS n_dedup,
+           CAST(COALESCE(n_quota, 0) AS BIGINT) AS n_quota,
+           CAST(COALESCE(n_quality, 0) AS BIGINT) AS n_quality,
+           CAST(COALESCE(n_selected, 0) AS BIGINT) AS n_selected,
+           CAST(COALESCE(tokens_selected, 0) AS BIGINT)
+               AS tokens_selected
+    FROM f0
+    LEFT JOIN f1 ON f1.source = f0.source
+    LEFT JOIN f2 ON f2.source = f0.source
+    LEFT JOIN f3 ON f3.source = f0.source
+    LEFT JOIN f4 ON f4.source = f0.source
+    """.replace("{SEL}", _BUDGET_SEL_CTES + ","),
+    tags=("curation", "pipeline", "funnel", "url"),
+)
+def q284_crawl_curation_funnel(spark, sf_dir):
+    """The crawl-to-corpus pipeline END-TO-END as one declarative
+    plan — the composition proof for the whole curation family:
+
+      raw --(1) canonical-URL exact dedup (q280's canonical form,
+      min-doc_id winner)--> --(2) per-domain quota (q282's max-K per
+      registrable, md5-ordered)--> --(3) quality floor (q247's
+      integer letters-per-kilochar bucket >= {_Q284_QUALITY_MIN})-->
+      --(4) global token-budget selection (the q247 kernel, half the
+      surviving tokens, best buckets first)-->
+
+    with the per-source ATTRITION FUNNEL (raw / after-dedup /
+    after-quota / after-quality / selected / tokens) as output — what
+    a data-governance review actually signs off on. Every stage's
+    survivor set is hash-pinned through the funnel counts, so a
+    semantic drift in ANY stage (canonicalization, PSL matching,
+    quota ordering, bucket arithmetic, budget boundary) breaks the
+    check. Scale shape: stages 1-2 are window-dedups on canonical /
+    registrable keys, stage 3 is a map-side filter, stage 4 touches
+    only the boundary bucket — no stage adds an unbounded shuffle."""
+    reg = _with_registrable(_parsed_urls(spark, sf_dir))
+    c = reg.select("doc_id", "source", "registrable", canonical_url_col())
+    dedup = (
+        c.select(
+            "doc_id", "source", "registrable",
+            F.row_number()
+            .over(Window.partitionBy("canonical").orderBy("doc_id"))
+            .alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    quota = (
+        dedup.select(
+            "doc_id", "source",
+            F.row_number()
+            .over(
+                Window.partitionBy("registrable").orderBy(
+                    F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+                )
+            )
+            .alias("rn"),
+        )
+        .where(F.col("rn") <= _Q282_QUOTA)
+        .drop("rn")
+    )
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars",
+        F.expr(f"(1000 * {_Q247_LETTERS}) div n_chars").alias("bucket"),
+    )
+    d = (
+        quota.join(docs, "doc_id")
+        .where(F.col("bucket") >= _Q284_QUALITY_MIN)
+        .select(
+            "doc_id", "source",
+            F.ceil(F.col("n_chars") / 4.0).cast("bigint").alias("tokens"),
+            "bucket",
+        )
+    )
+    sel = budget_selected_docs(d)
+
+    def per_source(df, *aggs):
+        return df.groupBy("source").agg(*aggs)
+
+    f0 = per_source(
+        table(spark, sf_dir, "documents"), F.count("*").alias("n_raw")
+    )
+    f1 = per_source(dedup, F.count("*").alias("n_dedup"))
+    f2 = per_source(quota, F.count("*").alias("n_quota"))
+    f3 = per_source(d, F.count("*").alias("n_quality"))
+    f4 = per_source(
+        sel,
+        F.count("*").alias("n_selected"),
+        F.sum("tokens").cast("bigint").alias("tokens_selected"),
+    )
+    out = (
+        f0.join(f1, "source", "left")
+        .join(f2, "source", "left")
+        .join(f3, "source", "left")
+        .join(f4, "source", "left")
+    )
+    return out.select(
+        "source",
+        F.col("n_raw").cast("bigint").alias("n_raw"),
+        F.coalesce("n_dedup", F.lit(0)).cast("bigint").alias("n_dedup"),
+        F.coalesce("n_quota", F.lit(0)).cast("bigint").alias("n_quota"),
+        F.coalesce("n_quality", F.lit(0)).cast("bigint").alias("n_quality"),
+        F.coalesce("n_selected", F.lit(0)).cast("bigint").alias("n_selected"),
+        F.coalesce("tokens_selected", F.lit(0))
+        .cast("bigint")
+        .alias("tokens_selected"),
     )
 
 

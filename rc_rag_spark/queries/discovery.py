@@ -263,6 +263,174 @@ def q210_joinability_audit(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# q283 — KMV-sketch joinability (the approximate swap q210 promised)
+
+_KMVJ_K = 128
+_KMVJ_SCALE = "CAST(1152921504606846976 AS DOUBLE)"  # 2^60
+
+
+def _kmvj_sql() -> str:
+    """Per pair: build both columns' deterministic KMV sketches (k
+    smallest 60-bit md5 hashes over DISTINCT values), merge-sketch the
+    union, and estimate nd/Jaccard/intersection — with the exact
+    numbers riding along for the error audit."""
+    parts = []
+    for ta, ca, tb, cb in _J_PAIRS:
+        parts.append(f"""
+    SELECT '{ta}.{ca}' AS col_a, '{tb}.{cb}' AS col_b, * FROM (
+        WITH ah AS (SELECT DISTINCT
+                CAST(('0x' || substr(md5(CAST({ca} AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS hv
+            FROM {ta} WHERE {ca} IS NOT NULL),
+        ak AS (SELECT hv FROM (
+                SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rk FROM ah)
+               WHERE rk <= {_KMVJ_K}),
+        bh AS (SELECT DISTINCT
+                CAST(('0x' || substr(md5(CAST({cb} AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS hv
+            FROM {tb} WHERE {cb} IS NOT NULL),
+        bk AS (SELECT hv FROM (
+                SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rk FROM bh)
+               WHERE rk <= {_KMVJ_K}),
+        uk AS (SELECT hv FROM (
+                SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rk
+                FROM (SELECT hv FROM ak UNION SELECT hv FROM bk))
+               WHERE rk <= {_KMVJ_K}),
+        astat AS (SELECT MAX(hv) AS kth_a, COUNT(*) AS ke_a FROM ak),
+        bstat AS (SELECT MAX(hv) AS kth_b, COUNT(*) AS ke_b FROM bk),
+        ustat AS (SELECT MAX(hv) AS kth_u, COUNT(*) AS ke_u FROM uk),
+        inter AS (SELECT COUNT(*) AS n_i FROM uk
+                  WHERE hv IN (SELECT hv FROM ak)
+                    AND hv IN (SELECT hv FROM bk)),
+        ex AS (SELECT
+                (SELECT COUNT(DISTINCT {ca}) FROM {ta}) AS nd_a,
+                (SELECT COUNT(DISTINCT {cb}) FROM {tb}) AS nd_b,
+                (SELECT COUNT(*) FROM
+                    (SELECT DISTINCT {ca} FROM {ta}) a
+                    JOIN (SELECT DISTINCT {cb} FROM {tb}) b
+                      ON b.{cb} = a.{ca}) AS n_common)
+        SELECT CAST(ke_u AS INTEGER) AS ke_u,
+               round((ke_a - 1) / (kth_a / {_KMVJ_SCALE}), 9) AS est_nd_a,
+               round((ke_b - 1) / (kth_b / {_KMVJ_SCALE}), 9) AS est_nd_b,
+               round(n_i / CAST(ke_u AS DOUBLE), 9) AS est_jaccard,
+               round((n_i / CAST(ke_u AS DOUBLE))
+                     * ((ke_u - 1) / (kth_u / {_KMVJ_SCALE})), 9)
+                   AS est_n_common,
+               CAST(nd_a AS BIGINT) AS nd_a,
+               CAST(nd_b AS BIGINT) AS nd_b,
+               CAST(n_common AS BIGINT) AS n_common
+        FROM astat, bstat, ustat, inter, ex)""")
+    return (
+        "SELECT * FROM (" + " UNION ALL ".join(parts) + ")"
+    )
+
+
+@register(
+    "q283_kmv_joinability",
+    sql=_kmvj_sql(),
+    tags=("discovery", "joinability", "sketch", "kmv"),
+)
+def q283_kmv_joinability(spark, sf_dir):
+    """KMV-sketch joinability — the approximate swap q210's docstring
+    promised for wide-schema audits: instead of an exact distinct-join
+    per candidate pair (a shuffle per pair — dead when auditing every
+    column pair of a 500-table warehouse), each column is summarized
+    ONCE into a k=128 KMV sketch (the k smallest 60-bit md5 hashes of
+    its distinct values — a per-partition top-k merge, TakeOrdered
+    shape, constant bytes per column), and every pair statistic comes
+    from merging two 128-row sketches: union cardinality from the
+    merged sketch's k-th smallest (Beyer et al. 2007), Jaccard as the
+    fraction of the merged sketch present in both sides, intersection
+    as their product, plus the exact numbers for the error audit
+    (estimates land within ~1/sqrt(k) ≈ 9% relative). Because the
+    hash is deterministic md5, the ESTIMATES THEMSELVES hash-match
+    the oracle — the sketch's arithmetic is pinned, not just bounded.
+    NULL keys are excluded from sketches exactly as COUNT(DISTINCT)
+    excludes them."""
+    from pyspark.sql import Window
+
+    rows = []
+    for ta, ca, tb, cb in _J_PAIRS:
+
+        def sketch(t, c):
+            h = (
+                table(spark, sf_dir, t)
+                .where(F.col(c).isNotNull())
+                .select(
+                    F.conv(
+                        F.substring(F.md5(F.col(c).cast("string")), 1, 15),
+                        16,
+                        10,
+                    ).cast("bigint").alias("hv")
+                )
+                .distinct()
+            )
+            w = Window.orderBy("hv")
+            return (
+                h.select("hv", F.row_number().over(w).alias("rk"))
+                .where(F.col("rk") <= _KMVJ_K)
+                .select("hv")
+            )
+
+        ak = sketch(ta, ca)
+        bk = sketch(tb, cb)
+        uk = (
+            ak.union(bk).distinct()
+            .select(
+                "hv",
+                F.row_number().over(Window.orderBy("hv")).alias("rk"),
+            )
+            .where(F.col("rk") <= _KMVJ_K)
+            .select("hv")
+        )
+        astat = ak.agg(F.max("hv").alias("kth_a"), F.count("*").alias("ke_a"))
+        bstat = bk.agg(F.max("hv").alias("kth_b"), F.count("*").alias("ke_b"))
+        ustat = uk.agg(F.max("hv").alias("kth_u"), F.count("*").alias("ke_u"))
+        inter = (
+            uk.join(ak, "hv", "left_semi")
+            .join(bk, "hv", "left_semi")
+            .agg(F.count("*").alias("n_i"))
+        )
+        a_ex = table(spark, sf_dir, ta).select(F.col(ca).alias("k")).distinct()
+        b_ex = table(spark, sf_dir, tb).select(F.col(cb).alias("k")).distinct()
+        ex = (
+            a_ex.join(b_ex, "k")
+            .agg(F.count("*").alias("n_common"))
+            .crossJoin(F.broadcast(a_ex.agg(F.count("k").alias("nd_a"))))
+            .crossJoin(F.broadcast(b_ex.agg(F.count("k").alias("nd_b"))))
+        )
+        scale = F.lit(1152921504606846976).cast("double")
+        union_est = (F.col("ke_u") - 1) / (F.col("kth_u") / scale)
+        jacc = F.col("n_i") / F.col("ke_u").cast("double")
+        rows.append(
+            astat.crossJoin(F.broadcast(bstat))
+            .crossJoin(F.broadcast(ustat))
+            .crossJoin(F.broadcast(inter))
+            .crossJoin(F.broadcast(ex))
+            .select(
+                F.lit(f"{ta}.{ca}").alias("col_a"),
+                F.lit(f"{tb}.{cb}").alias("col_b"),
+                F.col("ke_u").cast("int").alias("ke_u"),
+                F.round(
+                    (F.col("ke_a") - 1) / (F.col("kth_a") / scale), 9
+                ).alias("est_nd_a"),
+                F.round(
+                    (F.col("ke_b") - 1) / (F.col("kth_b") / scale), 9
+                ).alias("est_nd_b"),
+                F.round(jacc, 9).alias("est_jaccard"),
+                F.round(jacc * union_est, 9).alias("est_n_common"),
+                F.col("nd_a").cast("bigint").alias("nd_a"),
+                F.col("nd_b").cast("bigint").alias("nd_b"),
+                F.col("n_common").cast("bigint").alias("n_common"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+# --------------------------------------------------------------------------
 # q250 — declarative data-quality rule engine (the Deequ/dbt-test shape)
 
 

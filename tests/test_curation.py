@@ -26,6 +26,32 @@ def test_bpe_encode_greedy_run_semantics():
     assert count("ababa") == 5    # no aa pair at all
 
 
+def test_bpe_encode_is_lossless():
+    """Property over random words and random merge lists: the
+    segmentation always concatenates back to the input word (BPE
+    never drops, duplicates, or reorders characters), and the count
+    kernel equals len(segments)."""
+    import random
+    import string
+
+    rng = random.Random(7)
+    alpha = string.ascii_lowercase[:6]
+    for trial in range(300):
+        word = "".join(
+            rng.choice(alpha) for _ in range(rng.randrange(0, 14))
+        )
+        merges = []
+        pool = list(alpha)
+        for _ in range(rng.randrange(0, 5)):
+            left, right = rng.choice(pool), rng.choice(pool)
+            merges.append((left, right))
+            pool.append(left + right)  # later merges may use outputs
+        seg = curation._bpe_encode_segments(merges)(word)
+        assert "".join(seg) == word, (word, merges, seg)
+        assert curation._bpe_encode_counts(merges)(word) == len(seg)
+        assert all(s for s in seg)  # no empty tokens
+
+
 def test_bpe_encode_applies_merges_in_rank_order():
     """Rank order matters: with merges [(a,b), (ab,c)] the word 'abc'
     becomes [ab, c] then [abc] — one token; with the ranks reversed,

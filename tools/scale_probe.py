@@ -132,6 +132,8 @@ DEFAULT = [
     "q280_url_canonical_dedup",
     "q281_transform_with_state_batch",
     "q282_domain_quota_sample",
+    "q283_kmv_joinability",
+    "q284_crawl_curation_funnel",
 ]
 
 
