@@ -1210,3 +1210,55 @@ def q281_transform_with_state_batch(spark, sf_dir):
 
     ensure_protobuf_shim(spark)
     return user_totals_tws_batch(table(spark, sf_dir, "events"))
+
+
+@register(
+    "q285_compaction_roundtrip",
+    sql="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+           CAST(MAX(event_id) AS BIGINT) AS max_id
+    FROM events GROUP BY event_type
+    """,
+    tags=("maintenance", "compaction", "optimize"),
+)
+def q285_compaction_roundtrip(spark, sf_dir):
+    """EXECUTED small-file compaction (the OPTIMIZE maintenance op —
+    q245 plans bin packing; this one rewrites): events are first
+    fragmented into a hive-partitioned copy (partitionBy event_type,
+    17-way repartition => ~17 small files per partition — the
+    streaming-ingest pathology), then operators/compaction.compact
+    rewrites each partition to ~target-byte files chosen from a
+    _metadata file census, and the query aggregates the COMPACTED
+    output. The oracle recomputes the same aggregate straight from
+    the source table, so any row lost, duplicated, or mangled across
+    fragment -> census -> plan -> rewrite breaks the hash (file-count
+    mechanics are pinned separately in tests/test_compaction.py).
+    Eagerness note: like q230, the maintenance job runs during query
+    construction; the returned plan is the lazy read of its output."""
+    import os
+    import shutil
+    import tempfile
+
+    from rc_rag_spark.operators.compaction import compact
+    from rc_rag_spark.sources import table
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    frag = os.path.join(tempfile.gettempdir(), f"rc_rag_q285_frag_{tag}")
+    out = os.path.join(tempfile.gettempdir(), f"rc_rag_q285_out_{tag}")
+    shutil.rmtree(frag, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    (
+        table(spark, sf_dir, "events")
+        .repartition(17)
+        .write.partitionBy("event_type")
+        .parquet(frag)
+    )
+    compact(spark, frag, out, target_bytes=8 * 1024 * 1024)
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        F.max("event_id").alias("max_id"),
+    )

@@ -434,6 +434,71 @@ def test_tws_list_and_map_state_batch(spark, events_dir):
     assert got == want and len(want) > 0
 
 
+def test_tws_initial_state_seeds_totals(spark, events_dir):
+    """transformWithStateInPandas with INITIAL STATE — the warm-start
+    path a migration uses (seed the new stateful query from a batch
+    snapshot instead of reprocessing history): totals seeded from the
+    first half of events via handleInitialState, then the second half
+    processed as input, must equal one aggregation over ALL events."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    from rc_rag_spark.vendor import ensure_protobuf_shim
+
+    ensure_protobuf_shim(spark)
+    _ = spark.streams.active  # StateStoreCoordinator for batch mode
+
+    ev = batch_events(spark, events_dir)
+    cut = ev.agg(F.expr("percentile(event_id, 0.5)")).first()[0]
+    first_half = ev.where(F.col("event_id") <= cut)
+    second_half = ev.where(F.col("event_id") > cut)
+    seed = first_half.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n0")
+    )
+
+    class SeededCounts(StatefulProcessor):
+        def init(self, handle):
+            self._n = handle.getValueState("n", "n BIGINT")
+
+        def handleInitialState(self, key, initialState, timerValues):
+            self._n.update((int(initialState["n0"]),))
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n = self._n.get()[0] if self._n.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._n.update((n,))
+            yield pd.DataFrame({"user_id": [key[0]], "n": [n]})
+
+        def close(self):
+            pass
+
+    out = second_half.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=SeededCounts(),
+        outputStructType="user_id bigint, n bigint",
+        outputMode="Update",
+        timeMode="None",
+        initialState=seed.groupBy("user_id"),
+    )
+    got = {r["user_id"]: r["n"] for r in out.collect()}
+    want = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+        # keys with no second-half rows emit nothing in update mode
+        if r["user_id"] in got
+    }
+    assert got == want and len(got) > 0
+    # and the seed genuinely contributed: totals exceed second-half-only
+    second_only = {
+        r["user_id"]: r["n"]
+        for r in second_half.groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert any(got[u] > second_only.get(u, 0) for u in got)
+
+
 def test_tws_event_time_timers_fire_on_watermark(spark):
     """transformWithStateInPandas with EVENT-TIME TIMERS: each key
     registers a timer 5 minutes after its first event; when the

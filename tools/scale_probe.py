@@ -134,6 +134,7 @@ DEFAULT = [
     "q282_domain_quota_sample",
     "q283_kmv_joinability",
     "q284_crawl_curation_funnel",
+    "q285_compaction_roundtrip",
 ]
 
 
