@@ -68,6 +68,15 @@ HEADLINE = [
     # MM iterations over a checkpointed comparison matrix).
     "q222_cdc_chunking",
     "q263_bradley_terry",
+    # round-10 anchors: BPE ENCODE over the trained merge table (the
+    # broadcast-vocab Arrow kernel every token-count consumer now sits
+    # on — ~2.5-4.5 s at sf0.1) and the end-to-end crawl-curation
+    # funnel (canonical dedup -> blocklist -> quality gate -> domain
+    # quota, ~3 s — the composed pipeline shape, so a regression in
+    # any URL-family stage shows up here). Totals grow vs r9 by their
+    # sum; anchor_sec/legacy_sec remain the like-for-like split.
+    "q275_bpe_encode_tokens",
+    "q284_crawl_curation_funnel",
 ]
 
 # Multi-second anchors: stable to ~±3% run-to-run, the signal. The
@@ -81,6 +90,8 @@ ANCHORS = {
     "q102_dedup_clusters",
     "q222_cdc_chunking",
     "q263_bradley_terry",
+    "q275_bpe_encode_tokens",
+    "q284_crawl_curation_funnel",
 }
 
 

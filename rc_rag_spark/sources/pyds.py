@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 from dataclasses import dataclass
 
@@ -351,6 +352,46 @@ def stream_manifest_files(path: str) -> tuple[list[str], int, list[int]]:
             rows += m["rows"]
             epochs.append(m["batch_id"])
     return files, rows, sorted(epochs)
+
+
+def vacuum_sink(path: str, retention_seconds: float = 0.0) -> list[str]:
+    """VACUUM for the manifest-committed sink: delete data files that
+    no manifest references — the debris failed/speculative attempts
+    and crash-window replays leave behind (write() ran, commit()
+    didn't; abort() is best-effort and a SIGKILL'd executor never
+    runs it). Correctness needs no vacuum — readers union only
+    manifest-listed files — but at 100 TB the orphans are real bytes
+    and real LIST pressure, so the maintenance op exists for the same
+    reason Delta's VACUUM does.
+
+    ``retention_seconds`` keeps files younger than the threshold even
+    when unreferenced: an in-flight task's file is unreferenced until
+    its epoch commits, so a zero-retention vacuum racing a live write
+    would eat uncommitted work (Delta's retention-window rationale).
+    Driver-side listing of ONE directory — manifest-scale, not
+    data-scale. Returns the deleted filenames."""
+    referenced: set[str] = set()
+    batch_manifest = os.path.join(path, "_MANIFEST")
+    if os.path.exists(batch_manifest):
+        referenced.update(manifest_files(path)[0])
+    for entry in os.listdir(path):
+        if entry.startswith("_MANIFEST-"):
+            with open(os.path.join(path, entry)) as f:
+                referenced.update(json.load(f)["files"])
+    now = time.time()
+    deleted = []
+    for entry in sorted(os.listdir(path)):
+        if entry.startswith("_MANIFEST") or entry in referenced:
+            continue
+        full = os.path.join(path, entry)
+        try:
+            if now - os.path.getmtime(full) < retention_seconds:
+                continue
+            os.remove(full)
+            deleted.append(entry)
+        except OSError:
+            pass  # concurrent vacuum/cleanup already removed it
+    return deleted
 
 
 def register_all(spark) -> None:

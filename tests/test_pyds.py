@@ -462,3 +462,79 @@ def test_stream_writer_abort_and_epoch_replay(tmp_path):
     files, rows, epochs = pyds.stream_manifest_files(d)
     assert epochs == [0, 1] and rows == 2
     assert set(files) == {m0.filename, m1.filename}
+
+
+def _batch():
+    import pyarrow as pa
+
+    return pa.RecordBatch.from_arrays(
+        [pa.array([1, 2]), pa.array([0, 1]), pa.array([0.0, 3.1])],
+        names=["id", "k", "v"],
+    )
+
+
+def test_vacuum_removes_only_unreferenced_orphans(tmp_path):
+    """vacuum_sink deletes exactly the crash-window debris: files no
+    manifest references. Manifest-listed files (batch _MANIFEST and
+    every streaming _MANIFEST-N) and the manifests themselves must
+    survive, and committed content must be byte-identical after."""
+    d = str(tmp_path / "vsink")
+    w = pyds._JsonlDirWriter({"path": d}, overwrite=False)
+    orphan = w.write(iter([_batch()]))  # attempt whose driver died
+    m = w.write(iter([_batch()]))
+    w.commit([m])
+    sw = pyds._JsonlDirStreamWriter({"path": d})
+    sm = sw.write(iter([_batch()]))
+    sw.commit([sm], batchId=0)
+    stream_orphan = sw.write(iter([_batch()]))  # epoch 1, never committed
+
+    before = {
+        f: open(os.path.join(d, f)).read()
+        for f in (m.filename, sm.filename)
+    }
+    deleted = pyds.vacuum_sink(d)
+    assert sorted(deleted) == sorted(
+        [orphan.filename, stream_orphan.filename]
+    )
+    left = sorted(os.listdir(d))
+    assert left == sorted(
+        ["_MANIFEST", "_MANIFEST-0", m.filename, sm.filename]
+    )
+    for f, content in before.items():
+        assert open(os.path.join(d, f)).read() == content
+    # manifest readers are unaffected
+    assert pyds.manifest_files(d)[0] == [m.filename]
+    assert pyds.stream_manifest_files(d)[0] == [sm.filename]
+
+
+def test_vacuum_retention_spares_young_inflight_files(tmp_path):
+    """The retention window: a file younger than retention_seconds is
+    kept even though unreferenced — it may belong to an IN-FLIGHT
+    epoch whose commit hasn't landed yet. Aging it past the window
+    (mtime rewind) makes the next vacuum reclaim it."""
+    d = str(tmp_path / "rsink")
+    w = pyds._JsonlDirWriter({"path": d}, overwrite=False)
+    inflight = w.write(iter([_batch()]))
+    assert pyds.vacuum_sink(d, retention_seconds=3600) == []
+    assert os.path.exists(os.path.join(d, inflight.filename))
+    old = os.path.join(d, inflight.filename)
+    past = os.path.getmtime(old) - 7200
+    os.utime(old, (past, past))
+    assert pyds.vacuum_sink(d, retention_seconds=3600) == [
+        inflight.filename
+    ]
+    assert not os.path.exists(old)
+
+
+def test_vacuum_idempotent_and_empty_sink(tmp_path):
+    """Vacuum twice = vacuum once; a sink with only manifests (or an
+    empty dir) is a no-op, not an error."""
+    d = str(tmp_path / "esink")
+    os.makedirs(d)
+    assert pyds.vacuum_sink(d) == []
+    w = pyds._JsonlDirWriter({"path": d}, overwrite=False)
+    orphan = w.write(iter([_batch()]))
+    m = w.write(iter([_batch()]))
+    w.commit([m])
+    assert pyds.vacuum_sink(d) == [orphan.filename]
+    assert pyds.vacuum_sink(d) == []
