@@ -1212,6 +1212,64 @@ def q281_transform_with_state_batch(spark, sf_dir):
     return user_totals_tws_batch(table(spark, sf_dir, "events"))
 
 
+_Q286_N = 20_000
+_Q286_LO, _Q286_HI = 2_500, 9_000  # id >= LO AND id < HI
+
+
+@register(
+    "q286_pyds_filter_pushdown",
+    sql=f"""
+    WITH t AS (
+        SELECT i AS id,
+               CAST(i % 7 AS INTEGER) AS k,
+               CAST((i * 31) % 1000 AS DOUBLE) / 10.0 AS v
+        FROM generate_series(0, {_Q286_N - 1}) s(i))
+    SELECT k, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sum_v,
+           CAST(MIN(id) AS BIGINT) AS min_id,
+           CAST(MAX(id) AS BIGINT) AS max_id
+    FROM t
+    WHERE id >= {_Q286_LO} AND id < {_Q286_HI} AND k <> 3
+    GROUP BY k
+    """,
+    tags=("datasource", "python-api", "pushdown", "spark4"),
+)
+def q286_pyds_filter_pushdown(spark, sf_dir):
+    """Python Data Source FILTER PUSHDOWN (Spark 4.1, pushFilters —
+    SPARK-48788 family): rc_rag_pushrange absorbs the id-range
+    predicates by narrowing its generated [lo, hi) span at PLAN time
+    — the pruned partitions are never scheduled, which is what
+    pushdown must mean at 100 TB (a predicate on the layout key cuts
+    tasks, not just rows) — while the k <> 3 residual is yielded back
+    to Spark per the API contract and evaluated post scan. The oracle
+    applies all three predicates to the generate_series twin, so a
+    source that narrowed the range wrongly (off-by-one on >, <=) or
+    dropped the residual breaks the hash. Partition-count pruning
+    itself is pinned in tests/test_pyds.py."""
+    from rc_rag_spark.sources.pyds import register_all
+
+    register_all(spark)
+    # runtime-settable gate for pushFilters (default false in 4.1)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    df = (
+        spark.read.format("rc_rag_pushrange")
+        .option("n", str(_Q286_N))
+        .option("parts", "8")
+        .load()
+        .where(
+            (F.col("id") >= _Q286_LO)
+            & (F.col("id") < _Q286_HI)
+            & (F.col("k") != 3)
+        )
+    )
+    return df.groupBy("k").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("v").cast("decimal(18,6)")).cast("double").alias("sum_v"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+    )
+
+
 @register(
     "q285_compaction_roundtrip",
     sql="""

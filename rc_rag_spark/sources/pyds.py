@@ -51,6 +51,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
+    DataSourceReader,
     DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
@@ -88,6 +89,94 @@ def series_batch_df(spark, n: int):
         (F.col("id") % 7).cast("int").alias("k"),
         ((F.col("id") * 31) % 1000 / 10.0).alias("v"),
     )
+
+
+# --------------------------------------------------------------------------
+# Batch source with FILTER PUSHDOWN (Spark 4.1, pushFilters)
+# --------------------------------------------------------------------------
+
+
+class _PushdownRangeReader(DataSourceReader):
+    """Batch reader for the synthetic series with pushFilters support
+    (Spark 4.1): comparison predicates on ``id`` — the source's
+    physical ordering key — are ABSORBED by narrowing the generated
+    [lo, hi) row range, so pruning happens at PLAN time and pruned
+    partitions are never scheduled (the 100 TB semantic: a predicate
+    on the sort/partition key must cut work, not just rows after the
+    scan). Everything else (predicates on k/v, disjunctions, IN) is
+    yielded back per the API contract — Spark evaluates those post
+    scan, which keeps correctness independent of what the source
+    understands. partitions() splits only the SURVIVING range and
+    drops empty splits, so len(partitions()) is the observable
+    pruning proof pinned by tests/test_pyds.py."""
+
+    def __init__(self, options):
+        self.n = int(options.get("n", 0))
+        self.parts = int(options.get("parts", 8))
+        self.lo = 0
+        self.hi = self.n
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        for f in filters:
+            v = getattr(f, "value", None)
+            if getattr(f, "attribute", None) == ("id",) and isinstance(
+                v, int
+            ) and not isinstance(v, bool):
+                if isinstance(f, GreaterThan):
+                    self.lo = max(self.lo, v + 1)
+                elif isinstance(f, GreaterThanOrEqual):
+                    self.lo = max(self.lo, v)
+                elif isinstance(f, LessThan):
+                    self.hi = min(self.hi, v)
+                elif isinstance(f, LessThanOrEqual):
+                    self.hi = min(self.hi, v + 1)
+                elif isinstance(f, EqualTo):
+                    self.lo = max(self.lo, v)
+                    self.hi = min(self.hi, v + 1)
+                else:
+                    yield f  # unsupported comparison shape on id
+            else:
+                yield f  # non-id column / non-integer — Spark's job
+
+    def partitions(self):
+        lo, hi = self.lo, max(self.lo, self.hi)
+        chunk = max(1, -(-(self.n or 1) // self.parts))  # pre-pushdown width
+        out = []
+        p_lo = lo
+        while p_lo < hi:
+            p_hi = min(p_lo + chunk, hi)
+            out.append(InputPartition((p_lo, p_hi)))
+            p_lo = p_hi
+        return out or [InputPartition((0, 0))]
+
+    def read(self, partition):
+        lo, hi = partition.value
+        if hi > lo:
+            yield _arrow_batch(lo, hi)
+
+
+class PushdownRangeDataSource(DataSource):
+    """format("rc_rag_pushrange") — the synthetic series as a batch
+    source whose reader implements pushFilters (id-range absorption +
+    partition pruning)."""
+
+    @classmethod
+    def name(cls):
+        return "rc_rag_pushrange"
+
+    def schema(self):
+        return ROW_SCHEMA
+
+    def reader(self, schema):
+        return _PushdownRangeReader(self.options)
 
 
 # --------------------------------------------------------------------------
@@ -400,5 +489,6 @@ def register_all(spark) -> None:
         RangeStreamDataSource,
         SimpleRangeStreamDataSource,
         JsonlDirDataSource,
+        PushdownRangeDataSource,
     ):
         spark.dataSource.register(src)

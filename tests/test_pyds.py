@@ -538,3 +538,78 @@ def test_vacuum_idempotent_and_empty_sink(tmp_path):
     w.commit([m])
     assert pyds.vacuum_sink(d) == [orphan.filename]
     assert pyds.vacuum_sink(d) == []
+
+
+def test_pushdown_reader_absorbs_id_range_and_prunes_partitions():
+    """pushFilters absorbed-vs-yielded split, driven directly: id
+    comparisons narrow [lo, hi) (exact off-by-one semantics per
+    operator), non-id filters come back for Spark, and partitions()
+    emits only splits overlapping the surviving range."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        LessThan,
+        StringStartsWith,
+    )
+
+    r = pyds._PushdownRangeReader({"n": "20000", "parts": "8"})
+    residual = list(
+        r.pushFilters(
+            [
+                GreaterThanOrEqual(("id",), 2500),
+                LessThan(("id",), 9000),
+                EqualTo(("k",), 3),            # non-id -> Spark's
+                StringStartsWith(("v",), "1"),  # unsupported -> Spark's
+            ]
+        )
+    )
+    assert (r.lo, r.hi) == (2500, 9000)
+    assert {type(f).__name__ for f in residual} == {
+        "EqualTo",
+        "StringStartsWith",
+    }
+    # chunk stays the PRE-pushdown width (20000/8 = 2500), so the
+    # surviving range [2500, 9000) needs exactly 3 of 8 splits
+    parts = r.partitions()
+    assert [p.value for p in parts] == [
+        (2500, 5000),
+        (5000, 7500),
+        (7500, 9000),
+    ]
+    # strict > and = have their own boundary arithmetic
+    r2 = pyds._PushdownRangeReader({"n": "100", "parts": "4"})
+    assert list(r2.pushFilters([GreaterThan(("id",), 10)])) == []
+    assert r2.lo == 11
+    r3 = pyds._PushdownRangeReader({"n": "100", "parts": "4"})
+    assert list(r3.pushFilters([EqualTo(("id",), 42)])) == []
+    assert (r3.lo, r3.hi) == (42, 43)
+    assert [p.value for p in r3.partitions()] == [(42, 43)]
+    # contradiction -> empty scan, not a crash
+    r4 = pyds._PushdownRangeReader({"n": "100", "parts": "4"})
+    list(r4.pushFilters([GreaterThanOrEqual(("id",), 90),
+                         LessThan(("id",), 10)]))
+    assert [p.value for p in r4.partitions()] == [(0, 0)]
+    assert list(r4.read(r4.partitions()[0])) == []
+
+
+def test_pushdown_source_end_to_end_matches_unfiltered_twin(spark):
+    """Through the engine: the pushdown source under a mixed predicate
+    must equal the same predicate applied to an unpushed materialized
+    twin, and the scan must plan only the surviving partitions."""
+    pyds.register_all(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    base = (
+        spark.read.format("rc_rag_pushrange")
+        .option("n", "20000")
+        .option("parts", "8")
+    )
+    pred = "id >= 2500 AND id < 9000 AND k <> 3"
+    got = base.load().where(pred)
+    twin = pyds.series_batch_df(spark, 20000).where(pred)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, twin.collect())
+    )
+    # pruning is visible in the physical scan's partition count
+    assert got.rdd.getNumPartitions() == 3
+    assert base.load().rdd.getNumPartitions() == 8

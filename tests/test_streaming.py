@@ -862,3 +862,79 @@ def test_statestore_reader_matches_batch_counts(spark, events_dir):
         import shutil as _sh
 
         _sh.rmtree(ckpt, ignore_errors=True)
+
+
+def test_tws_gap_sessionization_matches_builtin_session_window(
+    spark, events_dir
+):
+    """A custom transformWithStateInPandas gap sessionizer must
+    reproduce the built-in session_window aggregation exactly (per
+    user: sessions split on >30-minute idle gaps; compare session
+    start, end = last event + gap, and event count). Built-in and
+    custom implementations share no code path — the built-in is a
+    Catalyst aggregate, the custom one splits inside an Arrow batch —
+    so agreement pins the gap semantics themselves."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    from rc_rag_spark.vendor import ensure_protobuf_shim
+
+    ensure_protobuf_shim(spark)
+    _ = spark.streams.active  # StateStoreCoordinator for batch mode
+
+    gap = "30 minutes"
+    ev = batch_events(spark, events_dir)
+    want = (
+        ev.groupBy("user_id", F.session_window("ts", gap))
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("s_start"),
+            F.col("session_window.end").alias("s_end"),
+            "n",
+        )
+    )
+
+    class GapSessions(StatefulProcessor):
+        def init(self, handle):
+            # batch mode still requires at least one state handle
+            self._seen = handle.getValueState("seen", "seen BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            ts = (
+                pd.concat([pdf["ts"] for pdf in rows])
+                .sort_values()
+                .reset_index(drop=True)
+            )
+            self._seen.update((len(ts),))
+            new_session = ts.diff() > pd.Timedelta(minutes=30)
+            sid = new_session.cumsum()
+            g = ts.groupby(sid)
+            out = pd.DataFrame(
+                {
+                    "user_id": key[0],
+                    "s_start": g.min(),
+                    "s_end": g.max() + pd.Timedelta(minutes=30),
+                    "n": g.count().astype("int64"),
+                }
+            )
+            yield out
+
+        def close(self):
+            pass
+
+    got = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=GapSessions(),
+        outputStructType="user_id bigint, s_start timestamp, "
+        "s_end timestamp, n bigint",
+        outputMode="Update",
+        timeMode="None",
+    )
+    cols = ["user_id", "s_start", "s_end", "n"]
+    assert canon(got.collect(), cols) == canon(want.collect(), cols)
+    # non-trivial: some user actually has >1 session and >1 event
+    import collections
+
+    per_user = collections.Counter(r["user_id"] for r in want.collect())
+    assert max(per_user.values()) > 1

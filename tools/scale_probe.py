@@ -135,6 +135,7 @@ DEFAULT = [
     "q283_kmv_joinability",
     "q284_crawl_curation_funnel",
     "q285_compaction_roundtrip",
+    "q286_pyds_filter_pushdown",
 ]
 
 
