@@ -47,7 +47,11 @@ def audit_files(spark, path: str):
         )
         .distinct()
     )
-    rel = F.regexp_replace("file_path", f"^file:{base}/", "")
+    # length-based strip, not regexp: the base path is data, and a
+    # regex-metacharacter in a directory name must not corrupt the
+    # census
+    prefix = f"file:{base}/"
+    rel = F.substring("file_path", len(prefix) + 1, 1 << 30)
     part = F.when(
         rel.contains("/"), F.regexp_extract(rel, r"^(.*)/[^/]+$", 1)
     ).otherwise(F.lit(""))
@@ -63,22 +67,37 @@ def audit_files(spark, path: str):
     )
 
 
-def compact(spark, src: str, dst: str, target_bytes: int) -> list[dict]:
+def compact(
+    spark,
+    src: str,
+    dst: str,
+    target_bytes: int,
+    max_concurrency: int = 4,
+) -> list[dict]:
     """Rewrite ``src`` (optionally hive-partitioned parquet) into
     ``dst`` with ~target_bytes files per partition. Returns the
     per-partition plan that was executed:
     [{partition, n_files_before, total_bytes, n_files_planned}, ...].
 
+    Each partition's rewrite is an INDEPENDENT Spark job, so they are
+    submitted from a small thread pool (``max_concurrency``) — Spark's
+    scheduler interleaves concurrent jobs across executors, which is
+    the difference between "one maintenance window" and "one job per
+    partition, serially" when a table has thousands of hive
+    partitions. The driver-side plan list itself stays metadata-scale.
+
     Skip rule: a partition whose file count already matches its
     planned count is rewritten anyway only if dst != src semantics
     require a full copy — here dst is always a fresh directory, so
     every partition is written exactly once with its planned width."""
+    from concurrent.futures import ThreadPoolExecutor
+
     plan_rows = sorted(
         (r.asDict() for r in audit_files(spark, src).collect()),
         key=lambda r: r["partition"],
     )
-    executed = []
-    for row in plan_rows:
+
+    def rewrite(row: dict) -> dict:
         part = row["partition"]
         n_out = max(1, math.ceil(row["total_bytes"] / target_bytes))
         part_src = os.path.join(src, part) if part else src
@@ -89,12 +108,14 @@ def compact(spark, src: str, dst: str, target_bytes: int) -> list[dict]:
             .write.mode("overwrite")
             .parquet(part_dst)
         )
-        executed.append(
-            {
-                "partition": part,
-                "n_files_before": row["n_files"],
-                "total_bytes": row["total_bytes"],
-                "n_files_planned": n_out,
-            }
-        )
+        return {
+            "partition": part,
+            "n_files_before": row["n_files"],
+            "total_bytes": row["total_bytes"],
+            "n_files_planned": n_out,
+        }
+
+    workers = max(1, min(max_concurrency, len(plan_rows) or 1))
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        executed = list(pool.map(rewrite, plan_rows))
     return executed
