@@ -613,3 +613,60 @@ def test_pushdown_source_end_to_end_matches_unfiltered_twin(spark):
     # pruning is visible in the physical scan's partition count
     assert got.rdd.getNumPartitions() == 3
     assert base.load().rdd.getNumPartitions() == 8
+
+
+def test_pushdown_range_absorption_property():
+    """Property (hypothesis): for ANY conjunction of id comparisons,
+    the reader's surviving [lo, hi) × its partition tiling covers
+    exactly the ids a brute-force evaluation keeps — no off-by-one on
+    any operator, no gap or overlap between partition splits."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        LessThan,
+        LessThanOrEqual,
+    )
+
+    OPS = [
+        (GreaterThan, lambda i, v: i > v),
+        (GreaterThanOrEqual, lambda i, v: i >= v),
+        (LessThan, lambda i, v: i < v),
+        (LessThanOrEqual, lambda i, v: i <= v),
+        (EqualTo, lambda i, v: i == v),
+    ]
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=300),
+        parts=st.integers(min_value=1, max_value=9),
+        specs=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=4),
+                st.integers(min_value=-5, max_value=305),
+            ),
+            max_size=5,
+        ),
+    )
+    def check(n, parts, specs):
+        r = pyds._PushdownRangeReader({"n": str(n), "parts": str(parts)})
+        residual = list(
+            r.pushFilters([OPS[op][0](("id",), v) for op, v in specs])
+        )
+        assert residual == []  # every id comparison is absorbable
+        want = {
+            i
+            for i in range(n)
+            if all(OPS[op][1](i, v) for op, v in specs)
+        }
+        tiles = [p.value for p in r.partitions()]
+        got = set()
+        for lo, hi in tiles:
+            span = set(range(lo, hi))
+            assert not (span & got), "overlapping partition splits"
+            got |= span
+        assert got == want
+
+    check()
