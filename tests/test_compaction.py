@@ -106,3 +106,32 @@ def test_compact_respects_target_bytes(spark, sf_dir):
     finally:
         for d in (frag, fine, one):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_compact_concurrency_levels_agree(spark, sf_dir):
+    """The thread-pooled rewrite is a pure parallelization: plans and
+    output content at max_concurrency=1 and =8 must be identical
+    (plan order is sorted by partition, so the returned list is
+    deterministic regardless of completion order)."""
+    frag = tempfile.mkdtemp(prefix="rc_rag_compact_cc_frag_")
+    seq = tempfile.mkdtemp(prefix="rc_rag_compact_cc_seq_")
+    par = tempfile.mkdtemp(prefix="rc_rag_compact_cc_par_")
+    try:
+        table(spark, sf_dir, "events").repartition(7).write.mode(
+            "overwrite"
+        ).partitionBy("event_type").parquet(frag)
+        plan_seq = compact(
+            spark, frag, seq, target_bytes=1 << 20, max_concurrency=1
+        )
+        plan_par = compact(
+            spark, frag, par, target_bytes=1 << 20, max_concurrency=8
+        )
+        assert plan_seq == plan_par and len(plan_seq) >= 2
+        key = lambda d: sorted(
+            (r["event_id"], r["user_id"]) for r in
+            spark.read.parquet(d).collect()
+        )
+        assert key(seq) == key(par)
+    finally:
+        for d in (frag, seq, par):
+            shutil.rmtree(d, ignore_errors=True)
