@@ -346,9 +346,22 @@ def q283_kmv_joinability(spark, sf_dir):
     hash is deterministic md5, the ESTIMATES THEMSELVES hash-match
     the oracle — the sketch's arithmetic is pinned, not just bounded.
     NULL keys are excluded from sketches exactly as COUNT(DISTINCT)
-    excludes them."""
-    from pyspark.sql import Window
+    excludes them.
 
+    Plan note: "k smallest" is expressed as orderBy().limit(k), which
+    Spark plans directly as TakeOrderedAndProject — each partition
+    keeps its local top-k and only k rows per partition reach the
+    merge. The r10 first cut spelled it row_number() OVER (ORDER BY
+    hv) + literal rk <= k; on Spark 4.1 the optimizer rescues that
+    shape (limit-pushdown-through-window plants a TakeOrdered below
+    the Window), but the rescue is pattern-sensitive — a non-literal
+    bound, or the rank aliased through another projection, regresses
+    to an empty-frame global window, i.e. every distinct hash of the
+    column sorted in ONE task. The direct top-k plan has no Window
+    node to rescue (plan-asserted: 50 TakeOrderedAndProject, 0
+    Window) and measured ~1.4x faster at sf1 across closing runs
+    (15.0 s -> 10.3 s, growth per 10x 2.57x -> 1.59x). Same rows
+    either way (hv values are distinct, no tie ambiguity)."""
     rows = []
     for ta, ca, tb, cb in _J_PAIRS:
 
@@ -365,24 +378,11 @@ def q283_kmv_joinability(spark, sf_dir):
                 )
                 .distinct()
             )
-            w = Window.orderBy("hv")
-            return (
-                h.select("hv", F.row_number().over(w).alias("rk"))
-                .where(F.col("rk") <= _KMVJ_K)
-                .select("hv")
-            )
+            return h.orderBy("hv").limit(_KMVJ_K)
 
         ak = sketch(ta, ca)
         bk = sketch(tb, cb)
-        uk = (
-            ak.union(bk).distinct()
-            .select(
-                "hv",
-                F.row_number().over(Window.orderBy("hv")).alias("rk"),
-            )
-            .where(F.col("rk") <= _KMVJ_K)
-            .select("hv")
-        )
+        uk = ak.union(bk).distinct().orderBy("hv").limit(_KMVJ_K)
         astat = ak.agg(F.max("hv").alias("kth_a"), F.count("*").alias("ke_a"))
         bstat = bk.agg(F.max("hv").alias("kth_b"), F.count("*").alias("ke_b"))
         ustat = uk.agg(F.max("hv").alias("kth_u"), F.count("*").alias("ke_u"))
