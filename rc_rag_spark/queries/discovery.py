@@ -310,12 +310,17 @@ def _kmvj_sql() -> str:
                     JOIN (SELECT DISTINCT {cb} FROM {tb}) b
                       ON b.{cb} = a.{ca}) AS n_common)
         SELECT CAST(ke_u AS INTEGER) AS ke_u,
-               round((ke_a - 1) / (kth_a / {_KMVJ_SCALE}), 9) AS est_nd_a,
-               round((ke_b - 1) / (kth_b / {_KMVJ_SCALE}), 9) AS est_nd_b,
+               round(CASE WHEN ke_a < {_KMVJ_K} THEN CAST(ke_a AS DOUBLE)
+                          ELSE (ke_a - 1) / (kth_a / {_KMVJ_SCALE}) END, 9)
+                   AS est_nd_a,
+               round(CASE WHEN ke_b < {_KMVJ_K} THEN CAST(ke_b AS DOUBLE)
+                          ELSE (ke_b - 1) / (kth_b / {_KMVJ_SCALE}) END, 9)
+                   AS est_nd_b,
                round(n_i / CAST(ke_u AS DOUBLE), 9) AS est_jaccard,
                round((n_i / CAST(ke_u AS DOUBLE))
-                     * ((ke_u - 1) / (kth_u / {_KMVJ_SCALE})), 9)
-                   AS est_n_common,
+                     * (CASE WHEN ke_u < {_KMVJ_K} THEN CAST(ke_u AS DOUBLE)
+                             ELSE (ke_u - 1) / (kth_u / {_KMVJ_SCALE}) END),
+                     9) AS est_n_common,
                CAST(nd_a AS BIGINT) AS nd_a,
                CAST(nd_b AS BIGINT) AS nd_b,
                CAST(n_common AS BIGINT) AS n_common
@@ -361,7 +366,31 @@ def q283_kmv_joinability(spark, sf_dir):
     node to rescue (plan-asserted: 50 TakeOrderedAndProject, 0
     Window) and measured ~1.4x faster at sf1 across closing runs
     (15.0 s -> 10.3 s, growth per 10x 2.57x -> 1.59x). Same rows
-    either way (hv values are distinct, no tie ambiguity)."""
+    either way (hv values are distinct, no tie ambiguity).
+
+    Estimator: the standard KMV branch — when a sketch is UNSATURATED
+    (ke < k: the column has fewer distinct values than sketch slots)
+    it holds every distinct hash, so ke IS the exact count and is
+    reported directly; the ratio form (ke-1)/(kth/2^60) with its
+    ~1/sqrt(k) ≈ 9% relative error applies only to saturated
+    sketches. Both engines branch identically, so the published
+    estimates stay hash-pinned AND correct for small-cardinality
+    columns (nationkey: est == 25 exactly).
+
+    This is the AUDIT variant (exact distinct-joins ride along as
+    nd_a/nd_b/n_common so the error is measurable). Production use on
+    a wide warehouse wants kmv_joinability(sketch_only=True), which
+    drops the exact columns — and with them every join keyed on raw
+    column values — leaving only the TakeOrdered sketch merges."""
+    return kmv_joinability(spark, sf_dir, sketch_only=False)
+
+
+def kmv_joinability(spark, sf_dir, sketch_only=False):
+    """The joinability operator behind q283. sketch_only=True is the
+    production path the q283 docstring's 500-table-warehouse claim
+    needs: no exact distinct-join per pair (those are a shuffle per
+    pair), only constant-size sketch merges — plan-asserted in
+    tests/test_plans.py::test_kmv_sketch_only_has_no_exact_join."""
     rows = []
     for ta, ca, tb, cb in _J_PAIRS:
 
@@ -391,39 +420,55 @@ def q283_kmv_joinability(spark, sf_dir):
             .join(bk, "hv", "left_semi")
             .agg(F.count("*").alias("n_i"))
         )
-        a_ex = table(spark, sf_dir, ta).select(F.col(ca).alias("k")).distinct()
-        b_ex = table(spark, sf_dir, tb).select(F.col(cb).alias("k")).distinct()
-        ex = (
-            a_ex.join(b_ex, "k")
-            .agg(F.count("*").alias("n_common"))
-            .crossJoin(F.broadcast(a_ex.agg(F.count("k").alias("nd_a"))))
-            .crossJoin(F.broadcast(b_ex.agg(F.count("k").alias("nd_b"))))
-        )
         scale = F.lit(1152921504606846976).cast("double")
-        union_est = (F.col("ke_u") - 1) / (F.col("kth_u") / scale)
+
+        def est(ke, kth):
+            # unsaturated sketch (ke < k) holds every distinct hash:
+            # ke is exact; the (ke-1)/(kth/2^60) ratio is for ke == k
+            return F.when(
+                F.col(ke) < _KMVJ_K, F.col(ke).cast("double")
+            ).otherwise((F.col(ke) - 1) / (F.col(kth) / scale))
+
+        union_est = est("ke_u", "kth_u")
         jacc = F.col("n_i") / F.col("ke_u").cast("double")
-        rows.append(
+        base = (
             astat.crossJoin(F.broadcast(bstat))
             .crossJoin(F.broadcast(ustat))
             .crossJoin(F.broadcast(inter))
-            .crossJoin(F.broadcast(ex))
-            .select(
-                F.lit(f"{ta}.{ca}").alias("col_a"),
-                F.lit(f"{tb}.{cb}").alias("col_b"),
-                F.col("ke_u").cast("int").alias("ke_u"),
-                F.round(
-                    (F.col("ke_a") - 1) / (F.col("kth_a") / scale), 9
-                ).alias("est_nd_a"),
-                F.round(
-                    (F.col("ke_b") - 1) / (F.col("kth_b") / scale), 9
-                ).alias("est_nd_b"),
-                F.round(jacc, 9).alias("est_jaccard"),
-                F.round(jacc * union_est, 9).alias("est_n_common"),
+        )
+        cols = [
+            F.lit(f"{ta}.{ca}").alias("col_a"),
+            F.lit(f"{tb}.{cb}").alias("col_b"),
+            F.col("ke_u").cast("int").alias("ke_u"),
+            F.round(est("ke_a", "kth_a"), 9).alias("est_nd_a"),
+            F.round(est("ke_b", "kth_b"), 9).alias("est_nd_b"),
+            F.round(jacc, 9).alias("est_jaccard"),
+            F.round(jacc * union_est, 9).alias("est_n_common"),
+        ]
+        if not sketch_only:
+            a_ex = (
+                table(spark, sf_dir, ta)
+                .select(F.col(ca).alias("k"))
+                .distinct()
+            )
+            b_ex = (
+                table(spark, sf_dir, tb)
+                .select(F.col(cb).alias("k"))
+                .distinct()
+            )
+            ex = (
+                a_ex.join(b_ex, "k")
+                .agg(F.count("*").alias("n_common"))
+                .crossJoin(F.broadcast(a_ex.agg(F.count("k").alias("nd_a"))))
+                .crossJoin(F.broadcast(b_ex.agg(F.count("k").alias("nd_b"))))
+            )
+            base = base.crossJoin(F.broadcast(ex))
+            cols += [
                 F.col("nd_a").cast("bigint").alias("nd_a"),
                 F.col("nd_b").cast("bigint").alias("nd_b"),
                 F.col("n_common").cast("bigint").alias("n_common"),
-            )
-        )
+            ]
+        rows.append(base.select(*cols))
     out = rows[0]
     for r in rows[1:]:
         out = out.unionByName(r)

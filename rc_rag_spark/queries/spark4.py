@@ -1245,29 +1245,49 @@ def q286_pyds_filter_pushdown(spark, sf_dir):
     applies all three predicates to the generate_series twin, so a
     source that narrowed the range wrongly (off-by-one on >, <=) or
     dropped the residual breaks the hash. Partition-count pruning
-    itself is pinned in tests/test_pyds.py."""
+    itself is pinned in tests/test_pyds.py.
+
+    Conf hygiene: filterPushdown.enabled is session-global, so it is
+    set only for the duration of an eager localCheckpoint of the
+    (tiny, post-aggregate) result and restored to its prior value —
+    a later Python DataSource in the same session must not silently
+    inherit pushdown because this query happened to run first. The
+    returned plan is therefore the checkpointed scan (same eagerness
+    pattern as q285/q230's maintenance queries)."""
     from rc_rag_spark.sources.pyds import register_all
 
     register_all(spark)
     # runtime-settable gate for pushFilters (default false in 4.1)
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    df = (
-        spark.read.format("rc_rag_pushrange")
-        .option("n", str(_Q286_N))
-        .option("parts", "8")
-        .load()
-        .where(
-            (F.col("id") >= _Q286_LO)
-            & (F.col("id") < _Q286_HI)
-            & (F.col("k") != 3)
+    conf_key = "spark.sql.python.filterPushdown.enabled"
+    prior = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "true")
+    try:
+        df = (
+            spark.read.format("rc_rag_pushrange")
+            .option("n", str(_Q286_N))
+            .option("parts", "8")
+            .load()
+            .where(
+                (F.col("id") >= _Q286_LO)
+                & (F.col("id") < _Q286_HI)
+                & (F.col("k") != 3)
+            )
         )
-    )
-    return df.groupBy("k").agg(
-        F.count("*").alias("n_rows"),
-        F.sum(F.col("v").cast("decimal(18,6)")).cast("double").alias("sum_v"),
-        F.min("id").alias("min_id"),
-        F.max("id").alias("max_id"),
-    )
+        out = df.groupBy("k").agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("v").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_v"),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+        )
+        # materialize under the conf; the pruned scan runs HERE
+        return out.localCheckpoint(eager=True)
+    finally:
+        if prior is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prior)
 
 
 @register(

@@ -294,3 +294,36 @@ def test_kmv_topk_limit_pushdown(spark, sf_dir):
 def test_weighted_reservoir_takeordered(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q207_weighted_reservoir")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_kmv_sketch_only_has_no_exact_join(spark, sf_dir):
+    """q283's production path (sketch_only=True) must contain NO join
+    keyed on raw column values — the exact distinct-join audit (one
+    shuffle per candidate pair, dead on a 500-table warehouse) is the
+    thing the flag removes. The audit variant keeps it, proving the
+    assertion has teeth. The sketch merges remain TakeOrdered-shaped
+    and Window-free in both variants."""
+    import re
+
+    from rc_rag_spark.queries.discovery import kmv_joinability
+
+    exact_key = re.compile(r"Join.*\[k#\d+")
+
+    prod = kmv_joinability(spark, sf_dir, sketch_only=True)
+    plan = prod._jdf.queryExecution().executedPlan().toString()
+    assert not any(exact_key.search(l) for l in plan.splitlines())
+    assert "n_common" not in prod.columns
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+    audit = kmv_joinability(spark, sf_dir, sketch_only=False)
+    aplan = audit._jdf.queryExecution().executedPlan().toString()
+    assert any(exact_key.search(l) for l in aplan.splitlines())
+    assert "n_common" in audit.columns
+    assert "Window" not in aplan
+
+    # the estimates themselves are identical across variants
+    est_cols = [c for c in prod.columns]
+    assert sorted(map(tuple, prod.collect())) == sorted(
+        map(tuple, audit.select(*est_cols).collect())
+    )

@@ -598,21 +598,29 @@ def test_pushdown_source_end_to_end_matches_unfiltered_twin(spark):
     must equal the same predicate applied to an unpushed materialized
     twin, and the scan must plan only the surviving partitions."""
     pyds.register_all(spark)
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    base = (
-        spark.read.format("rc_rag_pushrange")
-        .option("n", "20000")
-        .option("parts", "8")
-    )
-    pred = "id >= 2500 AND id < 9000 AND k <> 3"
-    got = base.load().where(pred)
-    twin = pyds.series_batch_df(spark, 20000).where(pred)
-    assert sorted(map(tuple, got.collect())) == sorted(
-        map(tuple, twin.collect())
-    )
-    # pruning is visible in the physical scan's partition count
-    assert got.rdd.getNumPartitions() == 3
-    assert base.load().rdd.getNumPartitions() == 8
+    conf_key = "spark.sql.python.filterPushdown.enabled"
+    prior = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "true")
+    try:
+        base = (
+            spark.read.format("rc_rag_pushrange")
+            .option("n", "20000")
+            .option("parts", "8")
+        )
+        pred = "id >= 2500 AND id < 9000 AND k <> 3"
+        got = base.load().where(pred)
+        twin = pyds.series_batch_df(spark, 20000).where(pred)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, twin.collect())
+        )
+        # pruning is visible in the physical scan's partition count
+        assert got.rdd.getNumPartitions() == 3
+        assert base.load().rdd.getNumPartitions() == 8
+    finally:
+        if prior is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prior)
 
 
 def test_pushdown_range_absorption_property():
