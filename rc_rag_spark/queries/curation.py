@@ -680,8 +680,10 @@ _Q284_QUALITY_MIN = 818  # letters-per-kilochar floor (binds ~half)
 
 @register(
     "q284_crawl_curation_funnel",
-    sql=f"""
-    WITH {_values_cte('psl2', _PSL2)},
+    sql=_bpe_cte_prefix()
+    + _BPE_DOC_CTES
+    + f""",
+    {_values_cte('psl2', _PSL2)},
     {_values_cte('psl1', _PSL1)},
     u AS (
         SELECT doc_id, source, {_URL_EXPR} AS url FROM documents),
@@ -716,9 +718,9 @@ _Q284_QUALITY_MIN = 818  # letters-per-kilochar floor (binds ~half)
                    // t.n_chars AS bucket
         FROM quota q JOIN documents t ON t.doc_id = q.doc_id),
     d AS (
-        SELECT doc_id, source,
-               CAST(ceil(n_chars / 4.0) AS BIGINT) AS tokens, bucket
-        FROM quality WHERE bucket >= {_Q284_QUALITY_MIN}),{{SEL}}
+        SELECT ql.doc_id, ql.source, b.bpe_tokens AS tokens, ql.bucket
+        FROM quality ql JOIN doc b ON b.doc_id = ql.doc_id
+        WHERE ql.bucket >= {_Q284_QUALITY_MIN}),{{SEL}}
     f0 AS (SELECT source, COUNT(*) AS n_raw FROM documents
            GROUP BY source),
     f1 AS (SELECT source, COUNT(*) AS n_dedup FROM dedup
@@ -755,16 +757,23 @@ def q284_crawl_curation_funnel(spark, sf_dir):
       registrable, md5-ordered)--> --(3) quality floor (q247's
       integer letters-per-kilochar bucket >= {_Q284_QUALITY_MIN})-->
       --(4) global token-budget selection (the q247 kernel, half the
-      surviving tokens, best buckets first)-->
+      surviving tokens, best buckets first) spent in REAL BPE tokens
+      (q275's learned-tokenizer counts via bpe_doc_token_counts, not
+      the ceil(chars/4) proxy — the budget the funnel allocates is
+      the budget a training run would actually spend)-->
 
     with the per-source ATTRITION FUNNEL (raw / after-dedup /
     after-quota / after-quality / selected / tokens) as output — what
     a data-governance review actually signs off on. Every stage's
     survivor set is hash-pinned through the funnel counts, so a
     semantic drift in ANY stage (canonicalization, PSL matching,
-    quota ordering, bucket arithmetic, budget boundary) breaks the
-    check. Scale shape: stages 1-2 are window-dedups on canonical /
-    registrable keys, stage 3 is a map-side filter, stage 4 touches
+    quota ordering, bucket arithmetic, tokenizer encode, budget
+    boundary) breaks the check — the oracle replays BPE induction +
+    encode as the same chained-CTE program q275/q276 use, prepended
+    to the URL CTEs. Scale shape: stages 1-2 are window-dedups on
+    canonical / registrable keys, stage 3 is a map-side filter, the
+    tokenizer join is doc_id-keyed (per-row Python confined to the
+    distinct-word vocabulary, q275's accounting), and stage 4 touches
     only the boundary bucket — no stage adds an unbounded shuffle."""
     reg = _with_registrable(_parsed_urls(spark, sf_dir))
     c = reg.select("doc_id", "source", "registrable", canonical_url_col())
@@ -796,14 +805,14 @@ def q284_crawl_curation_funnel(spark, sf_dir):
         "doc_id", "n_chars",
         F.expr(f"(1000 * {_Q247_LETTERS}) div n_chars").alias("bucket"),
     )
+    per_doc = bpe_doc_token_counts(spark, sf_dir).select(
+        "doc_id", F.col("bpe_tokens").alias("tokens")
+    )
     d = (
         quota.join(docs, "doc_id")
         .where(F.col("bucket") >= _Q284_QUALITY_MIN)
-        .select(
-            "doc_id", "source",
-            F.ceil(F.col("n_chars") / 4.0).cast("bigint").alias("tokens"),
-            "bucket",
-        )
+        .join(per_doc, "doc_id")
+        .select("doc_id", "source", "tokens", "bucket")
     )
     sel = budget_selected_docs(d)
 
