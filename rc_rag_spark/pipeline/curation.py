@@ -23,7 +23,7 @@ from __future__ import annotations
 import os
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from rc_rag_spark.operators import dedup as DD
@@ -190,6 +190,111 @@ class CurationPipeline:
         self._steps.append(("decontaminate", step))
         return self._with_params(
             "decontaminate", {"shingle_tokens": shingle_tokens}
+        )
+
+    # --- URL curation steps (the q277-q282 family as resumable stages;
+    # imports are deferred so pipeline construction never drags the
+    # full query registry in) ------------------------------------------
+
+    def url_canonical_dedup(self, url_col: str = "url") -> "CurationPipeline":
+        """Keep one doc per CANONICAL URL (q280 semantics: lowercase
+        host, default ports stripped, one trailing slash trimmed,
+        query params sorted, fragment dropped; min id wins). Expressed
+        as groupBy(canonical).min(id) — membership-identical to q284's
+        rn=1 window but with map-side partial aggregation, so a
+        mega-site's URL variants combine before the exchange."""
+
+        def step(df: DataFrame) -> DataFrame:
+            from rc_rag_spark.queries.curation import (
+                canonical_url_col,
+                parse_urls,
+            )
+
+            parsed = parse_urls(
+                df.select(self.id_col, F.col(url_col).alias("url"))
+            )
+            keep = (
+                parsed.select(self.id_col, canonical_url_col())
+                .groupBy("canonical")
+                .agg(F.min(self.id_col).alias(self.id_col))
+                .select(self.id_col)
+            )
+            return df.join(keep, self.id_col, "left_semi")
+
+        self._steps.append(("url_canonical_dedup", step))
+        return self._with_params("url_canonical_dedup", {"url_col": url_col})
+
+    def url_blocklist(
+        self, blocked_domains: list[str], url_col: str = "url"
+    ) -> "CurationPipeline":
+        """Drop docs whose registrable domain (eTLD+1, PSL
+        longest-suffix match on the lowercased host) is blocklisted —
+        q279's production crawl filter as a broadcast anti-join."""
+        blocked = sorted(set(blocked_domains))
+
+        def step(df: DataFrame) -> DataFrame:
+            from rc_rag_spark.queries.curation import (
+                _with_registrable,
+                parse_urls,
+            )
+
+            reg = _with_registrable(
+                parse_urls(
+                    df.select(self.id_col, F.col(url_col).alias("url"))
+                )
+            )
+            bl = self.spark.createDataFrame(
+                [(d,) for d in blocked], "registrable string"
+            )
+            bad = reg.join(
+                F.broadcast(bl), "registrable", "left_semi"
+            ).select(self.id_col)
+            return df.join(bad, self.id_col, "left_anti")
+
+        self._steps.append(("url_blocklist", step))
+        return self._with_params(
+            "url_blocklist",
+            {"blocked_domains": blocked, "url_col": url_col},
+        )
+
+    def domain_quota(
+        self, max_per_domain: int = 3, url_col: str = "url"
+    ) -> "CurationPipeline":
+        """At most K docs per registrable domain (q282 semantics:
+        deterministic md5(id)-ordered sample inside each domain, id
+        tiebreak — crawl-order prefixes would bias toward
+        homepage-adjacent pages). The literal rank<=K filter is
+        WindowGroupLimit-eligible: each task forwards at most K rows
+        per domain before the exchange, which is what keeps a
+        mega-domain from single-tasking the window."""
+
+        def step(df: DataFrame) -> DataFrame:
+            from rc_rag_spark.queries.curation import (
+                _with_registrable,
+                parse_urls,
+            )
+
+            reg = _with_registrable(
+                parse_urls(
+                    df.select(self.id_col, F.col(url_col).alias("url"))
+                )
+            )
+            w = Window.partitionBy("registrable").orderBy(
+                F.md5(F.col(self.id_col).cast("string")), F.col(self.id_col)
+            )
+            keep = (
+                reg.select(
+                    self.id_col, F.row_number().over(w).alias("_rn")
+                )
+                .where(F.col("_rn") <= max_per_domain)
+                .select(self.id_col)
+            )
+            return df.join(keep, self.id_col, "left_semi")
+
+        self._steps.append(("domain_quota", step))
+        return self._with_params(
+            "domain_quota",
+            {"max_per_domain": max_per_domain, "url_col": url_col},
         )
 
     # --- execution -----------------------------------------------------

@@ -1,0 +1,261 @@
+"""CurationPipeline (pipeline/curation.py): chained operators must
+equal composing them by hand, stages must resume from disk, parameter
+changes must invalidate (with cascade), and the URL stages must be
+membership-equivalent to the q284 funnel's own window formulations.
+
+(Restored as its own file after the r10 rewrite of test_curation.py
+replaced these with the q275-q284 query-family tests — the pipeline
+is a live shipped module and needs its regression coverage.)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from rc_rag_spark.operators import textstats as TS
+from rc_rag_spark.pipeline.curation import (
+    CurationPipeline,
+    contaminated_ids,
+    near_dup_drop_ids,
+)
+from rc_rag_spark.sources import table
+
+
+@pytest.fixture()
+def workdir():
+    d = tempfile.mkdtemp(prefix="curation_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _docs_with_dups(spark, sf_dir):
+    """Documents plus planted exact and near duplicates."""
+    d = table(spark, sf_dir, "documents")
+    exact = d.where(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    words = F.split("text", " ")
+    near = d.where(F.col("doc_id") % 23 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.array_join(
+            F.concat(F.slice(words, 1, 40), F.array(F.lit("zzz"))), " "
+        ).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    return d.unionByName(exact).unionByName(near)
+
+
+def test_pipeline_matches_manual_composition(spark, sf_dir, workdir):
+    docs = _docs_with_dups(spark, sf_dir)
+    bench = table(spark, sf_dir, "documents").where(F.col("doc_id") < 10)
+
+    pipe = (
+        CurationPipeline(spark, workdir)
+        .exact_dedup()
+        .near_dedup(jaccard_threshold=0.5)
+        .quality_filter(min_score=0.3)
+        .decontaminate(bench)
+    )
+    got = {r["doc_id"] for r in pipe.run(docs).select("doc_id").collect()}
+
+    # manual composition of the same operators — raw md5, NOT
+    # DD.fingerprint: exact_dedup deliberately keys on the raw text
+    # (the normalizing fingerprint would collapse case/punctuation
+    # variants, a different spec than the pipeline implements)
+    keep = (
+        docs.groupBy(F.md5(F.col("text")).alias("_fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    s1 = docs.join(keep, "doc_id", "left_semi")
+    s2 = s1.join(near_dup_drop_ids(s1), "doc_id", "left_anti")
+    s3 = s2.where(TS.quality_score(F.col("text")) >= 0.3)
+    s4 = s3.join(contaminated_ids(s3, bench), "doc_id", "left_anti")
+    want = {r["doc_id"] for r in s4.select("doc_id").collect()}
+
+    assert got == want and len(got) > 0
+
+    # the planted exact dups must be gone (min-id retention keeps the
+    # original), and at least one planted near-dup must be dropped
+    assert not any(i >= 1_000_000 and i < 2_000_000 for i in got)
+    assert any(i >= 2_000_000 for i in {r["doc_id"] for r in docs.collect()})
+    # report reconciles: in - dropped == out per step, chained
+    rep = pipe.report()
+    assert [n for n, *_ in rep] == [
+        "exact_dedup", "near_dedup", "quality_filter", "decontaminate"
+    ]
+    for name, rows_in, rows_out, dropped in rep:
+        assert rows_in - dropped == rows_out, name
+    assert rep[0][1] == docs.count()
+    assert rep[-1][2] == len(got)
+
+
+def test_pipeline_resumes_from_stages(spark, sf_dir, workdir):
+    """A second run with the same workdir must reuse the persisted
+    stages (no recompute) and return identical membership."""
+    docs = _docs_with_dups(spark, sf_dir)
+
+    def build():
+        return (
+            CurationPipeline(spark, workdir)
+            .exact_dedup()
+            .near_dedup()
+        )
+
+    first = {r["doc_id"] for r in build().run(docs).collect()}
+    stage0 = os.path.join(workdir, "00_exact_dedup", "_SUCCESS")
+    mtime = os.path.getmtime(stage0)
+    time.sleep(0.05)
+    second = {r["doc_id"] for r in build().run(docs).collect()}
+    assert second == first
+    assert os.path.getmtime(stage0) == mtime  # stage not rewritten
+
+
+def test_pipeline_invalidates_on_param_change(spark, sf_dir, workdir):
+    """Re-running with different step parameters must recompute the
+    stage (and cascade), never serve the stale-parameter table."""
+    docs = _docs_with_dups(spark, sf_dir)
+
+    def run_with(threshold):
+        return (
+            CurationPipeline(spark, workdir)
+            .exact_dedup()
+            .near_dedup(jaccard_threshold=threshold)
+            .run(docs)
+        )
+
+    first = {r["doc_id"] for r in run_with(0.5).collect()}
+    stage1 = os.path.join(workdir, "01_near_dedup", "_SUCCESS")
+    mtime = os.path.getmtime(stage1)
+    time.sleep(0.05)
+    # different threshold -> manifest mismatch -> stage recomputed
+    loose = {r["doc_id"] for r in run_with(0.05).collect()}
+    assert os.path.getmtime(stage1) != mtime
+    # a looser jaccard threshold can only drop MORE docs
+    assert loose <= first and len(loose) < len(first)
+
+
+# --- URL stages (round-11: the q277-q282 family as resumable stages) --
+
+
+def _docs_with_urls(spark, sf_dir):
+    from rc_rag_spark.queries.curation import _URL_EXPR
+
+    return table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text", F.expr(_URL_EXPR).alias("url")
+    )
+
+
+def test_url_stages_match_q284_funnel(spark, sf_dir, workdir):
+    """The resumable url_canonical_dedup -> domain_quota stages must
+    reproduce the q284 funnel's per-source n_dedup / n_quota counts
+    EXACTLY — same canonical form, same PSL matching, same md5-ordered
+    quota — so the production pipeline and the hash-checked funnel
+    query can never drift apart."""
+    import rc_rag_spark.queries as q
+    from rc_rag_spark.queries.curation import _Q282_QUOTA
+
+    docs = _docs_with_urls(spark, sf_dir)
+    pipe = (
+        CurationPipeline(spark, workdir)
+        .url_canonical_dedup()
+        .domain_quota(max_per_domain=_Q282_QUOTA)
+    )
+    pipe.run(docs)
+
+    def per_source(path):
+        return {
+            r["source"]: r["n"]
+            for r in spark.read.parquet(os.path.join(workdir, path))
+            .groupBy("source")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+
+    funnel = {
+        r["source"]: (r["n_dedup"], r["n_quota"])
+        for r in q.REGISTRY["q284_crawl_curation_funnel"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    dedup_counts = per_source("00_url_canonical_dedup")
+    quota_counts = per_source("01_domain_quota")
+    assert dedup_counts == {s: v[0] for s, v in funnel.items()}
+    assert quota_counts == {s: v[1] for s, v in funnel.items()}
+
+
+def test_url_blocklist_stage_matches_inline_antijoin(spark, sf_dir, workdir):
+    """The blocklist stage's kept set must equal the q279-style
+    registrable-domain anti-join composed by hand, and a stage with an
+    empty blocklist must be the identity."""
+    from rc_rag_spark.queries.curation import (
+        _BLOCKLIST,
+        _with_registrable,
+        parse_urls,
+    )
+
+    docs = _docs_with_urls(spark, sf_dir)
+    pipe = CurationPipeline(spark, workdir).url_blocklist(list(_BLOCKLIST))
+    got = {r["doc_id"] for r in pipe.run(docs).select("doc_id").collect()}
+
+    reg = _with_registrable(parse_urls(docs.select("doc_id", "url")))
+    bl = spark.createDataFrame(
+        [(s,) for s in _BLOCKLIST], "registrable string"
+    )
+    want = {
+        r["doc_id"]
+        for r in reg.join(F.broadcast(bl), "registrable", "left_anti")
+        .select("doc_id")
+        .collect()
+    }
+    assert got == want
+    assert 0 < len(got) < docs.count()  # the blocklist actually bites
+
+    pipe2 = CurationPipeline(spark, workdir + "_id").url_blocklist([])
+    assert pipe2.run(docs).count() == docs.count()
+    shutil.rmtree(workdir + "_id", ignore_errors=True)
+
+
+def test_url_stage_params_invalidate(spark, sf_dir, workdir):
+    """Changing the quota K must recompute the stage — the manifest
+    records max_per_domain, so a stale K=3 table can never serve a
+    K=1 run. (After canonical dedup the fixture corpus holds one doc
+    per domain, so same-domain distinct-path variants are planted to
+    make the quota bite.)"""
+    base = _docs_with_urls(spark, sf_dir)
+
+    def variant(shift):
+        return base.where(F.col("doc_id") % 11 == 0).select(
+            (F.col("doc_id") + shift).alias("doc_id"),
+            "source", "text",
+            F.concat(
+                "url", F.lit(f"/v{shift}"),
+            ).alias("url"),
+        )
+
+    docs = base.unionByName(variant(3_000_000)).unionByName(
+        variant(4_000_000)
+    )
+
+    def run_with(k):
+        return (
+            CurationPipeline(spark, workdir)
+            .url_canonical_dedup()
+            .domain_quota(max_per_domain=k)
+            .run(docs)
+        )
+
+    n3 = run_with(3).count()
+    stage1 = os.path.join(workdir, "01_domain_quota", "_SUCCESS")
+    mtime = os.path.getmtime(stage1)
+    time.sleep(0.05)
+    n1 = run_with(1).count()
+    assert os.path.getmtime(stage1) != mtime  # stage recomputed
+    assert n1 < n3
