@@ -23,14 +23,30 @@ Related planning-only query: q245_compaction_binpack (next-fit bin
 packing over a file manifest). This module EXECUTES the rewrite;
 q285_compaction_roundtrip pins content preservation against a DuckDB
 oracle, and tests/test_compaction.py pins the file-count mechanics.
+
+``compact`` writes to a FRESH destination. ``compact_in_place`` is
+the real OPTIMIZE shape — rewrite under concurrent readers — and uses
+the same manifest-publication discipline as sources/pyds.py's 2PC
+sink: readers go through ``read_manifested`` (the _MANIFEST lists the
+committed file set), compaction stages new files invisibly, moves
+them into the live partition directories, and publishes with ONE
+atomic manifest replace. A crash anywhere before that replace leaves
+the old manifest — and therefore the old bytes — serving;
+``vacuum_manifested`` later reclaims the orphans, never the committed
+set. tests/test_compaction.py's crash-matrix pins the window.
 """
 
 from __future__ import annotations
 
+import json
 import math
 import os
+import tempfile
+import uuid
 
 from pyspark.sql import functions as F
+
+_MANIFEST = "_MANIFEST"
 
 
 def audit_files(spark, path: str):
@@ -119,3 +135,229 @@ def compact(
     with ThreadPoolExecutor(max_workers=workers) as pool:
         executed = list(pool.map(rewrite, plan_rows))
     return executed
+
+
+# --------------------------------------------------------------------------
+# In-place compaction: manifest-published atomic swap under readers.
+
+
+def _read_manifest(path: str) -> dict | None:
+    """The committed state: {"generation": N, "files": [rel, ...]} —
+    None when the table has never been manifested."""
+    mpath = os.path.join(path, _MANIFEST)
+    if not os.path.exists(mpath):
+        return None
+    with open(mpath) as f:
+        return json.load(f)
+
+
+def _publish_manifest(path: str, manifest: dict) -> None:
+    """Atomic pointer flip: serialize to a same-directory temp file,
+    fsync, os.replace over _MANIFEST. Readers see the old file set or
+    the new one, never a partial list."""
+    fd, staging = tempfile.mkstemp(
+        prefix="._manifest_", suffix=".tmp", dir=path
+    )
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(staging, os.path.join(path, _MANIFEST))
+    except BaseException:
+        try:
+            os.unlink(staging)
+        except OSError:
+            pass
+        raise
+
+
+def _list_data_files(path: str) -> list[str]:
+    """Relative paths of all visible parquet data files under path
+    (hidden _/. entries pruned at every level, like Spark's lister)."""
+    out = []
+    base = os.path.abspath(path)
+    for root, dirs, files in os.walk(base):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for fn in files:
+            if not fn.startswith(("_", ".")) and fn.endswith(".parquet"):
+                out.append(os.path.relpath(os.path.join(root, fn), base))
+    return sorted(out)
+
+
+def ensure_manifest(path: str) -> dict:
+    """Bootstrap generation 0 from the directory listing when absent
+    (adopting a plain parquet table into manifested maintenance)."""
+    m = _read_manifest(path)
+    if m is None:
+        m = {"generation": 0, "files": _list_data_files(path)}
+        _publish_manifest(path, m)
+    return m
+
+
+def read_manifested(spark, path: str):
+    """The reader contract for in-place-maintained tables: scan
+    exactly the committed file set (basePath recovers hive partition
+    columns). Files staged or moved by an in-flight compaction are
+    invisible until its manifest publish."""
+    m = ensure_manifest(path)
+    files = [os.path.join(path, f) for f in m["files"]]
+    return spark.read.option("basePath", os.path.abspath(path)).parquet(
+        *files
+    )
+
+
+def compact_in_place(
+    spark,
+    path: str,
+    target_bytes: int,
+    max_concurrency: int = 4,
+    publish_hook=None,
+) -> dict:
+    """OPTIMIZE under readers: rewrite each fragmented partition of a
+    manifested table to ~target_bytes files WITHOUT taking the table
+    offline, publishing the swap with one atomic manifest replace.
+
+    Protocol (crash-safe at every step boundary):
+      1. plan from the COMMITTED manifest's census (orphans from a
+         previous crashed attempt never pollute the plan);
+      2. rewrite each planned partition into a hidden staging dir
+         (underscore prefix: invisible to any lister) — independent
+         Spark jobs from a thread pool, as in ``compact``;
+      3. move the staged files into the live partition directories
+         under generation-tagged names (same-filesystem renames; the
+         old manifest does not list them, so readers still resolve
+         the old bytes);
+      4. ``publish_hook()`` if given (the crash-injection seam the
+         tests kill in);
+      5. atomically replace _MANIFEST with generation N+1 listing the
+         new files for rewritten partitions plus the untouched files
+         of skipped partitions.
+    A crash during/before 5 leaves generation N fully serving; the
+    stranded generation-N+1 files are reclaimed by vacuum_manifested.
+    Old generation-N files replaced by the swap stay on disk until
+    vacuum (time-travel window, and any reader that loaded the old
+    manifest keeps resolving its files).
+
+    Returns {"generation", "rewritten": [plan rows], "skipped": n}.
+    Partitions already at their planned file count are skipped —
+    their files carry over into the new manifest untouched."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    base = os.path.abspath(path)
+    m = ensure_manifest(base)
+    gen = m["generation"] + 1
+
+    by_part: dict[str, list[str]] = {}
+    for rel in m["files"]:
+        part = os.path.dirname(rel)
+        by_part.setdefault(part, []).append(rel)
+
+    def census(part: str, rels: list[str]) -> dict:
+        sizes = [os.path.getsize(os.path.join(base, r)) for r in rels]
+        return {
+            "partition": part,
+            "n_files": len(rels),
+            "total_bytes": sum(sizes),
+        }
+
+    plans = []
+    for part in sorted(by_part):
+        row = census(part, by_part[part])
+        row["n_files_planned"] = max(
+            1, math.ceil(row["total_bytes"] / target_bytes)
+        )
+        plans.append(row)
+
+    staging_root = os.path.join(
+        base, f"_staging_gen-{gen:06d}-{uuid.uuid4().hex[:8]}"
+    )
+    to_rewrite = [p for p in plans if p["n_files"] > p["n_files_planned"]]
+
+    def rewrite(row: dict) -> tuple[str, list[str]]:
+        part = row["partition"]
+        files = [os.path.join(base, r) for r in by_part[part]]
+        stage_dir = os.path.join(staging_root, part) if part else staging_root
+        # explicit file-path read: no partition discovery, so the
+        # partition column never leaks into the rewritten files
+        (
+            spark.read.parquet(*files)
+            .repartition(row["n_files_planned"])
+            .write.mode("overwrite")
+            .parquet(stage_dir)
+        )
+        staged = sorted(
+            fn
+            for fn in os.listdir(stage_dir)
+            if fn.endswith(".parquet") and not fn.startswith(("_", "."))
+        )
+        moved = []
+        live_dir = os.path.join(base, part) if part else base
+        for i, fn in enumerate(staged):
+            new_rel = os.path.join(
+                part, f"gen-{gen:06d}-{i:05d}-{uuid.uuid4().hex[:8]}.parquet"
+            ) if part else (
+                f"gen-{gen:06d}-{i:05d}-{uuid.uuid4().hex[:8]}.parquet"
+            )
+            os.makedirs(live_dir, exist_ok=True)
+            os.rename(os.path.join(stage_dir, fn), os.path.join(base, new_rel))
+            moved.append(new_rel)
+        return part, moved
+
+    workers = max(1, min(max_concurrency, len(to_rewrite) or 1))
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        results = dict(pool.map(rewrite, to_rewrite))
+
+    if publish_hook is not None:
+        publish_hook()
+
+    new_files: list[str] = []
+    for part in sorted(by_part):
+        new_files.extend(results.get(part, by_part[part]))
+    _publish_manifest(base, {"generation": gen, "files": sorted(new_files)})
+
+    # staging skeleton is empty now (files were moved out); drop it
+    import shutil
+
+    shutil.rmtree(staging_root, ignore_errors=True)
+    return {
+        "generation": gen,
+        "rewritten": to_rewrite,
+        "skipped": len(plans) - len(to_rewrite),
+    }
+
+
+def vacuum_manifested(path: str, retention_sec: float = 0.0) -> list[str]:
+    """Reclaim data files NOT listed in the committed manifest —
+    superseded generations and the debris of crashed compactions —
+    once older than ``retention_sec`` (the time-travel / in-flight-
+    reader window; mirrors sources/pyds.py's sink VACUUM). Also prunes
+    abandoned staging directories. Never touches manifest-listed
+    files. Returns the deleted relative paths."""
+    import shutil
+    import time
+
+    base = os.path.abspath(path)
+    m = _read_manifest(base)
+    if m is None:
+        return []
+    keep = set(m["files"])
+    cutoff = time.time() - retention_sec
+    deleted = []
+    for rel in _list_data_files(base):
+        if rel in keep:
+            continue
+        full = os.path.join(base, rel)
+        if os.path.getmtime(full) <= cutoff:
+            os.unlink(full)
+            deleted.append(rel)
+    for entry in os.listdir(base):
+        full = os.path.join(base, entry)
+        if (
+            entry.startswith("_staging_gen-")
+            and os.path.isdir(full)
+            and os.path.getmtime(full) <= cutoff
+        ):
+            shutil.rmtree(full, ignore_errors=True)
+            deleted.append(entry + "/")
+    return sorted(deleted)

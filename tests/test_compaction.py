@@ -135,3 +135,167 @@ def test_compact_concurrency_levels_agree(spark, sf_dir):
     finally:
         for d in (frag, seq, par):
             shutil.rmtree(d, ignore_errors=True)
+
+
+# --- in-place compaction: manifest-published atomic swap ------------------
+
+
+def _fragmented_events(spark, sf_dir, prefix):
+    d = tempfile.mkdtemp(prefix=prefix)
+    (
+        table(spark, sf_dir, "events")
+        .repartition(9)
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(d)
+    )
+    return d
+
+
+def _content(spark, path):
+    from rc_rag_spark.operators.compaction import read_manifested
+
+    return sorted(
+        map(
+            tuple,
+            read_manifested(spark, path)
+            .select("event_id", "event_type", "value")
+            .collect(),
+        )
+    )
+
+
+def test_in_place_compaction_swaps_atomically(spark, sf_dir):
+    """compact_in_place must reduce the committed file count, bump the
+    generation, and preserve content EXACTLY — all through the
+    manifest reader contract."""
+    from rc_rag_spark.operators.compaction import (
+        compact_in_place,
+        ensure_manifest,
+        vacuum_manifested,
+    )
+
+    d = _fragmented_events(spark, sf_dir, "rc_rag_inplace_")
+    try:
+        before = _content(spark, d)
+        m0 = ensure_manifest(d)
+        n_before = len(m0["files"])
+        res = compact_in_place(spark, d, target_bytes=64 * 1024 * 1024)
+        assert res["generation"] == m0["generation"] + 1
+        m1 = ensure_manifest(d)
+        assert m1["generation"] == res["generation"]
+        assert len(m1["files"]) < n_before
+        assert _content(spark, d) == before
+        # superseded generation-0 files linger until vacuum (the
+        # time-travel window), then are reclaimed; committed set stays
+        on_disk = len(_parquet_files(d)) + len(
+            glob.glob(os.path.join(d, "**", "gen-*.parquet"),
+                      recursive=True)
+        )
+        assert on_disk > len(m1["files"])
+        deleted = vacuum_manifested(d, retention_sec=0.0)
+        assert len(deleted) == n_before
+        assert _content(spark, d) == before
+        # idempotent: a second pass finds nothing fragmented
+        res2 = compact_in_place(spark, d, target_bytes=64 * 1024 * 1024)
+        assert res2["rewritten"] == []
+        assert _content(spark, d) == before
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_in_place_crash_window_old_files_still_serve(spark, sf_dir):
+    """Kill between rewrite and publish: the manifest still lists the
+    old generation, so readers resolve the OLD bytes; the retry then
+    completes the swap, and vacuum reclaims both the superseded
+    originals and the crashed attempt's stranded files."""
+    from rc_rag_spark.operators.compaction import (
+        compact_in_place,
+        ensure_manifest,
+        vacuum_manifested,
+    )
+
+    d = _fragmented_events(spark, sf_dir, "rc_rag_inplace_crash_")
+    try:
+        before = _content(spark, d)
+        m0 = ensure_manifest(d)
+
+        class Killed(RuntimeError):
+            pass
+
+        def kill():
+            raise Killed()
+
+        import pytest
+
+        with pytest.raises(Killed):
+            compact_in_place(
+                spark, d, target_bytes=64 * 1024 * 1024, publish_hook=kill
+            )
+        # crash window: manifest unmoved, old bytes serve, even though
+        # the new generation's files already sit in the live dirs
+        m_after_crash = ensure_manifest(d)
+        assert m_after_crash == m0
+        assert _content(spark, d) == before
+        stranded = glob.glob(
+            os.path.join(d, "**", "gen-000001-*.parquet"), recursive=True
+        )
+        assert stranded  # the crashed attempt really left debris
+
+        # retry completes; content identical; generation advances
+        res = compact_in_place(spark, d, target_bytes=64 * 1024 * 1024)
+        assert res["generation"] == m0["generation"] + 1
+        assert _content(spark, d) == before
+
+        # vacuum reclaims originals + first-attempt debris, keeps the
+        # committed set, and the table still reads identically
+        vacuum_manifested(d, retention_sec=0.0)
+        m2 = ensure_manifest(d)
+        remaining = set()
+        for root, dirs, files in os.walk(d):
+            dirs[:] = [x for x in dirs if not x.startswith(("_", "."))]
+            for fn in files:
+                if fn.endswith(".parquet") and not fn.startswith(("_", ".")):
+                    remaining.add(
+                        os.path.relpath(os.path.join(root, fn), d)
+                    )
+        assert remaining == set(m2["files"])
+        assert _content(spark, d) == before
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_in_place_crash_during_manifest_write_is_invisible(spark, sf_dir):
+    """A truncated manifest can never be published: the writer goes
+    through a temp file + os.replace, so a crash mid-serialization
+    leaves only hidden debris and the committed manifest intact."""
+    import json
+
+    from rc_rag_spark.operators import compaction as C
+
+    d = _fragmented_events(spark, sf_dir, "rc_rag_inplace_trunc_")
+    try:
+        before = _content(spark, d)
+        m0 = C.ensure_manifest(d)
+        # simulate the kill inside the atomic publish: mkstemp happens,
+        # the replace never does
+        real_replace = os.replace
+
+        def dying_replace(src, dst):
+            if os.path.basename(dst) == "_MANIFEST":
+                raise OSError("killed mid-publish")
+            return real_replace(src, dst)
+
+        os.replace = dying_replace
+        try:
+            import pytest
+
+            with pytest.raises(OSError, match="killed mid-publish"):
+                C.compact_in_place(spark, d, target_bytes=64 * 1024 * 1024)
+        finally:
+            os.replace = real_replace
+        with open(os.path.join(d, "_MANIFEST")) as f:
+            assert json.load(f) == m0  # committed pointer untouched
+        assert _content(spark, d) == before
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
