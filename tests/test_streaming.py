@@ -938,3 +938,157 @@ def test_tws_gap_sessionization_matches_builtin_session_window(
 
     per_user = collections.Counter(r["user_id"] for r in want.collect())
     assert max(per_user.values()) > 1
+
+
+def test_tws_checkpoint_restart_restores_state_and_timers(spark):
+    """transformWithStateInPandas across a STOP/RESTART — the
+    streaming mirror of the DS-API kill-during-commit discipline: a
+    second query started on the SAME checkpoint with a FRESH processor
+    instance must (a) restore the RocksDB value state (the running
+    total continues from 3, it does not reset), (b) not reprocess the
+    already-committed input file (the file-source log is part of the
+    checkpoint), and (c) fire a timer REGISTERED BEFORE THE RESTART
+    once the post-restart watermark passes it — i.e. timers are
+    replayed from the state store, not from the processor object."""
+    import time as _time
+
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    from rc_rag_spark.vendor import ensure_protobuf_shim
+
+    ensure_protobuf_shim(spark)
+
+    d = tempfile.mkdtemp(prefix="rc_rag_twsrestart_src_")
+    ckpt = tempfile.mkdtemp(prefix="rc_rag_twsrestart_ckpt_")
+    conf = spark.conf
+    key = "spark.sql.streaming.stateStore.providerClass"
+    saved = conf.get(key, None)
+    conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider",
+    )
+    try:
+        schema = "event_id long, user_id long, ts timestamp, value double"
+
+        def write_one(rows):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(d)
+            _time.sleep(1.1)  # distinct mtimes order the micro-batches
+
+        ts = lambda s: __import__("datetime").datetime.fromisoformat(s)  # noqa: E731
+
+        class FinalizeAfterQuiet(StatefulProcessor):
+            """n-per-key value state; a timer at first event + 5 min;
+            'live' rows while counting, one 'final' row on expiry."""
+
+            def init(self, handle):
+                self._handle = handle
+                self._n = handle.getValueState("n", "n BIGINT")
+
+            def handleInputRows(self, key, rows, timerValues):
+                import pandas as pd
+
+                first = not self._n.exists()
+                n = 0 if first else self._n.get()[0]
+                first_ts = None
+                for pdf in rows:
+                    n += len(pdf)
+                    t = pdf["ts"].min()
+                    if first_ts is None or t < first_ts:
+                        first_ts = t
+                if first:
+                    expiry_ms = int(first_ts.timestamp() * 1000) + 300_000
+                    self._handle.registerTimer(expiry_ms)
+                self._n.update((n,))
+                yield pd.DataFrame(
+                    {"user_id": [key[0]], "phase": ["live"], "n": [n]}
+                )
+
+            def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+                import pandas as pd
+
+                n = self._n.get()[0] if self._n.exists() else 0
+                self._n.clear()
+                yield pd.DataFrame(
+                    {"user_id": [key[0]], "phase": ["final"], "n": [n]}
+                )
+
+            def close(self):
+                pass
+
+        def run_once(sink: list):
+            src_schema = spark.read.parquet(d).schema
+            stream = (
+                spark.readStream.schema(src_schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(d)
+                .withWatermark("ts", "30 minutes")
+            )
+            out = stream.groupBy("user_id").transformWithStateInPandas(
+                statefulProcessor=FinalizeAfterQuiet(),
+                outputStructType="user_id bigint, phase string, n bigint",
+                outputMode="Update",
+                timeMode="EventTime",
+            )
+
+            def collect(batch_df, _bid):
+                sink.extend(
+                    (r["user_id"], r["phase"], r["n"])
+                    for r in batch_df.collect()
+                )
+
+            q = (
+                out.writeStream.foreachBatch(collect)
+                .option("checkpointLocation", ckpt)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+            q.stop()
+
+        # ---- run 1: three events for user 1; timer lands at 10:05
+        write_one(
+            [
+                (1, 1, ts("2024-01-01 10:00:00"), 1.0),
+                (2, 1, ts("2024-01-01 10:02:00"), 2.0),
+                (3, 1, ts("2024-01-01 10:04:00"), 3.0),
+            ]
+        )
+        rows1: list = []
+        run_once(rows1)
+        assert (1, "live", 3) in rows1
+        assert not any(p == "final" for _, p, _n in rows1)
+
+        # ---- between runs: one more user-1 event, then a far-future
+        # user-99 file that will push the watermark past the timer
+        write_one(
+            [
+                (4, 1, ts("2024-01-01 10:10:00"), 4.0),
+                (5, 99, ts("2024-01-01 14:00:00"), 9.0),
+            ]
+        )
+        write_one([(6, 99, ts("2024-01-01 14:01:00"), 9.0)])
+
+        # ---- run 2: fresh processor object, same checkpoint
+        rows2: list = []
+        run_once(rows2)
+        # (a) state restored: the total CONTINUES (3 + 1 = 4); a state
+        #     loss would re-register and report 1
+        assert (1, "live", 4) in rows2, rows2
+        # (b) exactly-once input: file 1's rows are not reprocessed,
+        #     so no (1, live, 3) can reappear after restart
+        assert (1, "live", 3) not in rows2, rows2
+        # (c) the PRE-RESTART timer (10:05) fires once the watermark
+        #     (13:30 after the 14:00 file) passes it — with the
+        #     restored count, not a reset one
+        assert (1, "final", 4) in rows2, rows2
+    finally:
+        if saved is None:
+            conf.unset(key)
+        else:
+            conf.set(key, saved)
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
