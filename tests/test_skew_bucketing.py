@@ -191,3 +191,97 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
         assert {tuple(r) for r in rows} == baseline
     finally:
         conf.set("spark.sql.autoBroadcastJoinThreshold", saved_bc)
+
+
+def test_mega_domain_window_group_limit_under_skew(spark, sf_dir):
+    """The q280/q282/q284 rank-filter windows under the real web's
+    shape — ONE registrable domain holding half of all documents. The
+    mega-domain must not single-task the window: the literal rn = 1 /
+    rn <= K filters plan a PARTIAL WindowGroupLimit BELOW the
+    exchange, so each map task forwards at most K rows per domain and
+    the hot key's shuffle input is bounded by K x n_map_tasks instead
+    of n_docs/2. Asserted on the executed plan (Partial limits under
+    both the canonical-dedup and quota exchanges) and on the skewed
+    result (the mega domain is capped at exactly K, every other
+    domain at min(n, K)). Reference semantics:
+    queries/curation.py q284's dedup/quota stages."""
+    from pyspark.sql import Window
+
+    from rc_rag_spark.queries.curation import (
+        _Q282_QUOTA,
+        _with_registrable,
+        canonical_url_col,
+        parse_urls,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    mega = F.concat(
+        F.lit("https://www.mega-site.com/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    tail = F.concat(
+        F.lit("https://site-"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit(".org/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    skewed = docs.select(
+        "doc_id", "source",
+        F.when(F.col("doc_id") % 2 == 0, mega).otherwise(tail).alias("url"),
+    )
+
+    reg = _with_registrable(parse_urls(skewed)).repartition(8, "doc_id")
+    c = reg.select("doc_id", "registrable", canonical_url_col())
+    dedup = (
+        c.select(
+            "doc_id", "registrable",
+            F.row_number()
+            .over(Window.partitionBy("canonical").orderBy("doc_id"))
+            .alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    quota = (
+        dedup.select(
+            "doc_id", "registrable",
+            F.row_number()
+            .over(
+                Window.partitionBy("registrable").orderBy(
+                    F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+                )
+            )
+            .alias("rn"),
+        )
+        .where(F.col("rn") <= _Q282_QUOTA)
+        .drop("rn")
+    )
+
+    plan = quota._jdf.queryExecution().executedPlan().toString()
+    partials = [
+        l for l in plan.splitlines()
+        if "WindowGroupLimit" in l and "Partial" in l
+    ]
+    assert len(partials) >= 2, plan[:2000]  # dedup AND quota windows
+    assert sum(
+        1 for l in plan.splitlines()
+        if "WindowGroupLimit" in l and "Final" in l
+    ) >= 2
+
+    kept = {
+        r["registrable"]: r["n"]
+        for r in quota.groupBy("registrable")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    sizes = {
+        r["registrable"]: r["n"]
+        for r in dedup.groupBy("registrable")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    n_docs = docs.count()
+    assert sizes["mega-site.com"] >= n_docs // 2  # the skew is real
+    assert kept == {
+        d: min(n, _Q282_QUOTA) for d, n in sizes.items()
+    }
