@@ -159,3 +159,99 @@ def test_bench_headline_names_exist():
     missing = [n for n in bench.HEADLINE if n not in q.REGISTRY]
     assert not missing, f"bench HEADLINE not in registry: {missing}"
     assert bench.ANCHORS <= set(bench.HEADLINE)
+
+
+def _plan_audit_mod():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "plan_audit", os.path.join(REPO, "tools", "plan_audit.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_plan_regression_guard_logic():
+    """The diff logic behind the plan-regression guard: exchange or
+    shuffle-join GROWTH is flagged, growth with a 'plan-change:'
+    docstring note is waived, reductions and new/removed queries are
+    never flagged, and IMR-count changes demote the (reprint-inflated)
+    exchange comparison to shuffle-joins only."""
+    pa = _plan_audit_mod()
+    base = {
+        "hash_exchanges": 2, "range_exchanges": 0, "single_exchanges": 0,
+        "bhj": 1, "shuffle_join": 1, "bnlj": 0, "cartesian": 0,
+        "wsc": 3, "imr": 0, "build_jobs": 0,
+    }
+
+    def v(**kw):
+        d = dict(base)
+        d.update(kw)
+        return d
+
+    old = {"q_a": v(), "q_b": v(), "q_c": v(), "q_gone": v()}
+    new = {
+        "q_a": v(hash_exchanges=3),            # regression
+        "q_b": v(shuffle_join=2),              # regression (noted)
+        "q_c": v(hash_exchanges=1),            # improvement
+        "q_new": v(hash_exchanges=99),         # new query: not a diff
+    }
+    flagged = pa.plan_regressions(old, new, has_note=lambda n: n == "q_b")
+    assert flagged == ["q_a: hash-exchanges 2 -> 3"]
+    # without the note, both are flagged
+    flagged = pa.plan_regressions(old, new, has_note=lambda n: False)
+    assert flagged == [
+        "q_a: hash-exchanges 2 -> 3",
+        "q_b: shuffle-joins 1 -> 2",
+    ]
+    # IMR change: exchange growth is reprint noise, shuffle-joins rule
+    new_imr = {"q_a": v(hash_exchanges=9, imr=2)}
+    assert pa.plan_regressions(old, new_imr, lambda n: False) == []
+    new_imr = {"q_a": v(hash_exchanges=9, imr=2, shuffle_join=2)}
+    assert pa.plan_regressions(old, new_imr, lambda n: False) == [
+        "q_a: shuffle-joins 1 -> 2"
+    ]
+
+
+def test_plans_md_table_parses():
+    """The committed PLANS.md table must round-trip through the
+    guard's parser — every audited query (minus plan-error rows)
+    yields a counts row, so the diff has something to diff."""
+    pa = _plan_audit_mod()
+    parsed = pa.parse_plans_table(_read("PLANS.md"))
+    total, _ = _registry_counts()
+    assert len(parsed) >= total - 5  # tolerate a few error rows
+    row = parsed["q01_pricing_summary"]
+    assert set(row) >= {"hash_exchanges", "shuffle_join", "cartesian"}
+
+
+def test_sampled_plans_match_committed(spark, sf_dir):
+    """LIVE plan-regression guard: a deterministic sample of
+    plan-only queries is rebuilt on every pytest run and compared to
+    the committed PLANS.md — exchange/shuffle-join growth without a
+    'plan-change:' docstring note fails here, months before a bench
+    could notice. (Growth-only: improvements wait for the round-close
+    regen, which the staleness guard forces anyway.)"""
+    pa = _plan_audit_mod()
+    committed = pa.parse_plans_table(_read("PLANS.md"))
+    eligible = sorted(
+        name
+        for name, c in committed.items()
+        if c["build_jobs"] == 0 and c["imr"] == 0 and name in q.REGISTRY
+    )
+    assert len(eligible) >= 50
+    step = max(1, len(eligible) // 12)
+    sample = eligible[::step][:12]
+    fresh = {}
+    for name in sample:
+        df = q.REGISTRY[name].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        fresh[name] = {**pa.count_plan(plan), "build_jobs": 0}
+    flagged = pa.plan_regressions(
+        committed, fresh, pa.docstring_has_plan_note
+    )
+    assert not flagged, (
+        "plan regression vs committed PLANS.md (add a 'plan-change:' "
+        f"docstring note if intentional): {flagged}"
+    )

@@ -19,6 +19,17 @@ CartesianProduct — the same invariant tests/test_plans.py pins for
 individual queries, enforced corpus-wide with no exceptions.
 (Single-row scalar broadcasts attached via crossJoin(broadcast(...))
 compile to BroadcastNestedLoopJoin, a different node, and are fine.)
+
+PLAN-REGRESSION GUARD (round 11): the audit is DIFFABLE — before
+overwriting PLANS.md it parses the committed table and flags any
+query whose hash-exchange or shuffle-join count GREW. Growth is a
+structural perf regression the noisy sub-second bench cannot catch;
+it fails the audit (exit 2, after writing the new table so the diff
+is inspectable) unless the query's docstring carries a
+``plan-change:`` note explaining the intentional change.
+tests/test_evidence.py unit-tests the diff logic and live-checks a
+deterministic sample of plan-only queries against the committed
+table on every pytest run.
 """
 
 from __future__ import annotations
@@ -32,6 +43,99 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("RC_RAG_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+_ROW_RE = re.compile(
+    r"^\| (q\S+) \| (\d+)\+(\d+)r\+(\d+)s \| (\d+) \| (\d+) \| (\d+) "
+    r"\| (\d+) \| (\d+) \| (\d+) \| (\d+) \|"
+)
+
+
+def parse_plans_table(text: str) -> dict[str, dict[str, int]]:
+    """The committed PLANS.md table -> {query: counts}. Rows with a
+    plan error ('-' columns) are skipped — there is nothing to diff
+    against."""
+    out: dict[str, dict[str, int]] = {}
+    for line in text.splitlines():
+        m = _ROW_RE.match(line)
+        if not m:
+            continue
+        name = m.group(1)
+        out[name] = {
+            "hash_exchanges": int(m.group(2)),
+            "range_exchanges": int(m.group(3)),
+            "single_exchanges": int(m.group(4)),
+            "bhj": int(m.group(5)),
+            "shuffle_join": int(m.group(6)),
+            "bnlj": int(m.group(7)),
+            "cartesian": int(m.group(8)),
+            "wsc": int(m.group(9)),
+            "imr": int(m.group(10)),
+            "build_jobs": int(m.group(11)),
+        }
+    return out
+
+
+def plan_regressions(
+    old: dict[str, dict[str, int]],
+    new: dict[str, dict[str, int]],
+    has_note,
+) -> list[str]:
+    """Queries (present in both tables) whose hash-exchange or
+    shuffle-join count grew without a ``plan-change:`` docstring note.
+    New queries and removals are not regressions; reductions never
+    are. Cached-plan reprinting (IMR > 0) inflates exchange counts,
+    so a query whose IMR count itself changed is compared on
+    shuffle-joins only."""
+    bad = []
+    for name in sorted(set(old) & set(new)):
+        o, n = old[name], new[name]
+        grew = []
+        if (
+            n["imr"] == o["imr"]
+            and n["hash_exchanges"] > o["hash_exchanges"]
+        ):
+            grew.append(
+                f"hash-exchanges {o['hash_exchanges']} -> "
+                f"{n['hash_exchanges']}"
+            )
+        if n["shuffle_join"] > o["shuffle_join"]:
+            grew.append(
+                f"shuffle-joins {o['shuffle_join']} -> {n['shuffle_join']}"
+            )
+        if grew and not has_note(name):
+            bad.append(f"{name}: {', '.join(grew)}")
+    return bad
+
+
+def docstring_has_plan_note(name: str) -> bool:
+    import rc_rag_spark.queries as q
+
+    spec = q.REGISTRY.get(name)
+    doc = (spec.fn.__doc__ or "") if spec else ""
+    return "plan-change:" in doc
+
+
+def count_plan(plan: str) -> dict[str, int]:
+    """The scale-relevant node counts of one executed-plan string —
+    shared by the audit table and the test-side live sample."""
+    return {
+        "hash_exchanges": len(
+            re.findall(r"Exchange hashpartitioning", plan)
+        ),
+        "range_exchanges": len(
+            re.findall(r"Exchange rangepartitioning", plan)
+        ),
+        "single_exchanges": len(
+            re.findall(r"Exchange SinglePartition", plan)
+        ),
+        "bhj": len(re.findall(r"BroadcastHashJoin", plan)),
+        "shuffle_join": len(re.findall(r"SortMergeJoin", plan))
+        + len(re.findall(r"ShuffledHashJoin", plan)),
+        "bnlj": len(re.findall(r"BroadcastNestedLoopJoin", plan)),
+        "cartesian": len(re.findall(r"CartesianProduct", plan)),
+        "wsc": len(re.findall(r"WholeStageCodegen", plan)),
+        "imr": len(re.findall(r"InMemoryTableScan", plan)),
+    }
 
 def main() -> None:
     import rc_rag_spark.queries as q
@@ -77,22 +181,15 @@ def main() -> None:
             sc.setJobGroup("", "")
         if build_jobs:
             n_eager_builders += 1
-        n_exch = len(re.findall(r"Exchange hashpartitioning", plan))
-        n_range = len(re.findall(r"Exchange rangepartitioning", plan))
-        n_single = len(re.findall(r"Exchange SinglePartition", plan))
-        n_bhj = len(re.findall(r"BroadcastHashJoin", plan))
-        n_smj = len(re.findall(r"SortMergeJoin", plan))
-        n_shj = len(re.findall(r"ShuffledHashJoin", plan))
-        n_bnlj = len(re.findall(r"BroadcastNestedLoopJoin", plan))
-        n_cart = len(re.findall(r"CartesianProduct", plan))
-        n_wsc = len(re.findall(r"WholeStageCodegen", plan))
-        n_imr = len(re.findall(r"InMemoryTableScan", plan))
-        if n_cart:
+        c = count_plan(plan)
+        if c["cartesian"]:
             cartesian_offenders.append(name)
         rows.append((
             name,
-            f"{n_exch}+{n_range}r+{n_single}s",
-            n_bhj, n_smj + n_shj, n_bnlj, n_cart, n_wsc, n_imr,
+            f"{c['hash_exchanges']}+{c['range_exchanges']}r"
+            f"+{c['single_exchanges']}s",
+            c["bhj"], c["shuffle_join"], c["bnlj"], c["cartesian"],
+            c["wsc"], c["imr"],
             build_jobs, "",
         ))
 
@@ -132,13 +229,34 @@ def main() -> None:
         f"construction (see `build jobs`).**",
     ]
     out = "\n".join(lines) + "\n"
-    with open(os.path.join(REPO, "PLANS.md"), "w") as fh:
+    plans_path = os.path.join(REPO, "PLANS.md")
+    committed = ""
+    if os.path.exists(plans_path):
+        with open(plans_path) as fh:
+            committed = fh.read()
+    with open(plans_path, "w") as fh:
         fh.write(out)
     print(out.splitlines()[-1])
 
     if cartesian_offenders:
         print("CARTESIAN OFFENDERS:", cartesian_offenders)
         sys.exit(1)
+
+    # regression guard: exchange/shuffle-join growth vs the committed
+    # table fails the audit unless the docstring carries a
+    # 'plan-change:' note (the new table is already written, so the
+    # diff is inspectable either way)
+    offenders = plan_regressions(
+        parse_plans_table(committed),
+        parse_plans_table(out),
+        docstring_has_plan_note,
+    )
+    if offenders:
+        print("PLAN REGRESSIONS (add a 'plan-change:' docstring note "
+              "if intentional):")
+        for o in offenders:
+            print("  " + o)
+        sys.exit(2)
 
 
 if __name__ == "__main__":
