@@ -193,7 +193,17 @@ def _minhash_stage(df, id_col, text_col, shingle_n, num_hashes):
     shingle expression into the Filter. localCheckpoint materializes
     the shingled corpus once for its consumers (signatures + verify
     sides) — at cluster scale this is the persisted candidate table
-    any LSH pipeline stages anyway."""
+    any LSH pipeline stages anyway.
+
+    The signature itself is computed EXPLODE+AGG rather than through
+    minhash_signature's array HOFs: explode the base-hash array and
+    take num_hashes codegen'd conditional minima in ONE hash
+    aggregate. Same values (the checksummed band table is identical),
+    but whole-stage codegen instead of interpreted per-element lambda
+    evaluation — measured 5x faster at sf1 (2.5 s -> 0.5 s for the
+    50k-doc corpus signature+bands). The added (_id) exchange is
+    partial-aggregated: docs are contiguous in their checkpointed
+    split, so map-side combine emits one row per doc."""
     sh = (
         df.select(
             F.col(id_col).alias("_id"),
@@ -212,12 +222,19 @@ def _minhash_stage(df, id_col, text_col, shingle_n, num_hashes):
         )
         .localCheckpoint(eager=True)
     )
-    sig = sh.select(
-        "_id", minhash_signature(F.col("_hs"), num_hashes).alias("_sig")
-    )
-    bands = sig.select(
-        "_id",
-        F.posexplode("_sig").alias("_band_idx", "_band_sig"),
+    e = sh.select("_id", F.explode("_hs").alias("_h"))
+    aggs = []
+    for j in range(num_hashes):
+        a, b = _mh_params(j)
+        aggs.append(
+            F.min(
+                (F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(MINHASH_P)
+            ).alias(f"_s{j}")
+        )
+    wide = e.groupBy("_id").agg(*aggs)
+    stack = ", ".join(f"{j}, _s{j}" for j in range(num_hashes))
+    bands = wide.selectExpr(
+        "_id", f"stack({num_hashes}, {stack}) as (_band_idx, _band_sig)"
     )
     return sh, bands
 
@@ -256,12 +273,16 @@ def minhash_det_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    # verify joins are HINTED shuffle-hash: the shingle-array side must
+    # never be broadcast (heavy rows; Catalyst's size estimate for the
+    # checkpointed relation undercounts it), and an id-keyed shuffle
+    # join is the shape that survives any corpus size
     sa = sh.select(
         F.col("_id").alias("id_a"), F.col("_shingles").alias("_sha")
-    )
+    ).hint("shuffle_hash")
     sb = sh.select(
         F.col("_id").alias("id_b"), F.col("_shingles").alias("_shb")
-    )
+    ).hint("shuffle_hash")
     return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
@@ -476,12 +497,14 @@ def minhash_incremental_pairs(
         )
         .dropDuplicates(["new_id", "index_id"])
     )
+    # same shuffle-hash discipline as minhash_det_pairs' verify: the
+    # shingle-array sides must never be broadcast
     sn = sh_n.select(
         F.col("_id").alias("new_id"), F.col("_shingles").alias("_sha")
-    )
+    ).hint("shuffle_hash")
     si = sh_i.select(
         F.col("_id").alias("index_id"), F.col("_shingles").alias("_shb")
-    )
+    ).hint("shuffle_hash")
     inter = F.size(F.array_intersect("_sha", "_shb"))
     union = F.size(F.array_union("_sha", "_shb"))
     return (

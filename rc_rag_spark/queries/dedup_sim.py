@@ -171,7 +171,13 @@ def q62_minhash_near_dup(spark, sf_dir):
     near-dups: every 10th doc with its last 3 words dropped). Uses the
     deterministic md5-based MinHash (operators/dedup.py) so the full
     signature → band-collision → exact-Jaccard-verify pipeline is
-    hash-checked against DuckDB."""
+    hash-checked against DuckDB.
+
+    plan-change: round 11 moved the signature kernel from interpreted
+    array HOFs to an explode + codegen'd 8-minima hash aggregate
+    (operators/dedup.py _minhash_stage) — one extra map-side-combined
+    (_id) exchange in the plan, 5x less signature CPU (values
+    identical; band-table checksum pinned in the A/B)."""
     pairs = _q62_corpus_pairs(spark, sf_dir)
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 9).alias("jaccard")
@@ -206,7 +212,11 @@ def q102_dedup_clusters(spark, sf_dir):
     min-label propagation, O(diameter) rounds of equi-joins). The
     oracle computes the same components via a recursive transitive
     closure, an entirely different formulation. cluster_id = min doc_id
-    of the component — the canonical survivor a dedup pass would keep."""
+    of the component — the canonical survivor a dedup pass would keep.
+
+    plan-change: inherits _minhash_stage's r11 explode+agg signature
+    kernel (see q62) — one extra map-side-combined exchange, less CPU,
+    identical pairs."""
     from pyspark.sql.window import Window
 
     labels = DD.dedup_clusters(_q62_corpus_pairs(spark, sf_dir))
@@ -1312,7 +1322,11 @@ def q239_incremental_minhash_dedup(spark, sf_dir):
     self-join daily. New rows with no emitted pair are novel
     (admitted + appended to the index). Same deterministic md5-minhash
     family as q62, so the full probe is hash-checked; mutated docs
-    must rediscover their originals."""
+    must rediscover their originals.
+
+    plan-change: inherits _minhash_stage's r11 explode+agg signature
+    kernel (see q62) — one extra map-side-combined exchange per staged
+    side, less CPU, identical pairs."""
     d = table(spark, sf_dir, "documents")
     words = F.split("text", " ")
     increment = d.where(F.col("doc_id") % 10 == 0).select(

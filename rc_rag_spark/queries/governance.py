@@ -540,10 +540,22 @@ def q264_dsir_selection(spark, sf_dir):
     libm difference landing exactly on a floor boundary
     (~1e-10/bucket odds). Scale shape: bigram hashing is a codegen'd
     transform over the split array (no UDF); the bucket-stat tables
-    are at most {_DSIR_BUCKETS} rows — broadcast back to documents —
-    and the final selection is a top-k, not a global sort. That is
-    the whole DSIR pipeline: 100 TB in, two tiny histograms, one
-    broadcast join, top-k out."""
+    are at most {_DSIR_BUCKETS} rows — broadcast back to the compact
+    per-doc table — and the final selection is a top-k, not a global
+    sort. That is the whole DSIR pipeline: 100 TB in, two tiny
+    histograms, one broadcast join, top-k out.
+
+    plan-change: round 11 made the corpus scan SINGLE-PASS — the
+    explode+md5 stream is collapsed once into a checkpointed
+    (doc_id, bucket, cnt) table that feeds BOTH the histogram and the
+    scoring join (the r10 formulation replayed the full explode+md5
+    for each: hist built it, then scored rebuilt it). The new
+    (doc_id, bucket) exchange is partial-aggregated (docs are
+    contiguous in their input split, so map-side combine emits
+    ~distinct-buckets-per-doc rows) and costs less than the second
+    hashing pass it replaces: measured 13.9 s -> 9.6 s warm at sf1,
+    2.0 s -> 1.7 s at sf0.1, output identical (fourth-decade growth
+    7.06x -> ~5.8x per 10x)."""
     d = table(spark, sf_dir, "documents")
     ws = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     w = d.where(F.length(F.trim(F.col("text"))) > 1).select(
@@ -562,17 +574,24 @@ def q264_dsir_selection(spark, sf_dir):
             .cast("bigint") % _DSIR_BUCKETS
         ).alias("bucket"),
     )
-    # ONE pass over the bigram stream builds the whole statistical
-    # model: per-bucket raw + target counts in a single conditional
-    # aggregate (a second explode evaluation per extra aggregate was
-    # the measured 6.5x-at-10x hazard — tot/tgt/rawc as separate aggs
-    # each replayed the explode); corpus totals then fold from the
-    # 1024-row histogram, never from the stream.
-    hist = bg.groupBy("bucket").agg(
-        F.count("*").cast("bigint").alias("cr"),
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+    # ONE pass over the bigram stream builds EVERYTHING: the stream
+    # collapses to a checkpointed (doc, bucket, cnt) table (map-side
+    # combine — docs are contiguous in their split), and both the
+    # 1024-row histogram and the per-doc scores fold from it. Earlier
+    # formulations re-evaluated the explode+md5 per consumer: one agg
+    # per statistic was the measured 6.5x-at-10x hazard fixed in r7;
+    # hist-then-rescore was the 2-pass shape fixed in r11 (see
+    # plan-change note).
+    dbc = (
+        bg.groupBy("doc_id", "lang", "source", "bucket")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    hist = dbc.groupBy("bucket").agg(
+        F.sum("cnt").cast("bigint").alias("cr"),
+        F.sum(F.when(F.col("lang") == "en", F.col("cnt")).otherwise(0))
         .cast("bigint").alias("ct"),
-    ).localCheckpoint(eager=True)
+    )
     tot = hist.agg(
         F.sum("ct").cast("bigint").alias("t"),
         F.sum("cr").cast("bigint").alias("r"),
@@ -595,13 +614,14 @@ def q264_dsir_selection(spark, sf_dir):
         )
     )
     scored = (
-        bg.join(F.broadcast(lam), "bucket")
+        dbc.join(F.broadcast(lam), "bucket")
         .groupBy("doc_id")
         .agg(
             F.any_value("lang").alias("lang"),
             F.any_value("source").alias("source"),
-            F.count("*").cast("bigint").alias("n_bigrams"),
-            F.sum("lam").cast("bigint").alias("importance_score"),
+            F.sum("cnt").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("lam") * F.col("cnt"))
+            .cast("bigint").alias("importance_score"),
         )
     )
     return scored.orderBy(

@@ -3,9 +3,20 @@ oracle (the same comparison the correctness driver performs), at one or
 more scale factors. Queries without oracle SQL get a rows-only run.
 
     python tools/parity_report.py [sf_dir ...]
+    python tools/parity_report.py --sf1 [sf1_dir]   # append '## sf1'
 
 The driver's own CORRECTNESS_r{N}.json records a subset of the corpus
 (50 queries in round 1); this report is the full-corpus evidence.
+
+The --sf1 mode (VERDICT r10 item 1) closes the "fourth decade
+measures seconds, not answers" gap: every hash check elsewhere runs
+at sf0.001/sf0.01, so this mode re-runs the HASH comparison itself at
+sf1 (tools/make_sf1.py's deterministic 10x-sf0.1 fixture) for the
+bench headline set, the fourth-decade high-growth queries, and the
+URL window-dedup family — ~40 queries. It APPENDS a '## sf1' section
+(run it after the full two-SF regen, which overwrites the file). A
+query whose oracle cannot run at sf1 is listed in SF1_ROWS_ONLY with
+its reason and gets a rows+schema check instead.
 """
 
 from __future__ import annotations
@@ -18,8 +29,118 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+# sf1 coverage: the bench headline (anchors + legacy), the >4x
+# fourth-decade growers from SCALING.md, and the URL curation family.
+SF1_EXTRA = [
+    "q145_triangle_count",
+    "q188_duplicate_ngram_spans",
+    "q239_incremental_minhash_dedup",
+    "q264_dsir_selection",
+    "q276_token_budget_real_bpe",
+    "q277_url_parse",
+    "q278_registrable_domain_rollup",
+    "q279_domain_blocklist_filter",
+    "q280_url_canonical_dedup",
+    "q281_transform_with_state_batch",
+    "q282_domain_quota_sample",
+    "q283_kmv_joinability",
+    "q285_compaction_roundtrip",
+    "q286_pyds_filter_pushdown",
+]
+
+# name -> documented reason its DuckDB oracle is infeasible at sf1;
+# these get a rows+schema check instead of the hash comparison.
+SF1_ROWS_ONLY: dict[str, str] = {
+    "q212_semdedup_scaled": (
+        "oracle k-means assignment is one n_vecs*k*dim "
+        "(22k*220*64 = 310M row) DECIMAL(28,12) join-aggregate in "
+        "DuckDB: killed after 45 CPU-min; Spark side runs sf1 in "
+        "5.3 s (SCALING.md); hash-checked at sf0.001/sf0.01"
+    ),
+    "q102_dedup_clusters": (
+        "oracle connected-components is a recursive CTE over the full "
+        "sf1 near-dup pair graph in DuckDB: killed at 15 wall-min "
+        "(>70 CPU-min); Spark side's checkpointed min-label "
+        "propagation is the bench anchor (8 s at sf0.1); hash-checked "
+        "at sf0.001/sf0.01"
+    ),
+}
+
+
+def _sf1_names() -> list[str]:
+    import bench
+
+    names = list(dict.fromkeys(bench.HEADLINE + SF1_EXTRA))
+    return names
+
+
+def sf1_main(sf1_dir: str) -> None:
+    import rc_rag_spark.queries as q
+    from rc_rag_spark.session import build_session
+    from tests.oracle import assert_parity
+
+    if not os.path.isdir(sf1_dir):
+        sys.exit(
+            f"{sf1_dir} missing — build it first: "
+            "python tools/make_sf1.py"
+        )
+    spark = build_session(app_name="rc-rag-parity-sf1")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    lines = [
+        "",
+        f"## sf1 ({sf1_dir} — deterministic 10x-sf0.1, tools/make_sf1.py) "
+        f"— {datetime.datetime.now(datetime.timezone.utc):%Y-%m-%d %H:%M} UTC",
+        "",
+        "Fourth-decade CORRECTNESS, not just runtime: the same",
+        "hash-comparison gate as above, re-run at sf1 for the bench",
+        "headline set, the high-growth queries, and the URL window-dedup",
+        "family. 'rows+schema' rows carry the documented reason their",
+        "oracle cannot run at this scale.",
+        "",
+        "| query | oracle | result | sec |",
+        "|---|---|---|---|",
+    ]
+    n_ok = n_fail = n_rows_only = 0
+    for name in _sf1_names():
+        spec = q.REGISTRY[name]
+        t0 = time.perf_counter()
+        try:
+            if spec.sql and name not in SF1_ROWS_ONLY:
+                assert_parity(spark, name, spec, sf1_dir)
+                kind, result = "duckdb", "match"
+                n_ok += 1
+            else:
+                df = spec.fn(spark, sf1_dir)
+                rows = df.count()
+                n_cols = len(df.schema.fields)
+                reason = SF1_ROWS_ONLY.get(name, "no oracle SQL")
+                kind = "rows+schema"
+                result = f"{rows} rows x {n_cols} cols ({reason})"
+                n_rows_only += 1
+        except Exception as exc:  # noqa: BLE001
+            kind = "duckdb" if spec.sql else "rows+schema"
+            msg = " ".join(str(exc).split()).replace("|", "\\|")[:80]
+            result = f"FAIL: {msg}"
+            n_fail += 1
+        dt = time.perf_counter() - t0
+        lines.append(f"| {name} | {kind} | {result} | {dt:.1f} |")
+        print(f"{name}: {result} ({dt:.1f}s)", flush=True)
+    lines += [
+        "",
+        f"**sf1: {n_ok} hash-match, {n_rows_only} rows+schema, "
+        f"{n_fail} failures.**",
+    ]
+    with open(os.path.join(REPO, "PARITY.md"), "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"appended sf1 section; failures: {n_fail}")
+    sys.exit(1 if n_fail else 0)
+
 
 def main() -> None:
+    if sys.argv[1:2] == ["--sf1"]:
+        sf1_main(sys.argv[2] if len(sys.argv) > 2 else "/tmp/rc_rag_sf1")
+        return
     sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.01"]
 
     import rc_rag_spark.queries as q
