@@ -61,7 +61,7 @@ SF1_ROWS_ONLY: dict[str, str] = {
         "oracle connected-components is a recursive CTE over the full "
         "sf1 near-dup pair graph in DuckDB: killed at 15 wall-min "
         "(>70 CPU-min); Spark side's checkpointed min-label "
-        "propagation is the bench anchor (8 s at sf0.1); hash-checked "
+        "propagation is the bench anchor (3.9 s at sf0.1 after the r11 kernel fix); hash-checked "
         "at sf0.001/sf0.01"
     ),
 }
@@ -74,10 +74,50 @@ def _sf1_names() -> list[str]:
     return names
 
 
+def _sf1_cells_equal(a: str, b: str) -> bool:
+    """Cell comparator for the sf1 section: exact match first, then a
+    1e-9 relative-or-absolute float fallback. The main gate's
+    round-to-9-decimals rule is ABSOLUTE and becomes vacuous at sf1's
+    magnitudes — float64 itself carries only ~1e-5 absolute at the
+    1e10-sized decimal-exact sums this fixture produces, so engines
+    casting the SAME exact decimal can differ in the last ulp and
+    still print different 9-decimal strings."""
+    if a == b:
+        return True
+    try:
+        fa, fb = float(a), float(b)
+    except (TypeError, ValueError):
+        return False
+    import math
+
+    return math.isclose(fa, fb, rel_tol=1e-9, abs_tol=1e-9)
+
+
+def sf1_assert_parity(spark, name, spec, sf_dir) -> None:
+    from tests.oracle import canonicalize, run_oracle
+
+    spark_pdf = spec.fn(spark, sf_dir).toPandas()
+    oracle_pdf = run_oracle(spec.sql, sf_dir)
+    assert sorted(c.lower() for c in spark_pdf.columns) == sorted(
+        c.lower() for c in oracle_pdf.columns
+    ), f"{name}: column mismatch"
+    s_rows, o_rows = canonicalize(spark_pdf), canonicalize(oracle_pdf)
+    assert len(s_rows) == len(o_rows), (
+        f"{name}: row count {len(s_rows)} vs oracle {len(o_rows)}"
+    )
+    bad = [
+        (i, a, b)
+        for i, (a, b) in enumerate(zip(s_rows, o_rows))
+        if not all(_sf1_cells_equal(x, y) for x, y in zip(a, b))
+    ]
+    assert not bad, (
+        f"{name}: {len(bad)} row mismatches; first 3: {bad[:3]}"
+    )
+
+
 def sf1_main(sf1_dir: str) -> None:
     import rc_rag_spark.queries as q
     from rc_rag_spark.session import build_session
-    from tests.oracle import assert_parity
 
     if not os.path.isdir(sf1_dir):
         sys.exit(
@@ -93,10 +133,14 @@ def sf1_main(sf1_dir: str) -> None:
         f"— {datetime.datetime.now(datetime.timezone.utc):%Y-%m-%d %H:%M} UTC",
         "",
         "Fourth-decade CORRECTNESS, not just runtime: the same",
-        "hash-comparison gate as above, re-run at sf1 for the bench",
+        "value comparison as above, re-run at sf1 for the bench",
         "headline set, the high-growth queries, and the URL window-dedup",
-        "family. 'rows+schema' rows carry the documented reason their",
-        "oracle cannot run at this scale.",
+        "family. Floats compare at 1e-9 relative-or-absolute here: the",
+        "main gate's 9-decimal ABSOLUTE rule is beyond float64's own",
+        "resolution at this fixture's 1e10-sized sums (engines casting",
+        "the same exact decimal differ in the last ulp). 'rows+schema'",
+        "rows carry the documented reason their oracle cannot run at",
+        "this scale.",
         "",
         "| query | oracle | result | sec |",
         "|---|---|---|---|",
@@ -107,7 +151,7 @@ def sf1_main(sf1_dir: str) -> None:
         t0 = time.perf_counter()
         try:
             if spec.sql and name not in SF1_ROWS_ONLY:
-                assert_parity(spark, name, spec, sf1_dir)
+                sf1_assert_parity(spark, name, spec, sf1_dir)
                 kind, result = "duckdb", "match"
                 n_ok += 1
             else:
