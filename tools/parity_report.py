@@ -46,6 +46,42 @@ SF1_EXTRA = [
     "q283_kmv_joinability",
     "q285_compaction_roundtrip",
     "q286_pyds_filter_pushdown",
+    # breadth sweep (round 11): one representative per family whose
+    # oracle probes fast at sf1 — aggregation grids, set ops, scalar
+    # grids, temporal joins, windows, dedup, text quality/selection,
+    # graph/iterative, sketches
+    "q04_rollup",
+    "q05_cube",
+    "q06_grouping_sets",
+    "q20_set_ops",
+    "q23_math_functions",
+    "q46_union_mixed_sources",
+    "q60_exact_dedup_stats",
+    "q63_simhash_near_dup",
+    "q88_event_anomalies",
+    "q89_funnel_stages",
+    "q92_error_click_band_join",
+    "q94_char_ngram_jaccard",
+    "q101_error_recovery_asof_forward",
+    "q103_rule_sessionize",
+    "q123_nearest_view_match",
+    "q125_rolling_distinct_users",
+    "q126_edit_distance_pairs",
+    "q127_hourly_ohlc",
+    "q135_chunk_documents",
+    "q157_decontamination",
+    "q158_unigram_logprob",
+    "q177_bigram_surprisal",
+    "q196_kmv_distinct",
+    "q200_power_iteration_pc1",
+    "q217_semdedup_hierarchical",
+    "q247_token_budget_selection",
+    "q253_bitmap_distinct",
+    "q258_label_propagation",
+    "q262_gopher_quality_rules",
+    "q270_fim_transform",
+    "q271_vocab_coverage",
+    "q272_boilerplate_prefixes",
 ]
 
 # name -> documented reason its DuckDB oracle is infeasible at sf1;
@@ -63,6 +99,12 @@ SF1_ROWS_ONLY: dict[str, str] = {
         "(>70 CPU-min); Spark side's checkpointed min-label "
         "propagation is the bench anchor (3.9 s at sf0.1 after the r11 kernel fix); hash-checked "
         "at sf0.001/sf0.01"
+    ),
+    "q217_semdedup_hierarchical": (
+        "same oracle family as q212: the six-stage hierarchical "
+        "k-means replay exceeds 180 s in DuckDB at sf1; Spark side "
+        "runs sf1 in 4.8 s (SCALING.md); hash-checked at "
+        "sf0.001/sf0.01"
     ),
 }
 
@@ -175,8 +217,14 @@ def sf1_main(sf1_dir: str) -> None:
         f"**sf1: {n_ok} hash-match, {n_rows_only} rows+schema, "
         f"{n_fail} failures.**",
     ]
-    with open(os.path.join(REPO, "PARITY.md"), "a") as f:
-        f.write("\n".join(lines) + "\n")
+    path = os.path.join(REPO, "PARITY.md")
+    with open(path) as f:
+        existing = f.read()
+    marker = "\n## sf1 ("
+    if marker in existing:  # re-run replaces the previous section
+        existing = existing[: existing.index(marker)].rstrip() + "\n"
+    with open(path, "w") as f:
+        f.write(existing + "\n".join(lines) + "\n")
     print(f"appended sf1 section; failures: {n_fail}")
     sys.exit(1 if n_fail else 0)
 
