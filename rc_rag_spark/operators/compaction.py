@@ -41,6 +41,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import re
 import tempfile
 import uuid
 
@@ -153,8 +154,12 @@ def _read_manifest(path: str) -> dict | None:
 
 def _publish_manifest(path: str, manifest: dict) -> None:
     """Atomic pointer flip: serialize to a same-directory temp file,
-    fsync, os.replace over _MANIFEST. Readers see the old file set or
-    the new one, never a partial list."""
+    fsync, os.replace over _MANIFEST, then fsync the DIRECTORY — the
+    rename itself is only durable once the directory entry is synced;
+    without it a power loss could revert to the old manifest after a
+    vacuum already reclaimed old-generation files against the new
+    one. Readers see the old file set or the new one, never a partial
+    list."""
     fd, staging = tempfile.mkstemp(
         prefix="._manifest_", suffix=".tmp", dir=path
     )
@@ -164,6 +169,17 @@ def _publish_manifest(path: str, manifest: dict) -> None:
             f.flush()
             os.fsync(f.fileno())
         os.replace(staging, os.path.join(path, _MANIFEST))
+        try:
+            dfd = os.open(path, os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
+        except OSError:
+            # some filesystems (and non-POSIX platforms) refuse
+            # directory fsync; the replace is still atomic, just not
+            # power-loss-durable there
+            pass
     except BaseException:
         try:
             os.unlink(staging)
@@ -201,6 +217,13 @@ def read_manifested(spark, path: str):
     columns). Files staged or moved by an in-flight compaction are
     invisible until its manifest publish."""
     m = ensure_manifest(path)
+    if not m["files"]:
+        raise ValueError(
+            f"manifest at {path!r} (generation {m['generation']}) lists "
+            "zero data files — nothing to read. If the table is "
+            "genuinely empty, read it with an explicit schema instead "
+            "of through the manifest."
+        )
     files = [os.path.join(path, f) for f in m["files"]]
     return spark.read.option("basePath", os.path.abspath(path)).parquet(
         *files
@@ -327,13 +350,28 @@ def compact_in_place(
     }
 
 
-def vacuum_manifested(path: str, retention_sec: float = 0.0) -> list[str]:
+_GEN_FILE_RE = re.compile(r"^gen-(\d{6})-")
+_GEN_STAGING_RE = re.compile(r"^_staging_gen-(\d{6})-")
+
+
+def vacuum_manifested(
+    path: str, retention_sec: float = 24 * 3600.0
+) -> list[str]:
     """Reclaim data files NOT listed in the committed manifest —
     superseded generations and the debris of crashed compactions —
     once older than ``retention_sec`` (the time-travel / in-flight-
     reader window; mirrors sources/pyds.py's sink VACUUM). Also prunes
     abandoned staging directories. Never touches manifest-listed
-    files. Returns the deleted relative paths."""
+    files. Returns the deleted relative paths.
+
+    Two guards protect a CONCURRENTLY RUNNING compact_in_place:
+    generation-tagged files and staging dirs whose generation is
+    NEWER than the committed manifest's are an in-flight attempt's
+    moved-but-unpublished output and are always skipped, regardless
+    of retention. The default retention (24 h) additionally covers
+    readers that loaded the old manifest; ``retention_sec=0.0`` is a
+    TEST-ONLY setting — with untagged orphans (e.g. pre-adoption
+    part-* files) it races any concurrent writer."""
     import shutil
     import time
 
@@ -342,22 +380,27 @@ def vacuum_manifested(path: str, retention_sec: float = 0.0) -> list[str]:
     if m is None:
         return []
     keep = set(m["files"])
+    committed_gen = int(m["generation"])
     cutoff = time.time() - retention_sec
     deleted = []
     for rel in _list_data_files(base):
         if rel in keep:
             continue
+        gm = _GEN_FILE_RE.match(os.path.basename(rel))
+        if gm and int(gm.group(1)) > committed_gen:
+            continue  # in-flight compaction's unpublished generation
         full = os.path.join(base, rel)
         if os.path.getmtime(full) <= cutoff:
             os.unlink(full)
             deleted.append(rel)
     for entry in os.listdir(base):
         full = os.path.join(base, entry)
-        if (
-            entry.startswith("_staging_gen-")
-            and os.path.isdir(full)
-            and os.path.getmtime(full) <= cutoff
-        ):
+        sm = _GEN_STAGING_RE.match(entry)
+        if not sm or not os.path.isdir(full):
+            continue
+        if int(sm.group(1)) > committed_gen:
+            continue  # live staging dir of an in-flight compaction
+        if os.path.getmtime(full) <= cutoff:
             shutil.rmtree(full, ignore_errors=True)
             deleted.append(entry + "/")
     return sorted(deleted)

@@ -202,7 +202,14 @@ class CurationPipeline:
         query params sorted, fragment dropped; min id wins). Expressed
         as groupBy(canonical).min(id) — membership-identical to q284's
         rn=1 window but with map-side partial aggregation, so a
-        mega-site's URL variants combine before the exchange."""
+        mega-site's URL variants combine before the exchange.
+
+        Docs whose URL is NULL or unparseable (canonical_url_col's
+        concat yields NULL) pass through UNCHANGED: the group key
+        falls back to a per-doc sentinel, so every such doc is its
+        own group — without this, all NULL-canonical docs would
+        collapse into one group and min(id) would silently drop all
+        but one of them."""
 
         def step(df: DataFrame) -> DataFrame:
             from rc_rag_spark.queries.curation import (
@@ -213,8 +220,15 @@ class CurationPipeline:
             parsed = parse_urls(
                 df.select(self.id_col, F.col(url_col).alias("url"))
             )
+            key = F.coalesce(
+                canonical_url_col(),
+                F.concat(
+                    F.lit("\x00unparsed:"),
+                    F.col(self.id_col).cast("string"),
+                ),
+            ).alias("canonical")
             keep = (
-                parsed.select(self.id_col, canonical_url_col())
+                parsed.select(self.id_col, key)
                 .groupBy("canonical")
                 .agg(F.min(self.id_col).alias(self.id_col))
                 .select(self.id_col)
@@ -266,7 +280,13 @@ class CurationPipeline:
         homepage-adjacent pages). The literal rank<=K filter is
         WindowGroupLimit-eligible: each task forwards at most K rows
         per domain before the exchange, which is what keeps a
-        mega-domain from single-tasking the window."""
+        mega-domain from single-tasking the window.
+
+        Docs with no parseable host (registrable is NULL) are NOT
+        subject to the quota: the partition key falls back to a
+        per-doc sentinel so each such doc ranks rn=1 and passes
+        through — otherwise NULL would form ONE pseudo-domain and the
+        quota K would cap every unparseable-URL doc together."""
 
         def step(df: DataFrame) -> DataFrame:
             from rc_rag_spark.queries.curation import (
@@ -278,6 +298,15 @@ class CurationPipeline:
                 parse_urls(
                     df.select(self.id_col, F.col(url_col).alias("url"))
                 )
+            ).withColumn(
+                "registrable",
+                F.coalesce(
+                    F.col("registrable"),
+                    F.concat(
+                        F.lit("\x00nohost:"),
+                        F.col(self.id_col).cast("string"),
+                    ),
+                ),
             )
             w = Window.partitionBy("registrable").orderBy(
                 F.md5(F.col(self.id_col).cast("string")), F.col(self.id_col)

@@ -15,8 +15,9 @@ URL/domain curation family.
     a training run actually spends. Shares q247's quantile-threshold
     kernel (corpus.token_budget_select) unchanged.
   - q277: URL parsing — scheme/host/port/path/query-param/fragment
-    via Spark's codegen'd ``parse_url`` (java.net.URI semantics),
-    rolled up to distinct parse shapes. URLs are derived
+    via Spark's codegen'd ``try_parse_url`` (java.net.URI semantics;
+    NULL fields on malformed URLs instead of a job-killing
+    [INVALID_URL], round 12), rolled up to distinct parse shapes. URLs are derived
     deterministically from doc_id (the testdata has no URL column),
     with page identity on ``doc_id % 499`` and presentation noise
     (case, default ports, trailing slash, param order, fragments) on
@@ -352,20 +353,28 @@ def _values_cte(name: str, items: list[str]) -> str:
 
 def parse_urls(df):
     """Attach proto/host/port/path/query/q_param/frag to any DataFrame
-    with a ``url`` column via Spark's parse_url — the JVM-side,
-    codegen'd parser (java.net.URI field semantics)."""
+    with a ``url`` column via Spark's try_parse_url — the JVM-side,
+    codegen'd parser (java.net.URI field semantics). The try_ variant
+    is load-bearing at crawl scale: plain parse_url THROWS
+    [INVALID_URL] on the first malformed URL (killing the whole job),
+    while try_parse_url yields NULL fields, which the downstream
+    stages route around (pipeline dedup/quota key on per-doc
+    sentinels for NULL; q279's blocklist equi-join never matches
+    NULL)."""
     return df.select(
         "*",
-        F.parse_url("url", F.lit("PROTOCOL")).alias("proto"),
-        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.try_parse_url("url", F.lit("PROTOCOL")).alias("proto"),
+        F.try_parse_url("url", F.lit("HOST")).alias("host"),
         F.expr(
-            "nullif(regexp_extract(parse_url(url, 'AUTHORITY'),"
+            "nullif(regexp_extract(try_parse_url(url, 'AUTHORITY'),"
             " ':([0-9]+)$', 1), '')"
         ).alias("port"),
-        F.parse_url("url", F.lit("PATH")).alias("path"),
-        F.parse_url("url", F.lit("QUERY")).alias("query"),
-        F.parse_url("url", F.lit("QUERY"), F.lit("q")).alias("q_param"),
-        F.parse_url("url", F.lit("REF")).alias("frag"),
+        F.try_parse_url("url", F.lit("PATH")).alias("path"),
+        F.try_parse_url("url", F.lit("QUERY")).alias("query"),
+        F.try_parse_url("url", F.lit("QUERY"), F.lit("q")).alias(
+            "q_param"
+        ),
+        F.try_parse_url("url", F.lit("REF")).alias("frag"),
     )
 
 
@@ -431,9 +440,11 @@ def _with_registrable(parsed):
     tags=("url", "parse", "curation"),
 )
 def q277_url_parse(spark, sf_dir):
-    """URL decomposition at corpus scale: Spark's ``parse_url``
+    """URL decomposition at corpus scale: Spark's ``try_parse_url``
     (codegen'd java.net.URI field extraction — PROTOCOL/HOST/PATH/
-    QUERY/per-key QUERY/REF, port from AUTHORITY) over deterministic
+    QUERY/per-key QUERY/REF, port from AUTHORITY; the try_ variant
+    yields NULL fields on malformed URLs instead of failing the job,
+    which is what a real crawl feed requires) over deterministic
     synthetic URLs, rolled up to distinct parse shapes. The oracle
     re-derives every field with anchored regexes, so scheme/host/port
     splitting, query-param extraction, and NULL-vs-empty semantics
@@ -781,7 +792,8 @@ def q284_crawl_curation_funnel(spark, sf_dir):
     collect + vocab encode + doc-count partial agg) now rides inside
     this plan, so its printed exchange/shuffle-join counts grew by
     exactly that subtree's nodes. Funnel stages themselves are
-    unchanged; sf1 growth measured 1.52x per 10x post-composition."""
+    unchanged; sf1 growth measured 1.52x per 10x post-composition.
+    Allowed: hash-exchanges<=52 shuffle-joins<=11."""
     reg = _with_registrable(_parsed_urls(spark, sf_dir))
     c = reg.select("doc_id", "source", "registrable", canonical_url_col())
     dedup = (

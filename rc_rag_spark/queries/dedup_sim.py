@@ -177,7 +177,8 @@ def q62_minhash_near_dup(spark, sf_dir):
     array HOFs to an explode + codegen'd 8-minima hash aggregate
     (operators/dedup.py _minhash_stage) — one extra map-side-combined
     (_id) exchange in the plan, 5x less signature CPU (values
-    identical; band-table checksum pinned in the A/B)."""
+    identical; band-table checksum pinned in the A/B). Allowed:
+    hash-exchanges<=5 shuffle-joins<=2."""
     pairs = _q62_corpus_pairs(spark, sf_dir)
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 9).alias("jaccard")
@@ -216,7 +217,7 @@ def q102_dedup_clusters(spark, sf_dir):
 
     plan-change: inherits _minhash_stage's r11 explode+agg signature
     kernel (see q62) — one extra map-side-combined exchange, less CPU,
-    identical pairs."""
+    identical pairs. Allowed: hash-exchanges<=1 shuffle-joins<=0."""
     from pyspark.sql.window import Window
 
     labels = DD.dedup_clusters(_q62_corpus_pairs(spark, sf_dir))
@@ -1326,7 +1327,8 @@ def q239_incremental_minhash_dedup(spark, sf_dir):
 
     plan-change: inherits _minhash_stage's r11 explode+agg signature
     kernel (see q62) — one extra map-side-combined exchange per staged
-    side, less CPU, identical pairs."""
+    side, less CPU, identical pairs. Allowed: hash-exchanges<=5
+    shuffle-joins<=2."""
     d = table(spark, sf_dir, "documents")
     words = F.split("text", " ")
     increment = d.where(F.col("doc_id") % 10 == 0).select(

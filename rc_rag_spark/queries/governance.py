@@ -555,7 +555,8 @@ def q264_dsir_selection(spark, sf_dir):
     ~distinct-buckets-per-doc rows) and costs less than the second
     hashing pass it replaces: measured 13.9 s -> 9.6 s warm at sf1,
     2.0 s -> 1.7 s at sf0.1, output identical (fourth-decade growth
-    7.06x -> ~5.8x per 10x)."""
+    7.06x -> ~5.8x per 10x). Allowed: hash-exchanges<=3
+    shuffle-joins<=0."""
     d = table(spark, sf_dir, "documents")
     ws = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     w = d.where(F.length(F.trim(F.col("text"))) > 1).select(

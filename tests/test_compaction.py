@@ -9,6 +9,7 @@ import glob
 import os
 import shutil
 import tempfile
+import time
 
 from pyspark.sql import functions as F
 
@@ -297,5 +298,84 @@ def test_in_place_crash_during_manifest_write_is_invisible(spark, sf_dir):
         with open(os.path.join(d, "_MANIFEST")) as f:
             assert json.load(f) == m0  # committed pointer untouched
         assert _content(spark, d) == before
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_read_manifested_empty_manifest_is_a_clear_error(spark):
+    """A manifest listing zero files must raise a clear ValueError,
+    not spark.read.parquet()'s unhelpful zero-path AnalysisException
+    (ADVICE r11)."""
+    import pytest
+
+    from rc_rag_spark.operators import compaction as C
+
+    d = tempfile.mkdtemp(prefix="rc_rag_empty_manifest_")
+    try:
+        m = C.ensure_manifest(d)  # empty dir -> generation 0, no files
+        assert m["files"] == []
+        with pytest.raises(ValueError, match="zero data files"):
+            C.read_manifested(spark, d)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_vacuum_never_touches_an_in_flight_generation(spark, sf_dir):
+    """vacuum_manifested racing a concurrent compact_in_place: the
+    in-flight attempt's moved-but-unpublished gen-(N+1) files and its
+    live _staging_gen-(N+1) dir must survive even retention_sec=0.0
+    (ADVICE r11 — the old behavior deleted both, corrupting the
+    in-flight publish), while a same-or-older-generation orphan is
+    still reclaimed. Once a newer manifest commits, the debris
+    becomes reclaimable."""
+    import json
+
+    from rc_rag_spark.operators import compaction as C
+
+    d = _fragmented_events(spark, sf_dir, "rc_rag_vacuum_race_")
+    try:
+        m0 = C.ensure_manifest(d)  # committed generation 0
+        # simulate an in-flight gen-1 attempt mid-step-3/4: a moved
+        # output file in a live partition dir plus its staging dir
+        live_dir = glob.glob(os.path.join(d, "event_type=*"))[0]
+        inflight = os.path.join(
+            live_dir, "gen-000001-00000-deadbeef.parquet"
+        )
+        with open(inflight, "wb") as f:
+            f.write(b"x")
+        staging = os.path.join(d, "_staging_gen-000001-deadbeef")
+        os.makedirs(staging)
+        # and a reclaimable orphan: an untagged file no manifest lists
+        orphan = os.path.join(live_dir, "orphan-not-in-manifest.parquet")
+        with open(orphan, "wb") as f:
+            f.write(b"x")
+        old = time.time() - 3600
+        for p in (inflight, staging, orphan):
+            os.utime(p, (old, old))
+
+        deleted = C.vacuum_manifested(d, retention_sec=0.0)
+        assert os.path.exists(inflight), "in-flight gen-1 file deleted"
+        assert os.path.isdir(staging), "live staging dir deleted"
+        assert not os.path.exists(orphan)
+        assert all("gen-000001" not in p for p in deleted)
+
+        # default retention (24 h) reclaims nothing fresh: plant a new
+        # orphan with current mtime and vacuum with defaults
+        fresh = os.path.join(live_dir, "fresh-orphan.parquet")
+        with open(fresh, "wb") as f:
+            f.write(b"x")
+        assert C.vacuum_manifested(d) == []
+        assert os.path.exists(fresh)
+        os.unlink(fresh)
+
+        # publish generation 1 (same committed file set): the crashed
+        # attempt's gen-1 debris is no longer newer than the manifest
+        C._publish_manifest(d, {"generation": 1, "files": m0["files"]})
+        deleted = C.vacuum_manifested(d, retention_sec=0.0)
+        assert not os.path.exists(inflight)
+        assert not os.path.isdir(staging)
+        with open(os.path.join(d, "_MANIFEST")) as f:
+            assert json.load(f)["generation"] == 1
+        assert _content(spark, d) is not None  # committed set intact
     finally:
         shutil.rmtree(d, ignore_errors=True)

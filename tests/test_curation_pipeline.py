@@ -259,3 +259,57 @@ def test_url_stage_params_invalidate(spark, sf_dir, workdir):
     n1 = run_with(1).count()
     assert os.path.getmtime(stage1) != mtime  # stage recomputed
     assert n1 < n3
+
+
+def test_url_stages_pass_null_and_unparseable_urls_through(
+    spark, sf_dir, workdir
+):
+    """Docs whose URL is NULL or unparseable must NOT be silently
+    dropped (ADVICE r11: canonical_url_col's concat yields NULL for
+    them, and groupBy(canonical) used to collapse ALL of them into
+    one group keeping only min(id); domain_quota's NULL registrable
+    pseudo-domain likewise capped them at K). Both stages now key on
+    per-doc sentinels for NULL, so every such doc survives."""
+    junk_ids = {9_000_001, 9_000_002, 9_000_003, 9_000_004, 9_000_005}
+    junk = spark.createDataFrame(
+        [
+            (9_000_001, "junk", "text a", None),
+            (9_000_002, "junk", "text b", None),
+            (9_000_003, "junk", "text c", "not a url at all"),
+            (9_000_004, "junk", "text d", "http://:bad:port/::"),
+            (9_000_005, "junk", "text e", "also spaces here"),
+        ],
+        "doc_id bigint, source string, text string, url string",
+    )
+    docs = _docs_with_urls(spark, sf_dir).unionByName(junk)
+
+    # the junk really is unparseable: canonical comes out NULL
+    from rc_rag_spark.queries.curation import canonical_url_col, parse_urls
+
+    canon = (
+        parse_urls(junk.select("doc_id", "url"))
+        .select("doc_id", canonical_url_col())
+        .collect()
+    )
+    assert all(r["canonical"] is None for r in canon)
+
+    kept = (
+        CurationPipeline(spark, workdir)
+        .url_canonical_dedup()
+        .domain_quota(max_per_domain=1)
+        .run(docs)
+    )
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert junk_ids <= kept_ids, (
+        f"unparseable-URL docs dropped: {sorted(junk_ids - kept_ids)}"
+    )
+    # and the blocklist stage (NULL registrable never equi-matches)
+    # is likewise a pass-through for them
+    kept_bl = (
+        CurationPipeline(spark, workdir + "_bl")
+        .url_blocklist(["evil.example"])
+        .run(docs)
+    )
+    bl_ids = {r["doc_id"] for r in kept_bl.select("doc_id").collect()}
+    assert junk_ids <= bl_ids
+    shutil.rmtree(workdir + "_bl", ignore_errors=True)

@@ -174,9 +174,11 @@ def _plan_audit_mod():
 
 def test_plan_regression_guard_logic():
     """The diff logic behind the plan-regression guard: exchange or
-    shuffle-join GROWTH is flagged, growth with a 'plan-change:'
-    docstring note is waived, reductions and new/removed queries are
-    never flagged, and IMR-count changes demote the (reprint-inflated)
+    shuffle-join GROWTH is flagged, growth within a 'plan-change:'
+    note's explicit caps is waived (growth PAST a cap, or in a metric
+    the note carries no cap for, is not — a bare note must not waive
+    a query forever), reductions and new/removed queries are never
+    flagged, and IMR-count changes demote the (reprint-inflated)
     exchange comparison to shuffle-joins only."""
     pa = _plan_audit_mod()
     base = {
@@ -193,25 +195,69 @@ def test_plan_regression_guard_logic():
     old = {"q_a": v(), "q_b": v(), "q_c": v(), "q_gone": v()}
     new = {
         "q_a": v(hash_exchanges=3),            # regression
-        "q_b": v(shuffle_join=2),              # regression (noted)
+        "q_b": v(shuffle_join=2),              # regression (noted<=2)
         "q_c": v(hash_exchanges=1),            # improvement
         "q_new": v(hash_exchanges=99),         # new query: not a diff
     }
-    flagged = pa.plan_regressions(old, new, has_note=lambda n: n == "q_b")
+    allow_b = {"hash_exchanges": None, "shuffle_join": 2}
+    flagged = pa.plan_regressions(
+        old, new, lambda n: allow_b if n == "q_b" else None
+    )
     assert flagged == ["q_a: hash-exchanges 2 -> 3"]
-    # without the note, both are flagged
-    flagged = pa.plan_regressions(old, new, has_note=lambda n: False)
+    # without any note, both are flagged
+    flagged = pa.plan_regressions(old, new, lambda n: None)
     assert flagged == [
         "q_a: hash-exchanges 2 -> 3",
         "q_b: shuffle-joins 1 -> 2",
     ]
+    # growth PAST the cap still flags, with the cap in the message
+    over = {"q_b": v(shuffle_join=3)}
+    flagged = pa.plan_regressions(old, over, lambda n: allow_b)
+    assert flagged == ["q_b: shuffle-joins 1 -> 3 (note cap 2 exceeded)"]
+    # a note with a cap only for the OTHER metric does not waive
+    flagged = pa.plan_regressions(
+        old, {"q_a": v(hash_exchanges=3)},
+        lambda n: {"hash_exchanges": None, "shuffle_join": 9},
+    )
+    assert flagged == ["q_a: hash-exchanges 2 -> 3"]
+    # a bare cap-less note flags AND asks for caps
+    flagged = pa.plan_regressions(
+        old, {"q_a": v(hash_exchanges=3)},
+        lambda n: {"hash_exchanges": None, "shuffle_join": None},
+    )
+    assert flagged == [
+        "q_a: hash-exchanges 2 -> 3, plan-change note carries no caps "
+        "— add hash-exchanges<=N / shuffle-joins<=M"
+    ]
     # IMR change: exchange growth is reprint noise, shuffle-joins rule
     new_imr = {"q_a": v(hash_exchanges=9, imr=2)}
-    assert pa.plan_regressions(old, new_imr, lambda n: False) == []
+    assert pa.plan_regressions(old, new_imr, lambda n: None) == []
     new_imr = {"q_a": v(hash_exchanges=9, imr=2, shuffle_join=2)}
-    assert pa.plan_regressions(old, new_imr, lambda n: False) == [
+    assert pa.plan_regressions(old, new_imr, lambda n: None) == [
         "q_a: shuffle-joins 1 -> 2"
     ]
+
+
+def test_plan_note_allowances_parse():
+    """Every committed 'plan-change:' note must carry parsable caps —
+    docstring_plan_allowance returns per-metric caps for noted
+    queries, None for unnoted ones, and no committed note may be
+    cap-less (that would silence the guard for that query forever)."""
+    pa = _plan_audit_mod()
+    noted = [
+        name
+        for name in q.REGISTRY
+        if "plan-change:" in (q.REGISTRY[name].fn.__doc__ or "")
+    ]
+    assert len(noted) >= 5  # q62/q102/q239/q264/q284 as of round 12
+    for name in noted:
+        allow = pa.docstring_plan_allowance(name)
+        assert allow is not None, name
+        assert any(v is not None for v in allow.values()), (
+            f"{name}: plan-change note has no hash-exchanges<=N / "
+            "shuffle-joins<=M caps"
+        )
+    assert pa.docstring_plan_allowance("q01_pricing_summary") is None
 
 
 def test_plans_md_table_parses():
@@ -249,9 +295,10 @@ def test_sampled_plans_match_committed(spark, sf_dir):
         plan = df._jdf.queryExecution().executedPlan().toString()
         fresh[name] = {**pa.count_plan(plan), "build_jobs": 0}
     flagged = pa.plan_regressions(
-        committed, fresh, pa.docstring_has_plan_note
+        committed, fresh, pa.docstring_plan_allowance
     )
     assert not flagged, (
-        "plan regression vs committed PLANS.md (add a 'plan-change:' "
-        f"docstring note if intentional): {flagged}"
+        "plan regression vs committed PLANS.md (if intentional, add a "
+        "'plan-change:' docstring note with hash-exchanges<=N / "
+        f"shuffle-joins<=M caps): {flagged}"
     )

@@ -26,10 +26,15 @@ query whose hash-exchange or shuffle-join count GREW. Growth is a
 structural perf regression the noisy sub-second bench cannot catch;
 it fails the audit (exit 2, after writing the new table so the diff
 is inspectable) unless the query's docstring carries a
-``plan-change:`` note explaining the intentional change.
-tests/test_evidence.py unit-tests the diff logic and live-checks a
-deterministic sample of plan-only queries against the committed
-table on every pytest run.
+``plan-change:`` note that BOUNDS the intentional change with
+explicit caps — ``hash-exchanges<=N`` / ``shuffle-joins<=M`` tokens
+anywhere in the docstring. A note waives growth only UP TO its caps
+(round 12: a bare note used to waive all future growth forever,
+blinding the guard to later unintentional regressions in that
+query); growth past a cap, or growth in a metric the note carries no
+cap for, still fails. tests/test_evidence.py unit-tests the diff
+logic and live-checks a deterministic sample of plan-only queries
+against the committed table on every pytest run.
 """
 
 from __future__ import annotations
@@ -78,41 +83,86 @@ def parse_plans_table(text: str) -> dict[str, dict[str, int]]:
 def plan_regressions(
     old: dict[str, dict[str, int]],
     new: dict[str, dict[str, int]],
-    has_note,
+    get_allowance,
 ) -> list[str]:
     """Queries (present in both tables) whose hash-exchange or
-    shuffle-join count grew without a ``plan-change:`` docstring note.
-    New queries and removals are not regressions; reductions never
-    are. Cached-plan reprinting (IMR > 0) inflates exchange counts,
-    so a query whose IMR count itself changed is compared on
-    shuffle-joins only."""
+    shuffle-join count grew beyond what a ``plan-change:`` docstring
+    note allows. ``get_allowance(name)`` returns None (no note — any
+    growth flags) or {"hash_exchanges": cap|None, "shuffle_join":
+    cap|None}; growth is waived only while the new count stays <= the
+    cap for THAT metric, so a note documents one bounded change
+    instead of blinding the guard to the query forever. New queries
+    and removals are not regressions; reductions never are.
+    Cached-plan reprinting (IMR > 0) inflates exchange counts, so a
+    query whose IMR count itself changed is compared on shuffle-joins
+    only."""
     bad = []
     for name in sorted(set(old) & set(new)):
         o, n = old[name], new[name]
+        allow = get_allowance(name) or {}
+
+        def waived(metric: str) -> bool:
+            cap = allow.get(metric)
+            return cap is not None and n[metric] <= cap
+
         grew = []
         if (
             n["imr"] == o["imr"]
             and n["hash_exchanges"] > o["hash_exchanges"]
+            and not waived("hash_exchanges")
         ):
             grew.append(
                 f"hash-exchanges {o['hash_exchanges']} -> "
                 f"{n['hash_exchanges']}"
+                + (
+                    f" (note cap {allow['hash_exchanges']} exceeded)"
+                    if allow.get("hash_exchanges") is not None
+                    else ""
+                )
             )
-        if n["shuffle_join"] > o["shuffle_join"]:
+        if n["shuffle_join"] > o["shuffle_join"] and not waived(
+            "shuffle_join"
+        ):
             grew.append(
                 f"shuffle-joins {o['shuffle_join']} -> {n['shuffle_join']}"
+                + (
+                    f" (note cap {allow['shuffle_join']} exceeded)"
+                    if allow.get("shuffle_join") is not None
+                    else ""
+                )
             )
-        if grew and not has_note(name):
+        if grew:
+            if allow and all(v is None for v in allow.values()):
+                grew.append(
+                    "plan-change note carries no caps — add "
+                    "hash-exchanges<=N / shuffle-joins<=M"
+                )
             bad.append(f"{name}: {', '.join(grew)}")
     return bad
 
 
-def docstring_has_plan_note(name: str) -> bool:
+_NOTE_CAPS = {
+    "hash_exchanges": re.compile(r"hash-exchanges<=(\d+)"),
+    "shuffle_join": re.compile(r"shuffle-joins<=(\d+)"),
+}
+
+
+def docstring_plan_allowance(name: str) -> dict[str, int | None] | None:
+    """Parse a registered query's ``plan-change:`` note into its
+    growth allowance: None when no note, else per-metric caps
+    (``hash-exchanges<=N`` / ``shuffle-joins<=M`` tokens anywhere in
+    the docstring; a missing token means NO allowance for that
+    metric)."""
     import rc_rag_spark.queries as q
 
     spec = q.REGISTRY.get(name)
     doc = (spec.fn.__doc__ or "") if spec else ""
-    return "plan-change:" in doc
+    if "plan-change:" not in doc:
+        return None
+    return {
+        metric: int(m.group(1)) if (m := rx.search(doc)) else None
+        for metric, rx in _NOTE_CAPS.items()
+    }
 
 
 def count_plan(plan: str) -> dict[str, int]:
@@ -249,11 +299,12 @@ def main() -> None:
     offenders = plan_regressions(
         parse_plans_table(committed),
         parse_plans_table(out),
-        docstring_has_plan_note,
+        docstring_plan_allowance,
     )
     if offenders:
-        print("PLAN REGRESSIONS (add a 'plan-change:' docstring note "
-              "if intentional):")
+        print("PLAN REGRESSIONS (if intentional, add a 'plan-change:' "
+              "docstring note with hash-exchanges<=N / "
+              "shuffle-joins<=M caps):")
         for o in offenders:
             print("  " + o)
         sys.exit(2)
