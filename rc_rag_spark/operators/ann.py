@@ -31,6 +31,12 @@ def build_ivf_index(
     feat = corpus.withColumn(
         "_v", array_to_vector(F.col(vec_col).cast("array<double>"))
     )
+    if feat.isEmpty():
+        raise ValueError(
+            "build_ivf_index: corpus is empty — KMeans cannot place "
+            "centroids with zero points. Query-level callers (ivf_topk) "
+            "short-circuit to an empty result instead."
+        )
     km = KMeans(k=n_clusters, seed=seed, featuresCol="_v", predictionCol="_cell")
     model = km.fit(feat)
     assigned = model.transform(feat).drop("_v")
@@ -54,6 +60,10 @@ def ivf_topk(
 ) -> DataFrame:
     """Approximate top-k: probe the n_probe nearest IVF cells per
     query, exact cosine re-rank inside them."""
+    if corpus.isEmpty():
+        from rc_rag_spark.operators.similarity import _empty_topk_result
+
+        return _empty_topk_result(corpus, queries, id_col, query_id_col)
     assigned, centroids = build_ivf_index(corpus, vec_col, n_clusters, seed)
 
     # rank cells per query against the broadcast centroid table

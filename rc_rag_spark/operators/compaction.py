@@ -54,10 +54,23 @@ def audit_files(spark, path: str):
     """Per-partition file census via the hidden _metadata column:
     (partition, n_files, total_bytes, min_bytes, max_bytes).
     ``partition`` is the file's parent directory relative to ``path``
-    ('' for unpartitioned layouts)."""
+    ('' for unpartitioned layouts). A dataset directory with no data
+    files (an empty table's write leaves only _SUCCESS) yields an
+    empty census, not UNABLE_TO_INFER_SCHEMA — zero files is a valid
+    answer to "how fragmented is this table"."""
     base = os.path.abspath(path)
+    try:
+        src = spark.read.parquet(path)
+    except Exception as exc:  # noqa: BLE001
+        if "UNABLE_TO_INFER_SCHEMA" not in str(exc):
+            raise
+        return spark.createDataFrame(
+            [],
+            "partition string, n_files bigint, total_bytes bigint, "
+            "min_bytes bigint, max_bytes bigint",
+        )
     files = (
-        spark.read.parquet(path)
+        src
         .select(
             F.col("_metadata.file_path").alias("file_path"),
             F.col("_metadata.file_size").alias("file_size"),

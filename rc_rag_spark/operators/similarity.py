@@ -26,6 +26,41 @@ from pyspark.sql.window import Window
 from rc_rag_spark.functions.vectors import dot, l2_norm
 
 
+def _dense_matrix(values, dtype=None):
+    """Rows of array-likes -> 2-D float64 ndarray. EMPTY input yields
+    shape (0, 0) — np.array([]) is 1-D and every axis-1 reduction
+    (norms, matmuls) would raise AxisError the moment a query or
+    corpus side is empty, which at 100 TB is just a day with no
+    data, not an exceptional state."""
+    import numpy as np
+
+    dtype = dtype or np.float64
+    rows = [np.asarray(v, dtype=dtype) for v in values]
+    if not rows:
+        return np.zeros((0, 0), dtype=dtype)
+    return np.array(rows)
+
+
+def _empty_topk_result(corpus, queries, id_col, query_id_col):
+    """Zero-row DataFrame with the exact top-k output schema
+    (query_id, neighbor_id, similarity double, rank int) — the
+    empty-input return of every *_topk operator, typed from the real
+    input columns so unions/joins downstream still resolve."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(
+                query_id_col, queries.schema[query_id_col].dataType
+            ),
+            T.StructField("neighbor_id", corpus.schema[id_col].dataType),
+            T.StructField("similarity", T.DoubleType()),
+            T.StructField("rank", T.IntegerType()),
+        ]
+    )
+    return corpus.sparkSession.createDataFrame([], schema)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -121,6 +156,12 @@ def lsh_topk_join(
     Recall is tunable via num_hash_tables / bucket_length / max_l2."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
 
+    # MLlib's LSH fit() needs >=1 row to size its hyperplanes ("head
+    # of empty array"); an empty corpus is a legal input (empty
+    # partition / fresh table), not a fit error
+    if corpus.isEmpty():
+        return _empty_topk_result(corpus, queries, id_col, query_id_col)
+
     # stage norms below the candidate join (same rationale and float-op
     # order as brute_force_topk)
     c = _to_ml_vector(
@@ -165,6 +206,22 @@ def embedding_near_dup(
     candidates (cosine ≥ t on unit-norm vectors ⇔ L2 ≤ √(2-2t)),
     exact cosine verifies. Returns (id_a, id_b, similarity)."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
+
+    if df.isEmpty():  # see lsh_topk_join: fit() cannot size an
+        # empty corpus, and no rows means no pairs
+        from pyspark.sql import types as T
+
+        id_t = df.schema[id_col].dataType
+        return df.sparkSession.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("id_a", id_t),
+                    T.StructField("id_b", id_t),
+                    T.StructField("similarity", T.DoubleType()),
+                ]
+            ),
+        )
 
     # compute the norm ONCE per row — an aggregate inside the
     # per-element transform lambda would re-fold the whole array for
@@ -239,8 +296,9 @@ def exact_near_dup_pairs(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     ).toPandas()
     ids = pdf["id"].to_numpy()
-    mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    mat = _dense_matrix(pdf["v"])
+    if len(ids):
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     bc = spark.sparkContext.broadcast((ids, mat, cosine_threshold))
 
     def block_pairs(batches):
@@ -318,12 +376,15 @@ def brute_force_topk_pruned(
         F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv")
     ).toPandas()
     q_ids = q_pdf["qid"].to_numpy()
-    q_mat = np.array([np.asarray(v, dtype=np.float64) for v in q_pdf["qv"]])
+    q_mat = _dense_matrix(q_pdf["qv"])
     q_norm = np.linalg.norm(q_mat, axis=1)
     bc = spark.sparkContext.broadcast((q_ids, q_mat, q_norm, metric))
 
     def local_topk(batches):
         q_ids_b, q_mat_b, q_norm_b, metric_b = bc.value
+        if len(q_ids_b) == 0:
+            return  # no queries -> no candidates (and (n,d)@(0,0).T
+            # would be a shape error, not an empty result)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -410,12 +471,14 @@ def hard_negative_topk(
     ).toPandas()
     q_ids = q_pdf["qid"].to_numpy()
     q_grp = q_pdf["qg"].to_numpy()
-    q_mat = np.array([np.asarray(v, dtype=np.float64) for v in q_pdf["qv"]])
+    q_mat = _dense_matrix(q_pdf["qv"])
     q_norm = np.linalg.norm(q_mat, axis=1)
     bc = spark.sparkContext.broadcast((q_ids, q_grp, q_mat, q_norm))
 
     def local_topk(batches):
         q_ids_b, q_grp_b, q_mat_b, q_norm_b = bc.value
+        if len(q_ids_b) == 0:
+            return  # no queries -> no negatives to mine
         for pdf in batches:
             if len(pdf) == 0:
                 continue

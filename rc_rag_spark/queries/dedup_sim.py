@@ -1056,10 +1056,17 @@ def _knn_recall_row(spark, sf_dir, approx, k=5, threshold=0.9):
             F.lit(k).cast("int").alias("k"),
             F.count_distinct("query_id").alias("n_queries"),
             F.count(F.lit(1)).alias("n_exact_pairs"),
-            (
-                F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
-                / F.count(F.lit(1))
-                >= threshold
+            # try_divide + coalesce(TRUE): with zero exact pairs
+            # (empty corpus) recall is vacuously OK — matching the
+            # oracle's literal TRUE — instead of an ANSI
+            # DIVIDE_BY_ZERO at runtime
+            F.coalesce(
+                F.try_divide(
+                    F.sum(F.coalesce(F.col("_hit"), F.lit(0))),
+                    F.count(F.lit(1)),
+                )
+                >= threshold,
+                F.lit(True),
             ).alias("recall_ok"),
         )
     )

@@ -176,8 +176,13 @@ def q209_windowed_funnel(spark, sf_dir):
     return nc.crossJoin(F.broadcast(viewers)).select(
         F.col("n_viewers").cast("bigint").alias("n_viewers"),
         F.col("n_converted").cast("bigint").alias("n_converted"),
+        # try_divide: zero viewers (empty events) yields NULL like the
+        # oracle, not an ANSI DIVIDE_BY_ZERO
         F.round(
-            F.col("n_converted") / F.col("n_viewers").cast("double"), 9
+            F.try_divide(
+                F.col("n_converted"), F.col("n_viewers").cast("double")
+            ),
+            9,
         ).alias("rate_1h"),
     )
 
@@ -248,11 +253,19 @@ def q210_joinability_audit(spark, sf_dir):
                 F.col("nd_a").cast("bigint").alias("nd_a"),
                 F.col("nd_b").cast("bigint").alias("nd_b"),
                 F.col("n_common").cast("bigint").alias("n_common"),
+                # try_divide: an empty key column (0 distinct values)
+                # reports NULL containment, as the oracle does
                 F.round(
-                    F.col("n_common") / F.col("nd_a").cast("double"), 9
+                    F.try_divide(
+                        F.col("n_common"), F.col("nd_a").cast("double")
+                    ),
+                    9,
                 ).alias("containment_a"),
                 F.round(
-                    F.col("n_common") / F.col("nd_b").cast("double"), 9
+                    F.try_divide(
+                        F.col("n_common"), F.col("nd_b").cast("double")
+                    ),
+                    9,
                 ).alias("containment_b"),
             )
         )
@@ -430,7 +443,9 @@ def kmv_joinability(spark, sf_dir, sketch_only=False):
             ).otherwise((F.col(ke) - 1) / (F.col(kth) / scale))
 
         union_est = est("ke_u", "kth_u")
-        jacc = F.col("n_i") / F.col("ke_u").cast("double")
+        # try_divide: an empty union sketch (both columns empty) gives
+        # NULL jaccard, mirroring the oracle's NULL-on-zero division
+        jacc = F.try_divide(F.col("n_i"), F.col("ke_u").cast("double"))
         base = (
             astat.crossJoin(F.broadcast(bstat))
             .crossJoin(F.broadcast(ustat))

@@ -184,9 +184,13 @@ def q88_event_anomalies(spark, sf_dir):
     return e.join(F.broadcast(m), "event_type").select(
         "event_id",
         "event_type",
-        F.round((F.col("value") - F.col("mu")) / F.sqrt("var_pop"), 6).alias(
-            "zscore"
-        ),
+        # try_divide: a single-event type has zero variance — its
+        # z-score is undefined (NULL, like the oracle's x/0), not an
+        # ANSI DIVIDE_BY_ZERO
+        F.round(
+            F.try_divide(F.col("value") - F.col("mu"), F.sqrt("var_pop")),
+            6,
+        ).alias("zscore"),
         (F.abs(F.col("value") - F.col("mu")) > 2 * F.sqrt("var_pop")).alias(
             "is_anomaly"
         ),

@@ -760,7 +760,11 @@ def q269_dynamic_partition_pruning(spark, sf_dir):
         "o_totalprice",
     )
     o.write.mode("overwrite").partitionBy("o_year").parquet(base)
-    fact = spark.read.parquet(base)
+    # explicit schema: skips the footer-inference job, and an EMPTY
+    # orders table (whose partitioned write leaves only _SUCCESS)
+    # still reads back as a typed empty fact table instead of
+    # UNABLE_TO_INFER_SCHEMA
+    fact = spark.read.schema(o.schema).parquet(base)
     li = table(spark, sf_dir, "lineitem")
     # the dim side needs a genuinely SELECTIVE Filter for Catalyst's
     # PartitionPruning rule to fire (aggregate + limit alone don't

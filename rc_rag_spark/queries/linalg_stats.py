@@ -67,18 +67,24 @@ def _q197_sql() -> str:
             # cap (silent scale reduction ⇒ cross-engine drift), while
             # identical double casts of identical decimals followed by
             # identical IEEE ops stay bit-equal.
+            # greatest(·, 0): at n=1 the variance terms are x²−x² —
+            # double rounding can land an ulp BELOW zero, where
+            # DuckDB's sqrt ERRORS (Spark's yields NaN). Clamped, a
+            # zero/negative variance divides by 0 → NULL on both
+            # engines (DuckDB x/0 is NULL; Spark side uses
+            # try_divide). Positive variance is untouched.
             pairs.append(
                 f"SELECT '{a}' AS col_a, '{b}' AS col_b,\n"
                 f"  round((CAST(n AS DOUBLE) * CAST(s_{a}_{b} AS DOUBLE)\n"
                 f"         - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))\n"
-                f"        / sqrt((CAST(n AS DOUBLE) * CAST(s_{a}_{a}"
+                f"        / sqrt(greatest((CAST(n AS DOUBLE) * CAST(s_{a}_{a}"
                 f" AS DOUBLE)\n"
                 f"                - CAST(s_{a} AS DOUBLE) * CAST(s_{a}"
                 f" AS DOUBLE))\n"
                 f"               * (CAST(n AS DOUBLE) * CAST(s_{b}_{b}"
                 f" AS DOUBLE)\n"
                 f"                  - CAST(s_{b} AS DOUBLE) * CAST(s_{b}"
-                f" AS DOUBLE))), 9) AS r\n"
+                f" AS DOUBLE)), CAST(0 AS DOUBLE))), 9) AS r\n"
                 f"FROM m"
             )
     return (
@@ -132,8 +138,15 @@ def q197_correlation_matrix(spark, sf_dir):
                   f" - {_dd(f's_{a}')} * {_dd(f's_{a}')})")
             vb = (f"({_dd('n')} * {_dd(f's_{b}_{b}')}"
                   f" - {_dd(f's_{b}')} * {_dd(f's_{b}')})")
+            # try_divide + greatest(·, 0): a degenerate input (n=1 or
+            # a constant column) has zero variance — correlation is
+            # undefined, NULL on both engines (see the oracle-side
+            # comment in _q197_sql), not an ANSI DIVIDE_BY_ZERO or a
+            # NaN from an ulp-negative variance product
             terms.append(
-                f"'{a}', '{b}', round({num} / sqrt({va} * {vb}), 9)"
+                f"'{a}', '{b}', "
+                f"round(try_divide({num}, sqrt(greatest({va} * {vb}, "
+                f"CAST(0 AS DOUBLE)))), 9)"
             )
     return m.selectExpr(
         f"stack({len(terms)}, {', '.join(terms)}) AS (col_a, col_b, r)"

@@ -20,6 +20,13 @@ def q72_retrieval_scoring(spark, sf_dir):
     pairs = R.synthesize_training_pairs(spark, sf_dir, limit=200).localCheckpoint(
         eager=True
     )
+    if pairs.isEmpty():
+        # no documents -> no training pairs: MLlib's IDF/LR cannot fit
+        # on zero rows ("Haven't seen any document yet"); an empty
+        # corpus scores an empty batch
+        return spark.createDataFrame(
+            [], "pair_id bigint, label double, predicted_relevant boolean"
+        )
     model = R.train_relevance_model(pairs)
     return R.score_pairs(model, pairs).select(
         "pair_id", "label", (F.col("relevance") > 0.5).alias("predicted_relevant")

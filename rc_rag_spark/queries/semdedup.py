@@ -662,6 +662,22 @@ def q179_srp_signatures(spark, sf_dir):
     # through the aggregation, no d-factor). Same round-at-1e-12
     # decimal terms ⇒ identical sign decisions ⇒ identical codes.
     dim_row = corpus.select(F.size("v").alias("d")).first()
+    if dim_row is None:
+        # empty embeddings table: the hyperplane width is unknowable
+        # and irrelevant — no vectors, no candidate pairs
+        from pyspark.sql import types as T
+
+        id_t = corpus.schema["vec_id"].dataType
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("id_a", id_t),
+                    T.StructField("id_b", id_t),
+                    T.StructField("hamming", T.IntegerType()),
+                ]
+            ),
+        )
     dim = int(dim_row["d"])
 
     def r_of(j_col, pos_col):

@@ -888,14 +888,26 @@ def q243_offset_vs_keyset_pagination(spark, sf_dir):
         LIMIT 20 OFFSET 40
         """
     )
-    boundary = spark.sql(
+    boundary_rows = spark.sql(
         """
         SELECT o_orderkey, o_totalprice
         FROM q243_orders
         ORDER BY o_totalprice DESC, o_orderkey
         LIMIT 1 OFFSET 39
         """
-    ).collect()[0]
+    ).collect()
+    if not boundary_rows:
+        # fewer than 40 orders: page 3 is empty under BOTH methods —
+        # return the (empty) offset page twice so the schema and the
+        # method labels still line up with the oracle's
+        return offset_page.unionByName(
+            offset_page.select(
+                F.lit("keyset").alias("method"),
+                "o_orderkey",
+                "o_totalprice",
+            )
+        )
+    boundary = boundary_rows[0]
     keyset_page = spark.sql(
         """
         SELECT 'keyset' AS method, o_orderkey, o_totalprice
@@ -1334,7 +1346,13 @@ def q285_compaction_roundtrip(spark, sf_dir):
         .parquet(frag)
     )
     compact(spark, frag, out, target_bytes=8 * 1024 * 1024)
-    back = spark.read.parquet(out)
+    # explicit schema + makedirs: an EMPTY events table fragments to
+    # zero partitions, so compact writes nothing — the read-back must
+    # still produce a typed empty table, not UNABLE_TO_INFER_SCHEMA
+    os.makedirs(out, exist_ok=True)
+    back = spark.read.schema(
+        table(spark, sf_dir, "events").schema
+    ).parquet(out)
     return back.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
         F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),

@@ -4,6 +4,8 @@ more scale factors. Queries without oracle SQL get a rows-only run.
 
     python tools/parity_report.py [sf_dir ...]
     python tools/parity_report.py --sf1 [sf1_dir]   # append '## sf1'
+    python tools/parity_report.py --sf0 [sf0_dir]   # append '## sf0'
+    python tools/parity_report.py --sftiny [dir]    # append '## sftiny'
 
 The driver's own CORRECTNESS_r{N}.json records a subset of the corpus
 (50 queries in round 1); this report is the full-corpus evidence.
@@ -17,6 +19,21 @@ URL window-dedup family — ~40 queries. It APPENDS a '## sf1' section
 (run it after the full two-SF regen, which overwrites the file). A
 query whose oracle cannot run at sf1 is listed in SF1_ROWS_ONLY with
 its reason and gets a rows+schema check instead.
+
+The --sf0 mode (round 12) is the EMPTY-INPUT semantics gate: the
+whole corpus re-runs the hash comparison against zero-row tables
+(tools/make_sf0.py — empty partition / fresh table / all-filtered
+source, the states a 100 TB pipeline hits routinely). Beyond "does
+not crash" (tests/test_empty_inputs.py), this pins the VALUES of
+empty-input answers: global aggregates' one NULL/0 row, grouped
+aggregates' zero rows, NULL rates where the oracle divides by zero.
+Queries in SF0_KNOWN_DIVERGENCES differ by documented ENGINE
+semantics (Spark's Expand emits no grand-total row over zero input
+rows; DuckDB emits the SQL-standard one) and get a rows+schema check.
+--sftiny runs the same full-corpus hash gate on 1-row tables (the
+other degenerate shape: single-row groups, zero variance, fits with
+fewer points than centroids) — with >=1 input row every grouping set
+materializes, so no divergence list applies there.
 """
 
 from __future__ import annotations
@@ -107,6 +124,127 @@ SF1_ROWS_ONLY: dict[str, str] = {
         "sf0.001/sf0.01"
     ),
 }
+
+
+# name -> documented ENGINE-level divergence on zero-row input; these
+# get a rows+schema check in the sf0 section instead of the hash.
+_SPARK_EXPAND_EMPTY = (
+    "Spark's Expand-based grouping emits NO rows over zero input rows "
+    "(even the () grand-total set); DuckDB emits the SQL-standard "
+    "grand-total row. Engine semantics, not an operator defect."
+)
+SF0_KNOWN_DIVERGENCES: dict[str, str] = {
+    "q04_rollup": _SPARK_EXPAND_EMPTY,
+    "q05_cube": _SPARK_EXPAND_EMPTY,
+    "q06_grouping_sets": _SPARK_EXPAND_EMPTY,
+    "q259_dataset_manifest": _SPARK_EXPAND_EMPTY + " (ROLLUP 'ALL' row)",
+    "q236_file_metadata_columns": (
+        "groups by _metadata.file_name, which DuckDB lacks — the "
+        "oracle states the fixture's single file name as a literal "
+        "global aggregate (1 row); an empty table has zero files to "
+        "group by (0 rows)"
+    ),
+}
+
+
+def _splice_section(existing: str, marker: str) -> str:
+    """Remove the section starting at `marker` (e.g. '\\n## sf0 (')
+    up to the next '\\n## ' heading or EOF, so re-runs replace their
+    own section without clobbering the other appended ones."""
+    if marker not in existing:
+        return existing
+    start = existing.index(marker)
+    nxt = existing.find("\n## ", start + len(marker))
+    if nxt == -1:
+        return existing[:start].rstrip() + "\n"
+    return (
+        existing[:start].rstrip()
+        + "\n\n"
+        + existing[nxt:].lstrip("\n")
+    )
+
+
+def sf0_main(sf0_dir: str, n_rows: int = 0) -> None:
+    import importlib.util
+
+    import rc_rag_spark.queries as q
+    from rc_rag_spark.session import build_session
+    from tests.oracle import assert_parity
+
+    spec = importlib.util.spec_from_file_location(
+        "make_sf0", os.path.join(REPO, "tools", "make_sf0.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.make_sf0(sf0_dir, n_rows=n_rows)
+
+    label = "sf0" if n_rows == 0 else "sftiny"
+    # the Expand-on-empty divergence needs zero input rows; with >=1
+    # row every grouping set materializes, so sftiny checks the full
+    # hash on all of them
+    known = SF0_KNOWN_DIVERGENCES if n_rows == 0 else {}
+    desc = (
+        "zero-row tables" if n_rows == 0 else f"first {n_rows} row(s) per table"
+    )
+    spark = build_session(app_name=f"rc-rag-parity-{label}")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    lines = [
+        "",
+        f"## {label} ({sf0_dir} — {desc}, tools/make_sf0.py) "
+        f"— {datetime.datetime.now(datetime.timezone.utc):%Y-%m-%d %H:%M} UTC",
+        "",
+        "Degenerate-input SEMANTICS, hash-checked: the full corpus",
+        "against the DuckDB oracle on " + desc + " (empty partitions /",
+        "fresh tables / all-filtered sources at sf0; single-row groups,",
+        "zero variance, k-means with fewer points than centroids at",
+        "sftiny — all routine states at 100 TB).",
+        "'engine-divergence' rows differ by documented engine",
+        "semantics (see SF0_KNOWN_DIVERGENCES in this tool) and are",
+        "checked rows+schema only.",
+        "",
+        "| query | oracle | result | sec |",
+        "|---|---|---|---|",
+    ]
+    n_ok = n_fail = n_rows_only = 0
+    for name in sorted(q.REGISTRY):
+        spec_q = q.REGISTRY[name]
+        t0 = time.perf_counter()
+        try:
+            if spec_q.sql and name not in known:
+                assert_parity(spark, name, spec_q, sf0_dir)
+                kind, result = "duckdb", "match"
+                n_ok += 1
+            else:
+                df = spec_q.fn(spark, sf0_dir)
+                rows = df.count()
+                n_cols = len(df.schema.fields)
+                reason = known.get(name, "no oracle SQL")
+                kind = (
+                    "engine-divergence" if name in known else "rows+schema"
+                )
+                result = f"{rows} rows x {n_cols} cols ({reason})"
+                n_rows_only += 1
+        except Exception as exc:  # noqa: BLE001
+            kind = "duckdb" if spec_q.sql else "rows+schema"
+            msg = " ".join(str(exc).split()).replace("|", "\\|")[:80]
+            result = f"FAIL: {msg}"
+            n_fail += 1
+        dt = time.perf_counter() - t0
+        lines.append(f"| {name} | {kind} | {result} | {dt:.1f} |")
+        print(f"{name}: {result} ({dt:.1f}s)", flush=True)
+    lines += [
+        "",
+        f"**{label}: {n_ok} hash-match, {n_rows_only} rows+schema/"
+        f"engine-divergence, {n_fail} failures.**",
+    ]
+    path = os.path.join(REPO, "PARITY.md")
+    with open(path) as f:
+        existing = _splice_section(f.read(), f"\n## {label} (")
+    with open(path, "w") as f:
+        f.write(existing.rstrip() + "\n" + "\n".join(lines) + "\n")
+    print(f"appended {label} section; failures: {n_fail}")
+    sys.exit(1 if n_fail else 0)
 
 
 def _sf1_names() -> list[str]:
@@ -219,12 +357,11 @@ def sf1_main(sf1_dir: str) -> None:
     ]
     path = os.path.join(REPO, "PARITY.md")
     with open(path) as f:
-        existing = f.read()
-    marker = "\n## sf1 ("
-    if marker in existing:  # re-run replaces the previous section
-        existing = existing[: existing.index(marker)].rstrip() + "\n"
+        # re-run replaces the previous sf1 section only (an appended
+        # sf0 section, before or after, survives)
+        existing = _splice_section(f.read(), "\n## sf1 (")
     with open(path, "w") as f:
-        f.write(existing + "\n".join(lines) + "\n")
+        f.write(existing.rstrip() + "\n" + "\n".join(lines) + "\n")
     print(f"appended sf1 section; failures: {n_fail}")
     sys.exit(1 if n_fail else 0)
 
@@ -232,6 +369,15 @@ def sf1_main(sf1_dir: str) -> None:
 def main() -> None:
     if sys.argv[1:2] == ["--sf1"]:
         sf1_main(sys.argv[2] if len(sys.argv) > 2 else "/tmp/rc_rag_sf1")
+        return
+    if sys.argv[1:2] == ["--sf0"]:
+        sf0_main(sys.argv[2] if len(sys.argv) > 2 else "/tmp/rc_rag_sf0")
+        return
+    if sys.argv[1:2] == ["--sftiny"]:
+        sf0_main(
+            sys.argv[2] if len(sys.argv) > 2 else "/tmp/rc_rag_sftiny",
+            n_rows=1,
+        )
         return
     sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.01"]
 
