@@ -28,6 +28,9 @@ def build_ivf_index(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
+    # NULL embeddings: array_to_vector NPEs on NULL — a vector that
+    # doesn't exist belongs to no cell
+    corpus = corpus.where(F.col(vec_col).isNotNull())
     feat = corpus.withColumn(
         "_v", array_to_vector(F.col(vec_col).cast("array<double>"))
     )
@@ -60,6 +63,8 @@ def ivf_topk(
 ) -> DataFrame:
     """Approximate top-k: probe the n_probe nearest IVF cells per
     query, exact cosine re-rank inside them."""
+    corpus = corpus.where(F.col(vec_col).isNotNull())
+    queries = queries.where(F.col(vec_col).isNotNull())
     if corpus.isEmpty():
         from rc_rag_spark.operators.similarity import _empty_topk_result
 

@@ -220,7 +220,10 @@ def pack_token_budget(
         pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
         batch, acc, out = 0, 0, []
         for tok in pdf[token_count_col]:
-            tok = int(tok)
+            # a NULL token count (NULL text upstream) packs as a
+            # zero-token doc — it occupies its batch slot but never
+            # pushes the accumulator over budget
+            tok = 0 if tok != tok or tok is None else int(tok)
             if acc > 0 and acc + tok > budget:
                 batch += 1
                 acc = tok

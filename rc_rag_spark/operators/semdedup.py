@@ -109,6 +109,11 @@ def semdedup(
     src = corpus.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
+    ).where(
+        # NULL embeddings have no position in the space: they can
+        # neither seed nor join a cluster (np.asarray(None) would
+        # kill both the seed collect and the assign kernel)
+        F.col("_v").isNotNull()
     )
 
     n = src.count()
@@ -303,7 +308,8 @@ def semdedup_hierarchical(
     src = corpus.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
-    )
+    ).where(F.col("_v").isNotNull())  # see semdedup: NULL vec has no
+    # position in the space
     n = src.count()
     m = max(1, math.ceil(n / target_super))
 

@@ -90,6 +90,10 @@ def brute_force_topk(
     """
     if metric not in ("cosine", "dot"):
         raise ValueError(f"unknown metric: {metric}")
+    # NULL embeddings score NULL similarity and would still rank;
+    # exclude them on both sides (SQL-NULL: no match for NULL keys)
+    corpus = corpus.where(F.col(vec_col).isNotNull())
+    queries = queries.where(F.col(vec_col).isNotNull())
     n_q = queries.limit(max_queries + 1).count()
     if n_q > max_queries:
         raise ValueError(
@@ -156,6 +160,10 @@ def lsh_topk_join(
     Recall is tunable via num_hash_tables / bucket_length / max_l2."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
 
+    # NULL embeddings: array_to_vector NPEs on NULL — excluded on
+    # both sides (SQL-NULL: no match for NULL keys)
+    corpus = corpus.where(F.col(vec_col).isNotNull())
+    queries = queries.where(F.col(vec_col).isNotNull())
     # MLlib's LSH fit() needs >=1 row to size its hyperplanes ("head
     # of empty array"); an empty corpus is a legal input (empty
     # partition / fresh table), not a fit error
@@ -207,6 +215,7 @@ def embedding_near_dup(
     exact cosine verifies. Returns (id_a, id_b, similarity)."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
 
+    df = df.where(F.col(vec_col).isNotNull())  # NULL vec: no pairs
     if df.isEmpty():  # see lsh_topk_join: fit() cannot size an
         # empty corpus, and no rows means no pairs
         from pyspark.sql import types as T
@@ -279,6 +288,9 @@ def exact_near_dup_pairs(
     import numpy as np
     import pandas as pd
 
+    # NULL embeddings cannot be scored — the SQL-NULL contract (a
+    # NULL key never matches) applied to similarity: exclude them
+    df = df.where(F.col(vec_col).isNotNull())
     # limit(max_rows+1).count() instead of a full count(): Spark can
     # stop scanning after max_rows+1 rows, so the guard doesn't pay a
     # second full evaluation of the upstream plan before the collect.
@@ -362,6 +374,10 @@ def brute_force_topk_pruned(
 
     if metric not in ("cosine", "dot"):
         raise ValueError(f"unknown metric: {metric}")
+    # NULL embeddings: see brute_force_topk — excluded on both sides
+    # (np.asarray(None) would kill the executor-side kernel)
+    corpus = corpus.where(F.col(vec_col).isNotNull())
+    queries = queries.where(F.col(vec_col).isNotNull())
     n_q = queries.limit(max_queries + 1).count()
     if n_q > max_queries:
         raise ValueError(
@@ -456,6 +472,9 @@ def hard_negative_topk(
     import numpy as np
     import pandas as pd
 
+    # NULL embeddings: see brute_force_topk — excluded on both sides
+    corpus = corpus.where(F.col(vec_col).isNotNull())
+    queries = queries.where(F.col(vec_col).isNotNull())
     n_q = queries.limit(max_queries + 1).count()
     if n_q > max_queries:
         raise ValueError(

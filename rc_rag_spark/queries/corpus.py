@@ -890,6 +890,9 @@ def _cdc_chunk_batches(batches):
 
     for pdf in batches:
         ids, chs, lens = [], [], []
+        # NULL text has no content to chunk: drop those rows before
+        # the codepoint pack ("".join would choke on None)
+        pdf = pdf[pdf["s"].notna()]
         if len(pdf):
             # utf-32-le -> one uint32 CODEPOINT per char, matching the
             # oracle's ord() for ALL text (latin-1 raised on any

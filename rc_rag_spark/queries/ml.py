@@ -856,6 +856,8 @@ def q213_image_decode_stats(spark, sf_dir):
                 "mean_px": [], "mean_resized": [],
             }
             for _, row in pdf.iterrows():
+                if row["payload"] is None:
+                    continue  # missing blob (NULL payload): no media to decode
                 img = imagecodec.decode(bytes(row["payload"]))
                 small = img.resize((4, 4))
                 out["doc_id"].append(row["doc_id"])
@@ -947,6 +949,8 @@ def q215_audio_decode_stats(spark, sf_dir):
                 "peak": [], "mean_resampled": [],
             }
             for _, row in pdf.iterrows():
+                if row["payload"] is None:
+                    continue  # missing blob (NULL payload): no media to decode
                 clip = audiocodec.decode(bytes(row["payload"]))
                 small = clip.resample(2000)
                 out["doc_id"].append(row["doc_id"])
@@ -1037,6 +1041,8 @@ def q216_audio_stereo_downmix(spark, sf_dir):
                 "mean_sq": [], "peak_abs": [], "mean_resampled": [],
             }
             for _, row in pdf.iterrows():
+                if row["s"] is None:
+                    continue  # NULL text: no samples to synthesize
                 b = row["s"].encode("utf-8")
                 left = [(b[i] - 100) * 257 for i in range(32)]
                 right = [(b[32 + i] - 100) * 257 for i in range(32)]
@@ -1144,6 +1150,8 @@ def q218_video_decode_stats(spark, sf_dir):
                 "motion": [], "mean_resized_f1": [],
             }
             for _, row in pdf.iterrows():
+                if row["payload"] is None:
+                    continue  # missing blob (NULL payload): no media to decode
                 clip = videocodec.decode(bytes(row["payload"]))
                 f0, f1 = clip.frames[0].data, clip.frames[1].data
                 small = clip.frames[1].resize((4, 4)).data
@@ -1585,6 +1593,8 @@ def q265_image_dhash_neardup(spark, sf_dir):
         for pdf in batches:
             out = {"doc_id": [], "b0": [], "b1": [], "b2": [], "b3": []}
             for _, row in pdf.iterrows():
+                if row["payload"] is None:
+                    continue  # missing blob (NULL payload): no media to decode
                 img = imagecodec.decode(bytes(row["payload"]))
                 w = img.size[0]
                 data = img.data
@@ -1736,6 +1746,8 @@ def q268_audio_silence_segments(spark, sf_dir):
                 "longest_run": [], "first_start": [],
             }
             for _, row in pdf.iterrows():
+                if row["payload"] is None:
+                    continue  # missing blob (NULL payload): no media to decode
                 clip = audiocodec.decode(bytes(row["payload"]))
                 n_seg = total = longest = first = 0
                 run_len = 0
@@ -1871,6 +1883,8 @@ def q273_video_scene_segments(spark, sf_dir):
                 "first_cut": [], "total_motion": [],
             }
             for _, row in pdf.iterrows():
+                if row["payload"] is None:
+                    continue  # missing blob (NULL payload): no media to decode
                 clip = videocodec.decode(bytes(row["payload"]))
                 planes = [f.data for f in clip.frames]
                 mads = [

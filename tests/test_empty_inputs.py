@@ -27,13 +27,13 @@ import rc_rag_spark.queries as q
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _make_sf0(out_dir: str, n_rows: int = 0) -> str:
+def _make_sf0(out_dir: str, n_rows: int = 0, null_row: bool = False) -> str:
     spec = importlib.util.spec_from_file_location(
         "make_sf0", os.path.join(REPO, "tools", "make_sf0.py")
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    return mod.make_sf0(out_dir, n_rows=n_rows)
+    return mod.make_sf0(out_dir, n_rows=n_rows, null_row=null_row)
 
 
 @pytest.fixture(scope="module")
@@ -45,6 +45,15 @@ def sf0_dir(tmp_path_factory):
 def sftiny_dir(tmp_path_factory):
     return _make_sf0(
         str(tmp_path_factory.mktemp("rc_rag_sftiny")), n_rows=1
+    )
+
+
+@pytest.fixture(scope="module")
+def sfnulls_dir(tmp_path_factory):
+    return _make_sf0(
+        str(tmp_path_factory.mktemp("rc_rag_sfnulls")),
+        n_rows=1,
+        null_row=True,
     )
 
 
@@ -82,6 +91,30 @@ def test_every_query_survives_single_row_tables(spark, sftiny_dir):
     failures = _sweep((spark, sftiny_dir), sorted(q.REGISTRY))
     assert not failures, (
         f"{len(failures)} queries crash on single-row tables:\n  "
+        + "\n  ".join(failures)
+    )
+
+
+def test_every_query_survives_null_rows(spark, sfnulls_dir):
+    """The THIRD degenerate shape: a row whose every nullable column
+    is NULL (real crawl feeds have them — missing text, missing
+    embedding, missing blob). NULL text through tokenizer/chunking
+    kernels, NULL embeddings through similarity/ANN/SemDeDup (the
+    SQL-NULL contract: a NULL key never matches, a NULL vector has no
+    position in the space), NULL payloads through the multimodal
+    decoders — all must degrade to skipped rows, never a dead
+    executor.
+
+    This gate is CRASH-SAFETY only (no oracle hash like sf0/sftiny):
+    value-level NULL behavior is formulation-specific where engines
+    make different calls the corpus never relies on — NULL placement
+    in window orderings, NaN-vs-NULL out of float aggregates, NULLs
+    inside list functions — and reconciling those would contort
+    queries whose real-data semantics are already hash-pinned at four
+    other scales."""
+    failures = _sweep((spark, sfnulls_dir), sorted(q.REGISTRY))
+    assert not failures, (
+        f"{len(failures)} queries crash on all-NULL rows:\n  "
         + "\n  ".join(failures)
     )
 

@@ -2,9 +2,15 @@
 ZERO rows — and, with --rows N, the sfTINY degenerate fixture (first
 N rows per table: single-row groups, windows over one row, k-means
 with fewer points than centroids, joins whose FK side is missing).
+--nulls appends one all-NULL row per table (every nullable column
+NULL; an integer first column keeps a distinct id so the row is
+addressable) — the third degenerate shape: NULL text through
+tokenizers, NULL embeddings through similarity, NULL payloads
+through decoders.
 
     python tools/make_sf0.py [out_dir]           # default /tmp/rc_rag_sf0
     python tools/make_sf0.py --rows 1 [out_dir]  # default /tmp/rc_rag_sftiny
+    python tools/make_sf0.py --rows 1 --nulls [out_dir]  # /tmp/rc_rag_sfnulls
 
 At 100 TB the empty case is not hypothetical — a day partition with
 no events, a source with every doc filtered upstream, a fresh table
@@ -30,9 +36,30 @@ SRC = os.environ.get("RC_RAG_SF0_SRC", "/root/testdata/sf0.001")
 DEFAULT_OUT = "/tmp/rc_rag_sf0"
 
 
+def _null_row(table):
+    """One all-NULL row matching `table`'s schema; an integer first
+    column gets first-value + 1_000_000 so the row keeps a distinct,
+    addressable id."""
+    import pyarrow as pa
+
+    cols = []
+    for i, f in enumerate(table.schema):
+        if i == 0 and pa.types.is_integer(f.type) and len(table):
+            v = table.column(i)[0].as_py()
+            cols.append(pa.array([v + 1_000_000], type=f.type))
+        else:
+            cols.append(pa.array([None], type=f.type))
+    return pa.table(dict(zip(table.schema.names, cols)), schema=table.schema)
+
+
 def make_sf0(
-    out_dir: str = DEFAULT_OUT, src_dir: str = SRC, n_rows: int = 0
+    out_dir: str = DEFAULT_OUT,
+    src_dir: str = SRC,
+    n_rows: int = 0,
+    null_row: bool = False,
 ) -> str:
+    import pyarrow as pa
+
     os.makedirs(out_dir, exist_ok=True)
     for fn in sorted(os.listdir(src_dir)):
         if not fn.endswith(".parquet"):
@@ -42,6 +69,8 @@ def make_sf0(
             t = pq.read_schema(src).empty_table()
         else:
             t = pq.read_table(src).slice(0, n_rows)
+        if null_row:
+            t = pa.concat_tables([t, _null_row(t)])
         pq.write_table(t, os.path.join(out_dir, fn))
     return out_dir
 
@@ -49,9 +78,22 @@ def make_sf0(
 if __name__ == "__main__":
     args = sys.argv[1:]
     n_rows = 0
-    if args[:1] == ["--rows"]:
-        n_rows = int(args[1])
-        args = args[2:]
-    default = DEFAULT_OUT if n_rows == 0 else "/tmp/rc_rag_sftiny"
-    out = make_sf0(args[0] if args else default, n_rows=n_rows)
-    print(f"wrote {n_rows}-row tables to {out}")
+    null_row = False
+    while args and args[0].startswith("--"):
+        if args[0] == "--rows":
+            n_rows = int(args[1])
+            args = args[2:]
+        elif args[0] == "--nulls":
+            null_row = True
+            args = args[1:]
+        else:
+            sys.exit(f"unknown flag {args[0]}")
+    default = DEFAULT_OUT
+    if null_row:
+        default = "/tmp/rc_rag_sfnulls"
+    elif n_rows:
+        default = "/tmp/rc_rag_sftiny"
+    out = make_sf0(args[0] if args else default, n_rows=n_rows,
+                   null_row=null_row)
+    print(f"wrote {n_rows}-row{' +null-row' if null_row else ''} "
+          f"tables to {out}")
