@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 import uuid
 from dataclasses import dataclass
@@ -483,12 +484,42 @@ def vacuum_sink(path: str, retention_seconds: float = 0.0) -> list[str]:
     return deleted
 
 
+_REGISTER_LOCK = threading.Lock()
+_REGISTERED_SESSIONS: set[int] = set()
+
+
 def register_all(spark) -> None:
-    """Idempotently register every Data Source in this module."""
-    for src in (
-        RangeStreamDataSource,
-        SimpleRangeStreamDataSource,
-        JsonlDirDataSource,
-        PushdownRangeDataSource,
-    ):
-        spark.dataSource.register(src)
+    """Idempotently register every Data Source in this module — ONCE
+    per session, under a lock (register() replaces an existing entry,
+    and a concurrent lookup can land in the replace window:
+    DATA_SOURCE_NOT_FOUND).
+
+    Also pins the JVM-side ACTIVE session for the CALLING thread:
+    the Python-DS lookup on the WRITE path resolves through
+    SparkSession.getActiveSession — a JVM ThreadLocal that is EMPTY
+    in the fresh JVM thread py4j creates for every new Python thread
+    — so `df.write.format("rc_rag_jsonldir")` from any thread that
+    didn't create the session dies with DATA_SOURCE_NOT_FOUND even
+    though the source is registered. Every pyds entry point calls
+    register_all first, which makes this the one choke point where
+    the fix covers all callers."""
+    try:
+        spark._jvm.org.apache.spark.sql.SparkSession.setActiveSession(
+            spark._jsparkSession
+        )
+    except Exception:  # noqa: BLE001 — connect mode has no _jvm
+        pass
+    key = id(spark)
+    if key in _REGISTERED_SESSIONS:
+        return
+    with _REGISTER_LOCK:
+        if key in _REGISTERED_SESSIONS:
+            return
+        for src in (
+            RangeStreamDataSource,
+            SimpleRangeStreamDataSource,
+            JsonlDirDataSource,
+            PushdownRangeDataSource,
+        ):
+            spark.dataSource.register(src)
+        _REGISTERED_SESSIONS.add(key)

@@ -57,16 +57,28 @@ def sfnulls_dir(tmp_path_factory):
     )
 
 
-def _sweep(fn_dir, names):
-    failures = []
-    for name in names:
+def _sweep(fn_dir, names, workers: int = 8):
+    """Run every query once against the fixture, 8 at a time — the
+    sweep is dominated by per-query fixed overhead (plan + a few
+    tiny jobs), and Spark's scheduler interleaves concurrent jobs
+    fine. Queries are mutually independent here: same-named temp
+    views re-register identical content (same sf_dir), per-query
+    tmp dirs are distinct, and the two conf-toggling queries
+    (q235 scripting, q286 DS pushdown) save/restore flags that are
+    semantics-preserving for everyone else."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(name):
         try:
             rows = q.REGISTRY[name].fn(*fn_dir).collect()
             assert isinstance(rows, list)
+            return None
         except Exception as exc:  # noqa: BLE001
             msg = " ".join(str(exc).split())[:140]
-            failures.append(f"{name}: {type(exc).__name__}: {msg}")
-    return failures
+            return f"{name}: {type(exc).__name__}: {msg}"
+
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        return sorted(r for r in pool.map(one, names) if r)
 
 
 def test_every_query_survives_empty_tables(spark, sf0_dir):
