@@ -1092,3 +1092,84 @@ def test_tws_checkpoint_restart_restores_state_and_timers(spark):
             conf.set(key, saved)
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_streaming_survives_empty_files_and_null_fields(spark, events_dir):
+    """Degenerate input through the LIVE streaming surface (round 12):
+    the input directory contains an EMPTY parquet file (a micro-batch
+    with nothing in it — routine for file streams) and rows whose
+    value/user_id/event_type are NULL (event time present — event
+    logs always stamp time, payload fields go missing). The windowed
+    aggregate, watermark dedup, and stateful totals must complete and
+    match their batch twins on the SAME dirty input — the
+    batch-equivalence oracle applied to the degenerate shape."""
+    import pyarrow.parquet as papq
+
+    d = tempfile.mkdtemp(prefix="rc_rag_dirty_stream_")
+    try:
+        ev = batch_events(spark, events_dir)
+        ev.write.mode("overwrite").parquet(d)
+        # one file of NULL-field rows (valid ts, every payload column
+        # missing) — built generically so schema additions keep working
+        dtypes = dict(ev.dtypes)
+        nulls = ev.limit(7).select(
+            *[
+                (F.col("event_id") + 10_000_000).alias("event_id")
+                if c == "event_id"
+                else F.col("ts").alias("ts")
+                if c == "ts"
+                else F.lit(None).cast(dtypes[c]).alias(c)
+                for c in ev.columns
+            ]
+        )
+        nulls.coalesce(1).write.mode("append").parquet(d)
+        # and one genuinely EMPTY parquet file in the stream directory
+        schema = papq.read_schema(
+            next(
+                p for p in sorted(
+                    __import__("glob").glob(d + "/part-*.parquet")
+                )
+            )
+        )
+        papq.write_table(
+            schema.empty_table(), d + "/part-99999-empty.parquet"
+        )
+
+        batch = spark.read.parquet(d)
+        schema_df = batch.schema
+        stream = W.read_stream_dir(spark, d, schema_df)
+
+        # tumbling agg: count(*) per window x type (NULL type is its
+        # own group on both sides)
+        got = run_stream(
+            spark, W.tumbling_counts(W.with_watermark(stream), "1 hour")
+        )
+        want = W.tumbling_counts(batch, "1 hour").collect()
+        cols = ["window_start", "window_end", "event_type", "n"]
+        assert canon(got, cols) == canon(want, cols)
+
+        # watermark dedup: exact-once by event_id, NULL fields intact
+        got_n = len(
+            run_stream(
+                spark,
+                W.dedup_events(stream, watermark="365 days"),
+                output_mode="append",
+            )
+        )
+        assert got_n == batch.dropDuplicates(["event_id"]).count()
+
+        # stateful totals: NULL user_id is a real state key
+        rows = run_stream(
+            spark, W.stateful_user_totals(stream), output_mode="update"
+        )
+        last = {}
+        for r in rows:
+            last[r["user_id"]] = r["n_events"]
+        want_totals = {
+            r["user_id"]: r["n_events"]
+            for r in W.stateful_user_totals(batch).collect()
+        }
+        assert last == want_totals
+        assert None in want_totals  # the NULL key genuinely flowed
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
