@@ -63,13 +63,18 @@ def ivf_topk(
 ) -> DataFrame:
     """Approximate top-k: probe the n_probe nearest IVF cells per
     query, exact cosine re-rank inside them."""
-    corpus = corpus.where(F.col(vec_col).isNotNull())
     queries = queries.where(F.col(vec_col).isNotNull())
-    if corpus.isEmpty():
+    # build_ivf_index applies the NULL filter and the (one) isEmpty
+    # probe itself; an empty/all-NULL corpus surfaces as its
+    # ValueError rather than paying a second filter + action here
+    try:
+        assigned, centroids = build_ivf_index(
+            corpus, vec_col, n_clusters, seed
+        )
+    except ValueError:
         from rc_rag_spark.operators.similarity import _empty_topk_result
 
         return _empty_topk_result(corpus, queries, id_col, query_id_col)
-    assigned, centroids = build_ivf_index(corpus, vec_col, n_clusters, seed)
 
     # rank cells per query against the broadcast centroid table
     q = queries.select(

@@ -363,8 +363,11 @@ def compact_in_place(
     }
 
 
-_GEN_FILE_RE = re.compile(r"^gen-(\d{6})-")
-_GEN_STAGING_RE = re.compile(r"^_staging_gen-(\d{6})-")
+#  \d{6,}: generations are %06d-padded but NOT capped — at gen
+#  1,000,000 the format emits 7 digits and a {6}-only pattern would
+#  stop matching, letting vacuum delete an in-flight generation
+_GEN_FILE_RE = re.compile(r"^gen-(\d{6,})-")
+_GEN_STAGING_RE = re.compile(r"^_staging_gen-(\d{6,})-")
 
 
 def vacuum_manifested(

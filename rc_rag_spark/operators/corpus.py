@@ -217,13 +217,16 @@ def pack_token_budget(
     cols = src.columns
 
     def pack(pdf):
+        import pandas as pd
+
         pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
         batch, acc, out = 0, 0, []
         for tok in pdf[token_count_col]:
             # a NULL token count (NULL text upstream) packs as a
             # zero-token doc — it occupies its batch slot but never
-            # pushes the accumulator over budget
-            tok = 0 if tok != tok or tok is None else int(tok)
+            # pushes the accumulator over budget (pd.isna covers
+            # NaN, None, AND pd.NA from nullable dtypes)
+            tok = 0 if pd.isna(tok) else int(tok)
             if acc > 0 and acc + tok > budget:
                 batch += 1
                 acc = tok

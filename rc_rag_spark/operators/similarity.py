@@ -41,6 +41,26 @@ def _dense_matrix(values, dtype=None):
     return np.array(rows)
 
 
+def _empty_pairs_result(df, id_col, extra_name, extra_type):
+    """Zero-row (id_a, id_b, <extra>) frame — the empty-input return
+    of the pair-emitting operators (near-dup pairs, SRP signatures),
+    typed from the real id column so downstream unions/joins
+    resolve."""
+    from pyspark.sql import types as T
+
+    id_t = df.schema[id_col].dataType
+    return df.sparkSession.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField("id_a", id_t),
+                T.StructField("id_b", id_t),
+                T.StructField(extra_name, extra_type),
+            ]
+        ),
+    )
+
+
 def _empty_topk_result(corpus, queries, id_col, query_id_col):
     """Zero-row DataFrame with the exact top-k output schema
     (query_id, neighbor_id, similarity double, rank int) — the
@@ -220,17 +240,7 @@ def embedding_near_dup(
         # empty corpus, and no rows means no pairs
         from pyspark.sql import types as T
 
-        id_t = df.schema[id_col].dataType
-        return df.sparkSession.createDataFrame(
-            [],
-            T.StructType(
-                [
-                    T.StructField("id_a", id_t),
-                    T.StructField("id_b", id_t),
-                    T.StructField("similarity", T.DoubleType()),
-                ]
-            ),
-        )
+        return _empty_pairs_result(df, id_col, "similarity", T.DoubleType())
 
     # compute the norm ONCE per row — an aggregate inside the
     # per-element transform lambda would re-fold the whole array for

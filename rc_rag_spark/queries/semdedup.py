@@ -651,7 +651,10 @@ def q179_srp_signatures(spark, sf_dir):
         (F.col("vec_id") + 100_000).alias("vec_id"),
         F.transform("v", lambda x: x * 1.001).alias("v"),
     )
-    corpus = e.unionByName(planted)
+    # NULL embeddings carry no signature (operator-family policy);
+    # without the filter the dim probe below can also land on a NULL
+    # row and die on int(None)
+    corpus = e.unionByName(planted).where(F.col("v").isNotNull())
 
     # Packed projection (round-7): the 16 hyperplanes are materialized
     # ONCE as a 16-row broadcast table of md5-derived coefficient
@@ -662,21 +665,15 @@ def q179_srp_signatures(spark, sf_dir):
     # through the aggregation, no d-factor). Same round-at-1e-12
     # decimal terms ⇒ identical sign decisions ⇒ identical codes.
     dim_row = corpus.select(F.size("v").alias("d")).first()
-    if dim_row is None:
+    if dim_row is None or dim_row["d"] is None:
         # empty embeddings table: the hyperplane width is unknowable
         # and irrelevant — no vectors, no candidate pairs
         from pyspark.sql import types as T
 
-        id_t = corpus.schema["vec_id"].dataType
-        return spark.createDataFrame(
-            [],
-            T.StructType(
-                [
-                    T.StructField("id_a", id_t),
-                    T.StructField("id_b", id_t),
-                    T.StructField("hamming", T.IntegerType()),
-                ]
-            ),
+        from rc_rag_spark.operators.similarity import _empty_pairs_result
+
+        return _empty_pairs_result(
+            corpus, "vec_id", "hamming", T.IntegerType()
         )
     dim = int(dim_row["d"])
 

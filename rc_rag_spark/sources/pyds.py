@@ -485,7 +485,7 @@ def vacuum_sink(path: str, retention_seconds: float = 0.0) -> list[str]:
 
 
 _REGISTER_LOCK = threading.Lock()
-_REGISTERED_SESSIONS: set[int] = set()
+_REGISTERED_FLAG = "_rc_rag_pyds_registered"
 
 
 def register_all(spark) -> None:
@@ -509,11 +509,13 @@ def register_all(spark) -> None:
         )
     except Exception:  # noqa: BLE001 — connect mode has no _jvm
         pass
-    key = id(spark)
-    if key in _REGISTERED_SESSIONS:
+    # once-flag lives ON the session object (not a module set keyed
+    # by id(spark): a recycled address after GC would silently skip
+    # registration for a brand-new session)
+    if getattr(spark, _REGISTERED_FLAG, False):
         return
     with _REGISTER_LOCK:
-        if key in _REGISTERED_SESSIONS:
+        if getattr(spark, _REGISTERED_FLAG, False):
             return
         for src in (
             RangeStreamDataSource,
@@ -522,4 +524,4 @@ def register_all(spark) -> None:
             PushdownRangeDataSource,
         ):
             spark.dataSource.register(src)
-        _REGISTERED_SESSIONS.add(key)
+        setattr(spark, _REGISTERED_FLAG, True)
