@@ -17,6 +17,13 @@ from pyspark.sql.window import Window
 from rc_rag_spark.functions.vectors import cosine
 
 
+class EmptyCorpusError(ValueError):
+    """Raised by build_ivf_index when the (NULL-filtered) corpus has
+    zero vectors. A dedicated subclass so callers that short-circuit
+    to an empty result (ivf_topk) catch ONLY this signal — any other
+    ValueError (future param validation, MLlib errors) propagates."""
+
+
 def build_ivf_index(
     corpus: DataFrame,
     vec_col: str = "embedding",
@@ -35,7 +42,7 @@ def build_ivf_index(
         "_v", array_to_vector(F.col(vec_col).cast("array<double>"))
     )
     if feat.isEmpty():
-        raise ValueError(
+        raise EmptyCorpusError(
             "build_ivf_index: corpus is empty — KMeans cannot place "
             "centroids with zero points. Query-level callers (ivf_topk) "
             "short-circuit to an empty result instead."
@@ -66,12 +73,12 @@ def ivf_topk(
     queries = queries.where(F.col(vec_col).isNotNull())
     # build_ivf_index applies the NULL filter and the (one) isEmpty
     # probe itself; an empty/all-NULL corpus surfaces as its
-    # ValueError rather than paying a second filter + action here
+    # EmptyCorpusError rather than paying a second filter + action here
     try:
         assigned, centroids = build_ivf_index(
             corpus, vec_col, n_clusters, seed
         )
-    except ValueError:
+    except EmptyCorpusError:
         from rc_rag_spark.operators.similarity import _empty_topk_result
 
         return _empty_topk_result(corpus, queries, id_col, query_id_col)

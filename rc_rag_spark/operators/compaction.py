@@ -62,7 +62,25 @@ def audit_files(spark, path: str):
     try:
         src = spark.read.parquet(path)
     except Exception as exc:  # noqa: BLE001
-        if "UNABLE_TO_INFER_SCHEMA" not in str(exc):
+        # prefer the structured error class (stable across Spark
+        # versions/locales); fall back to the message substring for
+        # exception types that don't carry one
+        cond = None
+        for probe in ("getCondition", "getErrorClass"):
+            fn = getattr(exc, probe, None)
+            if callable(fn):
+                try:
+                    cond = fn()
+                except Exception:  # noqa: BLE001
+                    cond = None
+                if cond:
+                    break
+        empty_table = (
+            cond == "UNABLE_TO_INFER_SCHEMA"
+            if cond
+            else "UNABLE_TO_INFER_SCHEMA" in str(exc)
+        )
+        if not empty_table:
             raise
         return spark.createDataFrame(
             [],
@@ -371,7 +389,9 @@ _GEN_STAGING_RE = re.compile(r"^_staging_gen-(\d{6,})-")
 
 
 def vacuum_manifested(
-    path: str, retention_sec: float = 24 * 3600.0
+    path: str,
+    retention_sec: float = 24 * 3600.0,
+    inflight_max_age_sec: float = 7 * 24 * 3600.0,
 ) -> list[str]:
     """Reclaim data files NOT listed in the committed manifest —
     superseded generations and the debris of crashed compactions —
@@ -383,11 +403,17 @@ def vacuum_manifested(
     Two guards protect a CONCURRENTLY RUNNING compact_in_place:
     generation-tagged files and staging dirs whose generation is
     NEWER than the committed manifest's are an in-flight attempt's
-    moved-but-unpublished output and are always skipped, regardless
-    of retention. The default retention (24 h) additionally covers
-    readers that loaded the old manifest; ``retention_sec=0.0`` is a
-    TEST-ONLY setting — with untagged orphans (e.g. pre-adoption
-    part-* files) it races any concurrent writer."""
+    moved-but-unpublished output and are skipped — until
+    ``inflight_max_age_sec`` (default 7 days): an "in-flight"
+    generation that old is the debris of a compaction that crashed
+    and was never retried, and without this ceiling it would leak
+    FOREVER on tables that stop being compacted (no later commit ever
+    supersedes its generation number). Pass ``float('inf')`` to
+    restore the never-reclaim behavior. The default retention (24 h)
+    additionally covers readers that loaded the old manifest;
+    ``retention_sec=0.0`` is a TEST-ONLY setting — with untagged
+    orphans (e.g. pre-adoption part-* files) it races any concurrent
+    writer."""
     import shutil
     import time
 
@@ -397,15 +423,21 @@ def vacuum_manifested(
         return []
     keep = set(m["files"])
     committed_gen = int(m["generation"])
-    cutoff = time.time() - retention_sec
+    now = time.time()
+    cutoff = now - retention_sec
+    inflight_cutoff = now - inflight_max_age_sec
     deleted = []
     for rel in _list_data_files(base):
         if rel in keep:
             continue
-        gm = _GEN_FILE_RE.match(os.path.basename(rel))
-        if gm and int(gm.group(1)) > committed_gen:
-            continue  # in-flight compaction's unpublished generation
         full = os.path.join(base, rel)
+        gm = _GEN_FILE_RE.match(os.path.basename(rel))
+        if (
+            gm
+            and int(gm.group(1)) > committed_gen
+            and os.path.getmtime(full) > inflight_cutoff
+        ):
+            continue  # in-flight compaction's unpublished generation
         if os.path.getmtime(full) <= cutoff:
             os.unlink(full)
             deleted.append(rel)
@@ -414,7 +446,10 @@ def vacuum_manifested(
         sm = _GEN_STAGING_RE.match(entry)
         if not sm or not os.path.isdir(full):
             continue
-        if int(sm.group(1)) > committed_gen:
+        if (
+            int(sm.group(1)) > committed_gen
+            and os.path.getmtime(full) > inflight_cutoff
+        ):
             continue  # live staging dir of an in-flight compaction
         if os.path.getmtime(full) <= cutoff:
             shutil.rmtree(full, ignore_errors=True)

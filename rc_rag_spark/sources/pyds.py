@@ -494,19 +494,23 @@ def register_all(spark) -> None:
     and a concurrent lookup can land in the replace window:
     DATA_SOURCE_NOT_FOUND).
 
-    Also pins the JVM-side ACTIVE session for the CALLING thread:
-    the Python-DS lookup on the WRITE path resolves through
-    SparkSession.getActiveSession — a JVM ThreadLocal that is EMPTY
-    in the fresh JVM thread py4j creates for every new Python thread
-    — so `df.write.format("rc_rag_jsonldir")` from any thread that
-    didn't create the session dies with DATA_SOURCE_NOT_FOUND even
-    though the source is registered. Every pyds entry point calls
-    register_all first, which makes this the one choke point where
-    the fix covers all callers."""
+    Also pins the JVM-side ACTIVE session for the CALLING thread —
+    but ONLY if that thread has none yet: the Python-DS lookup on the
+    WRITE path resolves through SparkSession.getActiveSession — a JVM
+    ThreadLocal that is EMPTY in the fresh JVM thread py4j creates
+    for every new Python thread — so `df.write.format(
+    "rc_rag_jsonldir")` from any thread that didn't create the
+    session dies with DATA_SOURCE_NOT_FOUND even though the source is
+    registered. Every pyds entry point calls register_all first,
+    which makes this the one choke point where the fix covers all
+    callers. When the thread ALREADY has an active session (e.g. a
+    multi-session process that deliberately pinned a different one),
+    it is left untouched — repointing it here would silently change
+    unrelated getActiveSession-based resolution."""
     try:
-        spark._jvm.org.apache.spark.sql.SparkSession.setActiveSession(
-            spark._jsparkSession
-        )
+        jss = spark._jvm.org.apache.spark.sql.SparkSession
+        if jss.getActiveSession().isEmpty():
+            jss.setActiveSession(spark._jsparkSession)
     except Exception:  # noqa: BLE001 — connect mode has no _jvm
         pass
     # once-flag lives ON the session object (not a module set keyed
