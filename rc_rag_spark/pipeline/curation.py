@@ -206,27 +206,23 @@ class CurationPipeline:
 
         Docs whose URL is NULL or unparseable (canonical_url_col's
         concat yields NULL) pass through UNCHANGED: the group key
-        falls back to a per-doc sentinel, so every such doc is its
-        own group — without this, all NULL-canonical docs would
-        collapse into one group and min(id) would silently drop all
-        but one of them."""
+        falls back to a per-doc sentinel (sentinel_canonical_col —
+        the SAME helper q280/q284 key on, so the query corpus and
+        this pipeline can never drift), so every such doc is its own
+        group — without this, all NULL-canonical docs would collapse
+        into one group and min(id) would silently drop all but one of
+        them."""
 
         def step(df: DataFrame) -> DataFrame:
             from rc_rag_spark.queries.curation import (
-                canonical_url_col,
                 parse_urls,
+                sentinel_canonical_col,
             )
 
             parsed = parse_urls(
                 df.select(self.id_col, F.col(url_col).alias("url"))
             )
-            key = F.coalesce(
-                canonical_url_col(),
-                F.concat(
-                    F.lit("\x00unparsed:"),
-                    F.col(self.id_col).cast("string"),
-                ),
-            ).alias("canonical")
+            key = sentinel_canonical_col(self.id_col)
             keep = (
                 parsed.select(self.id_col, key)
                 .groupBy("canonical")
@@ -284,7 +280,8 @@ class CurationPipeline:
 
         Docs with no parseable host (registrable is NULL) are NOT
         subject to the quota: the partition key falls back to a
-        per-doc sentinel so each such doc ranks rn=1 and passes
+        per-doc sentinel (sentinel_registrable_col — the SAME helper
+        q282/q284 key on) so each such doc ranks rn=1 and passes
         through — otherwise NULL would form ONE pseudo-domain and the
         quota K would cap every unparseable-URL doc together."""
 
@@ -292,6 +289,7 @@ class CurationPipeline:
             from rc_rag_spark.queries.curation import (
                 _with_registrable,
                 parse_urls,
+                sentinel_registrable_col,
             )
 
             reg = _with_registrable(
@@ -299,14 +297,7 @@ class CurationPipeline:
                     df.select(self.id_col, F.col(url_col).alias("url"))
                 )
             ).withColumn(
-                "registrable",
-                F.coalesce(
-                    F.col("registrable"),
-                    F.concat(
-                        F.lit("\x00nohost:"),
-                        F.col(self.id_col).cast("string"),
-                    ),
-                ),
+                "registrable", sentinel_registrable_col(self.id_col)
             )
             w = Window.partitionBy("registrable").orderBy(
                 F.md5(F.col(self.id_col).cast("string")), F.col(self.id_col)

@@ -317,6 +317,19 @@ _DUCK_PARSE = """
                nullif(regexp_extract(url, '#(.*)$', 1), '') AS frag
         FROM u"""
 
+# NULL-URL sentinel semantics, shared by the QUERY corpus (q280/q282/
+# q284) and the resumable PIPELINE (pipeline/curation.py) — the one
+# semantic for dirty crawl input (ADVICE r12): a doc whose URL is NULL
+# or unparseable gets a PER-DOC key, so canonical dedup keeps it (no
+# one-NULL-group min-id collapse) and the domain quota never caps all
+# unparseable docs together as one pseudo-domain. The NUL prefix makes
+# collision with a real canonical URL / registrable domain impossible;
+# the sentinel never reaches output (it only keys groupBy / windows).
+UNPARSED_SENTINEL = "\x00unparsed:"
+NOHOST_SENTINEL = "\x00nohost:"
+_DUCK_UNPARSED_SENTINEL = "chr(0) || 'unparsed:' || CAST(doc_id AS VARCHAR)"
+_DUCK_NOHOST_SENTINEL = "chr(0) || 'nohost:' || CAST(doc_id AS VARCHAR)"
+
 # Vendored public-suffix sample (a real deployment broadcasts the full
 # ~9k-entry PSL through the same two-join shape).
 _PSL2 = ["ac.uk", "co.uk", "com.au"]
@@ -560,8 +573,14 @@ def q279_domain_blocklist_filter(spark, sf_dir):
 # Canonical form (both engines): lowercase host, strip default ports
 # (http:80 / https:443) but KEEP real ones, trim one trailing slash,
 # sort query params, drop fragments.
-_DUCK_CANONICAL = """
-               proto || '://' || lower(host)
+# The NULL-guard mirrors Spark's concat-NULL propagation: DuckDB's
+# regexp_extract yields '' (not NULL) on a non-matching dirty URL, so
+# without it an unparseable URL would canonicalize to '://' garbage on
+# the oracle side while Spark's try_parse_url path yields NULL.
+_DUCK_CANONICAL_EXPR = """
+               CASE WHEN nullif(host, '') IS NULL
+                      OR nullif(proto, '') IS NULL THEN NULL
+               ELSE proto || '://' || lower(host)
                || CASE WHEN port IS NULL THEN ''
                        WHEN (proto = 'http' AND port = '80')
                          OR (proto = 'https' AND port = '443') THEN ''
@@ -570,7 +589,12 @@ _DUCK_CANONICAL = """
                || CASE WHEN query IS NULL THEN ''
                        ELSE '?' || array_to_string(
                            list_sort(string_split(query, '&')), '&') END
-                   AS canonical"""
+               END"""
+_DUCK_CANONICAL = _DUCK_CANONICAL_EXPR + " AS canonical"
+_DUCK_CANONICAL_SENTINEL = (
+    "COALESCE(" + _DUCK_CANONICAL_EXPR + f""",
+                   {_DUCK_UNPARSED_SENTINEL}) AS canonical"""
+)
 
 
 @register(
@@ -580,7 +604,7 @@ _DUCK_CANONICAL = """
         SELECT doc_id, source, {_URL_EXPR} AS url FROM documents),
     p AS ({_DUCK_PARSE}),
     c AS (
-        SELECT source,{_DUCK_CANONICAL}
+        SELECT source,{_DUCK_CANONICAL_SENTINEL}
         FROM p),
     g AS (
         SELECT source, canonical, CAST(COUNT(*) AS BIGINT) AS n
@@ -601,13 +625,17 @@ def q280_url_canonical_dedup(spark, sf_dir):
     SORTED, fragments dropped. Presentation variants of the same page
     (the noise dimensions of the URL derivation) collapse to one
     canonical string; per-source stats count URLs vs canonical forms
-    and the largest variant cluster. All string work is codegen'd
+    and the largest variant cluster. Unparseable URLs key on the
+    shared per-doc sentinel (sentinel_canonical_col — the same
+    semantic the resumable pipeline applies), so each counts as its
+    own canonical form rather than all collapsing into one NULL
+    group. All string work is codegen'd
     (split/array_sort/array_join — no UDF); the only shuffle is the
     (source, canonical) aggregate, which at 100 TB is the standard
     two-level partial agg."""
     p = _parsed_urls(spark, sf_dir)
     g = (
-        p.select("source", canonical_url_col())
+        p.select("source", sentinel_canonical_col())
         .groupBy("source", "canonical")
         .agg(F.count("*").alias("n"))
     )
@@ -639,12 +667,17 @@ _Q282_QUOTA = 3  # max docs kept per registrable domain
         FROM lab
         LEFT JOIN psl2 p2 ON p2.s = lab.last2
         LEFT JOIN psl1 p1 ON p1.s = lab.last1),
+    regs AS (
+        SELECT doc_id, public_suffix,
+               COALESCE(nullif(registrable, ''),
+                        {_DUCK_NOHOST_SENTINEL}) AS registrable
+        FROM reg),
     ranked AS (
         SELECT registrable, public_suffix, doc_id,
                ROW_NUMBER() OVER (
                    PARTITION BY registrable
                    ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS rn
-        FROM reg)
+        FROM regs)
     SELECT public_suffix,
            CAST(COUNT(DISTINCT registrable) AS BIGINT) AS n_domains,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -662,13 +695,18 @@ def q282_domain_quota_sample(spark, sf_dir):
     md5 hash of doc_id (an unbiased, deterministic, RNG-free shuffle
     — crawl-order prefixes would bias toward homepage-adjacent pages),
     doc_id as tiebreak; the kept set is rows with row_number <= K over
-    the registrable-domain partition. Scale: one shuffle on the domain
-    key; a pathological mega-domain skews that window, and the
+    the registrable-domain partition. Hostless/unparseable docs rank
+    rn=1 on the shared per-doc sentinel (sentinel_registrable_col —
+    the pipeline's domain_quota semantic) rather than being capped
+    together as one NULL pseudo-domain. Scale: one shuffle on the
+    domain key; a pathological mega-domain skews that window, and the
     mitigation is the TakeOrdered-per-key pattern (partial per-task
     top-K before the shuffle) — at K=3 each task forwards at most K
     rows per domain, which AQE-skew handling covers here. Output per
     public suffix: domains, docs, kept-after-quota, largest domain."""
-    reg = _with_registrable(_parsed_urls(spark, sf_dir))
+    reg = _with_registrable(_parsed_urls(spark, sf_dir)).withColumn(
+        "registrable", sentinel_registrable_col()
+    )
     w = Window.partitionBy("registrable").orderBy(
         F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
     )
@@ -684,6 +722,49 @@ def q282_domain_quota_sample(spark, sf_dir):
         ).cast("bigint").alias("n_kept"),
         F.max("rn").cast("bigint").alias("max_domain_docs"),
     )
+
+
+def funnel_url_stages(docs):
+    """The q284 funnel's URL stages — (1) canonical-URL exact dedup
+    (min-doc_id winner per sentinel-keyed canonical) then (2)
+    per-registrable-domain quota (md5-ordered rn <= K, sentinel-keyed)
+    — over ANY ``(doc_id, source, url)`` DataFrame. Factored out of
+    q284 so the dirty-URL equivalence test in
+    tests/test_curation_pipeline.py drives the SAME code the funnel
+    query runs; membership-identical to the resumable pipeline's
+    url_canonical_dedup -> domain_quota stages by construction (both
+    key on sentinel_canonical_col / sentinel_registrable_col).
+    Returns ``(dedup, quota)`` DataFrames of survivors."""
+    reg = _with_registrable(parse_urls(docs))
+    c = reg.select(
+        "doc_id", "source",
+        sentinel_registrable_col(), sentinel_canonical_col(),
+    )
+    dedup = (
+        c.select(
+            "doc_id", "source", "registrable",
+            F.row_number()
+            .over(Window.partitionBy("canonical").orderBy("doc_id"))
+            .alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    quota = (
+        dedup.select(
+            "doc_id", "source",
+            F.row_number()
+            .over(
+                Window.partitionBy("registrable").orderBy(
+                    F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+                )
+            )
+            .alias("rn"),
+        )
+        .where(F.col("rn") <= _Q282_QUOTA)
+        .drop("rn")
+    )
+    return dedup, quota
 
 
 _Q284_QUALITY_MIN = 818  # letters-per-kilochar floor (binds ~half)
@@ -708,7 +789,10 @@ _Q284_QUALITY_MIN = 818  # letters-per-kilochar floor (binds ~half)
         LEFT JOIN psl2 p2 ON p2.s = lab.last2
         LEFT JOIN psl1 p1 ON p1.s = lab.last1),
     c AS (
-        SELECT doc_id, source, registrable,{_DUCK_CANONICAL}
+        SELECT doc_id, source,
+               COALESCE(nullif(registrable, ''),
+                        {_DUCK_NOHOST_SENTINEL}) AS registrable,
+               {_DUCK_CANONICAL_SENTINEL}
         FROM reg),
     dedup AS (
         SELECT doc_id, source, registrable FROM (
@@ -786,6 +870,11 @@ def q284_crawl_curation_funnel(spark, sf_dir):
     tokenizer join is doc_id-keyed (per-row Python confined to the
     distinct-word vocabulary, q275's accounting), and stage 4 touches
     only the boundary bucket — no stage adds an unbounded shuffle.
+    Stages 1-2 key on the shared NULL-URL sentinels
+    (sentinel_canonical_col / sentinel_registrable_col — identical to
+    the resumable pipeline's stages, proven by the dirty-URL
+    equivalence test in tests/test_curation_pipeline.py), so
+    unparseable URLs survive dedup individually and are quota-exempt.
 
     plan-change: round 11 composed the REAL tokenizer into the budget
     stage (VERDICT r10 item 4) — the q275 BPE subtree (induction
@@ -794,31 +883,10 @@ def q284_crawl_curation_funnel(spark, sf_dir):
     exactly that subtree's nodes. Funnel stages themselves are
     unchanged; sf1 growth measured 1.52x per 10x post-composition.
     Allowed: hash-exchanges<=52 shuffle-joins<=11."""
-    reg = _with_registrable(_parsed_urls(spark, sf_dir))
-    c = reg.select("doc_id", "source", "registrable", canonical_url_col())
-    dedup = (
-        c.select(
-            "doc_id", "source", "registrable",
-            F.row_number()
-            .over(Window.partitionBy("canonical").orderBy("doc_id"))
-            .alias("rn"),
+    dedup, quota = funnel_url_stages(
+        table(spark, sf_dir, "documents").select(
+            "doc_id", "source", F.expr(_URL_EXPR).alias("url")
         )
-        .where(F.col("rn") == 1)
-        .drop("rn")
-    )
-    quota = (
-        dedup.select(
-            "doc_id", "source",
-            F.row_number()
-            .over(
-                Window.partitionBy("registrable").orderBy(
-                    F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
-                )
-            )
-            .alias("rn"),
-        )
-        .where(F.col("rn") <= _Q282_QUOTA)
-        .drop("rn")
     )
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", "n_chars",
@@ -891,3 +959,28 @@ def canonical_url_col():
             )
         ),
     ).alias("canonical")
+
+
+def sentinel_canonical_col(id_col: str = "doc_id"):
+    """canonical_url_col with the shared NULL-URL semantic: a doc
+    whose URL doesn't parse (canonical NULL) keys on a per-doc
+    sentinel, so canonical-dedup passes it through instead of
+    collapsing every unparseable doc into one NULL group. The SAME
+    column the pipeline's url_canonical_dedup stage groups on —
+    q280/q284 and pipeline/curation.py can never drift."""
+    return F.coalesce(
+        canonical_url_col(),
+        F.concat(F.lit(UNPARSED_SENTINEL), F.col(id_col).cast("string")),
+    ).alias("canonical")
+
+
+def sentinel_registrable_col(id_col: str = "doc_id"):
+    """registrable (eTLD+1) with the shared NULL-URL semantic: a doc
+    with no parseable host keys on a per-doc sentinel, so the domain
+    quota ranks it rn=1 instead of capping all hostless docs together
+    as one NULL pseudo-domain. Shared with the pipeline's
+    domain_quota stage (q282/q284 parity)."""
+    return F.coalesce(
+        F.col("registrable"),
+        F.concat(F.lit(NOHOST_SENTINEL), F.col(id_col).cast("string")),
+    ).alias("registrable")

@@ -313,3 +313,80 @@ def test_url_stages_pass_null_and_unparseable_urls_through(
     bl_ids = {r["doc_id"] for r in kept_bl.select("doc_id").collect()}
     assert junk_ids <= bl_ids
     shutil.rmtree(workdir + "_bl", ignore_errors=True)
+
+
+def test_funnel_and_pipeline_agree_on_dirty_urls(spark, sf_dir, workdir):
+    """ADVICE r12: the query corpus and the resumable pipeline must
+    give the SAME answer on exactly the dirty input the sentinel
+    semantics exist for. Drives q284's own factored URL stages
+    (funnel_url_stages — the code the registered funnel query runs)
+    and the pipeline's url_canonical_dedup -> domain_quota stages over
+    fixture docs + NULL-URL + unparseable-URL + duplicate-junk rows,
+    and asserts doc_id-set equality stage by stage (stronger than the
+    per-source counts the clean-input test checks)."""
+    from rc_rag_spark.queries.curation import (
+        _Q282_QUOTA,
+        canonical_url_col,
+        funnel_url_stages,
+        parse_urls,
+    )
+
+    junk = spark.createDataFrame(
+        [
+            # NULL urls
+            (9_000_001, "junk", None),
+            (9_000_002, "junk", None),
+            # unparseable urls (try_parse_url -> NULL host)
+            (9_000_003, "junk", "not a url at all"),
+            (9_000_004, "junk", "http://:bad:port/::"),
+            (9_000_005, "junk", "also spaces here"),
+            # an unparseable TEXT-duplicate pair: same garbage string
+            # twice — sentinel keying must keep BOTH (per-doc key),
+            # where the old NULL-group semantics kept only the min id
+            (9_000_006, "junk", "dup garbage ::"),
+            (9_000_007, "junk", "dup garbage ::"),
+        ],
+        "doc_id bigint, source string, url string",
+    )
+    docs = (
+        _docs_with_urls(spark, sf_dir)
+        .select("doc_id", "source", "url")
+        .unionByName(junk)
+    )
+    junk_ids = {r["doc_id"] for r in junk.collect()}
+
+    # all junk really is canonical-NULL (the sentinel branch)
+    canon = (
+        parse_urls(junk.select("doc_id", "url"))
+        .select("doc_id", canonical_url_col())
+        .collect()
+    )
+    assert all(r["canonical"] is None for r in canon)
+
+    q_dedup, q_quota = funnel_url_stages(docs)
+    q_dedup_ids = {r["doc_id"] for r in q_dedup.select("doc_id").collect()}
+    q_quota_ids = {r["doc_id"] for r in q_quota.select("doc_id").collect()}
+
+    pipe = (
+        CurationPipeline(spark, workdir)
+        .url_canonical_dedup()
+        .domain_quota(max_per_domain=_Q282_QUOTA)
+    )
+    pipe.run(docs)
+
+    def stage_ids(path):
+        return {
+            r["doc_id"]
+            for r in spark.read.parquet(os.path.join(workdir, path))
+            .select("doc_id")
+            .collect()
+        }
+
+    p_dedup_ids = stage_ids("00_url_canonical_dedup")
+    p_quota_ids = stage_ids("01_domain_quota")
+
+    assert q_dedup_ids == p_dedup_ids
+    assert q_quota_ids == p_quota_ids
+    # and the unified semantic itself: every junk doc survives both
+    # stages on both surfaces (per-doc sentinel keys)
+    assert junk_ids <= q_quota_ids
