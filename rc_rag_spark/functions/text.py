@@ -98,6 +98,10 @@ def exact_tokenize(col: str | Column) -> Column:
         def _udf(s: pd.Series) -> pd.Series:
             import unicodedata
 
+            from rc_rag_spark.faultinject import maybe_inject_fault
+
+            maybe_inject_fault("exact_tokenize")
+
             import regex
 
             pat = regex.compile(

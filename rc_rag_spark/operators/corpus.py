@@ -219,6 +219,9 @@ def pack_token_budget(
     def pack(pdf):
         import pandas as pd
 
+        from rc_rag_spark.faultinject import maybe_inject_fault
+
+        maybe_inject_fault("pack_token_budget")
         pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
         batch, acc, out = 0, 0, []
         for tok in pdf[token_count_col]:

@@ -379,6 +379,10 @@ def simhash64(col: str | Column) -> Column:
         def _udf(texts: pd.Series) -> pd.Series:
             import hashlib
 
+            from rc_rag_spark.faultinject import maybe_inject_fault
+
+            maybe_inject_fault("simhash64")
+
             def sh(text):
                 if text is None:
                     return None

@@ -31,6 +31,9 @@ def zscore_grouped_map(
     )
 
     def standardize(pdf):
+        from rc_rag_spark.faultinject import maybe_inject_fault
+
+        maybe_inject_fault('zscore_grouped_map')
         v = pdf[value_col]
         std = v.std(ddof=1)
         if len(pdf) < 2 or std == 0 or std != std:

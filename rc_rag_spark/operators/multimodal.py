@@ -171,6 +171,9 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from rc_rag_spark.faultinject import maybe_inject_fault
+
+        maybe_inject_fault("multimodal_kernel")
         for pdf in batches:
             yield pd.DataFrame(
                 {
@@ -218,6 +221,9 @@ def extract_features_real(media: DataFrame) -> DataFrame:
     q73's oracle), nothing here is a stand-in."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from rc_rag_spark.faultinject import maybe_inject_fault
+
+        maybe_inject_fault("multimodal_kernel")
         from rc_rag_spark.operators import audiocodec, imagecodec, videocodec
 
         for pdf in batches:
@@ -282,6 +288,9 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     slot."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from rc_rag_spark.faultinject import maybe_inject_fault
+
+        maybe_inject_fault("multimodal_kernel")
         from rc_rag_spark.operators import imagecodec, videocodec
 
         for pdf in batches:
@@ -336,6 +345,9 @@ def resize_images(
     filters keep pruning before any decode."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from rc_rag_spark.faultinject import maybe_inject_fault
+
+        maybe_inject_fault("multimodal_kernel")
         from rc_rag_spark.operators import imagecodec
 
         try:
@@ -446,6 +458,9 @@ def chunk_audio(media: DataFrame, window_ms: int = 500) -> DataFrame:
     covered time."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from rc_rag_spark.faultinject import maybe_inject_fault
+
+        maybe_inject_fault("multimodal_kernel")
         for pdf in batches:
             ids, idxs, payloads, ms = [], [], [], []
             for _, row in pdf.iterrows():
@@ -483,6 +498,9 @@ def frame_features(frames: DataFrame) -> DataFrame:
     mapInPandas, one float per frame here (keyframe scoring)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from rc_rag_spark.faultinject import maybe_inject_fault
+
+        maybe_inject_fault("multimodal_kernel")
         for pdf in batches:
             yield pd.DataFrame(
                 {

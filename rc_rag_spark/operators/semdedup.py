@@ -146,6 +146,9 @@ def semdedup(
     bc = spark.sparkContext.broadcast((C, bit_exact))
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from rc_rag_spark.faultinject import maybe_inject_fault
+
+        maybe_inject_fault("semdedup_assign")
         C_b, exact_b = bc.value
         for pdf in batches:
             if len(pdf) == 0:
@@ -213,6 +216,9 @@ def _pair_dedup(
     thr = float(threshold)
 
     def dedup_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        from rc_rag_spark.faultinject import maybe_inject_fault
+
+        maybe_inject_fault("semdedup_pair_dedup")
         g = len(pdf)
         pdf = pdf.sort_values("_id").reset_index(drop=True)
         X = np.array([np.asarray(v) for v in pdf["_v"]], dtype=np.float64)
@@ -335,6 +341,9 @@ def semdedup_hierarchical(
     bc = spark.sparkContext.broadcast((C, bit_exact))
 
     def assign_super(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from rc_rag_spark.faultinject import maybe_inject_fault
+
+        maybe_inject_fault("semdedup_assign_super")
         C_b, exact_b = bc.value
         for pdf in batches:
             if len(pdf) == 0:
@@ -365,6 +374,10 @@ def semdedup_hierarchical(
     # and per-task memory stays <= max_super_size rows x d doubles.
     def assign_l2(pdf: pd.DataFrame) -> pd.DataFrame:
         import hashlib
+
+        from rc_rag_spark.faultinject import maybe_inject_fault
+
+        maybe_inject_fault("semdedup_assign_l2")
 
         k_g = max(1, math.ceil(len(pdf) / target_cluster_size))
         order = sorted(

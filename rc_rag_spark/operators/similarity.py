@@ -324,6 +324,9 @@ def exact_near_dup_pairs(
     bc = spark.sparkContext.broadcast((ids, mat, cosine_threshold))
 
     def block_pairs(batches):
+        from rc_rag_spark.faultinject import maybe_inject_fault
+
+        maybe_inject_fault('block_pairs')
         ids_b, mat_b, thr = bc.value
         order = {i: k for k, i in enumerate(ids_b)}
         for pdf_b in batches:
@@ -407,6 +410,9 @@ def brute_force_topk_pruned(
     bc = spark.sparkContext.broadcast((q_ids, q_mat, q_norm, metric))
 
     def local_topk(batches):
+        from rc_rag_spark.faultinject import maybe_inject_fault
+
+        maybe_inject_fault('brute_force_topk_pruned')
         q_ids_b, q_mat_b, q_norm_b, metric_b = bc.value
         if len(q_ids_b) == 0:
             return  # no queries -> no candidates (and (n,d)@(0,0).T
@@ -505,6 +511,9 @@ def hard_negative_topk(
     bc = spark.sparkContext.broadcast((q_ids, q_grp, q_mat, q_norm))
 
     def local_topk(batches):
+        from rc_rag_spark.faultinject import maybe_inject_fault
+
+        maybe_inject_fault('hard_negative_topk')
         q_ids_b, q_grp_b, q_mat_b, q_norm_b = bc.value
         if len(q_ids_b) == 0:
             return  # no queries -> no negatives to mine

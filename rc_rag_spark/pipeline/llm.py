@@ -215,6 +215,9 @@ def llm_call(messages_col: str | Column, backend: str = "mock", **backend_kw) ->
 
     @pandas_udf("string")
     def _udf(msgs: pd.Series) -> pd.Series:
+        from rc_rag_spark.faultinject import maybe_inject_fault
+
+        maybe_inject_fault("llm_call")
         call = _get_client(backend, backend_kw)
 
         def run(conv):

@@ -888,6 +888,9 @@ def _cdc_chunk_batches(batches):
     import numpy as np
     import pandas as pd
 
+    from rc_rag_spark.faultinject import maybe_inject_fault
+
+    maybe_inject_fault('cdc_chunk')
     for pdf in batches:
         ids, chs, lens = [], [], []
         # NULL text has no content to chunk: drop those rows before

@@ -163,6 +163,9 @@ def bpe_doc_token_counts(spark, sf_dir):
     vocab = toks.select("tok").distinct()
 
     def encode_batches(batches):
+        from rc_rag_spark.faultinject import maybe_inject_fault
+
+        maybe_inject_fault('bpe_encode')
         for pdf in batches:
             yield pd.DataFrame(
                 {

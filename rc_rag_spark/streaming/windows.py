@@ -120,6 +120,10 @@ def stateful_user_totals(df: DataFrame) -> DataFrame:
     def update(key, pdfs, state: GroupState):
         import decimal
 
+        from rc_rag_spark.faultinject import maybe_inject_fault
+
+        maybe_inject_fault('stateful_user_totals')
+
         import pandas as pd
 
         n, nv, total = state.get if state.exists else (0, 0, "0")
@@ -364,6 +368,9 @@ def cdc_latest(df: DataFrame) -> DataFrame:
     def update(key, pdfs, state: GroupState):
         import pandas as pd
 
+        from rc_rag_spark.faultinject import maybe_inject_fault
+
+        maybe_inject_fault('stateful_latest_by_pk')
         cur = state.get if state.exists else None
         for pdf in pdfs:
             for row in pdf.itertuples(index=False):

