@@ -77,6 +77,15 @@ HEADLINE = [
     # sum; anchor_sec/legacy_sec remain the like-for-like split.
     "q275_bpe_encode_tokens",
     "q284_crawl_curation_funnel",
+    # round-13 anchor: SKEWED-key window dedup + quota (~4.5 s at
+    # sf0.1 — half the corpus in one registrable domain over ~343k
+    # synthetic URLs). The uniform fixtures never stress the hot-key
+    # path; the off-line mega-domain evidence (SCALING.md, r11) now
+    # moves the headline number, so losing WindowGroupLimit
+    # eligibility or single-tasking the mega domain is a visible
+    # regression. Totals grow vs r12 by ~this anchor's time;
+    # anchor_sec/legacy_sec remain the like-for-like split.
+    "q287_skewed_domain_quota",
 ]
 
 # Multi-second anchors: stable to ~±3% run-to-run, the signal. The
@@ -92,6 +101,7 @@ ANCHORS = {
     "q263_bradley_terry",
     "q275_bpe_encode_tokens",
     "q284_crawl_curation_funnel",
+    "q287_skewed_domain_quota",
 }
 
 

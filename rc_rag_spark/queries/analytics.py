@@ -482,7 +482,8 @@ def q150_mad_outliers(spark, sf_dir):
     sql="""
     WITH t AS (
         SELECT o_totalprice,
-               ntile(10) OVER (ORDER BY o_totalprice, o_orderkey)
+               ntile(10) OVER (ORDER BY o_totalprice NULLS FIRST,
+                               o_orderkey)
                    AS bucket
         FROM orders)
     SELECT bucket, COUNT(*) AS n,
@@ -663,30 +664,47 @@ def q156_incremental_agg(spark, sf_dir):
             F.max("o_orderdate").alias("m"),
         )
 
+    # the base/delta predicates must PARTITION the table: a NULL
+    # order date fails both `< cutoff` and `>= cutoff`, so the naive
+    # split silently dropped such rows from the refreshed view
+    # (caught by the sfnulls value gate, round 13) — route them into
+    # the delta with a null-safe complement
     base = agg(o.where(F.col("o_orderdate") < cutoff))
-    delta = agg(o.where(F.col("o_orderdate") >= cutoff))
+    delta = agg(
+        o.where(F.coalesce(F.col("o_orderdate") >= cutoff, F.lit(True)))
+    )
     b = base.select(
-        "o_custkey",
+        F.col("o_custkey").alias("b_custkey"),
         F.col("n").alias("bn"),
         F.col("s").alias("bs"),
         F.col("m").alias("bm"),
     )
     d = delta.select(
-        "o_custkey",
+        F.col("o_custkey").alias("d_custkey"),
         F.col("n").alias("dn"),
         F.col("s").alias("ds"),
         F.col("m").alias("dm"),
     )
-    return b.join(d, "o_custkey", "full_outer").select(
-        "o_custkey",
+    # null-safe merge key: the NULL-custkey partials must combine into
+    # ONE output group (plain equi-join never matches NULL keys and
+    # would emit two)
+    return b.join(
+        d, b["b_custkey"].eqNullSafe(d["d_custkey"]), "full_outer"
+    ).select(
+        F.coalesce("b_custkey", "d_custkey").alias("o_custkey"),
         (
             F.coalesce("bn", F.lit(0)) + F.coalesce("dn", F.lit(0))
         ).alias("n_orders"),
-        (
-            F.coalesce(F.col("bs"), F.lit(0).cast("decimal(18,2)"))
-            + F.coalesce(F.col("ds"), F.lit(0).cast("decimal(18,2)"))
+        F.when(
+            F.col("bs").isNull() & F.col("ds").isNull(),
+            F.lit(None).cast("double"),
         )
-        .cast("double")
+        .otherwise(
+            (
+                F.coalesce(F.col("bs"), F.lit(0).cast("decimal(18,2)"))
+                + F.coalesce(F.col("ds"), F.lit(0).cast("decimal(18,2)"))
+            ).cast("double")
+        )
         .alias("total_spend"),
         F.greatest(
             F.coalesce("bm", "dm"), F.coalesce("dm", "bm")
@@ -790,14 +808,17 @@ def q160_position_attribution(spark, sf_dir):
 @register(
     "q161_nested_order_export",
     sql="""
+    WITH it AS (
+        SELECT l_orderkey,
+               CAST(l_linenumber AS VARCHAR) || ':'
+               || CAST(l_partkey AS VARCHAR) || 'x'
+               || CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS item
+        FROM lineitem)
     SELECT l_orderkey AS o_orderkey, COUNT(*) AS n_items,
-           array_to_string(
-               list_sort(list(
-                   CAST(l_linenumber AS VARCHAR) || ':'
-                   || CAST(l_partkey AS VARCHAR) || 'x'
-                   || CAST(CAST(l_quantity AS BIGINT) AS VARCHAR))),
-               ';') AS items
-    FROM lineitem GROUP BY l_orderkey
+           coalesce(array_to_string(list_sort(
+               list(item) FILTER (WHERE item IS NOT NULL)), ';'), '')
+               AS items
+    FROM it GROUP BY l_orderkey
     """,
     tags=("export", "nesting", "denormalize"),
 )
@@ -1067,7 +1088,7 @@ def q165_weighted_median(spark, sf_dir):
     sql="""
     WITH mu AS (
         SELECT DISTINCT date_trunc('month', ts) AS m, user_id
-        FROM events),
+        FROM events WHERE ts IS NOT NULL),
     months AS (SELECT DISTINCT m FROM mu),
     pairs AS (
         SELECT m, lead(m) OVER (ORDER BY m) AS next_m FROM months),
@@ -1095,9 +1116,14 @@ def q166_monthly_churn(spark, sf_dir):
     bounded keys, never a per-user window over history. The classic
     retention complement to q138's cohort matrix."""
     e = table(spark, sf_dir, "events")
-    mu = e.select(
-        F.date_trunc("month", F.col("ts")).alias("m"), "user_id"
-    ).distinct()
+    # an event with no event-time belongs to no month (the shared
+    # event-time contract; NULLS-FIRST lead() would otherwise pair
+    # the NULL pseudo-month with the first real one)
+    mu = (
+        e.where(F.col("ts").isNotNull())
+        .select(F.date_trunc("month", F.col("ts")).alias("m"), "user_id")
+        .distinct()
+    )
     months = mu.select("m").distinct()
     pairs = months.select(
         "m", F.lead("m").over(Window.orderBy("m")).alias("next_m")

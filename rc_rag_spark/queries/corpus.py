@@ -1446,7 +1446,7 @@ def budget_selected_docs(d):
         FROM documents),
     b AS (
         SELECT doc_id, tokens,
-               ntile(8) OVER (ORDER BY tokens, doc_id) AS bucket
+               ntile(8) OVER (ORDER BY tokens NULLS FIRST, doc_id) AS bucket
         FROM d),
     g AS (SELECT CAST(MAX(tokens) AS BIGINT) AS gmax FROM d)
     SELECT bucket,

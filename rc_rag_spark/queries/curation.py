@@ -987,3 +987,151 @@ def sentinel_registrable_col(id_col: str = "doc_id"):
         F.col("registrable"),
         F.concat(F.lit(NOHOST_SENTINEL), F.col(id_col).cast("string")),
     ).alias("registrable")
+
+
+@register(
+    "q287_skewed_domain_quota",
+    sql=f"""
+    WITH li AS (
+        SELECT l_orderkey * 8 + l_linenumber AS doc_id FROM lineitem
+        WHERE l_linenumber <= 4),
+    u AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'mega' ELSE 'tail' END
+                   AS source,
+               CASE WHEN doc_id % 2 = 0
+                    THEN 'https://www.mega-site.com/p/'
+                         || CAST(doc_id // 4 AS VARCHAR)
+                    ELSE 'https://site-' || CAST(doc_id % 4999 AS VARCHAR)
+                         || '.org/p/' || CAST(doc_id // 2 AS VARCHAR) END
+                   AS url
+        FROM li),
+    p AS (
+        SELECT doc_id, source, url AS canonical,
+               regexp_extract(url, '^https://(?:www\\.)?([^/]+)/', 1)
+                   AS registrable
+        FROM u),
+    dedup AS (
+        SELECT doc_id, source, registrable FROM (
+            SELECT doc_id, source, registrable,
+                   ROW_NUMBER() OVER (PARTITION BY canonical
+                                      ORDER BY doc_id) AS rn
+            FROM p) WHERE rn = 1),
+    quota AS (
+        SELECT doc_id, source FROM (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY registrable
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+            FROM dedup) WHERE rn <= {_Q282_QUOTA}),
+    f0 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_raw
+           FROM u GROUP BY source),
+    f1 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_dedup,
+                  CAST(COUNT(DISTINCT registrable) AS BIGINT) AS n_domains
+           FROM dedup GROUP BY source),
+    f2 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept
+           FROM quota GROUP BY source)
+    SELECT f0.source, n_raw, n_dedup, n_domains, n_kept
+    FROM f0
+    JOIN f1 ON f1.source = f0.source
+    JOIN f2 ON f2.source = f0.source
+    """,
+    tags=("url", "skew", "quota", "dedup", "curation", "bench"),
+)
+def q287_skewed_domain_quota(spark, sf_dir):
+    """SKEWED-KEY window dedup + quota — the bench anchor for the
+    hot-domain shape the uniform fixtures never exercise (VERDICT r12
+    item 7; the off-line evidence lived in tools/stress_skew_urls.py /
+    SCALING.md since r11, where the WindowGroupLimit-OFF variant
+    single-tasks the mega domain).
+
+    Corpus: one synthetic URL per lineitem row (the largest fixture
+    table; line numbers 1-4 -> ~343k rows at sf0.1, a ~50/50
+    even/odd doc_id split). HALF the corpus lands in ONE registrable
+    domain (www.mega-site.com), with canonical-URL variants
+    collapsing in the dedup stage; the other half spreads uniformly
+    over 4999 site-N.org domains. The stages are q284's exact window semantics (same
+    sentinel keys via sentinel_canonical_col/sentinel_registrable_col,
+    same md5 quota ordering) FUSED into one pass — parse + PSL join +
+    dedup window -> filter -> quota window -> conditional aggregate —
+    instead of re-deriving the chain per funnel stat (at 100 TB the
+    corpus is scanned once; the n_raw leg is a URL-free count off the
+    fact table). A regression in skew handling — losing the partial
+    WindowGroupLimit below the exchange, a plan change that shuffles
+    the mega domain's full doc list into one window task — moves this
+    anchor's headline time. Output: per-class funnel counts (raw /
+    after-dedup / distinct domains / kept-after-quota; the mega class
+    keeps exactly {_Q282_QUOTA})."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_linenumber") <= 4)
+        .select(
+            (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias(
+                "doc_id"
+            )
+        )
+    )
+    is_mega = F.col("doc_id") % 2 == 0
+    docs = li.select(
+        "doc_id",
+        F.when(is_mega, F.lit("mega")).otherwise(F.lit("tail")).alias(
+            "source"
+        ),
+        F.when(
+            is_mega,
+            F.concat(
+                F.lit("https://www.mega-site.com/p/"),
+                F.expr("doc_id div 4").cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://site-"),
+                (F.col("doc_id") % 4999).cast("string"),
+                F.lit(".org/p/"),
+                F.expr("doc_id div 2").cast("string"),
+            )
+        )
+        .alias("url"),
+    )
+    reg = _with_registrable(parse_urls(docs))
+    c = reg.select(
+        "doc_id", "source",
+        sentinel_registrable_col(), sentinel_canonical_col(),
+    )
+    ranked = (
+        c.withColumn(
+            "_rn1",
+            F.row_number().over(
+                Window.partitionBy("canonical").orderBy("doc_id")
+            ),
+        )
+        .where(F.col("_rn1") == 1)
+        .withColumn(
+            "_rn2",
+            F.row_number().over(
+                Window.partitionBy("registrable").orderBy(
+                    F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+                )
+            ),
+        )
+    )
+    f = ranked.groupBy("source").agg(
+        F.count("*").alias("n_dedup"),
+        F.countDistinct("registrable").alias("n_domains"),
+        F.sum(
+            F.when(F.col("_rn2") <= _Q282_QUOTA, 1).otherwise(0)
+        ).alias("n_kept"),
+    )
+    f0 = li.groupBy(
+        F.when(is_mega, F.lit("mega")).otherwise(F.lit("tail")).alias(
+            "source"
+        )
+    ).agg(F.count("*").alias("n_raw"))
+    return f0.join(f, "source").select(
+        "source",
+        F.col("n_raw").cast("bigint").alias("n_raw"),
+        F.col("n_dedup").cast("bigint").alias("n_dedup"),
+        F.col("n_domains").cast("bigint").alias("n_domains"),
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+    )

@@ -294,9 +294,9 @@ def q63_simhash_near_dup(spark, sf_dir):
     "q64_knn_bruteforce",
     sql="""
     WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-               FROM embeddings WHERE vec_id < 5),
+               FROM embeddings WHERE vec_id < 5 AND embedding IS NOT NULL),
          c AS (SELECT vec_id, embedding::DOUBLE[] AS cv
-               FROM embeddings WHERE vec_id >= 5),
+               FROM embeddings WHERE vec_id >= 5 AND embedding IS NOT NULL),
          scored AS (
            SELECT q.query_id, c.vec_id AS neighbor_id,
                   list_dot_product(c.cv, q.qv)
@@ -402,10 +402,14 @@ def q67_lang_stats(spark, sf_dir):
 _TOKS_SQL = "regexp_extract_all(lower(text), '[\\pL\\pN\\pM]+|[^\\pZ\\pC]')"
 _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in TS.STOPWORDS) + "]"
 
-_QUALITY_EXPR_SQL = """round(0.4 * least(n_tokens / 100.0, 1.0)
+# the n_tokens guard matters on NULL text: DuckDB's least()/greatest()
+# SKIP NULL arguments (non-standard), so without it a NULL-text row
+# would score 0.4 instead of NULL (Spark NULL-propagates)
+_QUALITY_EXPR_SQL = """(CASE WHEN n_tokens IS NULL THEN NULL ELSE
+                 round(0.4 * least(n_tokens / 100.0, 1.0)
                  + 0.4 * greatest(0.0, 1.0 - 4.0 * (punct_ratio + digit_ratio))
                  + 0.2 * CAST(mean_token_len >= 2.5 AND mean_token_len <= 9.0
-                              AS DOUBLE), 6)"""
+                              AS DOUBLE), 6) END)"""
 
 
 def _sql_quality_ctes(src: str = "documents", carry: str = "") -> str:
@@ -429,12 +433,13 @@ def _sql_quality_ctes(src: str = "documents", carry: str = "") -> str:
                round(CAST(len(list_filter(toks,
                    x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
                    / greatest(len(toks), 1), 6) AS stopword_ratio,
+               CASE WHEN toks IS NULL THEN NULL ELSE
                round(CAST(coalesce(list_sum(list_transform(
                        list_filter(toks, x -> regexp_matches(x, '^[\\pL\\pN]')),
                        x -> length(x))), 0) AS DOUBLE)
                    / greatest(len(list_filter(toks,
                        x -> regexp_matches(x, '^[\\pL\\pN]'))), 1), 6)
-                   AS mean_token_len
+               END AS mean_token_len
         FROM t
     )"""
 
@@ -594,9 +599,9 @@ def q71_rolling_fingerprint(spark, sf_dir):
     "q90_knn_pruned",
     sql="""
     WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-               FROM embeddings WHERE vec_id < 5),
+               FROM embeddings WHERE vec_id < 5 AND embedding IS NOT NULL),
          c AS (SELECT vec_id, embedding::DOUBLE[] AS cv
-               FROM embeddings WHERE vec_id >= 5),
+               FROM embeddings WHERE vec_id >= 5 AND embedding IS NOT NULL),
          scored AS (
            SELECT q.query_id, c.vec_id AS neighbor_id,
                   list_dot_product(c.cv, q.qv)
@@ -815,10 +820,11 @@ def q96_hash_split(spark, sf_dir):
     sql="""
     WITH corpus AS (
         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE embedding IS NOT NULL
         UNION ALL
         SELECT vec_id + 100000 AS vec_id,
                list_transform(embedding::DOUBLE[], x -> x * 1.001) AS v
-        FROM embeddings WHERE vec_id % 25 = 0
+        FROM embeddings WHERE vec_id % 25 = 0 AND embedding IS NOT NULL
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_dot_product(a.v, b.v)
@@ -1006,9 +1012,9 @@ def q126_edit_distance_pairs(spark, sf_dir):
 
 _KNN_EXACT_TOPK_SQL = """
     WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-               FROM embeddings WHERE vec_id < 5),
+               FROM embeddings WHERE vec_id < 5 AND embedding IS NOT NULL),
          c AS (SELECT vec_id, embedding::DOUBLE[] AS cv
-               FROM embeddings WHERE vec_id >= 5),
+               FROM embeddings WHERE vec_id >= 5 AND embedding IS NOT NULL),
          scored AS (
            SELECT q.query_id, c.vec_id AS neighbor_id,
                   list_dot_product(c.cv, q.qv)

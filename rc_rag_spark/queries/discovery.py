@@ -709,8 +709,10 @@ def q251_k_anonymity(spark, sf_dir):
     sql="""
     WITH h AS (
         SELECT source, n_chars,
-               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
-                                        || text || ':' || lang), 1, 15))
+               CAST(('0x' || substr(md5(
+                        coalesce(CAST(doc_id AS VARCHAR), chr(0)) || ':'
+                        || coalesce(text, chr(0)) || ':'
+                        || coalesce(lang, chr(0))), 1, 15))
                     AS BIGINT) AS rh
         FROM documents)
     SELECT COALESCE(source, 'ALL') AS source,
@@ -742,12 +744,19 @@ def q259_dataset_manifest(spark, sf_dir):
         "source", "n_chars",
         F.conv(
             F.substring(
+                # NULL fields hash as a NUL marker, DISTINCT from
+                # empty string: a missing value must CHANGE the
+                # manifest, not silently alias '' (concat_ws would
+                # drop it) or vanish from the XOR (NULL-propagating
+                # concat would)
                 F.md5(
                     F.concat_ws(
                         ":",
-                        F.col("doc_id").cast("string"),
-                        "text",
-                        "lang",
+                        F.coalesce(
+                            F.col("doc_id").cast("string"), F.lit("\x00")
+                        ),
+                        F.coalesce(F.col("text"), F.lit("\x00")),
+                        F.coalesce(F.col("lang"), F.lit("\x00")),
                     )
                 ),
                 1, 15,

@@ -26,6 +26,7 @@ from rc_rag_spark.streaming import windows as W
            COUNT(*) AS n,
            {sql_dsum('value', 'sum_value')}
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY date_trunc('hour', ts), event_type
     """,
     tags=("streaming", "window"),
@@ -44,6 +45,7 @@ def q50_tumbling_hourly(spark, sf_dir):
                       ELSE INTERVAL 0 MINUTE END
                - k.k * INTERVAL 30 MINUTE AS window_start
         FROM events e CROSS JOIN (VALUES (0), (1)) k(k)
+        WHERE e.ts IS NOT NULL
     )
     SELECT window_start,
            window_start + INTERVAL 1 HOUR AS window_end,
@@ -68,6 +70,7 @@ def q51_sliding_windows(spark, sf_dir):
                          OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
                     THEN 1 ELSE 0 END AS new_session
         FROM events
+        WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ),
     numbered AS (
@@ -1259,7 +1262,10 @@ def q253_bitmap_distinct(spark, sf_dir):
             F.expr("bitmap_bit_position(user_id)")
         ).alias("bm")
     )
+    # count("bucket") not count("*"): a NULL user id maps to a NULL
+    # bucket whose bitmap is empty — it evidences the group but is
+    # not a bucket (sfnulls gate; clean data has no NULL buckets)
     return buckets.groupBy("event_type").agg(
         F.sum(F.bitmap_count("bm")).cast("bigint").alias("n_users_exact"),
-        F.count("*").cast("int").alias("n_buckets"),
+        F.count("bucket").cast("int").alias("n_buckets"),
     )

@@ -802,7 +802,7 @@ def q168_retrieval_gd_training(spark, sf_dir):
     sql="""
     WITH p AS (
         SELECT doc_id, rpad(substr(text, 1, 64), 64, 'x') AS s
-        FROM documents),
+        FROM documents WHERE text IS NOT NULL),
     u AS (
         SELECT doc_id, i, ord(substr(s, i, 1)) AS b
         FROM p, (SELECT unnest(generate_series(1, 64)) AS i) g)
@@ -885,7 +885,7 @@ def q213_image_decode_stats(spark, sf_dir):
     sql="""
     WITH p AS (
         SELECT doc_id, rpad(substr(text, 1, 64), 64, 'x') AS s
-        FROM documents),
+        FROM documents WHERE text IS NOT NULL),
     u AS (
         SELECT doc_id, i, ord(substr(s, i, 1)) AS b
         FROM p, (SELECT unnest(generate_series(1, 64)) AS i) g)
@@ -986,7 +986,7 @@ def q215_audio_decode_stats(spark, sf_dir):
     sql="""
     WITH p AS (
         SELECT doc_id, rpad(substr(text, 1, 64), 64, 'x') AS s
-        FROM documents),
+        FROM documents WHERE text IS NOT NULL),
     v AS (
         SELECT doc_id, f,
                (ord(substr(s, f, 1)) - 100) * 257 AS l,
@@ -1082,7 +1082,7 @@ def q216_audio_stereo_downmix(spark, sf_dir):
     sql="""
     WITH p AS (
         SELECT doc_id, rpad(substr(text, 1, 128), 128, 'x') AS s
-        FROM documents),
+        FROM documents WHERE text IS NOT NULL),
     u AS (
         SELECT doc_id, i, ord(substr(s, i, 1)) AS b
         FROM p, (SELECT unnest(generate_series(1, 128)) AS i) g),
@@ -1189,7 +1189,7 @@ def q218_video_decode_stats(spark, sf_dir):
     sql="""
     WITH p AS (
         SELECT doc_id, rpad(substr(text, 1, 256), 256, 'x') AS s
-        FROM documents),
+        FROM documents WHERE text IS NOT NULL),
     u AS (
         SELECT doc_id, i, ord(substr(s, i, 1)) AS b
         FROM p, (SELECT unnest(generate_series(1, 256)) AS i) g),
@@ -1299,7 +1299,7 @@ def q219_video_keyframe_real(spark, sf_dir):
     sql="""
     WITH p AS (
         SELECT doc_id, rpad(substr(text, 1, 128), 128, 'x') AS s
-        FROM documents),
+        FROM documents WHERE text IS NOT NULL),
     u AS (
         SELECT doc_id, i, ord(substr(s, i, 1)) AS b
         FROM p, (SELECT unnest(generate_series(1, 128)) AS i) g),
@@ -1327,6 +1327,11 @@ def q219_video_keyframe_real(spark, sf_dir):
                  WHEN 1 THEN CAST(g.m64 AS DOUBLE)
                  ELSE m.sdiff / 64.0 END, 6) AS f_shape
     FROM agg g JOIN mot m ON m.doc_id = g.doc_id
+    UNION ALL
+    SELECT doc_id, 'unknown' AS kind_detected,
+           CAST(NULL AS DOUBLE) AS f_level,
+           CAST(NULL AS DOUBLE) AS f_shape
+    FROM documents WHERE text IS NULL
     """,
     tags=("multimodal", "decode", "dispatch"),
 )
@@ -1513,7 +1518,7 @@ _DHASH_HEADER = "P5\n9 8\n255\n"
     sql="""
     WITH p AS (
         SELECT doc_id, rpad(substr(text, 1, 72), 72, 'x') AS s
-        FROM documents),
+        FROM documents WHERE text IS NOT NULL),
     grid AS (
         SELECT doc_id, (k // 8) AS r, (k % 8) AS c
         FROM p, UNNEST(generate_series(0, 63)) AS g(k)),
@@ -1669,7 +1674,7 @@ _SIL_MINRUN = 3
     sql=f"""
     WITH p AS (
         SELECT doc_id, rpad(substr(text, 1, 64), 64, 'x') AS s
-        FROM documents),
+        FROM documents WHERE text IS NOT NULL),
     u AS (
         SELECT doc_id, i, ord(substr(s, i, 1)) AS b
         FROM p, (SELECT unnest(generate_series(1, 64)) AS i) g),
@@ -1791,7 +1796,7 @@ _SCN_T = 500   # scene-cut threshold on the 64-px sum of |f_{k+1}-f_k|
         SELECT doc_id,
                rpad(substr(text, 1, {_SCN_FRAMES * 64}),
                     {_SCN_FRAMES * 64}, 'x') AS s
-        FROM documents),
+        FROM documents WHERE text IS NOT NULL),
     u AS (
         SELECT doc_id, i, ord(substr(s, i, 1)) AS b
         FROM p, (SELECT unnest(generate_series(1,

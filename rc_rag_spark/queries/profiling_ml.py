@@ -198,7 +198,8 @@ def q190_max_drawdown(spark, sf_dir):
     SELECT p.p_partkey, p.p_name, round(p.p_retailprice, 9) AS price,
            CAST(p.p_size AS INTEGER) AS size
     FROM part p
-    WHERE NOT EXISTS (
+    WHERE p.p_retailprice IS NOT NULL AND p.p_size IS NOT NULL
+      AND NOT EXISTS (
         SELECT 1 FROM part s
         WHERE s.p_retailprice <= p.p_retailprice
           AND s.p_size >= p.p_size

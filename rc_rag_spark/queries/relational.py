@@ -535,7 +535,7 @@ def q17_order_gaps(spark, sf_dir):
            MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
     FROM (
         SELECT o_totalprice,
-               CAST(NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey)
+               CAST(NTILE(4) OVER (ORDER BY o_totalprice NULLS FIRST, o_orderkey)
                     AS INTEGER) AS quartile
         FROM orders
     ) GROUP BY quartile
@@ -878,7 +878,10 @@ def q29_quantity_percentiles(spark, sf_dir):
            round(quantile_cont(l_quantity, 0.5), 9) AS p50,
            round(quantile_cont(l_quantity, 0.9), 9) AS p90,
            MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
-           TRUE AS p50_within, TRUE AS p90_within
+           CASE WHEN quantile_cont(l_quantity, 0.5) IS NULL THEN NULL
+                ELSE TRUE END AS p50_within,
+           CASE WHEN quantile_cont(l_quantity, 0.9) IS NULL THEN NULL
+                ELSE TRUE END AS p90_within
     FROM lineitem GROUP BY l_returnflag
     """,
     tags=("agg", "percentile", "sketch"),
@@ -1064,7 +1067,9 @@ def q47_date_trunc_grid(spark, sf_dir):
     "q48_string_agg",
     sql="""
     SELECT n_regionkey,
-           array_to_string(list_sort(list(n_name)), ',') AS nations,
+           coalesce(array_to_string(list_sort(
+               list(n_name) FILTER (WHERE n_name IS NOT NULL)), ','), '')
+               AS nations,
            COUNT(*) AS n
     FROM nation GROUP BY n_regionkey
     """,
@@ -1121,7 +1126,8 @@ def q49_conditional_aggs(spark, sf_dir):
     "q58_array_operations",
     sql="""
     WITH src AS (
-        SELECT doc_id, string_split(text, ' ')[1:8] AS words FROM documents
+        SELECT doc_id, text, string_split(text, ' ')[1:8] AS words
+        FROM documents
     )
     SELECT doc_id,
            len(words) AS n_words,
@@ -1129,14 +1135,17 @@ def q49_conditional_aggs(spark, sf_dir):
                AS sorted_distinct,
            array_to_string(list_reverse(words), '|') AS reversed_join,
            CAST(list_position(words, 'spark') AS INTEGER) AS spark_pos,
-           coalesce(array_to_string(
-               list_filter(words, w -> length(w) > 4), '|'), '')
-               AS long_words,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE coalesce(array_to_string(
+                    list_filter(words, w -> length(w) > 4), '|'), '')
+               END AS long_words,
            array_to_string(list_transform(words, w -> upper(w)), '|')
                AS upper_words,
            words[2] AS second_word,
-           coalesce(len(list_filter(words, w -> w = 'the')) > 0, false)
-               AS has_the
+           CASE WHEN text IS NULL THEN NULL
+                ELSE coalesce(len(list_filter(words, w -> w = 'the')) > 0,
+                              false)
+               END AS has_the
     FROM src
     """,
     tags=("scalar", "array"),

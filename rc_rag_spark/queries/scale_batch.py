@@ -131,7 +131,11 @@ def q169_kmeans_embeddings(spark, sf_dir):
     # round-at-1e-12 decimal(28,12) values the exploded sum added
     # (decimal addition is exact), so assignments and centroids stay
     # hash-identical to the oracle's chained CTEs.
-    ev = e.select(
+    # NULL embeddings have no position in the space (r12 contract):
+    # posexplode drops them from x for free, but without the filter
+    # here the packed side would row_number a NULL fold distance into
+    # cid 0 and inflate its member count (sfnulls gate, r13)
+    ev = e.where(F.col("embedding").isNotNull()).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     ).withColumn("_j", F.lit(1)).localCheckpoint(eager=True)
 

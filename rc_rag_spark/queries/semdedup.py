@@ -73,7 +73,11 @@ def _assign_packed(corpus_v, k):
     aggregation instead of the exploded form's n·d·k. The fold adds
     the same round-at-1e-12 decimal(28,12) terms, so assignments are
     hash-identical to the chained-CTE oracles. `corpus_v` must carry
-    (vec_id, v: array<double>)."""
+    (vec_id, v: array<double>). A NULL vector has no position in the
+    space (the r12 engine contract — the oracles' unnest() drops such
+    rows for free): without the filter its NULL fold distance would
+    row_number into cid 0 (caught by the sfnulls value gate, r13)."""
+    corpus_v = corpus_v.where(F.col("v").isNotNull())
     seeds = corpus_v.where(F.col("vec_id") < k).select(
         F.col("vec_id").cast("int").alias("cid"),
         F.col("v").alias("cv"),
@@ -108,10 +112,11 @@ _SD_THRESHOLD = 0.95  # cosine cut inside a cluster
     sql="""
     WITH corpus AS (
         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE embedding IS NOT NULL
         UNION ALL
         SELECT vec_id + 100000 AS vec_id,
                list_transform(embedding::DOUBLE[], x -> x * 1.002) AS v
-        FROM embeddings WHERE vec_id % 10 = 0
+        FROM embeddings WHERE vec_id % 10 = 0 AND embedding IS NOT NULL
     ),
     x AS (
         SELECT vec_id,
@@ -528,7 +533,9 @@ def q178_pq_codes(spark, sf_dir):
     # distance is one zip_with + exact-decimal fold — n·S·k rows flow
     # through the aggregation instead of n·d·k exploded ones. Same
     # round-at-1e-12 decimal terms ⇒ identical codes and sq_err.
-    ev = e.select(
+    # NULL embeddings have no PQ codes / no cell (r12 contract; the
+    # oracle's unnest() drops them for free)
+    ev = e.where(F.col("embedding").isNotNull()).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     ).localCheckpoint(eager=True)
 
@@ -844,10 +851,11 @@ _SD2_THRESHOLD = 0.95
     sql=f"""
     WITH corpus AS (
         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE embedding IS NOT NULL
         UNION ALL
         SELECT vec_id + 100000 AS vec_id,
                list_transform(embedding::DOUBLE[], x -> x * 1.002) AS v
-        FROM embeddings WHERE vec_id % 10 = 0
+        FROM embeddings WHERE vec_id % 10 = 0 AND embedding IS NOT NULL
     ),
     n_tot AS (SELECT COUNT(*) AS n FROM corpus),
     seeds AS (
@@ -1078,7 +1086,9 @@ def q214_ivf_pq_adc(spark, sf_dir):
     # form summed (decimal addition is exact, so grouping/order can't
     # change the value) — cell choice, codes, LUT, and the final
     # ranking stay hash-identical to the DuckDB oracle.
-    ev = e.select(
+    # NULL embeddings have no PQ codes / no cell (r12 contract; the
+    # oracle's unnest() drops them for free)
+    ev = e.where(F.col("embedding").isNotNull()).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     ).localCheckpoint(eager=True)
 
@@ -1209,10 +1219,11 @@ _SD3_SUPER_CAP = 300  # super-cells past this split before level 2
     sql=f"""
     WITH corpus AS (
         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE embedding IS NOT NULL
         UNION ALL
         SELECT vec_id + 100000 AS vec_id,
                list_transform(embedding::DOUBLE[], x -> x * 1.002) AS v
-        FROM embeddings WHERE vec_id % 10 = 0
+        FROM embeddings WHERE vec_id % 10 = 0 AND embedding IS NOT NULL
     ),
     n_tot AS (SELECT COUNT(*) AS n FROM corpus),
     sseeds AS (
@@ -1484,7 +1495,9 @@ def q221_ivfadc_residual(spark, sf_dir):
     replays assignment, residuals, codebook, codes, per-cell LUTs,
     and ranking in DuckDB CTEs; hash-identical at three SFs."""
     e = table(spark, sf_dir, "embeddings")
-    ev = e.select(
+    # NULL embeddings have no PQ codes / no cell (r12 contract; the
+    # oracle's unnest() drops them for free)
+    ev = e.where(F.col("embedding").isNotNull()).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     ).localCheckpoint(eager=True)
 

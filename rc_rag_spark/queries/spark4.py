@@ -55,8 +55,10 @@ def q223_udtf_sentence_split(spark, sf_dir):
     @udtf(returnType="idx int, sentence string, n_chars int",
           useArrow=True)
     class SentenceSplit:
-        def eval(self, text: str):
-            for i, seg in enumerate((text or "").split(". ")):
+        def eval(self, text):
+            if text is None:
+                return  # no text -> no sentences (matches unnest(NULL))
+            for i, seg in enumerate(text.split(". ")):
                 yield i + 1, seg, len(seg)
 
     spark.udtf.register("q223_sentence_split", SentenceSplit)
@@ -970,7 +972,10 @@ def q249_try_arithmetic(spark, sf_dir):
     poison stays exceptional; a mostly-poison column wants an
     explicit predicate guard instead.
 
-    The oracle replays the NULL-propagation contract with explicit
+    A NULL *input* also comes back NULL from try_* — the error
+    counters exclude those rows (IS NOT NULL guards on the inputs),
+    because a missing value is not a caught failure (sfnulls gate,
+    r13). The oracle replays the NULL-propagation contract with explicit
     CASE guards — DuckDB has no try_* and errors on the raw ops, so
     the guards ARE the semantics being pinned. The safe-division sum
     runs on exact integer CENTS with integer division (a rounded
@@ -984,13 +989,16 @@ def q249_try_arithmetic(spark, sf_dir):
         SELECT
             CAST(COUNT(CASE WHEN try_divide(o_totalprice,
                             CAST(o_custkey % 997 AS DOUBLE)) IS NULL
+                            AND o_totalprice IS NOT NULL
+                            AND o_custkey IS NOT NULL
                             THEN 1 END) AS BIGINT) AS n_div_zero,
             CAST(SUM(CASE WHEN o_custkey % 997 != 0
                      THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
                           AS BIGINT) div (o_custkey % 997)
                      END) AS BIGINT) AS sum_safe_div_cents,
             CAST(COUNT(CASE WHEN try_add(9223372036854774809L,
-                            o_custkey % 1000) IS NULL THEN 1 END)
+                            o_custkey % 1000) IS NULL
+                            AND o_custkey IS NOT NULL THEN 1 END)
                  AS BIGINT) AS n_overflow,
             CAST(SUM(try_cast(substr(o_orderpriority, 1, 1) AS BIGINT))
                  AS BIGINT) AS sum_prio_digit,
@@ -998,7 +1006,11 @@ def q249_try_arithmetic(spark, sf_dir):
                             CASE WHEN o_custkey % 500 = 0
                                  THEN o_orderstatus
                                  ELSE substr(o_orderpriority, 1, 1) END
-                            AS INT) IS NULL THEN 1 END)
+                            AS INT) IS NULL
+                            AND (CASE WHEN o_custkey % 500 = 0
+                                      THEN o_orderstatus
+                                      ELSE substr(o_orderpriority, 1, 1)
+                                 END) IS NOT NULL THEN 1 END)
                  AS BIGINT) AS n_bad_casts,
             CAST(COUNT(CASE WHEN try_element_at(array(1, 2),
                             CASE WHEN o_orderkey % 300 = 0 THEN 3
@@ -1134,11 +1146,15 @@ def q254_listagg(spark, sf_dir):
                     THEN 'even' ELSE 'odd' END AS kp
         FROM events),
     pairs AS (
+        -- to_json omits NULL fields: an object with NULL et holds
+        -- only {band, kp}, so et emits no row and kp's sorted-key
+        -- position is 1 there, not 2
         SELECT 'band' AS field, band AS val, 0 AS enc_pos FROM src
         UNION ALL
-        SELECT 'et', et, 1 FROM src
+        SELECT 'et', et, 1 FROM src WHERE et IS NOT NULL
         UNION ALL
-        SELECT 'kp', kp, 2 FROM src)
+        SELECT 'kp', kp, CASE WHEN et IS NULL THEN 1 ELSE 2 END
+        FROM src)
     SELECT field, val,
            CAST(MIN(enc_pos) AS INTEGER) AS enc_pos,
            CAST(COUNT(*) AS BIGINT) AS n

@@ -452,7 +452,7 @@ def _q6(col):
         SELECT date_trunc('day', o_orderdate) AS day,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                    AS x
-        FROM orders GROUP BY 1),
+        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
     idx AS (SELECT day, x,
                    ROW_NUMBER() OVER (ORDER BY day) AS i
             FROM daily),
@@ -496,10 +496,17 @@ def q211_holt_linear_trend(spark, sf_dir):
     which raises in-plan past FOLD_SERIES_CEILING elements instead of
     letting a mis-reduced series balloon the single state row."""
     o = table(spark, sf_dir, "orders")
-    daily = o.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .cast("double")
-        .alias("x")
+    # an order with no date sits outside any daily series (shared
+    # event-time contract; a NULL-day group would otherwise enter the
+    # fold at a NULLS-FIRST/LAST-dependent position)
+    daily = (
+        o.where(F.col("o_orderdate").isNotNull())
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("x")
+        )
     )
     series = daily.agg(
         guarded_series(

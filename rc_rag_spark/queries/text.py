@@ -154,7 +154,9 @@ def _refusal_case_spark():
 @register(
     "q33_refusal_scan",
     sql=f"""
-    SELECT doc_id, {_sql_refusal(_REFUSAL_CASE_SQL)} AS is_refusal
+    SELECT doc_id,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE {_sql_refusal(_REFUSAL_CASE_SQL)} END AS is_refusal
     FROM documents
     """,
     tags=("text", "x1"),
@@ -204,7 +206,10 @@ def _sql_parse_prediction(raw: str) -> str:
     """DuckDB mirror of functions.parsing.parse_prediction, as a CTE-
     friendly single expression set; returns SELECT fragment."""
     return f"""
-    WITH src AS (SELECT doc_id, {raw} AS s FROM documents),
+    WITH src AS (SELECT doc_id,
+                        CASE WHEN text IS NULL THEN NULL
+                             ELSE ({raw}) END AS s
+                 FROM documents),
     st AS (
         SELECT doc_id, s,
                CASE WHEN lower(s) LIKE 'answer:%' THEN substr(s, 8) ELSE s END
@@ -239,7 +244,8 @@ def _sql_parse_prediction(raw: str) -> str:
         FROM sp
     )
     SELECT doc_id,
-           {_sql_refusal("stripped")} AS reject,
+           CASE WHEN stripped IS NULL THEN TRUE
+                ELSE {_sql_refusal("stripped")} END AS reject,
            answer,
            trim(CASE WHEN len(marks) > 0 THEN trim(marks[-1])
                      WHEN len(mentions) > 0
@@ -365,9 +371,11 @@ def _sql_rag_prompt() -> str:
         "string_split(text, ' ')[{a}:{b}], ' '), '')"
     )
     p_sql = (
-        "('Passage-0' || " + seg.format(a=1, b=5)
+        "(CASE WHEN text IS NULL THEN '' ELSE "
+        "'Passage-0' || " + seg.format(a=1, b=5)
         + " || chr(10) || 'Passage-1' || " + seg.format(a=6, b=10)
-        + " || chr(10) || 'Passage-2' || " + seg.format(a=11, b=15) + ")"
+        + " || chr(10) || 'Passage-2' || " + seg.format(a=11, b=15)
+        + " END)"
     )
     lit = tmpl.replace("'", "''")
     expr = "'" + lit.replace("{question}", "' || " + q_sql + " || '").replace(
@@ -401,7 +409,7 @@ def q36_prompt_render(spark, sf_dir):
     sql="""
     WITH src AS (
         SELECT doc_id,
-               [lang || ' or ' || source, lang,
+               [concat_ws(' or ', lang, source), lang,
                 'alpha or beta or ' || lang] AS refs
         FROM documents
     )
@@ -467,12 +475,16 @@ def _sql_em_f1() -> str:
         FROM documents
     ),
     t AS (SELECT doc_id, pred, refs, {toks("pred")} AS ptoks FROM src)
-    SELECT doc_id,
-           CAST(len(list_filter(refs, r -> {norm("r")} = {norm("pred")})) > 0
-                AS INTEGER) AS em,
-           round(list_aggregate(list_transform(refs, r ->
-               {pair_f1(toks("r"), "ptoks")}), 'max'), 9) AS f1
-    FROM t
+    SELECT t.doc_id,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE CAST(len(list_filter(refs, r ->
+                         {norm("r")} = {norm("pred")})) > 0 AS INTEGER)
+               END AS em,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE round(list_aggregate(list_transform(refs, r ->
+                         {pair_f1(toks("r"), "ptoks")}), 'max'), 9)
+               END AS f1
+    FROM t JOIN documents d ON d.doc_id = t.doc_id
     """
 
 

@@ -223,7 +223,7 @@ _KMV_K = 64
     WITH h AS (SELECT DISTINCT
                    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
                                         1, 15)) AS BIGINT) AS hv
-               FROM events),
+               FROM events WHERE user_id IS NOT NULL),
     k AS (SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rk FROM h),
     keff AS (SELECT LEAST({_KMV_K}, COUNT(*)) AS ke FROM h),
     kth AS (SELECT k.hv AS kth_hash, keff.ke
@@ -257,7 +257,9 @@ def q196_kmv_distinct(spark, sf_dir):
     sets, which is what makes this the backbone of distributed
     distinct estimation."""
     e = table(spark, sf_dir, "events")
-    h = e.select(
+    # a NULL user has no hash: without the filter the NULL hv rides
+    # the sketch at a NULLS-FIRST/LAST-dependent rank (sfnulls gate)
+    h = e.where(F.col("user_id").isNotNull()).select(
         F.conv(
             F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
             16,
@@ -454,14 +456,14 @@ def q245_compaction_binpack(spark, sf_dir):
     preds AS (
         SELECT f.*,
                p.pred,
-               CASE p.pred
+               COALESCE(CASE p.pred
                     WHEN 'orderkey_band' THEN
                         NOT (f.ok_max < s.okm // 10
                              OR f.ok_min > s.okm // 5)
                     WHEN 'quantity_gt_45' THEN f.q_max > 45
                     WHEN 'orderkey_point' THEN
                         s.okm // 2 BETWEEN f.ok_min AND f.ok_max
-               END AS must_scan
+               END, TRUE) AS must_scan
         FROM files f
         CROSS JOIN span s
         CROSS JOIN (SELECT unnest(['orderkey_band', 'quantity_gt_45',
@@ -520,7 +522,9 @@ def q257_zonemap_pruning(spark, sf_dir):
     )
     j = files.crossJoin(F.broadcast(span)).crossJoin(F.broadcast(preds))
     okm = F.col("okm")
-    must_scan = (
+    # NULL zone-map stats can't prove a file empty -> must scan (the
+    # coalesce is what a real planner does with a stats-less footer)
+    must_scan = F.coalesce(
         F.when(
             F.col("pred") == "orderkey_band",
             ~(
@@ -532,7 +536,8 @@ def q257_zonemap_pruning(spark, sf_dir):
         .when(
             F.col("pred") == "orderkey_point",
             F.expr("okm div 2").between(F.col("ok_min"), F.col("ok_max")),
-        )
+        ),
+        F.lit(True),
     )
     return (
         j.select("pred", "n_rows", must_scan.alias("must_scan"))

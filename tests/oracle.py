@@ -30,6 +30,19 @@ def canonicalize(pdf):
     for c in pdf.columns:
         if pd.api.types.is_datetime64tz_dtype(pdf[c]):
             pdf[c] = pdf[c].dt.tz_convert("UTC").dt.tz_localize(None)
+        elif pdf[c].dtype == object:
+            # a float NaN inside an OBJECT column (string/bool/mixed)
+            # is a transport-layer missing marker — DuckDB's fetchdf
+            # hands NULL booleans back as NaN where Spark's toPandas
+            # hands None — never a genuine float value (those live in
+            # float64 columns, where NaN-vs-NULL stays distinguishable
+            # and checked). Normalize so both engines' SQL NULLs
+            # compare equal.
+            pdf[c] = pdf[c].map(
+                lambda v: None
+                if isinstance(v, float) and math.isnan(v)
+                else v
+            )
     rows = []
     for tup in pdf.itertuples(index=False, name=None):
         row = []

@@ -38,15 +38,25 @@ DEFAULT_OUT = "/tmp/rc_rag_sf0"
 
 def _null_row(table):
     """One all-NULL row matching `table`'s schema; an integer first
-    column gets first-value + 1_000_000 so the row keeps a distinct,
-    addressable id."""
+    column gets first-value + 9e14 so the row keeps a distinct,
+    addressable id. The offset is deliberately ENORMOUS: several
+    queries derive synthetic ids by adding 1e5-1e6 to fixture ids
+    (q136's mutated twins, q175's scaled copies), and a small
+    sentinel collided with them — two distinct rows sharing one id,
+    which no real table has (caught via q136 in the r13 sfnulls
+    gate)."""
     import pyarrow as pa
 
     cols = []
     for i, f in enumerate(table.schema):
         if i == 0 and pa.types.is_integer(f.type) and len(table):
             v = table.column(i)[0].as_py()
-            cols.append(pa.array([v + 1_000_000], type=f.type))
+            off = (
+                900_000_000_000_000
+                if f.type.bit_width >= 64
+                else 1_000_000_000  # int32 dims: fits, still huge
+            )
+            cols.append(pa.array([v + off], type=f.type))
         else:
             cols.append(pa.array([None], type=f.type))
     return pa.table(dict(zip(table.schema.names, cols)), schema=table.schema)
