@@ -122,3 +122,30 @@ def test_injector_raises_only_on_target_first_attempt(spark):
         with pytest.raises(Exception) as ei:
             zscore_grouped_map(df, ["k"], "v").count()
     assert InjectedTaskFailure.__name__ in str(ei.value)
+
+
+def test_streaming_soak_restart_and_injection_exactly_once():
+    """VERDICT r12 item 6: ~20 micro-batches (one file each) through
+    the applyInPandasWithState running-totals operator with fault
+    injection armed the whole run AND one full stop/restart on the
+    same checkpoint midway. Exactly-once = the per-user totals
+    reconstructed from the foreachBatch output equal the batch twin
+    over all 20 tranches; the firing count proves the state-update
+    kernel really was killed and retried inside micro-batches."""
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "tools", "fault_run.py"),
+            "--sf-dir", "/root/testdata/sf0.001",
+            "--soak",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    soak = json.loads(proc.stdout.strip().splitlines()[-1])["soak"]
+    assert soak["match"], f"soak totals diverged: {soak}"
+    assert soak["fired"] >= 10, soak
+    assert soak["batches_phase1"] >= 8 and soak["batches_phase2"] >= 8, soak

@@ -155,11 +155,115 @@ def run_streaming(spark, sf_dir: str, partition: int):
             os.unlink(marker)
 
 
+def run_soak(spark, sf_dir: str, partition: int):
+    """~20-micro-batch SOAK of the applyInPandasWithState running-
+    totals operator (VERDICT r12 item 6): the events table is split
+    into 20 single-file tranches streamed one file per micro-batch,
+    with (a) fault injection armed for the ENTIRE run — the first
+    attempt of the target partition of every state-update kernel
+    raises, the retry passes — and (b) one full STOP/RESTART midway:
+    the second query starts on the SAME checkpoint with a fresh
+    memory sink and must resume from committed state without
+    reprocessing. Exactly-once = the final per-user totals (last
+    emission per user across both query incarnations) equal the batch
+    twin over the full input."""
+    from rc_rag_spark.faultinject import (
+        inject_task_failures,
+        marker_firings,
+    )
+    from rc_rag_spark.sources import table
+    from rc_rag_spark.streaming import windows as W
+
+    events_dir = tempfile.mkdtemp(prefix="rc_rag_soak_events_")
+    ckpt = tempfile.mkdtemp(prefix="rc_rag_soak_ckpt_")
+    marker = os.path.join(
+        tempfile.gettempdir(), f"rc_rag_fault_{uuid.uuid4().hex}"
+    )
+    try:
+        from pyspark.sql.functions import col
+
+        ev = table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "ts", "value"
+        ).localCheckpoint(eager=True)
+
+        def write_tranche(i):
+            ev.where(col("event_id") % 20 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(events_dir)
+
+        out_dir = tempfile.mkdtemp(prefix="rc_rag_soak_out_")
+
+        def sink(df, batch_id):
+            # overwrite per batch path: a replayed batch after the
+            # restart lands on the same dir — idempotent by design
+            df.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"b{batch_id:05d}")
+            )
+
+        def run_phase():
+            sch = spark.read.parquet(events_dir).schema
+            stream = W.stateful_user_totals(
+                spark.readStream.schema(sch)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(events_dir)
+            )
+            q = (
+                stream.writeStream.foreachBatch(sink)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+            q.stop()
+            return len([p for p in q.recentProgress])
+
+        for i in range(10):
+            write_tranche(i)
+        with inject_task_failures(spark, partition, marker):
+            b1 = run_phase()
+            for i in range(10, 20):
+                write_tranche(i)
+            b2 = run_phase()
+
+        import glob as _glob
+
+        rows = []
+        for d in sorted(_glob.glob(os.path.join(out_dir, "b*"))):
+            rows.extend(spark.read.parquet(d).collect())
+        latest = {}
+        for r in rows:
+            prev = latest.get(r["user_id"])
+            if prev is None or r["n_events"] > prev[0]:
+                latest[r["user_id"]] = (r["n_events"], r["sum_value"])
+        got = spark.createDataFrame(
+            [(k, v[0], v[1]) for k, v in latest.items()],
+            "user_id bigint, n_events bigint, sum_value double",
+        )
+        twin = W.stateful_user_totals(spark.read.parquet(events_dir))
+        return {
+            "match": result_hash(got) == result_hash(twin),
+            "fired": len(marker_firings(marker)),
+            "batches_phase1": b1,
+            "batches_phase2": b2,
+        }
+    finally:
+        shutil.rmtree(events_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        for d in __import__("glob").glob(
+            os.path.join(tempfile.gettempdir(), "rc_rag_soak_out_*")
+        ):
+            shutil.rmtree(d, ignore_errors=True)
+        if os.path.exists(marker):
+            os.unlink(marker)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--queries", default="")
     ap.add_argument("--streaming", action="store_true")
+    ap.add_argument("--soak", action="store_true")
     ap.add_argument("--partition", type=int, default=0)
     ap.add_argument("--master", default="local[8, 2]")
     ap.add_argument(
@@ -185,6 +289,9 @@ def main() -> None:
         else {},
         "streaming": run_streaming(spark, args.sf_dir, args.partition)
         if args.streaming
+        else None,
+        "soak": run_soak(spark, args.sf_dir, args.partition)
+        if args.soak
         else None,
         "elapsed_sec": round(time.time() - t0, 1),
         "master": args.master,
