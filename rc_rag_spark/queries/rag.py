@@ -89,6 +89,10 @@ def samples_from_documents(spark, sf_dir, limit: int | None = None):
     words = F.split(F.col("text"), " ")
     seg = lambda a: F.array_join(F.slice(words, a, 8), " ")  # noqa: E731
     w = lambda i: F.element_at(words, i)  # noqa: E731
+    # a doc with no text has no passages -> it cannot form a sample
+    # (the reference pipeline requires ctxs; reference:
+    # code/prompt.py:32-39 indexes sample[ra_type] unconditionally)
+    d = d.where(F.col("text").isNotNull())
     return d.select(
         F.col("doc_id").alias("id"),
         F.concat(

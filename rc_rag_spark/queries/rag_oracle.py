@@ -290,7 +290,7 @@ def sql_pipeline_output() -> str:
     WITH RECURSIVE
     docs AS (
         SELECT doc_id AS id, string_split(text, ' ') AS words
-        FROM documents),
+        FROM documents WHERE text IS NOT NULL),
     smp AS (
         SELECT id,
                [concat_ws(' ', words[1], words[2]),
