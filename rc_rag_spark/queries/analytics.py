@@ -651,7 +651,17 @@ def q156_incremental_agg(spark, sf_dir):
     recomputing the base at every batch. The oracle aggregates the
     whole table directly, so the hash check IS the proof that
     merge-of-partials ≡ recompute (the property incremental pipelines
-    rely on). All states here are mergeable (no AVG in state — it
+    rely on).
+
+    plan-change: round 13 made the merge NULL-SAFE (eqNullSafe join
+    key + null-safe base/delta split — the sfnulls gate caught
+    NULL-date rows vanishing from the view). The join key is now an
+    expression, so both partial aggregates re-partition on the
+    null-safe key: 2 extra hash exchanges. At 100 TB the base side is
+    a STORED table that is re-read per refresh either way; the
+    normalize-key shuffle is the real price of a merge that cannot
+    lose NULL-keyed groups. Allowed: hash-exchanges<=4
+    shuffle-joins<=1. All states here are mergeable (no AVG in state — it
     derives from sum/count); at 100 TB the base agg is a stored table
     and each refresh shuffles only the delta."""
     o = table(spark, sf_dir, "orders")

@@ -469,8 +469,23 @@ def main() -> None:
         overall_fail += n_fail
 
     out = os.path.join(REPO, "PARITY.md")
+    # PRESERVE the mode-owned appended sections (sf1/sf0/sftiny/
+    # sfnulls): each carries its own generation timestamp and is
+    # replaced only by its own --mode run — a main regen must not
+    # silently drop them (round-13 fix; the old behavior truncated)
+    tail = ""
+    if os.path.exists(out):
+        with open(out) as f:
+            existing = f.read()
+        idx = len(existing)
+        for marker in ("\n## sf1 (", "\n## sf0 (", "\n## sftiny (",
+                       "\n## sfnulls ("):
+            p = existing.find(marker)
+            if p != -1:
+                idx = min(idx, p)
+        tail = existing[idx:]
     with open(out, "w") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write("\n".join(lines) + "\n" + tail)
     print(f"wrote {out}; failures: {overall_fail}")
     sys.exit(1 if overall_fail else 0)
 
