@@ -117,13 +117,14 @@ def test_every_query_survives_null_rows(spark, sfnulls_dir):
     decoders — all must degrade to skipped rows, never a dead
     executor.
 
-    This gate is CRASH-SAFETY only (no oracle hash like sf0/sftiny):
-    value-level NULL behavior is formulation-specific where engines
-    make different calls the corpus never relies on — NULL placement
-    in window orderings, NaN-vs-NULL out of float aggregates, NULLs
-    inside list functions — and reconciling those would contort
-    queries whose real-data semantics are already hash-pinned at four
-    other scales."""
+    This in-suite gate is the fast CRASH-SAFETY sweep; the VALUE
+    check on this same shape is `tools/parity_report.py --sfnulls`
+    (PARITY.md '## sfnulls') — since round 13 the full corpus
+    hash-matches DuckDB on it with ZERO documented divergences (the
+    formulation-specific NULL calls this docstring once waved at —
+    window NULL placement, NaN-vs-NULL, DuckDB's split_part/least
+    quirks — all turned out reconcilable, and the reconciliation
+    caught five real engine bugs)."""
     failures = _sweep((spark, sfnulls_dir), sorted(q.REGISTRY))
     assert not failures, (
         f"{len(failures)} queries crash on all-NULL rows:\n  "
