@@ -51,7 +51,9 @@ def maybe_inject_fault(kernel: str = "") -> None:
     (``partition=<n>[;marker=<path>]``): then the first attempt of
     partition ``n`` of EVERY armed kernel stage raises
     InjectedTaskFailure (recording the firing in ``marker``), and
-    retried attempts pass clean."""
+    retried attempts pass clean. ``partition=-1`` fails the first
+    attempt of ALL partitions — the full-wave shape of an entire
+    executor's running tasks dying at once."""
     try:
         from pyspark import TaskContext
 
@@ -70,7 +72,9 @@ def maybe_inject_fault(kernel: str = "") -> None:
             target = int(v)
         elif k == "marker":
             marker = v
-    if tc.partitionId() != target or tc.attemptNumber() != 0:
+    if tc.attemptNumber() != 0:
+        return
+    if target != -1 and tc.partitionId() != target:
         return
     if marker:
         # append is atomic enough for a firing count; never let the

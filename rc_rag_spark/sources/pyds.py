@@ -159,6 +159,9 @@ class _PushdownRangeReader(DataSourceReader):
         return out or [InputPartition((0, 0))]
 
     def read(self, partition):
+        from rc_rag_spark.faultinject import maybe_inject_fault
+
+        maybe_inject_fault("pyds_range_read")
         lo, hi = partition.value
         if hi > lo:
             yield _arrow_batch(lo, hi)
@@ -234,6 +237,9 @@ class _RangeStreamReader(DataSourceStreamReader):
         ]
 
     def read(self, partition):
+        from rc_rag_spark.faultinject import maybe_inject_fault
+
+        maybe_inject_fault("pyds_range_read")
         lo, hi = partition.value
         if hi > lo:
             yield _arrow_batch(lo, hi)

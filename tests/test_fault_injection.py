@@ -149,3 +149,33 @@ def test_streaming_soak_restart_and_injection_exactly_once():
     assert soak["match"], f"soak totals diverged: {soak}"
     assert soak["fired"] >= 10, soak
     assert soak["batches_phase1"] >= 8 and soak["batches_phase2"] >= 8, soak
+
+
+def test_full_wave_injection_and_ds_reader():
+    """Two escalations of the retry proof: (a) partition=-1 fails the
+    FIRST attempt of EVERY partition — the shape of an entire
+    executor's running tasks dying at once, not one flaky task — and
+    (b) the Python Data Source READ path (q286's pushdown reader) is
+    armed too, extending determinism-under-retry from compute kernels
+    to the source layer."""
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "tools", "fault_run.py"),
+            "--sf-dir", SF_DIR,
+            "--queries", "q222_cdc_chunking,q286_pyds_filter_pushdown",
+            "--partition", "-1",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    rep = json.loads(proc.stdout.strip().splitlines()[-1])["queries"]
+    for name, r in rep.items():
+        assert r["match"], f"{name} diverged under full-wave retry: {r}"
+        assert r["fired"] > 0, f"{name}: wave never hit a kernel"
+    assert any(
+        r["fired"] >= 2 for r in rep.values()
+    ), f"wave should hit multiple partitions: {rep}"
