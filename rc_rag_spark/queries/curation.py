@@ -1056,12 +1056,18 @@ def q287_skewed_domain_quota(spark, sf_dir):
     dedup window -> filter -> quota window -> conditional aggregate —
     instead of re-deriving the chain per funnel stat (at 100 TB the
     corpus is scanned once; the n_raw leg is a URL-free count off the
-    fact table). A regression in skew handling — losing the partial
-    WindowGroupLimit below the exchange, a plan change that shuffles
-    the mega domain's full doc list into one window task — moves this
-    anchor's headline time. Output: per-class funnel counts (raw /
-    after-dedup / distinct domains / kept-after-quota; the mega class
-    keeps exactly {_Q282_QUOTA})."""
+    fact table). The anchor times BOTH skew shapes: the dedup
+    window's rn=1 filter plans a PARTIAL WindowGroupLimit below the
+    exchange (each map task forwards one row per canonical —
+    plan-verified), while the quota rank feeds a conditional
+    aggregate and so sorts each domain's full dedup-survivor list in
+    one window task — the q282-style audit form, exactly the hot-key
+    sort that hurts when group-limit eligibility is lost. A
+    regression in either (losing the partial limit, or the mega
+    domain's sort getting slower) moves this anchor's headline time.
+    Output: per-class funnel counts (raw / after-dedup / distinct
+    domains / kept-after-quota; the mega class keeps exactly
+    {_Q282_QUOTA})."""
     li = (
         table(spark, sf_dir, "lineitem")
         .where(F.col("l_linenumber") <= 4)
