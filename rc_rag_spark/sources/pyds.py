@@ -334,6 +334,8 @@ class _JsonlDirWriter(DataSourceArrowWriter):
         self.overwrite = overwrite
 
     def write(self, iterator):
+        from rc_rag_spark.faultinject import maybe_inject_fault
+
         fname = f"part-{uuid.uuid4().hex}.jsonl"
         n = 0
         os.makedirs(self.path, exist_ok=True)
@@ -342,6 +344,12 @@ class _JsonlDirWriter(DataSourceArrowWriter):
                 for rec in batch.to_pylist():
                     f.write(json.dumps(rec, default=str) + "\n")
                     n += 1
+                # MID-write injection point — after rows have hit
+                # disk, so a first-attempt failure strands a real
+                # partial file that ONLY the manifest 2PC keeps out
+                # of readers (the retry writes a fresh uuid name)
+                f.flush()
+                maybe_inject_fault("pyds_jsonl_write")
         return _FileCommit(fname, n)
 
     def commit(self, messages):
@@ -378,6 +386,8 @@ class _JsonlDirStreamWriter(DataSourceStreamArrowWriter):
             raise ValueError("rc_rag_jsonldir requires a path option")
 
     def write(self, iterator):
+        from rc_rag_spark.faultinject import maybe_inject_fault
+
         fname = f"part-{uuid.uuid4().hex}.jsonl"
         n = 0
         os.makedirs(self.path, exist_ok=True)
@@ -386,6 +396,12 @@ class _JsonlDirStreamWriter(DataSourceStreamArrowWriter):
                 for rec in batch.to_pylist():
                     f.write(json.dumps(rec, default=str) + "\n")
                     n += 1
+                # MID-write injection point — after rows have hit
+                # disk, so a first-attempt failure strands a real
+                # partial file that ONLY the manifest 2PC keeps out
+                # of readers (the retry writes a fresh uuid name)
+                f.flush()
+                maybe_inject_fault("pyds_jsonl_write")
         return _FileCommit(fname, n)
 
     def commit(self, messages, batchId: int):

@@ -179,3 +179,30 @@ def test_full_wave_injection_and_ds_reader():
     assert any(
         r["fired"] >= 2 for r in rep.values()
     ), f"wave should hit multiple partitions: {rep}"
+
+
+def test_ds_writer_two_phase_commit_under_midwrite_failure():
+    """The DS-API JSONL writer's exactly-once claim, retry-TESTED: the
+    injector fires MID-write (rows already on disk), Spark retries the
+    task under a fresh uuid name, and the manifest must list only
+    committed attempts — with the stranded partial file PRESENT on
+    disk but excluded (the 2PC shield observed working, not absent)."""
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "tools", "fault_run.py"),
+            "--writer", "--partition", "-1",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    w = json.loads(proc.stdout.strip().splitlines()[-1])["writer"]
+    assert w["match"], f"writer lost exactly-once under retry: {w}"
+    assert w["fired"] >= 2, w
+    assert w["orphans_on_disk"] >= 1, (
+        f"no stranded partial file — the injection fired before any "
+        f"row hit disk, proving nothing about the manifest shield: {w}"
+    )

@@ -258,12 +258,65 @@ def run_soak(spark, sf_dir: str, partition: int):
             os.unlink(marker)
 
 
+def run_writer(spark, partition: int):
+    """The Data-Source-API 2PC writer under a MID-WRITE task failure:
+    the injected raise fires AFTER rows of the first Arrow batch hit
+    disk, so the failed attempt strands a real partial file. Spark
+    retries the task (fresh uuid name); exactly-once means the
+    manifest lists only committed attempts' files, their row total
+    equals the input, and the stranded orphan is present on disk but
+    EXCLUDED — the two-phase-commit shield working, not luck."""
+    import glob as _glob
+    import json as _json
+
+    from rc_rag_spark.faultinject import (
+        inject_task_failures,
+        marker_firings,
+    )
+    from rc_rag_spark.sources.pyds import register_all, series_batch_df
+
+    register_all(spark)
+    out_dir = tempfile.mkdtemp(prefix="rc_rag_fault_writer_")
+    marker = os.path.join(
+        tempfile.gettempdir(), f"rc_rag_fault_{uuid.uuid4().hex}"
+    )
+    try:
+        df = series_batch_df(spark, 10_000).repartition(4)
+        with inject_task_failures(spark, partition, marker):
+            df.write.format("rc_rag_jsonldir").mode("append").option(
+                "path", out_dir
+            ).save()
+        with open(os.path.join(out_dir, "_MANIFEST")) as f:
+            manifest = _json.load(f)
+        on_disk = {
+            os.path.basename(p)
+            for p in _glob.glob(os.path.join(out_dir, "part-*.jsonl"))
+        }
+        committed = set(manifest["files"])
+        rows_in_committed = 0
+        for fn in committed:
+            with open(os.path.join(out_dir, fn)) as f:
+                rows_in_committed += sum(1 for _ in f)
+        return {
+            "match": manifest["rows"] == 10_000
+            and rows_in_committed == 10_000
+            and committed <= on_disk,
+            "fired": len(marker_firings(marker)),
+            "orphans_on_disk": len(on_disk - committed),
+        }
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        if os.path.exists(marker):
+            os.unlink(marker)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--queries", default="")
     ap.add_argument("--streaming", action="store_true")
     ap.add_argument("--soak", action="store_true")
+    ap.add_argument("--writer", action="store_true")
     ap.add_argument("--partition", type=int, default=0)
     ap.add_argument("--master", default="local[8, 2]")
     ap.add_argument(
@@ -292,6 +345,9 @@ def main() -> None:
         else None,
         "soak": run_soak(spark, args.sf_dir, args.partition)
         if args.soak
+        else None,
+        "writer": run_writer(spark, args.partition)
+        if args.writer
         else None,
         "elapsed_sec": round(time.time() - t0, 1),
         "master": args.master,
