@@ -50,6 +50,13 @@ from pyspark.sql import functions as F
 _MANIFEST = "_MANIFEST"
 
 
+class CompactionReclaimedError(RuntimeError):
+    """A compaction's staged-and-moved output was reclaimed (by
+    vacuum_manifested's inflight_max_age_sec ceiling) before its
+    manifest publish. The previous generation is still committed and
+    serving; the compaction is safe to retry."""
+
+
 def audit_files(spark, path: str):
     """Per-partition file census via the hidden _metadata column:
     (partition, n_files, total_bytes, min_bytes, max_bytes).
@@ -368,6 +375,25 @@ def compact_in_place(
     new_files: list[str] = []
     for part in sorted(by_part):
         new_files.extend(results.get(part, by_part[part]))
+    # Pre-publish verification: a compaction that stalled longer than
+    # vacuum_manifested's inflight_max_age_sec ceiling (default 7 d)
+    # can have its moved-but-unpublished gen files reclaimed out from
+    # under it. Publishing a manifest that lists reclaimed files would
+    # leave the table unreadable — so verify every listed file still
+    # exists and abort (retryable: generation N is still fully
+    # serving) if any were taken.
+    missing = [f for f in new_files if not os.path.exists(os.path.join(base, f))]
+    if missing:
+        raise CompactionReclaimedError(
+            f"compact_in_place at {base!r}: {len(missing)} staged/carried "
+            f"file(s) vanished before manifest publish (first: "
+            f"{missing[0]!r}) — most likely vacuum_manifested's "
+            "inflight_max_age_sec ceiling reclaimed an over-long "
+            "compaction's output. Generation "
+            f"{m['generation']} is still committed and serving; retry the "
+            "compaction (and raise the ceiling above the longest plausible "
+            "compaction duration)."
+        )
     _publish_manifest(base, {"generation": gen, "files": sorted(new_files)})
 
     # staging skeleton is empty now (files were moved out); drop it

@@ -508,46 +508,96 @@ def vacuum_sink(path: str, retention_seconds: float = 0.0) -> list[str]:
 
 _REGISTER_LOCK = threading.Lock()
 _REGISTERED_FLAG = "_rc_rag_pyds_registered"
+_ALL_SOURCES = None  # filled below the class definitions
+
+
+def _register_sources(session) -> None:
+    for src in _ALL_SOURCES:
+        try:
+            session.dataSource.register(src)
+        except Exception as exc:  # noqa: BLE001
+            # the Python-DS registry can be SHARED across newSession()
+            # siblings (one static manager per JVM in this Spark
+            # build), where a re-register of the same name raises
+            # DATA_SOURCE_ALREADY_EXISTS — which means the source is
+            # reachable, i.e. exactly the state we want. Anything else
+            # is a real failure.
+            if "DATA_SOURCE_ALREADY_EXISTS" not in str(exc):
+                raise
 
 
 def register_all(spark) -> None:
     """Idempotently register every Data Source in this module — ONCE
-    per session, under a lock (register() replaces an existing entry,
-    and a concurrent lookup can land in the replace window:
-    DATA_SOURCE_NOT_FOUND).
+    per session, under a lock (a concurrent lookup landing in a
+    registration window sees DATA_SOURCE_NOT_FOUND).
 
-    Also pins the JVM-side ACTIVE session for the CALLING thread —
-    but ONLY if that thread has none yet: the Python-DS lookup on the
-    WRITE path resolves through SparkSession.getActiveSession — a JVM
-    ThreadLocal that is EMPTY in the fresh JVM thread py4j creates
-    for every new Python thread — so `df.write.format(
-    "rc_rag_jsonldir")` from any thread that didn't create the
-    session dies with DATA_SOURCE_NOT_FOUND even though the source is
-    registered. Every pyds entry point calls register_all first,
-    which makes this the one choke point where the fix covers all
-    callers. When the thread ALREADY has an active session (e.g. a
-    multi-session process that deliberately pinned a different one),
-    it is left untouched — repointing it here would silently change
-    unrelated getActiveSession-based resolution."""
+    Two JVM quirks this function absorbs (both measured on this Spark
+    build, tests/test_pyds.py::test_register_all_multi_session_*):
+
+    1. The Python-DS lookup on the WRITE path resolves through
+       SparkSession.getActiveSession — a JVM ThreadLocal that is EMPTY
+       in the fresh JVM thread py4j creates for every new Python
+       thread — so `df.write.format("rc_rag_jsonldir")` from a thread
+       that didn't create the session dies DATA_SOURCE_NOT_FOUND even
+       though the source is registered. Fix: pin the calling thread's
+       active session to `spark` when it has none.
+    2. registerPython itself ALSO resolves through the active session:
+       calling B.dataSource.register from a thread whose active
+       session is A dup-checks/registers against A's manager and
+       leaves B's own manager EMPTY — so B's writes then fail
+       DATA_SOURCE_NOT_FOUND "even though B registered" (ADVICE r13).
+       Fix: pin active = `spark` FOR THE DURATION of the registration,
+       then restore the thread's previous pinning, so registration
+       always lands in `spark`'s own manager and the caller's
+       deliberate multi-session pinning is never silently repointed."""
+    if getattr(spark, _REGISTERED_FLAG, False):
+        # once-flag lives ON the session object (not a module set
+        # keyed by id(spark): a recycled address after GC would
+        # silently skip registration for a brand-new session)
+        _pin_active_if_empty(spark)
+        return
+    with _REGISTER_LOCK:
+        if getattr(spark, _REGISTERED_FLAG, False):
+            _pin_active_if_empty(spark)
+            return
+        prev = None
+        try:
+            jss = spark._jvm.org.apache.spark.sql.SparkSession
+            active = jss.getActiveSession()
+            prev = None if active.isEmpty() else active.get()
+            jss.setActiveSession(spark._jsparkSession)
+        except Exception:  # noqa: BLE001 — connect mode has no _jvm
+            jss = None
+        try:
+            _register_sources(spark)
+        finally:
+            # restore a DIFFERENT session's deliberate pinning; a
+            # previously-unpinned thread stays pinned to `spark`
+            # (quirk-1 fix) — that's the state it needs for writes
+            if (
+                jss is not None
+                and prev is not None
+                and not prev.equals(spark._jsparkSession)
+            ):
+                jss.setActiveSession(prev)
+        setattr(spark, _REGISTERED_FLAG, True)
+
+
+def _pin_active_if_empty(spark) -> None:
+    """Quirk-1 fix for already-registered sessions: a fresh py4j
+    thread has no active session, and the write-path lookup needs
+    one."""
     try:
         jss = spark._jvm.org.apache.spark.sql.SparkSession
         if jss.getActiveSession().isEmpty():
             jss.setActiveSession(spark._jsparkSession)
     except Exception:  # noqa: BLE001 — connect mode has no _jvm
         pass
-    # once-flag lives ON the session object (not a module set keyed
-    # by id(spark): a recycled address after GC would silently skip
-    # registration for a brand-new session)
-    if getattr(spark, _REGISTERED_FLAG, False):
-        return
-    with _REGISTER_LOCK:
-        if getattr(spark, _REGISTERED_FLAG, False):
-            return
-        for src in (
-            RangeStreamDataSource,
-            SimpleRangeStreamDataSource,
-            JsonlDirDataSource,
-            PushdownRangeDataSource,
-        ):
-            spark.dataSource.register(src)
-        setattr(spark, _REGISTERED_FLAG, True)
+
+
+_ALL_SOURCES = (
+    RangeStreamDataSource,
+    SimpleRangeStreamDataSource,
+    JsonlDirDataSource,
+    PushdownRangeDataSource,
+)

@@ -475,3 +475,48 @@ def test_vacuum_reclaims_stale_inflight_debris(spark, sf_dir):
         assert os.path.exists(stale) and os.path.isdir(stale_dir)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_publish_aborts_when_staged_files_were_reclaimed(spark, sf_dir):
+    """ADVICE r13 (medium): a compaction that stalls past vacuum's
+    inflight_max_age_sec ceiling can have its moved-but-unpublished
+    generation reclaimed. Publishing anyway would commit a manifest
+    of deleted files — the table bricks. compact_in_place must verify
+    the listed files exist at publish time, abort with a RETRYABLE
+    error, leave generation N serving, and succeed on retry."""
+    import pytest
+
+    from rc_rag_spark.operators import compaction as C
+
+    d = _fragmented_events(spark, sf_dir, "rc_rag_reclaim_abort_")
+    try:
+        before = _content(spark, d)
+        m0 = C.ensure_manifest(d)
+
+        def reclaim_like_vacuum():
+            # simulate the over-aged-inflight reclaim: vacuum deletes
+            # one of the moved gen-1 files before the publish
+            victim = sorted(
+                glob.glob(
+                    os.path.join(d, "**", "gen-000001-*.parquet"),
+                    recursive=True,
+                )
+            )[0]
+            os.unlink(victim)
+
+        with pytest.raises(C.CompactionReclaimedError, match="retry"):
+            C.compact_in_place(
+                spark,
+                d,
+                target_bytes=64 * 1024 * 1024,
+                publish_hook=reclaim_like_vacuum,
+            )
+        # generation N untouched and fully serving
+        assert C.ensure_manifest(d) == m0
+        assert _content(spark, d) == before
+        # the retry completes normally and content is preserved
+        res = C.compact_in_place(spark, d, target_bytes=64 * 1024 * 1024)
+        assert res["generation"] >= m0["generation"] + 1
+        assert _content(spark, d) == before
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

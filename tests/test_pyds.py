@@ -678,3 +678,61 @@ def test_pushdown_range_absorption_property():
         assert got == want
 
     check()
+
+
+def test_register_all_multi_session_thread_pinning(spark):
+    """ADVICE r13: two JVM quirks measured on this Spark build —
+    (1) registerPython resolves through the CALLING THREAD's active
+    session, so register_all(B) from a thread pinned to A used to
+    land B's sources in A's manager and leave B's own manager empty
+    (B writes → DATA_SOURCE_NOT_FOUND); (2) register_all must not
+    silently repoint a thread's deliberate multi-session pinning.
+    The fix pins active=B only for the duration of B's registration.
+    Asserts: B's OWN manager holds the source, the thread stays
+    pinned to A, and writes on BOTH sessions succeed from that
+    thread."""
+    import threading
+
+    b = spark.newSession()
+    d = tempfile.mkdtemp(prefix="rc_rag_pyds_ms_")
+    errs: list[str] = []
+
+    def dsm(s):
+        return s._jsparkSession.sessionState().dataSourceManager()
+
+    def work():
+        try:
+            jss = spark._jvm.org.apache.spark.sql.SparkSession
+            pyds.register_all(spark)  # fresh thread: pins active = A
+            pyds.register_all(b)
+            assert jss.getActiveSession().get().equals(
+                spark._jsparkSession
+            ), "register_all(b) repointed the thread's pinning"
+            assert dsm(b).dataSourceExists(
+                "rc_rag_jsonldir"
+            ), "B's own manager is empty — registration leaked to A"
+            b.createDataFrame(
+                [(1, "x"), (2, "y")], "id bigint, s string"
+            ).write.format("rc_rag_jsonldir").mode("append").option(
+                "path", os.path.join(d, "ob")
+            ).save()
+            spark.createDataFrame(
+                [(3, "z")], "id bigint, s string"
+            ).write.format("rc_rag_jsonldir").mode("append").option(
+                "path", os.path.join(d, "oa")
+            ).save()
+        except Exception:  # noqa: BLE001
+            import traceback
+
+            errs.append(traceback.format_exc())
+
+    try:
+        t = threading.Thread(target=work)
+        t.start()
+        t.join(120)
+        assert not errs, errs[0]
+        files_b, n_b = pyds.manifest_files(os.path.join(d, "ob"))
+        files_a, n_a = pyds.manifest_files(os.path.join(d, "oa"))
+        assert n_b == 2 and n_a == 1
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -179,6 +179,7 @@ def run_soak(spark, sf_dir: str, partition: int):
     marker = os.path.join(
         tempfile.gettempdir(), f"rc_rag_fault_{uuid.uuid4().hex}"
     )
+    out_dir = None
     try:
         from pyspark.sql.functions import col
 
@@ -250,10 +251,11 @@ def run_soak(spark, sf_dir: str, partition: int):
     finally:
         shutil.rmtree(events_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
-        for d in __import__("glob").glob(
-            os.path.join(tempfile.gettempdir(), "rc_rag_soak_out_*")
-        ):
-            shutil.rmtree(d, ignore_errors=True)
+        # delete ONLY this run's out_dir — globbing the shared
+        # rc_rag_soak_out_* prefix would rip a concurrent soak run's
+        # foreachBatch output out from under it (ADVICE r13)
+        if out_dir is not None:
+            shutil.rmtree(out_dir, ignore_errors=True)
         if os.path.exists(marker):
             os.unlink(marker)
 

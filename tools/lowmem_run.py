@@ -102,6 +102,27 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # spark.driver.memory only binds if THIS call launched the JVM; a
+    # warm process reusing an existing gateway would silently collect
+    # "2g evidence" against the full default heap (ADVICE r13). Verify
+    # the actual JVM heap and fail loudly on mismatch. -Xmx2g maps to
+    # Runtime.maxMemory() slightly under 2 GiB (survivor-space
+    # accounting), so accept [0.5x, 1.25x] of the requested bound.
+    unit = args.mem[-1].lower()
+    req_bytes = int(args.mem[:-1]) * {
+        "k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4
+    }[unit]
+    jvm_max = spark._jvm.java.lang.Runtime.getRuntime().maxMemory()
+    if not (0.5 * req_bytes <= jvm_max <= 1.25 * req_bytes):
+        print(json.dumps({
+            "error": "driver-memory bound NOT in effect",
+            "requested": args.mem,
+            "jvm_max_bytes": jvm_max,
+            "hint": "an existing gateway/SparkSession was reused; run "
+                    "in a fresh process so --driver-memory binds",
+        }))
+        sys.exit(2)
+
     timings, failed = {}, {}
     for name in QUERIES:
         t0 = time.time()
