@@ -86,6 +86,14 @@ HEADLINE = [
     # regression. Totals grow vs r12 by ~this anchor's time;
     # anchor_sec/legacy_sec remain the like-for-like split.
     "q287_skewed_domain_quota",
+    # round-14 anchor: SKEWED-key fact-to-fact JOIN (~1-2 s at sf0.1 —
+    # mega-domain pages joined to an orders-derived per-domain
+    # aggregate). q287 covers window skew; this covers the hot-key
+    # JOIN shape. At this SF the correct plan broadcasts the ~5k-row
+    # probe side (no shuffle-by-key at all); the forced-SMJ regime
+    # where AQE's skew split must fire is plan-asserted in
+    # tests/test_plans.py::test_q288_aqe_skew_split_fires.
+    "q288_skewed_join_enrich",
 ]
 
 # Multi-second anchors: stable to ~±3% run-to-run, the signal. The
@@ -102,6 +110,7 @@ ANCHORS = {
     "q275_bpe_encode_tokens",
     "q284_crawl_curation_funnel",
     "q287_skewed_domain_quota",
+    "q288_skewed_join_enrich",
 }
 
 

@@ -47,13 +47,29 @@ class InjectedTaskFailure(RuntimeError):
 
 def maybe_inject_fault(kernel: str = "") -> None:
     """Call on entry of every Python kernel. No-op unless armed via
-    the ``rc_rag.faultinject`` task-local property
-    (``partition=<n>[;marker=<path>]``): then the first attempt of
-    partition ``n`` of EVERY armed kernel stage raises
-    InjectedTaskFailure (recording the firing in ``marker``), and
-    retried attempts pass clean. ``partition=-1`` fails the first
-    attempt of ALL partitions — the full-wave shape of an entire
-    executor's running tasks dying at once."""
+    the ``rc_rag.faultinject`` task-local property.
+
+    Two injection modes, selected by the spec:
+
+    - ``partition=<n>[;marker=<path>]`` (RAISE mode): the first
+      attempt of partition ``n`` of EVERY armed kernel stage raises
+      InjectedTaskFailure (recording the firing in ``marker``); the
+      retried attempt passes. ``partition=-1`` fails the first
+      attempt of ALL partitions — the full-wave shape of an entire
+      executor's running tasks dying at once.
+
+    - ``partition=<n>;delay=<ms>[;marker=<path>]`` (STRAGGLER mode,
+      VERDICT r13 #2): the first attempt of partition ``n`` SLEEPS
+      ``ms`` milliseconds instead of raising — long enough, under
+      ``spark.speculation=true``, for the scheduler to launch a live
+      DUPLICATE attempt of the same task while attempt 0 is still
+      running. That is the race retry-mode can never create (retry
+      implies the first attempt is already dead), and it is exactly
+      the shape that corrupts non-idempotent commit paths at
+      100-node scale. In straggler mode EVERY attempt of the target
+      partition logs ``attempt=<k>`` to the marker, so a test can
+      assert a speculative duplicate (attempt>0, with no failure to
+      explain it) genuinely ran."""
     try:
         from pyspark import TaskContext
 
@@ -65,28 +81,46 @@ def maybe_inject_fault(kernel: str = "") -> None:
     spec = tc.getLocalProperty(PROP)
     if not spec:
         return
-    target, marker = -1, None
+    target, marker, delay_ms = -1, None, None
     for part in spec.split(";"):
         k, _, v = part.partition("=")
         if k == "partition":
             target = int(v)
         elif k == "marker":
             marker = v
-    if tc.attemptNumber() != 0:
-        return
+        elif k == "delay":
+            delay_ms = int(v)
     if target != -1 and tc.partitionId() != target:
         return
-    if marker:
+
+    def record(line: str) -> None:
         # append is atomic enough for a firing count; never let the
         # marker itself break the injection path
-        try:
-            with open(marker, "a") as fh:
-                fh.write(
-                    f"{kernel}\tstage={tc.stageId()}"
-                    f"\tpartition={tc.partitionId()}\n"
-                )
-        except OSError:
-            pass
+        if marker:
+            try:
+                with open(marker, "a") as fh:
+                    fh.write(line + "\n")
+            except OSError:
+                pass
+
+    if delay_ms is not None:
+        # straggler mode: all attempts log; attempt 0 stalls
+        record(
+            f"{kernel}\tstage={tc.stageId()}"
+            f"\tpartition={tc.partitionId()}"
+            f"\tattempt={tc.attemptNumber()}"
+        )
+        if tc.attemptNumber() == 0:
+            import time
+
+            time.sleep(delay_ms / 1000.0)
+        return
+    if tc.attemptNumber() != 0:
+        return
+    record(
+        f"{kernel}\tstage={tc.stageId()}"
+        f"\tpartition={tc.partitionId()}"
+    )
     raise InjectedTaskFailure(
         f"injected first-attempt failure: kernel={kernel or '?'} "
         f"stage={tc.stageId()} partition={tc.partitionId()}"
@@ -94,14 +128,28 @@ def maybe_inject_fault(kernel: str = "") -> None:
 
 
 @contextmanager
-def inject_task_failures(spark, partition: int = 0, marker: str | None = None):
+def inject_task_failures(
+    spark,
+    partition: int = 0,
+    marker: str | None = None,
+    delay_ms: int | None = None,
+):
     """Arm fault injection for jobs submitted by the calling thread
     while the context is open (local properties are per-thread and
-    inherited by that thread's jobs). Requires the session to run
-    with ``spark.task.maxFailures >= 2`` (local master
-    ``local[N, maxFailures]``) or every armed job will fail
-    terminally on the injected first attempt."""
+    inherited by that thread's jobs).
+
+    RAISE mode (default) requires the session to run with
+    ``spark.task.maxFailures >= 2`` (local master
+    ``local[N, maxFailures]``; cluster masters default to 4) or every
+    armed job will fail terminally on the injected first attempt.
+
+    STRAGGLER mode (``delay_ms`` set) makes the target partition's
+    first attempt sleep instead of raise — combine with
+    ``spark.speculation=true`` to force a live duplicate-attempt race
+    (tools/specul_run.py)."""
     spec = f"partition={partition}"
+    if delay_ms is not None:
+        spec += f";delay={int(delay_ms)}"
     if marker:
         spec += f";marker={marker}"
     sc = spark.sparkContext

@@ -1141,3 +1141,114 @@ def q287_skewed_domain_quota(spark, sf_dir):
         F.col("n_domains").cast("bigint").alias("n_domains"),
         F.col("n_kept").cast("bigint").alias("n_kept"),
     )
+
+
+@register(
+    "q288_skewed_join_enrich",
+    sql="""
+    WITH li AS (
+        SELECT l_orderkey * 8 + l_linenumber AS doc_id FROM lineitem
+        WHERE l_linenumber <= 4),
+    pages AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'mega' ELSE 'tail' END
+                   AS source,
+               CASE WHEN doc_id % 2 = 0 THEN 'mega-site.com'
+                    ELSE 'site-' || CAST(doc_id % 4999 AS VARCHAR)
+                         || '.org' END AS registrable,
+               doc_id % 97 AS weight
+        FROM li),
+    dom AS (
+        SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'mega-site.com'
+                    ELSE 'site-' || CAST(o_orderkey % 4999 AS VARCHAR)
+                         || '.org' END AS registrable,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1)
+    SELECT p.source,
+           CAST(COUNT(*) AS BIGINT) AS n_joined,
+           CAST(COUNT(DISTINCT p.registrable) AS BIGINT) AS n_domains,
+           CAST(SUM(p.weight * d.n_orders) AS BIGINT) AS weighted_orders
+    FROM pages p JOIN dom d USING (registrable)
+    GROUP BY p.source
+    """,
+    tags=("skew", "join", "curation", "bench"),
+)
+def q288_skewed_join_enrich(spark, sf_dir):
+    """SKEWED-KEY fact-to-fact JOIN — the bench anchor for the
+    hot-key join shape (VERDICT r13 #5; q287 covers window skew, this
+    covers the other hot-key killer). Same mega-domain universe as
+    q287: HALF of ~343k synthetic pages (at sf0.1) key on ONE
+    registrable domain; the probe side is a second fact scan (orders)
+    aggregated to per-domain stats over the same key universe, then
+    joined back and folded per source class.
+
+    Scale shape: at this SF the per-domain aggregate is ~5k rows, so
+    the CORRECT plan broadcasts it (AQE does; the mega key never
+    concentrates on one reducer because a broadcast join has no
+    shuffle-by-key at all) — broadcasting the small side IS the
+    first-line skew strategy. When the probe side outgrows broadcast
+    (billions of domains at 100 TB), the join becomes SMJ and the
+    mega key lands on one reducer: tests/test_plans.py::
+    test_q288_aqe_skew_split_fires forces that regime
+    (autoBroadcastJoinThreshold=-1, lowered AQE skew thresholds) on
+    THIS query's data and asserts AQE's OptimizeSkewedJoin actually
+    splits the mega partition; the engine-side salted fallback for
+    AQE-less paths is q134_salted_skew_join (operators/skew.py).
+    Output: per source class, joined row count, distinct domains,
+    and an integer weighted-orders checksum (floats avoided so the
+    hash pins exact equality)."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_linenumber") <= 4)
+        .select(
+            (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias(
+                "doc_id"
+            )
+        )
+    )
+    is_mega = F.col("doc_id") % 2 == 0
+    pages = li.select(
+        "doc_id",
+        F.when(is_mega, F.lit("mega")).otherwise(F.lit("tail")).alias(
+            "source"
+        ),
+        F.when(is_mega, F.lit("mega-site.com"))
+        .otherwise(
+            F.concat(
+                F.lit("site-"),
+                (F.col("doc_id") % 4999).cast("string"),
+                F.lit(".org"),
+            )
+        )
+        .alias("registrable"),
+        (F.col("doc_id") % 97).alias("weight"),
+    )
+    o = table(spark, sf_dir, "orders")
+    dom = (
+        o.select(
+            F.when(F.col("o_orderkey") % 2 == 0, F.lit("mega-site.com"))
+            .otherwise(
+                F.concat(
+                    F.lit("site-"),
+                    (F.col("o_orderkey") % 4999).cast("string"),
+                    F.lit(".org"),
+                )
+            )
+            .alias("registrable")
+        )
+        .groupBy("registrable")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return (
+        pages.join(dom, "registrable")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_joined"),
+            F.countDistinct("registrable").cast("bigint").alias(
+                "n_domains"
+            ),
+            F.sum(F.col("weight") * F.col("n_orders"))
+            .cast("bigint")
+            .alias("weighted_orders"),
+        )
+    )

@@ -63,6 +63,27 @@ def _package_zip() -> str:
     return _PKG_ZIP
 
 
+def _scrub_stale_includes() -> None:
+    """Drop DEAD zip entries a previous (stopped) session's addPyFile
+    left on the driver's sys.path. sc.addPyFile inserts the zip's
+    userFiles copy into sys.path; stopping the session deletes the
+    userFiles dir but not the sys.path entry, and the CACHED
+    zipimporter in sys.path_importer_cache then raises
+    FileNotFoundError into every later import scan — breaking any
+    process that cycles sessions (e.g. the local-vs-local-cluster
+    comparison harness). Found by the r14 multi-JVM sweep."""
+    import sys
+
+    stale = [
+        p
+        for p in sys.path
+        if p.endswith(".zip") and "userFiles-" in p and not os.path.exists(p)
+    ]
+    for p in stale:
+        sys.path.remove(p)
+        sys.path_importer_cache.pop(p, None)
+
+
 def ensure_worker_imports(spark: SparkSession) -> None:
     """Make rc_rag_spark importable on executor Python workers, and —
     when the real protobuf runtime is absent — ship the vendored
@@ -73,6 +94,7 @@ def ensure_worker_imports(spark: SparkSession) -> None:
         app_id = sc.applicationId
         if app_id in _SHIPPED_CONTEXTS:
             return
+        _scrub_stale_includes()
         sc.addPyFile(_package_zip())
         from rc_rag_spark.vendor import ensure_protobuf_shim
 
@@ -91,6 +113,10 @@ def build_session(
 
     ``SPARK_GRAFT_CPUS`` controls local parallelism (default: all cores).
     """
+    # must run BEFORE any import scan (pythonpath_with_shim calls
+    # find_spec): a previous stopped session's dead addPyFile zips
+    # poison sys.path_importer_cache
+    _scrub_stale_includes()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = SparkSession.builder.appName(app_name)
     builder = builder.master(master or f"local[{cpus}]")

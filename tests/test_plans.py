@@ -327,3 +327,112 @@ def test_kmv_sketch_only_has_no_exact_join(spark, sf_dir):
     assert sorted(map(tuple, prod.collect())) == sorted(
         map(tuple, audit.select(*est_cols).collect())
     )
+
+
+def test_q287_partial_window_group_limit(spark, sf_dir):
+    """The skewed dedup window's rn=1 filter must keep planning a
+    PARTIAL WindowGroupLimit below the exchange — losing it
+    single-tasks the mega domain (SCALING.md r11)."""
+    plan = plan_of(spark, sf_dir, "q287_skewed_domain_quota")
+    assert "WindowGroupLimit" in plan
+
+
+def test_q288_aqe_skew_split_fires(spark, sf_dir):
+    """VERDICT r13 #5: prove AQE's OptimizeSkewedJoin actually splits
+    the mega-key partition of q288's join when the probe side is too
+    big to broadcast. Forced regime: broadcast off, AQE skew
+    thresholds scaled to the sandbox data (8KB — defaults target
+    256MB partitions); the probe side is checkpointed so both join
+    children are bare shuffle stages (the rule's eligibility shape),
+    and the build side is spread over 16 mappers because AQE splits
+    a skewed partition at MAP-BLOCK boundaries — a single-mapper
+    shuffle is unsplittable no matter how skewed (measured here;
+    at 100 TB there are thousands of mappers, so splits are always
+    available). Asserts the executed final plan carries
+    SortMergeJoin(skew=true) AND the result equals the default-plan
+    run — the split must not change a single row."""
+    from pyspark.sql import functions as F
+
+    from rc_rag_spark.sources import table
+
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.5",
+    }
+
+    def build(sprk):
+        li = (
+            table(sprk, sf_dir, "lineitem")
+            .where(F.col("l_linenumber") <= 4)
+            .select(
+                (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias(
+                    "doc_id"
+                )
+            )
+        )
+        is_mega = F.col("doc_id") % 2 == 0
+        pages = li.select(
+            "doc_id",
+            F.when(is_mega, F.lit("mega-site.com"))
+            .otherwise(
+                F.concat(
+                    F.lit("site-"),
+                    (F.col("doc_id") % 4999).cast("string"),
+                    F.lit(".org"),
+                )
+            )
+            .alias("registrable"),
+            (F.col("doc_id") % 97).alias("weight"),
+        ).repartition(16, F.col("doc_id"))
+        dom = (
+            table(sprk, sf_dir, "orders")
+            .select(
+                F.when(
+                    F.col("o_orderkey") % 2 == 0, F.lit("mega-site.com")
+                )
+                .otherwise(
+                    F.concat(
+                        F.lit("site-"),
+                        (F.col("o_orderkey") % 4999).cast("string"),
+                        F.lit(".org"),
+                    )
+                )
+                .alias("registrable")
+            )
+            .groupBy("registrable")
+            .agg(F.count("*").alias("n_orders"))
+        ).localCheckpoint()
+        return (
+            pages.join(dom, "registrable")
+            .groupBy()
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("weight") * F.col("n_orders")).alias("w"),
+            )
+        )
+
+    baseline = build(spark).collect()
+
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        df = build(spark)
+        got = df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    final = plan.split("== Initial Plan ==")[0]
+    assert "isFinalPlan=true" in final
+    assert "SortMergeJoin(skew=true)" in final, final[:2000]
+    assert "skewed" in final  # the AQEShuffleRead carries split specs
+    assert got == baseline

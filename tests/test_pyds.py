@@ -736,3 +736,118 @@ def test_register_all_multi_session_thread_pinning(spark):
         assert n_b == 2 and n_a == 1
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def _race_batches(n_batches=3, rows_per=4, seed=0):
+    import pyarrow as pa
+
+    out = []
+    base = seed * 1000
+    for b in range(n_batches):
+        ids = [base + b * rows_per + i for i in range(rows_per)]
+        out.append(
+            pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids),
+                    pa.array([i % 7 for i in ids]),
+                    pa.array([float(i) * 0.5 for i in ids]),
+                ],
+                names=["id", "k", "v"],
+            )
+        )
+    return out
+
+
+def test_writer_duplicate_attempt_race_exactly_once(tmp_path):
+    """Speculative execution creates TWO LIVE CONCURRENT attempts of
+    the same write task — the race retry-mode testing can never
+    produce (retry implies attempt 0 is dead). Spark's scheduler
+    refuses to place a speculative copy on the same host, so a
+    single-machine local-cluster can NEVER schedule one
+    (tools/specul_run.py documents the probes); this drives the exact
+    interleaving at the protocol level instead: two attempts of task
+    0 run in parallel threads, interleaving their batch writes; Spark
+    delivers exactly ONE commit message per task index to commit().
+    Exactly-once = the manifest lists only the winner's file, row
+    total equals the logical input (no duplication from the live
+    loser), and the loser's completed bytes sit orphaned, invisible
+    to the manifest reader."""
+    import threading
+
+    d = str(tmp_path / "racesink")
+    w = pyds._JsonlDirWriter({"path": d}, overwrite=False)
+
+    barrier = threading.Barrier(2)
+    msgs = {}
+
+    def attempt(tag):
+        barrier.wait()  # both attempts of task 0 genuinely live at once
+        msgs[tag] = w.write(iter(_race_batches(seed=0)))
+
+    t0 = threading.Thread(target=attempt, args=("a0",))
+    t1 = threading.Thread(target=attempt, args=("a1",))
+    t0.start(); t1.start(); t0.join(60); t1.join(60)
+    assert set(msgs) == {"a0", "a1"}
+    # distinct uuid files — concurrent attempts never clobber
+    assert msgs["a0"].filename != msgs["a1"].filename
+    assert msgs["a0"].rows == msgs["a1"].rows == 12
+
+    # other (non-raced) tasks of the job
+    others = [w.write(iter(_race_batches(seed=s))) for s in (1, 2, 3)]
+
+    # the scheduler picks ONE winner for task 0 (say a1 — the
+    # speculative copy finished first); the zombie a0 has ALREADY
+    # completed its file, but its message is dropped, not committed
+    winner = msgs["a1"]
+    w.commit([winner] + others)
+
+    files, rows = pyds.manifest_files(d)
+    assert rows == 4 * 12, "duplicate attempt leaked rows into commit"
+    assert len(files) == 4
+    assert winner.filename in files
+    assert msgs["a0"].filename not in files  # loser excluded
+    # loser bytes ARE on disk (speculation kill is async) — the
+    # manifest contract, not file absence, is what keeps them out
+    assert os.path.exists(os.path.join(d, msgs["a0"].filename))
+
+
+def test_stream_writer_duplicate_attempt_race_exactly_once(tmp_path):
+    """Same duplicate-attempt race against the STREAMING epoch writer:
+    a speculative copy inside micro-batch N must not leak rows into
+    _MANIFEST-N, and a replay of epoch N (restart after crash)
+    publishes the same logical content regardless of which attempt
+    won before."""
+    import threading
+
+    d = str(tmp_path / "racestream")
+    w = pyds._JsonlDirStreamWriter({"path": d})
+
+    barrier = threading.Barrier(2)
+    msgs = {}
+
+    def attempt(tag):
+        barrier.wait()
+        msgs[tag] = w.write(iter(_race_batches(seed=9)))
+
+    t0 = threading.Thread(target=attempt, args=("a0",))
+    t1 = threading.Thread(target=attempt, args=("a1",))
+    t0.start(); t1.start(); t0.join(60); t1.join(60)
+    other = w.write(iter(_race_batches(seed=8)))
+
+    w.commit([msgs["a0"], other], batchId=5)  # a0 won this time
+    with open(os.path.join(d, "_MANIFEST-5")) as fh:
+        m5 = json.load(fh)
+    assert m5["rows"] == 24
+    assert msgs["a1"].filename not in m5["files"]
+
+    # epoch replay after restart: same epoch id, fresh attempts —
+    # rewrites _MANIFEST-5 in place, shadowing the old file set
+    replay = [
+        w.write(iter(_race_batches(seed=9))),
+        w.write(iter(_race_batches(seed=8))),
+    ]
+    w.commit(replay, batchId=5)
+    with open(os.path.join(d, "_MANIFEST-5")) as fh:
+        m5b = json.load(fh)
+    assert m5b["rows"] == 24
+    assert set(m5b["files"]) == {m.filename for m in replay}
