@@ -347,17 +347,30 @@ class CurationPipeline:
         """Read a small text file through the path's Hadoop
         FileSystem (None if absent) — manifests must round-trip on
         remote filesystems too, or parameter-aware invalidation
-        silently turns off on remote workdirs."""
+        silently turns off on remote workdirs.
+
+        UNREADABLE is treated like ABSENT: a crash mid-create can
+        leave a manifest whose bytes no longer match its checksum
+        sidecar (Hadoop's local/remote FS both checksum), and the
+        read then throws ChecksumException rather than returning
+        truncated JSON. The stage-invalidation contract (corrupt
+        manifest => recompute, never crash the run) has to cover that
+        window too — found by the r14 torn-manifest chaos test."""
         jvm, fs, p = self._fs(path)
         if not fs.exists(p):
             return None
-        stream = fs.open(p)
         try:
-            return str(
-                jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
-            )
-        finally:
-            stream.close()
+            stream = fs.open(p)
+            try:
+                return str(
+                    jvm.org.apache.commons.io.IOUtils.toString(
+                        stream, "UTF-8"
+                    )
+                )
+            finally:
+                stream.close()
+        except Exception:  # noqa: BLE001 — torn/checksum-broken manifest
+            return None
 
     def _fs_write_text(self, path: str, text: str) -> None:
         _, fs, p = self._fs(path)

@@ -224,3 +224,138 @@ def test_q278_plan_is_broadcast_only(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_parse_and_canonical_agree_with_urllib_fuzz(spark):
+    """Seeded-RANDOM cross-validation (VERDICT r13 #7): ~10k URLs —
+    8k clean component combinations plus 2k deliberately messy ones
+    (unicode hosts, userinfo, out-of-range/odd ports, missing
+    schemes, bad escapes) — checked against CPython's urllib.parse as
+    the independent implementation.
+
+    Rules of engagement (the two parsers differ BY DESIGN on garbage):
+      - every CLEAN url must parse non-NULL in Spark and agree with
+        urllib on scheme/host/port/path/query/fragment, and its
+        canonical form must equal a urllib-derived python mirror of
+        canonical_url_col's semantics;
+      - a MESSY url may parse to NULL host in Spark (java.net.URI is
+        stricter); when BOTH sides produce a host they must agree
+        (case-insensitively). A Spark host urllib cannot reproduce is
+        a real divergence and fails.
+    One Spark job for the whole corpus."""
+    import random
+    import re
+    from urllib.parse import urlsplit
+
+    rng = random.Random(20260816)
+
+    schemes = ["http", "https", "ftp"]
+    userinfos = ["", "user@", "u:pw@"]
+    hosts = [
+        "example.com", "a-b.c0.org", "SITE7.CO.UK", "x.y.z.example",
+        "h123.net", "single", "deep.a.b.site1.com.au", "0start.io",
+    ]
+    ports = ["", ":80", ":443", ":8080", ":1", ":65000"]
+    paths = ["", "/", "/p/3", "/p/3/", "/a/../b", "/a%20b/c",
+             "/;params/x", "/~user/x.y"]
+    queries = ["", "?q=1", "?b=2&a=1", "?a=%2F&z=9", "?dup=1&dup=0",
+               "?k=v&k2="]
+    frags = ["", "#s", "#a/b?c", "#%20x"]
+
+    clean = []
+    for _ in range(8000):
+        clean.append(
+            f"{rng.choice(schemes)}://{rng.choice(userinfos)}"
+            f"{rng.choice(hosts)}{rng.choice(ports)}{rng.choice(paths)}"
+            f"{rng.choice(queries)}{rng.choice(frags)}"
+        )
+
+    messy_hosts = [
+        "münchen.de", "пример.example",
+        "_under.com", "ex ample.com", "example.com.", "..", "a..b.com",
+        "[::1]", "two@ats@h.com", "",
+    ]
+    messy = []
+    for _ in range(2000):
+        kind = rng.randrange(6)
+        h = rng.choice(messy_hosts)
+        if kind == 0:
+            messy.append(f"http://{h}:8080/p")
+        elif kind == 1:
+            messy.append(f"http://{h}:{rng.choice(['8a', '99999', ''])}/p")
+        elif kind == 2:
+            messy.append(f"//{h}/no-scheme")
+        elif kind == 3:
+            messy.append(f"http:///{rng.choice(['path', ''])}")
+        elif kind == 4:
+            messy.append(f"http://{h}/%zz{rng.randrange(10)}")
+        else:
+            messy.append(rng.choice([":::", "http:/one", "?", "#", " "]))
+
+    urls = clean + messy
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "uid long, url string"
+    )
+    parsed = curation.parse_urls(df).select(
+        "uid", "url", "proto", "host", "port", "path", "query", "frag",
+        curation.canonical_url_col(),
+    )
+    got = {r["uid"]: r for r in parsed.collect()}
+    assert len(got) == len(urls)
+
+    def py_netloc_port(netloc: str) -> str | None:
+        rest = netloc.rsplit("@", 1)[-1]
+        if ":" in rest and not rest.endswith("]"):
+            cand = rest.rsplit(":", 1)[1]
+            if cand.isdigit():
+                return cand
+        return None
+
+    def py_canonical(u: str) -> str | None:
+        w = urlsplit(u)
+        if not w.scheme or not w.hostname:
+            return None
+        port = py_netloc_port(w.netloc)
+        if port and (
+            (w.scheme, port) in (("http", "80"), ("https", "443"))
+        ):
+            port = None
+        return (
+            w.scheme + "://" + w.hostname
+            + (f":{port}" if port else "")
+            + re.sub(r"/$", "", w.path)
+            + (f"?{'&'.join(sorted(w.query.split('&')))}" if w.query
+               else "")
+        )
+
+    for i, u in enumerate(clean):
+        w = urlsplit(u)
+        r = got[i]
+        assert r["host"] is not None, f"clean url failed to parse: {u}"
+        assert r["proto"] == w.scheme, u
+        assert r["host"].lower() == w.hostname, u
+        assert (r["port"] or None) == py_netloc_port(w.netloc), u
+        assert r["path"] == w.path, u
+        assert (r["query"] or None) == (w.query or None), u
+        assert (r["frag"] or None) == (w.fragment or None), u
+        assert r["canonical"] == py_canonical(u), u
+
+    n_messy_parsed = 0
+    for j, u in enumerate(messy):
+        r = got[len(clean) + j]
+        if r["host"] is None:
+            continue
+        n_messy_parsed += 1
+        try:
+            w = urlsplit(u)
+            py_host = w.hostname
+        except ValueError:
+            py_host = None
+        # java.net.URI keeps IPv6 brackets ([::1]); urllib strips them
+        got_host = r["host"].lower().strip("[]")
+        assert py_host is not None and got_host == py_host, (
+            f"Spark parsed a host urllib cannot reproduce: {u!r} -> "
+            f"{r['host']!r} vs {py_host!r}"
+        )
+    # the messy pool must actually exercise BOTH outcomes
+    assert 0 < n_messy_parsed < len(messy)

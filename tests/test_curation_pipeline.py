@@ -390,3 +390,129 @@ def test_funnel_and_pipeline_agree_on_dirty_urls(spark, sf_dir, workdir):
     # and the unified semantic itself: every junk doc survives both
     # stages on both surfaces (per-doc sentinel keys)
     assert junk_ids <= q_quota_ids
+
+
+# --- chaos-resume (VERDICT r13 #8): crash inside each URL stage ------
+
+
+from rc_rag_spark.queries.curation import _BLOCKLIST as _BL
+
+
+def _url_pipeline(spark, workdir):
+    return (
+        CurationPipeline(spark, workdir)
+        .url_canonical_dedup()
+        .url_blocklist(list(_BL))
+        .domain_quota(max_per_domain=50)
+    )
+
+
+def test_pipeline_resumes_after_mid_write_task_crash(
+    spark, sf_dir, workdir
+):
+    """A REAL mid-write kill: a flag-gated UDF in the input lineage
+    raises inside the stage-0 write job's tasks (Spark's committer
+    leaves a stage directory with no _SUCCESS), the run() call dies,
+    and the RESUMED run — same pipeline, same logical input, flag
+    cleared — must recompute the dead stage, reuse nothing stale, and
+    produce EXACTLY the clean-workdir baseline: same kept doc_ids,
+    same attrition report (no duplicated, no lost rows)."""
+    from pyspark.sql.functions import udf
+
+    flag = os.path.join(workdir, "poison_flag")
+    with open(flag, "w") as fh:
+        fh.write("armed")
+
+    @udf("long")
+    def poison(doc_id):
+        import os as _os
+
+        if _os.path.exists(flag):
+            raise RuntimeError("injected mid-write crash")
+        return doc_id
+
+    docs = _docs_with_urls(spark, sf_dir)
+    poisoned = docs.where(poison(F.col("doc_id")) >= 0)
+
+    stage_dir = os.path.join(workdir, "pipe", "00_url_canonical_dedup")
+    with pytest.raises(Exception, match="injected mid-write crash"):
+        _url_pipeline(spark, os.path.join(workdir, "pipe")).run(poisoned)
+    assert not os.path.exists(os.path.join(stage_dir, "_SUCCESS"))
+
+    os.unlink(flag)  # the "restart": the fault condition is gone
+    resumed = _url_pipeline(spark, os.path.join(workdir, "pipe"))
+    got = {r["doc_id"] for r in resumed.run(poisoned).collect()}
+
+    baseline = _url_pipeline(spark, os.path.join(workdir, "base"))
+    want = {r["doc_id"] for r in baseline.run(docs).collect()}
+    assert got == want
+    assert resumed.report() == baseline.report()
+
+
+@pytest.mark.parametrize("crash_stage", [0, 1, 2])
+@pytest.mark.parametrize("window", ["mid_parquet", "pre_manifest",
+                                    "torn_manifest"])
+def test_pipeline_resume_after_each_crash_window(
+    spark, sf_dir, workdir, crash_stage, window
+):
+    """Every resumable URL stage x every crash window of run()'s
+    write-then-publish sequence:
+
+      - mid_parquet:   stage dir left WITHOUT _SUCCESS and with a
+                       partial file set (one committed part deleted,
+                       as a mid-write crash leaves);
+      - pre_manifest:  parquet complete (_SUCCESS present) but the
+                       params manifest never written;
+      - torn_manifest: the manifest create() started and died —
+                       truncated JSON on disk.
+
+    The resumed run must recompute the crashed stage AND everything
+    after it (stale-cascade), reuse the stages before it untouched,
+    and reproduce the clean run's membership and attrition exactly."""
+    import glob as _glob
+    import json as _json
+
+    docs = _docs_with_urls(spark, sf_dir)
+    names = ["00_url_canonical_dedup", "01_url_blocklist",
+             "02_domain_quota"]
+
+    clean = _url_pipeline(spark, workdir)
+    want = {r["doc_id"] for r in clean.run(docs).collect()}
+    want_report = clean.report()
+
+    sdir = os.path.join(workdir, names[crash_stage])
+    manifest = sdir + "_params.json"
+    if window == "mid_parquet":
+        os.unlink(os.path.join(sdir, "_SUCCESS"))
+        parts = sorted(_glob.glob(os.path.join(sdir, "part-*")))
+        os.unlink(parts[0])  # stranded-partial shape
+    elif window == "pre_manifest":
+        os.unlink(manifest)
+    else:
+        full = _json.dumps({"x": 1})
+        with open(manifest, "w") as fh:
+            fh.write(full[: len(full) // 2])
+
+    before = {
+        n: os.path.getmtime(os.path.join(workdir, n, "_SUCCESS"))
+        for n in names[:crash_stage]
+    }
+    time.sleep(0.05)
+
+    resumed = _url_pipeline(spark, workdir)
+    got = {r["doc_id"] for r in resumed.run(docs).collect()}
+    assert got == want
+    # attrition: identical counts for every stage from the crashed one
+    # on; upstream stages are resumed so their rows_in may be None
+    assert [r[2] for r in resumed.report()] == [
+        r[2] for r in want_report
+    ]
+    # crashed stage recomputed...
+    assert os.path.exists(os.path.join(sdir, "_SUCCESS"))
+    with open(manifest) as fh:
+        _json.load(fh)  # manifest is whole again
+    # ...and the stages BEFORE it were reused, not rewritten
+    for n, mt in before.items():
+        assert os.path.getmtime(
+            os.path.join(workdir, n, "_SUCCESS")
+        ) == mt, f"upstream stage {n} was needlessly recomputed"
