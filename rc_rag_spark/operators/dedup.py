@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from rc_rag_spark.functions.text import normalize_answer, simple_tokenize
+from rc_rag_spark.checkpoints import ckpt as _ckpt
 
 
 def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -220,7 +221,7 @@ def _minhash_stage(df, id_col, text_col, shingle_n, num_hashes):
             "_id", "_shingles",
             shingle_base_hash(F.col("_shingles")).alias("_hs"),
         )
-        .localCheckpoint(eager=True)
+        .transform(_ckpt)
     )
     e = sh.select("_id", F.explode("_hs").alias("_h"))
     aggs = []
@@ -319,13 +320,13 @@ def dedup_clusters(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(_ckpt)
     )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint(eager=True)
+        .transform(_ckpt)
     )
     for _ in range(max_iter):
         nbr_min = (
@@ -348,7 +349,7 @@ def dedup_clusters(
                     F.col("nbr_min") < labels["label"], F.lit(False)
                 ).alias("_changed"),
             )
-            .localCheckpoint(eager=True)
+            .transform(_ckpt)
         )
         changed = new_labels.where("_changed").count()
         # dropping the reference releases the superseded checkpoint
@@ -433,7 +434,7 @@ def simhash_near_dup_pairs(
     max_hamming < num_bands for completeness (pigeonhole)."""
     sh = df.select(
         F.col(id_col).alias("_id"), simhash64(text_col).alias("_sh")
-    ).localCheckpoint(eager=True)  # simhash UDF runs once
+    ).transform(_ckpt)  # simhash UDF runs once
     out = None
     for i, band in enumerate(simhash_bands("_sh", num_bands)):
         banded = sh.withColumn("_band", band)

@@ -31,6 +31,7 @@ from rc_rag_spark.functions import parsing as P
 from rc_rag_spark.functions import prompts as PR
 from rc_rag_spark.functions import text as T
 from rc_rag_spark.pipeline.llm import llm_call
+from rc_rag_spark.checkpoints import ckpt as _ckpt
 
 def _null_s() -> Column:
     return F.lit(None).cast("string")
@@ -55,7 +56,7 @@ def _branch_struct(parsed: Column, metrics: Column, decision: Column) -> Column:
 
 def _materialize(df: DataFrame) -> DataFrame:
     """Lineage barrier after an LLM stage (C1)."""
-    return df.localCheckpoint(eager=True)
+    return df.transform(_ckpt)
 
 
 # --- stage 1: rag generation + annotation (D1) ---------------------------

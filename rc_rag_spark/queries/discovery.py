@@ -34,6 +34,7 @@ from pyspark.sql.window import Window
 
 from rc_rag_spark.queries.core import register
 from rc_rag_spark.sources import table
+from rc_rag_spark.checkpoints import ckpt as _ckpt
 
 
 # --------------------------------------------------------------------------
@@ -104,7 +105,7 @@ def q208_markov_stationary(spark, sf_dir):
         "prev_type",
         "next_type",
         (F.col("n").cast("double") / F.sum("n").over(wn)).alias("p"),
-    ).localCheckpoint(eager=True)
+    ).transform(_ckpt)
     states = p.select(F.col("prev_type").alias("s")).distinct()
     ns = states.agg(F.count("*").alias("k"))
     pi = states.crossJoin(F.broadcast(ns)).select(

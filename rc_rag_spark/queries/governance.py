@@ -60,6 +60,7 @@ from pyspark.sql.window import Window
 
 from rc_rag_spark.queries.core import register
 from rc_rag_spark.sources import table
+from rc_rag_spark.checkpoints import ckpt as _ckpt
 
 
 # --------------------------------------------------------------------------
@@ -405,9 +406,7 @@ def q263_bradley_terry(spark, sf_dir):
     # reference — measured 5.2 s -> ~1 s at sf0.1.
     direct = pairs.groupBy(
         F.col("win_n").alias("i"), F.col("lose_n").alias("j")
-    ).agg(F.count("*").cast("bigint").alias("n")).localCheckpoint(
-        eager=True
-    )
+    ).agg(F.count("*").cast("bigint").alias("n")).transform(_ckpt)
     sym = (
         direct.select("i", "j", "n")
         .unionByName(
@@ -586,7 +585,7 @@ def q264_dsir_selection(spark, sf_dir):
     dbc = (
         bg.groupBy("doc_id", "lang", "source", "bucket")
         .agg(F.count("*").cast("bigint").alias("cnt"))
-        .localCheckpoint(eager=True)
+        .transform(_ckpt)
     )
     hist = dbc.groupBy("bucket").agg(
         F.sum("cnt").cast("bigint").alias("cr"),

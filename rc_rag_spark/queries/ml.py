@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from rc_rag_spark.operators import multimodal as MM
 from rc_rag_spark.operators import retrieval as R
 from rc_rag_spark.queries.core import register
+from rc_rag_spark.checkpoints import ckpt as _ckpt
 
 
 @register("q72_retrieval_scoring", tags=("ml", "retrieval"))
@@ -17,8 +18,8 @@ def q72_retrieval_scoring(spark, sf_dir):
     them (north-star 'MLlib retrieval model + batch inference')."""
     # localCheckpoint: the IDF fits + LR iterations each re-trigger the
     # input lineage; materialize the (small) training table once
-    pairs = R.synthesize_training_pairs(spark, sf_dir, limit=200).localCheckpoint(
-        eager=True
+    pairs = R.synthesize_training_pairs(spark, sf_dir, limit=200).transform(
+        _ckpt
     )
     if pairs.isEmpty():
         # no documents -> no training pairs: MLlib's IDF/LR cannot fit
@@ -534,7 +535,7 @@ def q139_pagerank_trade_graph(spark, sf_dir):
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     # one shuffle on src reused by every iteration's join
-    edges = edges.join(deg, "src").localCheckpoint(eager=True)
+    edges = edges.join(deg, "src").transform(_ckpt)
     ranks = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("rank"))
     for _ in range(_PR_ITERS):
         contrib = (
@@ -704,9 +705,7 @@ def q168_retrieval_gd_training(spark, sf_dir):
     step is one broadcast of 5 weights + one partial-agg scan of the
     feature table — gradient descent as 3 map-reduce passes, the
     textbook distributed-GD shape."""
-    feats = q72a_retrieval_features(spark, sf_dir).localCheckpoint(
-        eager=True
-    )
+    feats = q72a_retrieval_features(spark, sf_dir).transform(_ckpt)
     fx = feats.select(
         "label",
         (F.col("overlap").cast("double") / 10.0).alias("x1"),
@@ -773,7 +772,7 @@ def q168_retrieval_gd_training(spark, sf_dir):
                 ).alias(wc)
                 for wc, gc in pairs_wg
             ]
-        ).localCheckpoint(eager=True)
+        ).transform(_ckpt)
 
     final = fx.crossJoin(F.broadcast(w)).select(
         "label", z_col().alias("z")
@@ -1481,7 +1480,7 @@ def q258_label_propagation(spark, sf_dir):
     )
     edges = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
+    ).transform(_ckpt)
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )

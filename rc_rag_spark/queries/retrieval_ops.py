@@ -35,6 +35,7 @@ from pyspark.sql.window import Window
 from rc_rag_spark.functions.vectors import cosine
 from rc_rag_spark.queries.core import register
 from rc_rag_spark.sources import table
+from rc_rag_spark.checkpoints import ckpt as _ckpt
 
 _MMR_LAMBDA = 0.7
 _MMR_N_CAND = 20
@@ -129,10 +130,10 @@ def q205_mmr_rerank(spark, sf_dir):
         .where(F.col("rk") <= _MMR_N_CAND)
         .drop("rk")
         .withColumn("one", F.lit(1))
-    ).localCheckpoint(eager=True)
+    ).transform(_ckpt)
     sel = cand.orderBy(F.col("qsim").desc(), F.col("vec_id")).limit(1).select(
         "vec_id", "cv", "qsim", F.lit(1).alias("pick"), "one"
-    ).localCheckpoint(eager=True)
+    ).transform(_ckpt)
     for k in range(2, _MMR_K + 1):
         rem = cand.join(
             sel.select(F.col("vec_id").alias("_sid")),
@@ -167,7 +168,7 @@ def q205_mmr_rerank(spark, sf_dir):
             .limit(1)
             .select("vec_id", "cv", "qsim", F.lit(k).alias("pick"), "one")
         )
-        sel = sel.unionByName(best).localCheckpoint(eager=True)
+        sel = sel.unionByName(best).transform(_ckpt)
     return sel.select(
         F.col("pick").cast("int").alias("pick"),
         "vec_id",

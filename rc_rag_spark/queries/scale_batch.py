@@ -32,6 +32,7 @@ from pyspark.sql.window import Window
 
 from rc_rag_spark.queries.core import register
 from rc_rag_spark.sources import table
+from rc_rag_spark.checkpoints import ckpt as _ckpt
 
 
 # --------------------------------------------------------------------------
@@ -118,7 +119,7 @@ def q169_kmeans_embeddings(spark, sf_dir):
             ),
         )
         .withColumn("pos", (F.col("pos") + 1).cast("int"))
-        .localCheckpoint(eager=True)
+        .transform(_ckpt)
     )
     c = x.where(F.col("vec_id") < _KM_K).select(
         F.col("vec_id").cast("int").alias("cid"), "pos", F.col("x").alias("c")
@@ -137,7 +138,7 @@ def q169_kmeans_embeddings(spark, sf_dir):
     # cid 0 and inflate its member count (sfnulls gate, r13)
     ev = e.where(F.col("embedding").isNotNull()).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).withColumn("_j", F.lit(1)).localCheckpoint(eager=True)
+    ).withColumn("_j", F.lit(1)).transform(_ckpt)
 
     a = None
     for _ in range(_KM_STEPS):
@@ -179,7 +180,7 @@ def q169_kmeans_embeddings(spark, sf_dir):
                     9,
                 ).alias("c")
             )
-            .localCheckpoint(eager=True)
+            .transform(_ckpt)
         )
     sizes = a.groupBy("cid").agg(F.count("*").alias("n_members"))
     return c.join(F.broadcast(sizes), "cid").select(
@@ -264,7 +265,7 @@ def q170_countmin_heavy_hitters(spark, sf_dir):
         F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
     ).where(F.col("tok") != "")
     counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
-    counts = counts.localCheckpoint(eager=True)  # reused by sketch + top-k
+    counts = counts.transform(_ckpt)  # reused by sketch + top-k
     rows = spark.range(_CMS_DEPTH).select(F.col("id").cast("int").alias("j"))
     sketch = (
         counts.crossJoin(F.broadcast(rows))
@@ -432,7 +433,7 @@ def q172_bpe_merges(spark, sf_dir):
             ).alias("pos"),
         )
         .withColumn("sym", F.col("word").substr(F.col("pos").cast("int"), F.lit(1)))
-        .localCheckpoint(eager=True)
+        .transform(_ckpt)
     )
     w_word = Window.partitionBy("word").orderBy("pos")
     merges = []
@@ -449,7 +450,7 @@ def q172_bpe_merges(spark, sf_dir):
             .select(
                 F.col("sym").alias("l"), F.col("nxt").alias("r"), "cnt"
             )
-            .localCheckpoint(eager=True)
+            .transform(_ckpt)
         )
         merges.append(
             top.select(
@@ -496,7 +497,7 @@ def q172_bpe_merges(spark, sf_dir):
                 .otherwise(F.col("sym"))
                 .alias("sym"),
             )
-            .localCheckpoint(eager=True)
+            .transform(_ckpt)
         )
     out = merges[0]
     for m in merges[1:]:
@@ -566,7 +567,7 @@ def q173_bloom_membership(spark, sf_dir):
         orders.where(F.col("o_totalprice") > _BLOOM_PRICE)
         .select("o_custkey")
         .distinct()
-        .localCheckpoint(eager=True)  # reused: bits + exact audit arm
+        .transform(_ckpt)  # reused: bits + exact audit arm
     )
     hashes = spark.range(_BLOOM_K).select(F.col("id").cast("int").alias("j"))
 

@@ -58,6 +58,7 @@ from rc_rag_spark.operators.dedup import shingles_from_tokens
 from rc_rag_spark.queries.core import register
 from rc_rag_spark.queries.dedup_sim import _sql_minhash_grams
 from rc_rag_spark.sources import table
+from rc_rag_spark.checkpoints import ckpt as _ckpt
 
 
 # --------------------------------------------------------------------------
@@ -173,7 +174,7 @@ def q175_semdedup(spark, sf_dir):
         (F.col("vec_id") + 100_000).alias("vec_id"),
         F.transform("v", lambda x: x * 1.002).alias("v"),
     )
-    corpus = e.unionByName(planted).localCheckpoint(eager=True)
+    corpus = e.unionByName(planted).transform(_ckpt)
 
     # Exploded long-form assignment kept deliberately (measured): with
     # the checkpointed corpus feeding BOTH this stage and the pair
@@ -310,7 +311,7 @@ def q176_prefix_filter_jaccard(spark, sf_dir):
                 F.array_distinct(shingles_from_tokens(F.col("_tk")))
             ).alias("tok"),
         )
-        .localCheckpoint(eager=True)
+        .transform(_ckpt)
     )
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
     dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
@@ -439,7 +440,7 @@ def q177_bigram_surprisal(spark, sf_dir):
     ).otherwise(F.expr("array()"))
     bg = t.select("doc_id", F.explode(bigrams).alias("b")).select(
         "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
-    ).localCheckpoint(eager=True)
+    ).transform(_ckpt)
 
     bc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     uc = bg.groupBy("w1").agg(F.count("*").alias("c1"))
@@ -537,7 +538,7 @@ def q178_pq_codes(spark, sf_dir):
     # oracle's unnest() drops them for free)
     ev = e.where(F.col("embedding").isNotNull()).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).localCheckpoint(eager=True)
+    ).transform(_ckpt)
 
     def subspaces(df):
         return df.select(
@@ -735,7 +736,7 @@ def q179_srp_signatures(spark, sf_dir):
             .cast("bigint")
             .alias("code")
         )
-        .localCheckpoint(eager=True)
+        .transform(_ckpt)
     )
 
     banded = codes.select(
@@ -955,7 +956,7 @@ def q212_semdedup_scaled(spark, sf_dir):
         (F.col("vec_id") + 100_000).alias("vec_id"),
         F.transform("v", lambda x: x * 1.002).alias("v"),
     )
-    corpus = e.unionByName(planted).localCheckpoint(eager=True)
+    corpus = e.unionByName(planted).transform(_ckpt)
     return semdedup(
         corpus,
         id_col="vec_id",
@@ -1090,7 +1091,7 @@ def q214_ivf_pq_adc(spark, sf_dir):
     # oracle's unnest() drops them for free)
     ev = e.where(F.col("embedding").isNotNull()).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).localCheckpoint(eager=True)
+    ).transform(_ckpt)
 
     def sq_dist(a, b):
         return F.aggregate(
@@ -1364,7 +1365,7 @@ def q217_semdedup_hierarchical(spark, sf_dir):
         (F.col("vec_id") + 100_000).alias("vec_id"),
         F.transform("v", lambda x: x * 1.002).alias("v"),
     )
-    corpus = e.unionByName(planted).localCheckpoint(eager=True)
+    corpus = e.unionByName(planted).transform(_ckpt)
     return semdedup_hierarchical(
         corpus,
         id_col="vec_id",
@@ -1499,7 +1500,7 @@ def q221_ivfadc_residual(spark, sf_dir):
     # oracle's unnest() drops them for free)
     ev = e.where(F.col("embedding").isNotNull()).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).localCheckpoint(eager=True)
+    ).transform(_ckpt)
 
     def fold_sq(a, b):
         return F.aggregate(

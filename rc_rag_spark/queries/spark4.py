@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from rc_rag_spark.queries.core import register
 from rc_rag_spark.sources import table
+from rc_rag_spark.checkpoints import ckpt as _ckpt
 
 
 @register(
@@ -1310,7 +1311,7 @@ def q286_pyds_filter_pushdown(spark, sf_dir):
             F.max("id").alias("max_id"),
         )
         # materialize under the conf; the pruned scan runs HERE
-        return out.localCheckpoint(eager=True)
+        return out.transform(_ckpt)
     finally:
         if prior is None:
             spark.conf.unset(conf_key)

@@ -28,6 +28,7 @@ from pyspark.sql.window import Window
 
 from rc_rag_spark.queries.core import register
 from rc_rag_spark.sources import table
+from rc_rag_spark.checkpoints import ckpt as _ckpt, ckpt_lazy as _ckpt_lazy
 
 
 # --------------------------------------------------------------------------
@@ -96,7 +97,7 @@ def q181_survival_km(spark, sf_dir):
             .alias("t"),
             F.when(F.col("nd").isNull(), F.lit(0)).otherwise(F.lit(1)).alias("ev"),
         )
-    ).localCheckpoint(eager=False)
+    ).transform(_ckpt_lazy)
     n_total = dur.agg(F.count("*").alias("n_total"))
     grid = dur.groupBy("t").agg(
         F.sum("ev").alias("d_events"), F.count("*").alias("n_all")

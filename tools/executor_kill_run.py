@@ -1,0 +1,159 @@
+"""Executor-death recovery proof (round 14, beyond the r13 brief).
+
+Task-retry injection (fault_run.py) kills ATTEMPTS; at 100-node scale
+the other routine failure is a whole EXECUTOR dying — spot preemption,
+OOM-killer, hardware — taking every running task, its shuffle files,
+and its Python workers with it. Spark's contract: tasks reschedule,
+lost shuffle output is recomputed (or refetched from surviving
+replicas), the standalone Master replaces the executor, and the job
+completes with identical results.
+
+This harness proves that contract on the engine's own queries: under
+``local-cluster[2,2,2048]`` (two REAL executor JVMs), it computes a
+clean hash, then re-runs the same query and SIGKILLs one executor
+process mid-flight — a genuine process death, not an injected raise —
+and asserts (a) the job completes, (b) the hash is identical, (c) the
+kill landed while the query was running, (d) the cluster replaced the
+executor (a new backend pid appears).
+
+Usage:
+    python tools/executor_kill_run.py [--sf-dir D] [--queries a,b]
+                                      [--kill-after SEC]
+
+Prints one JSON line:
+{"queries": {name: {"match": bool, "killed_pid": n, "mid_flight":
+bool, "replaced": bool, "sec_clean": s, "sec_killed": s}}}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import signal
+import subprocess
+import sys
+import threading
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from fault_run import result_hash  # noqa: E402
+
+
+def executor_pids() -> set[int]:
+    """Pids of live CoarseGrainedExecutorBackend JVMs (the separate
+    executor processes local-cluster launches)."""
+    out = subprocess.run(
+        ["ps", "-eo", "pid,args"], capture_output=True, text=True
+    ).stdout
+    pids = set()
+    for ln in out.splitlines():
+        if "CoarseGrainedExecutorBackend" in ln:
+            pids.add(int(ln.strip().split()[0]))
+    return pids
+
+
+def run(spark, sf_dir: str, names: list[str], kill_after: float) -> dict:
+    import rc_rag_spark.queries as q
+
+    def drop_result_caches():
+        """q41/q42 memoize their checkpointed pipeline per sf_dir — a
+        memoized second run finishes in <1s and the kill lands after
+        completion, proving nothing. Force recomputation."""
+        import rc_rag_spark.queries.rag as rag
+
+        rag._PIPELINE_CACHE.clear()
+
+    out = {}
+    for name in names:
+        spec = q.REGISTRY[name]
+        drop_result_caches()
+        t0 = time.time()
+        clean = result_hash(spec.fn(spark, sf_dir))
+        sec_clean = round(time.time() - t0, 2)
+        drop_result_caches()
+
+        before = executor_pids()
+        result: dict = {}
+
+        def work():
+            t1 = time.time()
+            result["hash"] = result_hash(spec.fn(spark, sf_dir))
+            result["sec"] = round(time.time() - t1, 2)
+
+        th = threading.Thread(target=work)
+        th.start()
+        time.sleep(kill_after)
+        mid_flight = th.is_alive()
+        victim = None
+        live = sorted(executor_pids() & before)
+        if live:
+            victim = live[0]
+            os.kill(victim, signal.SIGKILL)
+        th.join(600)
+        # the Master replaces the dead executor: wait for a NEW pid
+        replaced = False
+        for _ in range(60):
+            if executor_pids() - before:
+                replaced = True
+                break
+            time.sleep(0.5)
+        out[name] = {
+            "match": result.get("hash") == clean,
+            "killed_pid": victim,
+            "mid_flight": mid_flight,
+            "replaced": replaced,
+            "sec_clean": sec_clean,
+            "sec_killed": result.get("sec"),
+        }
+        print(f"[executor-kill] {name} {out[name]}", file=sys.stderr,
+              flush=True)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--queries",
+        default="q102_dedup_clusters,q41_rag_pipeline_mock",
+    )
+    ap.add_argument("--kill-after", type=float, default=4.0)
+    args = ap.parse_args()
+
+    from rc_rag_spark.session import build_session
+
+    spark = build_session(
+        app_name="rc-rag-executor-kill",
+        master="local-cluster[2,2,2048]",
+        extra_conf={
+            "spark.driver.memory": "4g",
+            "spark.default.parallelism": "8",
+            "spark.sql.shuffle.partitions": "8",
+            # the knob this harness exists to prove (checkpoints.py):
+            # localCheckpoint blocks die WITH the executor and the job
+            # is unrecoverable (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND,
+            # measured here before the knob existed); reliable mode
+            # checkpoints to shared storage and survives the kill
+            "spark.rc_rag.checkpoint.reliable": "true",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = [n for n in args.queries.split(",") if n]
+    report = {"queries": run(spark, args.sf_dir, names, args.kill_after)}
+    ok = all(r["match"] for r in report["queries"].values())
+    fired = any(
+        r["mid_flight"] and r["killed_pid"] for r in
+        report["queries"].values()
+    )
+    report["kill_landed_mid_flight"] = fired
+    print(json.dumps(report))
+    sys.exit(0 if ok and fired else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -110,6 +110,17 @@ SF1_EXTRA = [
     "q270_fim_transform",
     "q271_vocab_coverage",
     "q272_boilerplate_prefixes",
+    # round-14 extension (VERDICT r13 item 6): the round-13 sfnulls-
+    # caught fix set pinned at the fourth decade too (q253 and the
+    # sentinel queries q280/q282/q284/q287 were already above /
+    # in the headline), plus breadth
+    "q156_incremental_agg",
+    "q249_try_arithmetic",
+    "q223_udtf_sentence_split",
+    "q169_kmeans_embeddings",
+    "q116_order_count_distribution",
+    "q108_bm25_scores",
+    "q121_pii_scrub",
 ]
 
 # name -> documented reason its DuckDB oracle is infeasible at sf1;
