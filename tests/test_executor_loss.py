@@ -58,3 +58,41 @@ def test_executor_death_mid_query_is_survivable(kill_report):
 
 def test_kill_landed_while_query_was_running(kill_report):
     assert kill_report["kill_landed_mid_flight"], kill_report
+
+
+@pytest.fixture(scope="module")
+def decommission_report():
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "tools", "executor_kill_run.py"),
+            "--sf-dir", "/root/testdata/sf0.1",
+            "--queries", "q102_dedup_clusters",
+            "--kill-after", "6",
+            "--mode", "decommission",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        cwd=REPO,
+    )
+    lines = [
+        ln for ln in proc.stdout.strip().splitlines() if ln.startswith("{")
+    ]
+    assert lines, f"no report: rc={proc.returncode}\n{proc.stderr[-4000:]}"
+    return json.loads(lines[-1])
+
+
+def test_graceful_decommission_survives_default_checkpoint_mode(
+    decommission_report,
+):
+    """SIGPWR (the spot-instance scale-down path): the decommissioning
+    executor migrates its RDD + shuffle blocks to survivors before
+    exiting, so even DEFAULT localCheckpoint mode completes with an
+    identical hash — the complement of the hard-kill test, which
+    needs the reliable knob."""
+    assert decommission_report["mode"] == "decommission"
+    r = decommission_report["queries"]["q102_dedup_clusters"]
+    assert r["match"], r
+    assert r["killed_pid"], "no executor was decommissioned"
+    assert decommission_report["kill_landed_mid_flight"]

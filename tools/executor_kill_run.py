@@ -16,9 +16,22 @@ and asserts (a) the job completes, (b) the hash is identical, (c) the
 kill landed while the query was running, (d) the cluster replaced the
 executor (a new backend pid appears).
 
+Two modes (--mode):
+
+- ``kill`` (default): SIGKILL — the hard death (OOM-killer,
+  hardware). Requires the reliable-checkpoint knob: the dead
+  executor's localCheckpoint blocks are unrecoverable by design.
+- ``decommission``: SIGPWR — Spark's graceful-decommission trigger
+  (the spot-instance / scale-down path). With
+  ``spark.decommission.enabled`` + storage decommissioning, the
+  executor MIGRATES its RDD and shuffle blocks to survivors before
+  exiting, so even DEFAULT localCheckpoint mode survives (measured:
+  q102 mid-flight SIGPWR, hash identical, victim gone).
+
 Usage:
     python tools/executor_kill_run.py [--sf-dir D] [--queries a,b]
                                       [--kill-after SEC]
+                                      [--mode kill|decommission]
 
 Prints one JSON line:
 {"queries": {name: {"match": bool, "killed_pid": n, "mid_flight":
@@ -56,7 +69,10 @@ def executor_pids() -> set[int]:
     return pids
 
 
-def run(spark, sf_dir: str, names: list[str], kill_after: float) -> dict:
+def run(
+    spark, sf_dir: str, names: list[str], kill_after: float,
+    sig: int = signal.SIGKILL,
+) -> dict:
     import rc_rag_spark.queries as q
 
     def drop_result_caches():
@@ -92,7 +108,7 @@ def run(spark, sf_dir: str, names: list[str], kill_after: float) -> dict:
         live = sorted(executor_pids() & before)
         if live:
             victim = live[0]
-            os.kill(victim, signal.SIGKILL)
+            os.kill(victim, sig)
         th.join(600)
         # the Master replaces the dead executor: wait for a NEW pid
         replaced = False
@@ -122,9 +138,30 @@ def main() -> None:
         default="q102_dedup_clusters,q41_rag_pipeline_mock",
     )
     ap.add_argument("--kill-after", type=float, default=4.0)
+    ap.add_argument("--mode", choices=["kill", "decommission"],
+                    default="kill")
     args = ap.parse_args()
 
     from rc_rag_spark.session import build_session
+
+    if args.mode == "kill":
+        # the knob this harness exists to prove (checkpoints.py):
+        # localCheckpoint blocks die WITH the executor and the job is
+        # unrecoverable (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND, measured
+        # here before the knob existed); reliable mode checkpoints to
+        # shared storage and survives the hard kill
+        mode_conf = {"spark.rc_rag.checkpoint.reliable": "true"}
+        sig = signal.SIGKILL
+    else:
+        # graceful decommission: the executor migrates RDD + shuffle
+        # blocks before exiting, so DEFAULT localCheckpoint survives
+        mode_conf = {
+            "spark.decommission.enabled": "true",
+            "spark.storage.decommission.enabled": "true",
+            "spark.storage.decommission.rddBlocks.enabled": "true",
+            "spark.storage.decommission.shuffleBlocks.enabled": "true",
+        }
+        sig = signal.SIGPWR
 
     spark = build_session(
         app_name="rc-rag-executor-kill",
@@ -133,18 +170,16 @@ def main() -> None:
             "spark.driver.memory": "4g",
             "spark.default.parallelism": "8",
             "spark.sql.shuffle.partitions": "8",
-            # the knob this harness exists to prove (checkpoints.py):
-            # localCheckpoint blocks die WITH the executor and the job
-            # is unrecoverable (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND,
-            # measured here before the knob existed); reliable mode
-            # checkpoints to shared storage and survives the kill
-            "spark.rc_rag.checkpoint.reliable": "true",
+            **mode_conf,
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
     names = [n for n in args.queries.split(",") if n]
-    report = {"queries": run(spark, args.sf_dir, names, args.kill_after)}
+    report = {
+        "mode": args.mode,
+        "queries": run(spark, args.sf_dir, names, args.kill_after, sig),
+    }
     ok = all(r["match"] for r in report["queries"].values())
     fired = any(
         r["mid_flight"] and r["killed_pid"] for r in
