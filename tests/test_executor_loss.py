@@ -96,3 +96,37 @@ def test_graceful_decommission_survives_default_checkpoint_mode(
     assert r["match"], r
     assert r["killed_pid"], "no executor was decommissioned"
     assert decommission_report["kill_landed_mid_flight"]
+
+
+@pytest.fixture(scope="module")
+def streaming_kill_report():
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "tools", "executor_kill_run.py"),
+            "--streaming",
+            "--mode", "kill",
+            "--kill-after", "8",
+            "--sf-dir", "/root/testdata/sf0.01",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        cwd=REPO,
+    )
+    lines = [
+        ln for ln in proc.stdout.strip().splitlines() if ln.startswith("{")
+    ]
+    assert lines, f"no report: rc={proc.returncode}\n{proc.stderr[-4000:]}"
+    return json.loads(lines[-1])
+
+
+def test_stateful_stream_survives_executor_death(streaming_kill_report):
+    """SIGKILL an executor mid-stream: the state store's contents live
+    on executors but checkpoint to the shared location, so the
+    replacement executor reloads state and the final per-user totals
+    must equal the batch twin — exactly-once across a PROCESS death
+    inside a running stateful stream."""
+    s = streaming_kill_report["streaming"]
+    assert s["match"], s
+    assert s["killed_pid"] and s["mid_flight"], s

@@ -130,6 +130,92 @@ def run(
     return out
 
 
+def run_streaming_kill(spark, sf_dir: str, kill_after: float,
+                       sig: int) -> dict:
+    """Executor death INSIDE a live stateful stream: the state store
+    lives on executors but checkpoints to the (shared) checkpoint
+    location, so a replacement executor must reload state and the
+    final per-user totals must equal the batch twin — exactly-once
+    across a process death, not just a task retry."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    from pyspark.sql.functions import col
+
+    from rc_rag_spark.sources import table
+    from rc_rag_spark.streaming import windows as W
+
+    events_dir = tempfile.mkdtemp(prefix="rc_rag_ek_sev_")
+    ckpt = tempfile.mkdtemp(prefix="rc_rag_ek_sck_")
+    out_dir = tempfile.mkdtemp(prefix="rc_rag_ek_sout_")
+    try:
+        ev = table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "ts", "value"
+        ).localCheckpoint(eager=True)
+        for i in range(12):
+            ev.where(col("event_id") % 12 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(events_dir)
+        twin = W.stateful_user_totals(spark.read.parquet(events_dir))
+        clean = result_hash(twin)
+
+        sch = spark.read.parquet(events_dir).schema
+
+        def sink(df, batch_id):
+            df.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"b{batch_id:05d}")
+            )
+
+        before = executor_pids()
+        stream = W.stateful_user_totals(
+            spark.readStream.schema(sch)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(events_dir)
+        )
+        qr = (
+            stream.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        time.sleep(kill_after)
+        mid_flight = qr.isActive
+        victim = None
+        live = sorted(executor_pids() & before)
+        if live:
+            victim = live[0]
+            os.kill(victim, sig)
+        qr.awaitTermination(600)
+        qr.stop()
+
+        rows = []
+        for d in sorted(_glob.glob(os.path.join(out_dir, "b*"))):
+            rows.extend(spark.read.parquet(d).collect())
+        latest = {}
+        for r in rows:
+            prev = latest.get(r["user_id"])
+            if prev is None or r["n_events"] > prev[0]:
+                latest[r["user_id"]] = (r["n_events"], r["sum_value"])
+        got = spark.createDataFrame(
+            [(k, v[0], v[1]) for k, v in latest.items()],
+            "user_id bigint, n_events bigint, sum_value double",
+        )
+        out = {
+            "match": result_hash(got) == clean,
+            "killed_pid": victim,
+            "mid_flight": mid_flight,
+        }
+        print(f"[executor-kill] streaming {out}", file=sys.stderr,
+              flush=True)
+        return out
+    finally:
+        shutil.rmtree(events_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
@@ -140,6 +226,7 @@ def main() -> None:
     ap.add_argument("--kill-after", type=float, default=4.0)
     ap.add_argument("--mode", choices=["kill", "decommission"],
                     default="kill")
+    ap.add_argument("--streaming", action="store_true")
     args = ap.parse_args()
 
     from rc_rag_spark.session import build_session
@@ -175,15 +262,22 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    names = [n for n in args.queries.split(",") if n]
+    names = [n for n in args.queries.split(",") if n] \
+        if not args.streaming else []
     report = {
         "mode": args.mode,
         "queries": run(spark, args.sf_dir, names, args.kill_after, sig),
     }
-    ok = all(r["match"] for r in report["queries"].values())
+    if args.streaming:
+        report["streaming"] = run_streaming_kill(
+            spark, args.sf_dir, args.kill_after, sig
+        )
+    sections = list(report["queries"].values())
+    if args.streaming:
+        sections.append(report["streaming"])
+    ok = all(r["match"] for r in sections)
     fired = any(
-        r["mid_flight"] and r["killed_pid"] for r in
-        report["queries"].values()
+        r["mid_flight"] and r["killed_pid"] for r in sections
     )
     report["kill_landed_mid_flight"] = fired
     print(json.dumps(report))
