@@ -114,8 +114,30 @@ ANCHORS = {
 }
 
 
+def _cpu_calibration_sec() -> float:
+    """A fixed pure-Python spin (~1 s on an unloaded core of this
+    class of host) timed single-threaded. Absolute bench numbers on
+    shared VMs drift ±30% across hours on UNCHANGED code (r13/r14
+    adjudications: q284 5.8 s vs 4.41 s on the identical commit, q01
+    oscillating 1.0-3.6 s at loadavg<0.2 — host contention invisible
+    to guest loadavg). This probe gives every artifact a same-window
+    host-speed reference: compare rounds on value/cpu_calibration
+    ratios, or at least discount a round whose calibration differs."""
+    import time as _t
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = _t.perf_counter()
+        x = 0
+        for i in range(20_000_000):
+            x += i * i
+        best = min(best, _t.perf_counter() - t0)
+    return round(best, 3)
+
+
 def main() -> None:
     load_start = os.getloadavg()[0]
+    cpu_calib = _cpu_calibration_sec()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
@@ -212,6 +234,10 @@ def main() -> None:
                 # re-run on a quiet machine.
                 "load_contaminated": load_contaminated,
                 "warm_anomalies": warm_anomalies,
+                # single-core host-speed reference (~1 s nominal):
+                # divide totals by (cpu_calibration_sec / nominal)
+                # before comparing rounds measured on different days
+                "cpu_calibration_sec": cpu_calib,
                 "cold_sec": round(sum(cold.values()), 3),
                 "cold_queries": cold,
                 # signal/noise split: anchors are multi-second and
