@@ -92,3 +92,35 @@ def test_decimal_sums_partition_invariant(spark, sf_dir, tmp_path):
         )
         got = canonicalize(spec.fn(spark, d).toPandas())
         assert got == base, f"partitioning {parts} changed results"
+
+
+def test_checkpoint_knob_modes(spark, tmp_path):
+    """checkpoints.py (round 14): default mode truncates lineage via
+    localCheckpoint (executor-memory blocks, no files); reliable mode
+    writes REAL checkpoint files under the configured dir — the
+    executor-loss-survivable posture tests/test_executor_loss.py
+    proves end-to-end. Both modes must return identical rows."""
+    import os
+
+    from rc_rag_spark.checkpoints import ckpt
+
+    want = list(range(100))
+
+    local = spark.range(100).transform(ckpt)
+    assert sorted(r["id"] for r in local.collect()) == want
+
+    ckdir = str(tmp_path / "reliable_ck")
+    spark.conf.set("spark.rc_rag.checkpoint.dir", ckdir)
+    spark.conf.set("spark.rc_rag.checkpoint.reliable", "true")
+    try:
+        reliable = spark.range(100).transform(ckpt)
+        assert sorted(r["id"] for r in reliable.collect()) == want
+        files = [
+            os.path.join(r, f)
+            for r, _, fs in os.walk(ckdir)
+            for f in fs
+        ]
+        assert files, "reliable mode wrote no checkpoint files"
+    finally:
+        spark.conf.unset("spark.rc_rag.checkpoint.reliable")
+        spark.conf.unset("spark.rc_rag.checkpoint.dir")
