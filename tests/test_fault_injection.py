@@ -206,3 +206,36 @@ def test_ds_writer_two_phase_commit_under_midwrite_failure():
         f"no stranded partial file — the injection fired before any "
         f"row hit disk, proving nothing about the manifest shield: {w}"
     )
+
+
+@pytest.fixture(scope="module")
+def pyworker_kill_report():
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "tools", "fault_run.py"),
+            "--sf-dir", "/root/testdata/sf0.1",
+            "--pyworker-kill", "q222_cdc_chunking",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def test_python_worker_death_mid_kernel_is_survivable(
+    pyworker_kill_report,
+):
+    """The FOURTH failure granularity (r14; after injected raises,
+    executor death, and decommission): SIGKILL every pyspark.daemon
+    while an Arrow kernel streams through it. The JVM loses the
+    Python socket mid-batch (EOFException), fails the task, respawns
+    workers, retries — and the result must be hash-identical. The
+    clean run's daemons are guaranteed alive when the kill fires, so
+    killed >= 1 keeps the pass non-vacuous."""
+    r = pyworker_kill_report["pyworker_kill"]
+    assert r["match"], r
+    assert r["killed"] >= 1 and r["mid_flight"], r

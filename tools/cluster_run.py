@@ -67,6 +67,10 @@ FAMILY_SAMPLE = [
     "q130_lsh_recall_bound",             # ANN + recall bound
     "q132_rolling_distinct_hll",         # sketch aggregation
     "q266_bucketed_colocated_join",      # bucketed zero-exchange join
+    # transformWithStateInPandas through the vendored pbshim — the
+    # r13 suspect: per-executor Python workers must resolve
+    # google.protobuf via executorEnv PYTHONPATH in SEPARATE JVMs
+    "q281_transform_with_state_batch",
     "q41_rag_pipeline_mock",             # full mock-LLM pipeline
 ]
 

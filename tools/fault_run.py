@@ -312,6 +312,67 @@ def run_writer(spark, partition: int):
             os.unlink(marker)
 
 
+def run_pyworker_kill(spark, sf_dir: str, name: str) -> dict:
+    """Kill the PYTHON WORKER DAEMONS mid-kernel (SIGKILL to every
+    pyspark.daemon process) — the fourth failure granularity after
+    injected raises, executor death, and decommission: the JVM loses
+    its Python sockets mid-Arrow-stream, fails the running tasks,
+    respawns workers, and retries. Result must be hash-identical
+    (requires spark.task.maxFailures >= 2)."""
+    import signal
+    import subprocess
+    import threading
+
+    def daemon_pids():
+        """Only THIS session's daemons (children of OUR driver JVM,
+        which is a child of this process) — killing every
+        pyspark.daemon on the machine would take down a concurrent
+        run's workers too (the soak-cleanup lesson, ADVICE r13)."""
+        out = subprocess.run(
+            ["ps", "-eo", "pid,ppid,args"], capture_output=True,
+            text=True,
+        ).stdout
+        rows = [l.split(None, 2) for l in out.splitlines()[1:]]
+        me = os.getpid()
+        jvms = {
+            int(p)
+            for p, pp, args in rows
+            if int(pp) == me and "java" in args
+        }
+        return {
+            int(p)
+            for p, pp, args in rows
+            if int(pp) in jvms and "pyspark.daemon" in args
+        }
+
+    import rc_rag_spark.queries as q
+
+    spec = q.REGISTRY[name]
+    clean = result_hash(spec.fn(spark, sf_dir))
+    res: dict = {}
+
+    def work():
+        res["h"] = result_hash(spec.fn(spark, sf_dir))
+
+    th = threading.Thread(target=work)
+    th.start()
+    time.sleep(1.0)
+    killed = 0
+    for pid in sorted(daemon_pids()):
+        try:
+            os.kill(pid, signal.SIGKILL)
+            killed += 1
+        except ProcessLookupError:
+            pass
+    mid_flight = th.is_alive()
+    th.join(600)
+    return {
+        "match": res.get("h") == clean,
+        "killed": killed,
+        "mid_flight": mid_flight,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -319,6 +380,9 @@ def main() -> None:
     ap.add_argument("--streaming", action="store_true")
     ap.add_argument("--soak", action="store_true")
     ap.add_argument("--writer", action="store_true")
+    ap.add_argument("--pyworker-kill", default="", dest="pyworker_kill",
+                    help="query name: SIGKILL all pyspark.daemon "
+                         "processes mid-run, assert identical hash")
     ap.add_argument("--partition", type=int, default=0)
     ap.add_argument("--master", default="local[8, 2]")
     ap.add_argument(
@@ -350,6 +414,11 @@ def main() -> None:
         else None,
         "writer": run_writer(spark, args.partition)
         if args.writer
+        else None,
+        "pyworker_kill": run_pyworker_kill(
+            spark, args.sf_dir, args.pyworker_kill
+        )
+        if args.pyworker_kill
         else None,
         "elapsed_sec": round(time.time() - t0, 1),
         "master": args.master,
