@@ -29,8 +29,21 @@ so the chain shape stays declarative.
 from __future__ import annotations
 
 import tempfile
+import warnings
 
 from pyspark.sql import DataFrame
+
+#: Reliable-mode deployments should also set
+#: ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (a
+#: SparkContext-creation-time conf — it cannot be flipped after the
+#: session exists, so it lives in session.DEFAULT_CONF rather than
+#: here). Without it, every iteration of a loop that checkpoints
+#: (dedup_clusters, k-means, BPE induction, greedy selection) leaves
+#: its superseded checkpoint directory on HDFS/S3 forever —
+#: ``localCheckpoint`` blocks are freed when the RDD reference drops,
+#: but RELIABLE checkpoint files are only reclaimed by the
+#: ContextCleaner, and only when that conf is on.
+CLEAN_CHECKPOINTS_CONF = "spark.cleaner.referenceTracking.cleanCheckpoints"
 
 
 def _reliable(spark) -> bool:
@@ -51,7 +64,30 @@ def _ensure_checkpoint_dir(spark) -> None:
         return
     d = spark.conf.get("spark.rc_rag.checkpoint.dir", None)
     if d is None:
+        # A driver-local tmpdir is only a valid checkpoint root when
+        # every executor shares the driver's filesystem — i.e. local /
+        # local-cluster masters. On a real cluster each executor would
+        # write its partitions to its OWN local disk, and recovery
+        # after executor loss (the exact scenario reliable mode exists
+        # for) would read garbage or fail. Refuse rather than silently
+        # degrade the durability the caller explicitly asked for.
+        master = sc.master or ""
+        if not master.startswith(("local", "local-cluster")):
+            raise ValueError(
+                "spark.rc_rag.checkpoint.reliable=true on a non-local "
+                f"master ({master!r}) requires a SHARED checkpoint dir: "
+                "set spark.rc_rag.checkpoint.dir (or call "
+                "sc.setCheckpointDir) to an HDFS/S3/NFS path visible to "
+                "every executor. A driver-local tempdir would not "
+                "survive executor loss."
+            )
         d = tempfile.mkdtemp(prefix="rc_rag_reliable_ckpt_")
+        warnings.warn(
+            f"reliable checkpointing is using driver-local tempdir {d}; "
+            "fine for local masters, set spark.rc_rag.checkpoint.dir "
+            "to shared storage on a real cluster",
+            stacklevel=3,
+        )
     sc.setCheckpointDir(d)
 
 

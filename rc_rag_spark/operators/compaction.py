@@ -382,6 +382,22 @@ def compact_in_place(
     # leave the table unreadable — so verify every listed file still
     # exists and abort (retryable: generation N is still fully
     # serving) if any were taken.
+    # Re-touch every file first: vacuum_manifested reclaims unmanifested
+    # files older than inflight_max_age_sec, so bumping mtimes restarts
+    # that ceiling and shrinks the reclaim/publish race to the touch→
+    # publish window (milliseconds) instead of the whole compaction
+    # duration. Residual window: a vacuum that already stat()ed a file
+    # before the touch can still unlink it after; the existence check
+    # below narrows that further, and _publish_manifest being a single
+    # atomic rename means a loss inside the final window surfaces as a
+    # read error on one file, repaired by re-running compaction — it
+    # cannot torn-write the manifest itself.
+    now = None
+    for f in new_files:
+        try:
+            os.utime(os.path.join(base, f), now)
+        except OSError:
+            pass  # vanished — caught by the existence check below
     missing = [f for f in new_files if not os.path.exists(os.path.join(base, f))]
     if missing:
         raise CompactionReclaimedError(

@@ -369,8 +369,25 @@ class CurationPipeline:
                 )
             finally:
                 stream.close()
-        except Exception:  # noqa: BLE001 — torn/checksum-broken manifest
-            return None
+        except Exception as exc:  # noqa: BLE001
+            # Only torn-manifest-shaped failures (checksum mismatch,
+            # truncated stream) mean "treat as absent, recompute".
+            # Anything else — permission denied, remote-FS outage,
+            # py4j connection loss — is an infrastructure error:
+            # swallowing it would silently defeat stage caching on
+            # every run, so surface those loudly (ADVICE r14).
+            shaped = ("ChecksumException", "EOFException")
+            java_cls = ""
+            je = getattr(exc, "java_exception", None)
+            if je is not None:
+                try:
+                    java_cls = je.getClass().getName()
+                except Exception:  # noqa: BLE001 — dead gateway
+                    java_cls = ""
+            blob = java_cls or str(exc)
+            if any(s in blob for s in shaped):
+                return None  # torn mid-create: recompute the stage
+            raise
 
     def _fs_write_text(self, path: str, text: str) -> None:
         _, fs, p = self._fs(path)

@@ -32,6 +32,12 @@ DEFAULT_CONF = {
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.shuffle.partitions": "32",
     "spark.ui.enabled": "false",
+    # Reliable-mode checkpoints (spark.rc_rag.checkpoint.reliable) are
+    # written to durable storage; without this the ContextCleaner never
+    # reclaims superseded checkpoint dirs, so iterative loops leak
+    # unbounded HDFS/S3 data. Creation-time-only conf — must be here,
+    # not set at runtime (see rc_rag_spark/checkpoints.py).
+    "spark.cleaner.referenceTracking.cleanCheckpoints": "true",
 }
 
 

@@ -57,16 +57,34 @@ from fault_run import result_hash  # noqa: E402
 
 
 def executor_pids() -> set[int]:
-    """Pids of live CoarseGrainedExecutorBackend JVMs (the separate
-    executor processes local-cluster launches)."""
+    """Pids of THIS session's live CoarseGrainedExecutorBackend JVMs.
+
+    Restricted to descendants of this process (python → driver JVM →
+    local-cluster Worker JVMs → executor JVMs): a machine-wide grep
+    would let the harness SIGKILL an unrelated Spark application's
+    executor on a shared host — the same footgun fault_run.py's
+    daemon_pids() fixed for pyspark.daemon (ADVICE r13/r14)."""
     out = subprocess.run(
-        ["ps", "-eo", "pid,args"], capture_output=True, text=True
+        ["ps", "-eo", "pid,ppid,args"], capture_output=True, text=True
     ).stdout
-    pids = set()
-    for ln in out.splitlines():
-        if "CoarseGrainedExecutorBackend" in ln:
-            pids.add(int(ln.strip().split()[0]))
-    return pids
+    rows = []
+    for ln in out.splitlines()[1:]:
+        parts = ln.split(None, 2)
+        if len(parts) == 3:
+            rows.append((int(parts[0]), int(parts[1]), parts[2]))
+    descendants = {os.getpid()}
+    grew = True
+    while grew:  # transitive closure over the snapshot's parent links
+        grew = False
+        for pid, ppid, _ in rows:
+            if ppid in descendants and pid not in descendants:
+                descendants.add(pid)
+                grew = True
+    return {
+        pid
+        for pid, _, args in rows
+        if pid in descendants and "CoarseGrainedExecutorBackend" in args
+    }
 
 
 def run(
