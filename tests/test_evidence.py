@@ -302,3 +302,95 @@ def test_sampled_plans_match_committed(spark, sf_dir):
         "'plan-change:' docstring note with hash-exchanges<=N / "
         f"shuffle-joins<=M caps): {flagged}"
     )
+
+
+def _resource_probe_mod():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "resource_probe", os.path.join(REPO, "tools", "resource_probe.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_resources_md_covers_anchors():
+    """RESOURCES.md must carry a parseable sf0.01 ratchet-baseline row
+    and an sf0.1 headline row for every bench anchor."""
+    rp = _resource_probe_mod()
+    tables = rp.parse_resources_md(_read("RESOURCES.md"))
+    for sf in ("sf0.01", "sf0.1"):
+        assert sf in tables, f"RESOURCES.md missing {sf} section"
+        missing = [a for a in rp.ANCHORS if a not in tables[sf]]
+        assert not missing, f"RESOURCES.md {sf} missing anchors: {missing}"
+        for name, row in tables[sf].items():
+            assert set(row) == set(rp.COLS), name
+
+
+def test_resource_regression_guard_logic():
+    """Unit contract of the byte ratchet: growth inside tolerance
+    passes, silent growth flags, a 'resource-change:' cap waives
+    exactly up to the cap, reductions never flag."""
+    rp = _resource_probe_mod()
+    base = {
+        "qX": {
+            "shuffle_read_bytes": 10 << 20,
+            "shuffle_write_bytes": 10 << 20,
+            "disk_spill_bytes": 0,
+        }
+    }
+
+    def grown(mult):
+        return {
+            "qX": {
+                k: int(v * mult) for k, v in base["qX"].items()
+            }
+        }
+
+    assert rp.resource_regressions(base, grown(1.0), lambda n: None) == []
+    assert rp.resource_regressions(base, grown(1.2), lambda n: None) == []
+    flagged = rp.resource_regressions(base, grown(2.0), lambda n: None)
+    assert len(flagged) == 2 and "shuffle_read_bytes" in flagged[0]
+    # spill 0 -> 1 MiB stays inside the absolute slack; 0 -> 3 MiB flags
+    spilled = {"qX": {**base["qX"], "disk_spill_bytes": 3 << 20}}
+    assert any(
+        "disk_spill_bytes" in f
+        for f in rp.resource_regressions(base, spilled, lambda n: None)
+    )
+    # a note cap waives growth up to the cap, not beyond
+    cap = {"shuffle_read_bytes": 25 << 20, "shuffle_write_bytes": None,
+           "disk_spill_bytes": None}
+    flagged = rp.resource_regressions(base, grown(2.0), lambda n: cap)
+    assert all("shuffle_read_bytes" not in f for f in flagged)
+    assert any("shuffle_write_bytes" in f for f in flagged)
+    under = {"qX": {**base["qX"]}}
+    under["qX"]["shuffle_read_bytes"] = 30 << 20
+    assert any(
+        "note cap" in f
+        for f in rp.resource_regressions(base, under, lambda n: cap)
+    )
+
+
+def test_sampled_resources_match_committed(spark):
+    """LIVE byte ratchet (round 15, VERDICT r14 item 2): a
+    deterministic sample of bench anchors is re-measured at sf0.01 on
+    every pytest run and its shuffle/spill bytes compared to the
+    committed RESOURCES.md baseline — a kernel change that inflates
+    shuffle volume behind an unchanged plan shape fails here unless
+    the query's docstring documents it with a 'resource-change:' note
+    carrying byte caps (shuffle-read<=N / shuffle-write<=N /
+    spill<=N). Growth-only, like the plan guard; regenerate the
+    baseline with tools/resource_probe.py when bytes legitimately
+    shrink or a noted change lands."""
+    rp = _resource_probe_mod()
+    committed = rp.parse_resources_md(_read("RESOURCES.md"))["sf0.01"]
+    sample = sorted(rp.ANCHORS)[::3]
+    assert len(sample) >= 4
+    fresh = rp.measure(spark, sample, "/root/testdata/sf0.01")
+    flagged = rp.resource_regressions(committed, fresh)
+    assert not flagged, (
+        "shuffle/spill byte regression vs committed RESOURCES.md "
+        "(if intentional, add a 'resource-change:' docstring note "
+        f"with byte caps, then regenerate): {flagged}"
+    )
