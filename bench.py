@@ -177,13 +177,33 @@ def main() -> None:
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     warm_anomalies: dict[str, dict] = {}
+    resources: dict[str, dict] = {}
+
+    # Byte evidence rides along with the wall numbers (round 15): the
+    # per-run snapshot diff is a couple of py4j calls against the
+    # always-on status store — negligible next to a query — and bytes
+    # are drift-free where wall time is not, so BENCH artifacts carry
+    # their own shuffle/spill context for cross-round comparison.
+    from rc_rag_spark.metrics import StageMetricsCollector
+
+    collector = StageMetricsCollector(spark)
 
     def run_once(name: str) -> float:
+        before = collector.snapshot()
         t0 = time.perf_counter()
         q.REGISTRY[name].fn(spark, sf_dir).write.mode("overwrite").format(
             "noop"
         ).save()
-        return time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        if name in ANCHORS:  # last run wins — steady-state bytes
+            m = collector.diff(before, settle_sec=0.2)
+            resources[name] = {
+                "shuffle_read": m["shuffle_read_bytes"],
+                "shuffle_write": m["shuffle_write_bytes"],
+                "spill_disk": m["disk_spill_bytes"],
+                "peak_exec_mem": m["peak_execution_memory"],
+            }
+        return dt
 
     for name in names:
         cold[name] = round(run_once(name), 3)
@@ -249,6 +269,10 @@ def main() -> None:
                 # stable (±3%); legacy entries are sub-second and
                 # wobble ±30% under background load. Compare rounds
                 # on anchor_sec first.
+                # per-anchor byte evidence (drift-free, unlike wall
+                # time): shuffle read/write, disk spill, peak
+                # execution memory of the last warm pass
+                "resources": resources,
                 "anchor_sec": round(
                     sum(v for k, v in timings.items() if k in ANCHORS), 3
                 ),

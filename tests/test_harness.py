@@ -124,3 +124,78 @@ def test_checkpoint_knob_modes(spark, tmp_path):
     finally:
         spark.conf.unset("spark.rc_rag.checkpoint.reliable")
         spark.conf.unset("spark.rc_rag.checkpoint.dir")
+
+
+def test_checkpoint_dir_guard_non_local_master():
+    """checkpoints.py (round-14 ADVICE): with reliable mode on, no
+    checkpoint dir configured, and a NON-local master, the tempdir
+    fallback would silently write each executor's blocks to its own
+    local disk — recovery after executor loss (the scenario the knob
+    exists for) would read garbage. The guard must refuse; on local
+    masters the fallback stays, with a warning."""
+    import warnings
+
+    import pytest
+
+    from rc_rag_spark import checkpoints as C
+
+    class FakeDir:
+        def isEmpty(self):
+            return True
+
+    class FakeScalaSC:
+        def getCheckpointDir(self):
+            return FakeDir()
+
+    class FakeJsc:
+        def sc(self):
+            return FakeScalaSC()
+
+    class FakeSC:
+        def __init__(self, master):
+            self.master = master
+            self._jsc = FakeJsc()
+            self.set_dir = None
+
+        def setCheckpointDir(self, d):
+            self.set_dir = d
+
+    class FakeConf:
+        def get(self, key, default=None):
+            return default
+
+    class FakeSpark:
+        def __init__(self, master):
+            self.sparkContext = FakeSC(master)
+            self.conf = FakeConf()
+
+    bad = FakeSpark("spark://cluster-master:7077")
+    with pytest.raises(ValueError, match="SHARED checkpoint dir"):
+        C._ensure_checkpoint_dir(bad)
+    assert bad.sparkContext.set_dir is None
+
+    ok = FakeSpark("local[4]")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        C._ensure_checkpoint_dir(ok)
+    assert ok.sparkContext.set_dir is not None
+    assert any("driver-local tempdir" in str(x.message) for x in w)
+
+    okc = FakeSpark("local-cluster[2,2,2048]")
+    with warnings.catch_warnings(record=True):
+        warnings.simplefilter("always")
+        C._ensure_checkpoint_dir(okc)
+    assert okc.sparkContext.set_dir is not None
+
+
+def test_clean_checkpoints_conf_in_session_defaults():
+    """Reliable-mode iterative loops would leak superseded checkpoint
+    dirs on shared storage without the ContextCleaner conf, which is
+    creation-time-only — so it must live in DEFAULT_CONF (round-14
+    ADVICE)."""
+    from rc_rag_spark.session import DEFAULT_CONF
+
+    assert (
+        DEFAULT_CONF["spark.cleaner.referenceTracking.cleanCheckpoints"]
+        == "true"
+    )
