@@ -274,16 +274,22 @@ def minhash_det_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    # verify joins are HINTED shuffle-hash: the shingle-array side must
+    # verify joins are HINTED sort-merge: the shingle-array side must
     # never be broadcast (heavy rows; Catalyst's size estimate for the
-    # checkpointed relation undercounts it), and an id-keyed shuffle
-    # join is the shape that survives any corpus size
+    # checkpointed relation undercounts it — at sf1 the misestimated
+    # BHJ cost 34.5 s), and the build side must never be an IN-MEMORY
+    # hash map either: the sf100 decade probe (round 15) killed the
+    # former shuffle_hash hint with "Can't acquire 268435456 bytes to
+    # build hash relation" — a per-task hash build over heavy shingle
+    # rows cannot spill, while SMJ sorts on the narrow id key and
+    # spills gracefully at any corpus size. Same shuffle_join plan
+    # class, so the plan guard sees no shape change.
     sa = sh.select(
         F.col("_id").alias("id_a"), F.col("_shingles").alias("_sha")
-    ).hint("shuffle_hash")
+    ).hint("merge")
     sb = sh.select(
         F.col("_id").alias("id_b"), F.col("_shingles").alias("_shb")
-    ).hint("shuffle_hash")
+    ).hint("merge")
     return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
@@ -502,14 +508,15 @@ def minhash_incremental_pairs(
         )
         .dropDuplicates(["new_id", "index_id"])
     )
-    # same shuffle-hash discipline as minhash_det_pairs' verify: the
-    # shingle-array sides must never be broadcast
+    # same discipline as minhash_det_pairs' verify: the shingle-array
+    # sides must never be broadcast NOR hash-built in task memory
+    # (sf100 probe finding — see that comment); SMJ spills
     sn = sh_n.select(
         F.col("_id").alias("new_id"), F.col("_shingles").alias("_sha")
-    ).hint("shuffle_hash")
+    ).hint("merge")
     si = sh_i.select(
         F.col("_id").alias("index_id"), F.col("_shingles").alias("_shb")
-    ).hint("shuffle_hash")
+    ).hint("merge")
     inter = F.size(F.array_intersect("_sha", "_shb"))
     union = F.size(F.array_union("_sha", "_shb"))
     return (
