@@ -287,18 +287,28 @@ _BT_ITERS = 3
 
 def _bt_iteration_sql(k: int) -> str:
     """One MM update in integer arithmetic: D_i = sum_j n_ij*SC^2 //
-    (s_i + s_j); s_i' = W_i*SC^2 // D_i."""
+    (s_i + s_j); s_i' = W_i*SC^2 // D_i.
+
+    The two products run in 128-bit integers (HUGEINT here,
+    DECIMAL(38,0) on the Spark side — identical values, both exact):
+    the round-15 sf100 decade probe hit the BIGINT ceiling the
+    docstring's headroom analysis predicted — wins*SC^2 ≈ 8.6e7*1e12
+    ≈ 8.6e19 > 2^63 at just 1000x the bench SF. Quotients and
+    strengths still fit BIGINT comfortably (s <= SC * state count)."""
     prev = f"s{k - 1}"
     return f"""
     t{k} AS (
         SELECT si.i AS i,
-               SUM((sym.n * {_BT_SC2}) // GREATEST(si.s + sj.s, 1)) AS d
+               SUM((CAST(sym.n AS HUGEINT) * {_BT_SC2})
+                   // GREATEST(si.s + sj.s, 1)) AS d
         FROM sym
         JOIN {prev} si ON sym.i = si.i
         JOIN {prev} sj ON sym.j = sj.i
         GROUP BY si.i),
     s{k} AS (
-        SELECT t.i, (w.wins * {_BT_SC2}) // GREATEST(t.d, 1) AS s
+        SELECT t.i,
+               CAST((CAST(w.wins AS HUGEINT) * {_BT_SC2})
+                    // GREATEST(t.d, 1) AS BIGINT) AS s
         FROM t{k} t JOIN w ON w.i = t.i)"""
 
 
@@ -355,9 +365,11 @@ def q263_bradley_terry(spark, sf_dir):
     FIXED-POINT INTEGER arithmetic (strengths in micro-units, the
     update in BIGINT `div`), so the result is bit-identical across
     engines — no float summation-order, no transcendental, no
-    rounding mode anywhere (same discipline as q238's checksum; at
-    petabyte win-counts the BIGINT headroom analysis says switch the
-    two products to DECIMAL(38,0)). Scale shape: the self-join is on
+    rounding mode anywhere (same discipline as q238's checksum). The
+    two MM products run 128-bit (DECIMAL(38,0) / oracle HUGEINT): the
+    round-15 sf100 probe hit the predicted BIGINT ceiling — wins*SC^2
+    overflows 2^63 at 1000x bench scale, long before petabytes —
+    quotients and strengths stay BIGINT. Scale shape: the self-join is on
     the fact table's clustering key with fan-out bounded by
     lines-per-order (<= 7), so pair volume is O(rows * 21), never
     quadratic; after one groupBy the MM iterations touch only the
@@ -436,8 +448,12 @@ def q263_bradley_terry(spark, sf_dir):
                   F.col("sym.j") == F.col("sj.i"))
             .select(
                 F.col("sym.i").alias("i"),
+                # 128-bit product (DECIMAL(38,0) == oracle HUGEINT):
+                # sym.n*SC^2 brushes 2^63 at sf100, wins*SC^2 exceeds
+                # it — measured by the round-15 decade probe
                 F.expr(
-                    f"(sym.n * {_BT_SC2}) div greatest(si.s + sj.s, 1L)"
+                    f"(cast(sym.n as decimal(38,0)) * {_BT_SC2}) "
+                    "div greatest(si.s + sj.s, 1L)"
                 ).alias("term"),
             )
         )
@@ -448,7 +464,8 @@ def q263_bradley_terry(spark, sf_dir):
             .select(
                 "i",
                 F.expr(
-                    f"(wins * {_BT_SC2}) div greatest(d, 1L)"
+                    f"(cast(wins as decimal(38,0)) * {_BT_SC2}) "
+                    "div greatest(d, 1L)"
                 ).cast("bigint").alias("s"),
             )
         )
