@@ -94,6 +94,10 @@ HEADLINE = [
     # where AQE's skew split must fire is plan-asserted in
     # tests/test_plans.py::test_q288_aqe_skew_split_fires.
     "q288_skewed_join_enrich",
+    # round-15 anchor: the scale-shape LSH (r=4 AND-banding) added
+    # after the sf100 decade probe measured r=1 candidate volume
+    # growing ~n^2*J; anchors the banded candidate join + verify
+    "q289_minhash_banded_pairs",
 ]
 
 # Multi-second anchors: stable to ~±3% run-to-run, the signal. The
@@ -111,6 +115,7 @@ ANCHORS = {
     "q284_crawl_curation_funnel",
     "q287_skewed_domain_quota",
     "q288_skewed_join_enrich",
+    "q289_minhash_banded_pairs",
 }
 
 

@@ -180,7 +180,9 @@ def minhash_signature(
     return F.array(*cols)
 
 
-def _minhash_stage(df, id_col, text_col, shingle_n, num_hashes):
+def _minhash_stage(
+    df, id_col, text_col, shingle_n, num_hashes, rows_per_band=1
+):
     """Shared staging for the deterministic MinHash family:
     (id, shingles, base hashes) checkpointed once, plus the exploded
     (id, band_idx, band_sig) band table.
@@ -233,9 +235,30 @@ def _minhash_stage(df, id_col, text_col, shingle_n, num_hashes):
             ).alias(f"_s{j}")
         )
     wide = e.groupBy("_id").agg(*aggs)
-    stack = ", ".join(f"{j}, _s{j}" for j in range(num_hashes))
+    if rows_per_band <= 1:
+        stack = ", ".join(f"{j}, _s{j}" for j in range(num_hashes))
+        bands = wide.selectExpr(
+            "_id",
+            f"stack({num_hashes}, {stack}) as (_band_idx, _band_sig)",
+        )
+        return sh, bands
+    # AND-composition: each band's signature is the concatenation of
+    # its rows_per_band minima — a candidate needs ALL of them equal,
+    # so P(collide) = J^r per band instead of J. This is the knob that
+    # keeps candidate volume linear on corpora where raw single-hash
+    # bands collide at J-sized rates (the round-15 sf100 probe measured
+    # q102's r=1 candidates growing ~n^2 * p).
+    n_bands = num_hashes // rows_per_band
+    entries = []
+    for b in range(n_bands):
+        cols = ", ".join(
+            f"_s{b * rows_per_band + r}" for r in range(rows_per_band)
+        )
+        entries.append(f"{b}, concat_ws('|', {cols})")
     bands = wide.selectExpr(
-        "_id", f"stack({num_hashes}, {stack}) as (_band_idx, _band_sig)"
+        "_id",
+        f"stack({n_bands}, {', '.join(entries)}) "
+        "as (_band_idx, _band_sig)",
     )
     return sh, bands
 
@@ -247,20 +270,34 @@ def minhash_det_pairs(
     shingle_n: int = 3,
     num_hashes: int = 8,
     jaccard_threshold: float = 0.5,
+    rows_per_band: int = 1,
 ) -> DataFrame:
     """Deterministic MinHash-LSH near-duplicate pairs, fully
-    oracle-checkable: shingle → md5-minhash signature → band join
-    (one band per hash, OR-construction) → exact-Jaccard verify.
+    oracle-checkable: shingle → md5-minhash signature → band join →
+    exact-Jaccard verify.
 
     Scale shape: the candidate join is an equi-join on
     (band_idx, signature_value) — shuffle O(n·num_hashes), never the
     O(n²) cross product; the verify re-joins shingle arrays by id so
     the band shuffle moves only (id, band, sig) triples.
 
+    ``rows_per_band`` is the LSH S-curve knob. r=1 (default, the q62
+    contract) is pure OR-construction: recall-max, but every band
+    collides at rate J — on corpora where unrelated docs share any
+    shingles, candidates grow ~n²·J̄ (the round-15 sf100 probe
+    measured q102's candidate set super-linear for exactly this
+    reason). r>1 ANDs r minima inside each of num_hashes/r bands:
+    P(candidate) = 1-(1-J^r)^b, which crushes the unrelated-pair rate
+    (J=0.2, r=4: 3e-3 -> per-band 1.6e-3) while keeping near-dup
+    recall high (J=0.8: 0.74 per band) — the shape that holds
+    candidate volume ~linear at 100 TB.
+
     Returns (id_a, id_b, jaccard) with id_a < id_b and
     jaccard >= jaccard_threshold, for pairs colliding on >= 1 band.
     """
-    sh, bands = _minhash_stage(df, id_col, text_col, shingle_n, num_hashes)
+    sh, bands = _minhash_stage(
+        df, id_col, text_col, shingle_n, num_hashes, rows_per_band
+    )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

@@ -84,10 +84,10 @@ def _sql_minhash_grams(text: str, n: int = 3) -> str:
     )
 
 
-# CTE chain ending in pairs(id_a, id_b, jaccard) — the deterministic
-# minhash pipeline over documents ∪ planted mutations; shared by q62
-# (pair listing) and q102 (cluster formation).
-_Q62_PAIRS_CTES = f"""corpus AS (
+# CTE chain ending in sig(doc_id, grams, sig) — the deterministic
+# md5-minhash signature over documents ∪ planted mutations; shared by
+# q62/q102 (r=1 OR-bands) and q289 (r=4 AND-bands).
+_Q62_SIG_CTES = f"""corpus AS (
         SELECT doc_id, text FROM documents
         UNION ALL
         SELECT doc_id + 1000000 AS doc_id,
@@ -115,7 +115,11 @@ _Q62_PAIRS_CTES = f"""corpus AS (
                     % 2147483647))
                 for j in generate_series(0, 7)] AS sig
         FROM hs
-    ),
+    )"""
+
+# pairs(id_a, id_b, jaccard) via r=1 OR-bands (any of the 8 minima
+# equal) — the q62/q102 contract.
+_Q62_PAIRS_CTES = f"""{_Q62_SIG_CTES},
     cand AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                a.grams AS ga, b.grams AS gb
@@ -1424,4 +1428,82 @@ def q267_hard_negative_mining(spark, sf_dir):
             F.round("similarity", 9).alias("similarity"),
             F.col("rank").alias("rnk"),
         )
+    )
+
+
+@register(
+    "q289_minhash_banded_pairs",
+    sql=f"""
+    WITH {_Q62_SIG_CTES},
+    bnd AS (
+        SELECT doc_id, grams, bb,
+               CAST(sig[bb * 4 + 1] AS VARCHAR) || '|' ||
+               CAST(sig[bb * 4 + 2] AS VARCHAR) || '|' ||
+               CAST(sig[bb * 4 + 3] AS VARCHAR) || '|' ||
+               CAST(sig[bb * 4 + 4] AS VARCHAR) AS bsig
+        FROM sig, generate_series(0, 1) t(bb)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bnd a JOIN bnd b
+          ON a.bb = b.bb AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+    ),
+    pj AS (
+        SELECT c.id_a, c.id_b,
+               CASE WHEN len(list_distinct(
+                        list_concat(sa.grams, sb.grams))) = 0
+                    THEN 0.0
+                    ELSE CAST(len(list_intersect(sa.grams, sb.grams))
+                              AS DOUBLE)
+                         / len(list_distinct(
+                               list_concat(sa.grams, sb.grams)))
+               END AS jaccard
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.id_a
+        JOIN sig sb ON sb.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, round(jaccard, 9) AS jaccard
+    FROM pj WHERE jaccard >= 0.5
+    """,
+    tags=("dedup", "lsh", "scale"),
+)
+def q289_minhash_banded_pairs(spark, sf_dir):
+    """MinHash-LSH pairs with r=4 AND-banding (2 bands x 4 minima) —
+    the 100 TB-shape variant of q62, added after the round-15 sf100
+    decade probe measured the r=1 OR-construction's candidate set
+    growing ~n²·J̄ (any shared shingle gives each of 8 single-hash
+    bands a J-sized collision rate; at 5.5M docs the exact-Jaccard
+    verify drowns). ANDing 4 minima per band drops unrelated-pair
+    candidate probability from ~J to ~J⁴ (J=0.2: 1.6e-3 per band)
+    while keeping planted near-dups (J≳0.8) at 1-(1-J⁴)² ≈ 66-90%
+    recall per the standard S-curve — candidate volume stays ~linear
+    in corpus size, which is the property that survives the last two
+    decades. Same deterministic signature pipeline as q62 (the first
+    8 md5-minhash minima), so both engines band the identical
+    signature; same same-corpus mutation planting; oracle bands via
+    an equi-join on the concatenated band signature, exactly the
+    engine's shuffle key."""
+    from rc_rag_spark.operators import dedup as DD
+
+    d = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    mutated = (
+        d.where(F.col("doc_id") % 10 == 0)
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.array_join(
+                F.slice(
+                    words, 1, F.greatest(F.size(words) - 3, F.lit(1))
+                ),
+                " ",
+            ).alias("text"),
+        )
+    )
+    corpus = d.select("doc_id", "text").unionByName(mutated)
+    pairs = DD.minhash_det_pairs(
+        corpus, "doc_id", "text", shingle_n=3,
+        num_hashes=8, jaccard_threshold=0.5, rows_per_band=4,
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 9).alias("jaccard")
     )

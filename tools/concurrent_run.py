@@ -54,6 +54,7 @@ ANCHORS = [
     "q284_crawl_curation_funnel",
     "q287_skewed_domain_quota",
     "q288_skewed_join_enrich",
+    "q289_minhash_banded_pairs",
 ]
 SESSION_ANCHORS = ["q222_cdc_chunking", "q263_bradley_terry"]
 

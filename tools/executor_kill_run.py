@@ -120,13 +120,17 @@ def run_dynalloc(spark, sf_dir: str, names: list[str]) -> dict:
         sec1 = round(time.time() - t0, 2)
         pids_run1 = executor_pids() | pids_run1_pre
 
-        # idle past executorIdleTimeout: executors must retire
+        # idle past executorIdleTimeout: executors must retire — and
+        # drain to the min floor, so the second run provably runs on
+        # a fresh wave rather than leftovers of the first
         shrunk = False
         peak = max(samples) if samples else 0
-        for _ in range(60):
+        for _ in range(120):
             time.sleep(0.5)
-            if len(executor_pids()) < peak:
+            alive = len(executor_pids())
+            if alive < peak:
                 shrunk = True
+            if alive <= 1:
                 break
 
         t0 = time.time()
@@ -320,11 +324,24 @@ def main() -> None:
         # shuffle data linger until its outputs are consumed (the
         # serverless/autoscaler posture at 100 TB)
         mode_conf = {
+            # the reliable-checkpoint knob is MANDATORY under
+            # elasticity, not optional: with the cached-idle timeout
+            # armed, retirement kills executors holding
+            # localCheckpoint blocks mid-query (measured:
+            # STAGE_MATERIALIZATION failure on q102) — the same class
+            # as r14's SIGKILL finding, arriving via the autoscaler
+            "spark.rc_rag.checkpoint.reliable": "true",
             "spark.dynamicAllocation.enabled": "true",
             "spark.dynamicAllocation.shuffleTracking.enabled": "true",
             "spark.dynamicAllocation.minExecutors": "1",
             "spark.dynamicAllocation.maxExecutors": "4",
             "spark.dynamicAllocation.executorIdleTimeout": "4s",
+            # localCheckpoint blocks cache on executors and the
+            # cached-idle timeout defaults to INFINITY — without this
+            # knob any checkpointing query pins its executors forever
+            # and the pool can never scale back down (measured: q102
+            # held all 4 executors through a 30 s idle window)
+            "spark.dynamicAllocation.cachedExecutorIdleTimeout": "6s",
             "spark.dynamicAllocation.shuffleTracking.timeout": "4s",
             "spark.dynamicAllocation.schedulerBacklogTimeout": "1s",
             "spark.dynamicAllocation"
