@@ -219,6 +219,18 @@ def q102_dedup_clusters(spark, sf_dir):
     closure, an entirely different formulation. cluster_id = min doc_id
     of the component — the canonical survivor a dedup pass would keep.
 
+    Measured cost model (round-15 decade probe): the r=1 OR-band
+    contract makes candidate volume ~n²·J̄ on corpora whose docs share
+    any shingles — fine through sf10 (100x bench: 139 s, exp 0.97),
+    but at sf100 the exact-Jaccard verify's candidate shuffle exceeded
+    60 GB of local disk before completing (run recorded ERR
+    no-space in SCALING.md). That wall is the BAND SHAPE, not the
+    plan: every stage is linear in candidates, and candidates are
+    quadratic by the r=1 S-curve. The sixth-decade path is
+    q289_minhash_banded_pairs (r=4 AND-banding, candidates ~linear)
+    feeding the same dedup_clusters; q102 stays as-is because its
+    oracle contract (and the q62 pair semantics it shares) pin r=1.
+
     plan-change: inherits _minhash_stage's r11 explode+agg signature
     kernel (see q62) — one extra map-side-combined exchange, less CPU,
     identical pairs. Allowed: hash-exchanges<=1 shuffle-joins<=0."""
