@@ -612,7 +612,18 @@ def q233_recursive_cte_keywalk(spark, sf_dir):
     category trees) the recursive CTE is the 100 TB form — no driver
     round trip per step. Integer `div` on both engines, so there is
     no floating-point key division to drift; per-depth decimal SUM
-    keeps the value hash exact."""
+    keeps the value hash exact.
+
+    cteRecursionRowLimit: Spark's runaway guard defaults to 1M
+    ACCUMULATED rows — not a depth cap — so a perfectly-bounded
+    8-level walk still trips it at ~125k source rows (found by the
+    round-15 sf1 parity widening: 1.5M orders x ~8 digits = ~12M
+    rows). The walk's true row count is rows x log10(maxkey); size
+    the guard to the data, keeping it finite as a guard."""
+    n_orders = table(spark, sf_dir, "orders").count()
+    spark.conf.set(
+        "spark.sql.cteRecursionRowLimit", str(max(1_000_000, n_orders * 16))
+    )
     table(spark, sf_dir, "orders").createOrReplaceTempView("q233_orders")
     return spark.sql(
         """
