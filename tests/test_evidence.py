@@ -394,3 +394,25 @@ def test_sampled_resources_match_committed(spark):
         "(if intentional, add a 'resource-change:' docstring note "
         f"with byte caps, then regenerate): {flagged}"
     )
+
+
+def test_sf1_parity_footer_certified():
+    """The sf1 section footer must show the round-15 shape: >=120
+    value-verified (hash-match) queries, the three certificate rows
+    (q102/q212/q217 — tools/certify_sf1.py replacing the old
+    rows+schema fallbacks), and zero failures."""
+    m = re.search(
+        r"\*\*sf1: (\d+) hash-match, (\d+) certificate-verified, "
+        r"(\d+) rows\+schema, (\d+) failures?\.\*\*",
+        _read("PARITY.md"),
+    )
+    assert m, (
+        "sf1 footer missing/old-format — re-run "
+        "`python tools/parity_report.py --sf1`"
+    )
+    n_match, n_cert, n_rows, n_fail = map(int, m.groups())
+    assert n_fail == 0, f"sf1 section has {n_fail} failures"
+    assert n_cert == 3
+    assert n_match >= 120, (
+        f"sf1 value coverage regressed to {n_match} (round-15 bar: 120)"
+    )
