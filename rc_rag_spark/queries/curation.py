@@ -63,7 +63,7 @@ from rc_rag_spark.queries.corpus import (
 from rc_rag_spark.queries.scale_batch import (
     _BPE_STEPS,
     _bpe_cte_prefix,
-    q172_bpe_merges,
+    bpe_induce,
 )
 from rc_rag_spark.sources import table
 
@@ -128,11 +128,19 @@ def _bpe_encode_counts(merges):
 
 def bpe_doc_token_counts(spark, sf_dir):
     """(doc_id, source, bpe_tokens): learn the _BPE_STEPS merges with
-    q172's distributed induction (the per-step tops collect as
-    _BPE_STEPS rows — nothing corpus-sized touches the driver), then
-    encode the DISTINCT-WORD vocabulary with an Arrow-batched kernel
-    carrying the merge list in its closure, broadcast the encoded
-    vocab back, and partial-aggregate token counts per doc.
+    q172's distributed induction, take each word's token count as the
+    LENGTH of its final segmentation array (induction's apply step IS
+    encode — after the last fold, size(syms) is the encoded length),
+    broadcast the encoded vocab, and partial-aggregate token counts
+    per doc.
+
+    Optimization round 15 (guide §4): the former Arrow mapInPandas
+    encode kernel — a per-word Python loop re-applying the collected
+    merge table to the vocabulary a second time — is GONE, along with
+    the driver collect() of the merges and the whole JVM<->Python
+    boundary of this path (plan: ArrowEvalPython node removed). The
+    induction already computes every word's final segmentation; q275
+    previously threw it away and re-derived it in Python.
 
     Shuffle accounting (the part that matters at 100 TB): the exploded
     token stream never shuffles on a token key — it broadcast-joins
@@ -140,41 +148,25 @@ def bpe_doc_token_counts(spark, sf_dir):
     on doc_id, where map-side combine collapses each document to ONE
     row before the exchange (a doc's tokens are contiguous in its
     input split), so the only corpus-wide shuffle carries |docs| rows.
-    The vocabulary distinct is the other exchange, and it is
-    vocab-sized after per-task partial distinct. (An earlier draft
-    pre-aggregated on (doc_id, word) — a corpus-token-sized shuffle
-    that this formulation strictly dominates.) When the vocabulary
-    outgrows the broadcast budget (~100M+ words), swap the broadcast
-    for a shuffle join on tok; the doc_id partial agg is unchanged."""
-    import pandas as pd
-
-    merge_rows = sorted(
-        q172_bpe_merges(spark, sf_dir).collect(), key=lambda r: r["step"]
-    )
-    merges = [(r["left_sym"], r["right_sym"]) for r in merge_rows]
-    kernel = _bpe_encode_counts(merges)
-
+    The vocabulary groupBy is the other exchange, and it is
+    vocab-sized after per-task partial aggregation. When the
+    vocabulary outgrows the broadcast budget (~100M+ words), swap the
+    broadcast for a shuffle join on tok; the doc_id partial agg is
+    unchanged."""
     docs = table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
         "source",
         F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"),
     ).where(F.col("tok") != "")
-    vocab = toks.select("tok").distinct()
-
-    def encode_batches(batches):
-        from rc_rag_spark.faultinject import maybe_inject_fault
-
-        maybe_inject_fault('bpe_encode')
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "tok": pdf["tok"],
-                    "n_tok": [kernel(w) for w in pdf["tok"]],
-                }
-            )
-
-    encoded = vocab.mapInPandas(encode_batches, "tok string, n_tok bigint")
+    words = toks.groupBy(F.col("tok").alias("word")).agg(
+        F.count("*").alias("wc")
+    )
+    syms, _ = bpe_induce(words)
+    encoded = syms.select(
+        F.col("word").alias("tok"),
+        F.size("syms").cast("bigint").alias("n_tok"),
+    )
     return (
         toks.join(F.broadcast(encoded), "tok")
         .groupBy("doc_id", "source")

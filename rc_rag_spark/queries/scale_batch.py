@@ -394,6 +394,114 @@ def _bpe_oracle_sql() -> str:
     )
 
 
+def _bpe_apply_merge(syms_col, l_col, r_col):
+    """Apply ONE learned (l, r) merge leftmost-first without overlap
+    to a symbol array, as a JVM array fold (no Python, no shuffle).
+
+    Fold state: (acc, pend) — pend is the one-symbol lookbehind. If
+    pend==l and the next symbol==r they fuse and pend clears (so the
+    merged token can never chain into a second merge this pass);
+    otherwise pend flushes to acc. This is exactly the documented
+    "odd offsets within each run" semantics: a run of consecutive
+    matches (possible only when l==r) fuses at its 1st, 3rd, 5th...
+    positions, because each fuse consumes the symbol that would have
+    started the even-offset match. Equivalence is pinned by
+    tests/test_scale_batch.py against the pure-Python encoder
+    (curation._bpe_encode_segments) and by the q172/q275 DuckDB
+    oracles, whose window construction spells the same rule."""
+    merged = F.concat(l_col, r_col)
+
+    def step(st, s):
+        return (
+            F.when(
+                st["pend"].isNull(),
+                F.struct(st["acc"].alias("acc"), s.alias("pend")),
+            )
+            .when(
+                (st["pend"] == l_col) & (s == r_col),
+                F.struct(
+                    F.array_append(st["acc"], merged).alias("acc"),
+                    F.lit(None).cast("string").alias("pend"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.array_append(st["acc"], st["pend"]).alias("acc"),
+                    s.alias("pend"),
+                )
+            )
+        )
+
+    return F.aggregate(
+        syms_col,
+        F.expr(
+            "struct(cast(array() as array<string>) as acc, "
+            "cast(null as string) as pend)"
+        ),
+        step,
+        lambda st: F.when(st["pend"].isNull(), st["acc"]).otherwise(
+            F.array_append(st["acc"], st["pend"])
+        ),
+    )
+
+
+def bpe_induce(words, steps: int = _BPE_STEPS):
+    """Shared BPE merge-induction kernel over a (word, wc) vocabulary.
+
+    Returns ``(syms, tops)``: ``syms`` is the vocabulary with its
+    final segmentation as an array column (after all ``steps``
+    merges — induction's apply step IS encode, so ``size(syms)`` is
+    the word's token count), and ``tops`` the per-step 1-row learned
+    merges (l, r, cnt), each eagerly checkpointed.
+
+    Scale shape (optimization round 15, guide §2.3/§2.4): the word's
+    segmentation lives as ONE array row instead of exploded
+    (word, pos, sym) rows, so each step is a map-side-combined pair
+    aggregation (explode of adjacent-pair zips -> tiny
+    (l, r)-keyed exchange) + TakeOrdered(1) + a NARROW fold applying
+    the broadcast merge — no word-keyed window shuffles, no
+    (word, pos) equi-joins, no per-step vocabulary checkpoint. The
+    previous window/join formulation paid 3 shuffles + 2 joins + a
+    materialized checkpoint per step on the exploded symbol table;
+    this pays one vocabulary-pair exchange per step and one
+    vocabulary materialization total."""
+    syms = words.select(
+        "word",
+        "wc",
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+        ).alias("syms"),
+    ).transform(_ckpt)
+    tops = []
+    for _ in range(steps):
+        prs = syms.select(
+            "wc",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("syms", 1, F.size("syms") - 1).alias("l"),
+                    F.slice("syms", 2, F.size("syms") - 1).alias("r"),
+                )
+            ).alias("p"),
+        )
+        pairs = prs.groupBy(
+            F.col("p.l").alias("l"), F.col("p.r").alias("r")
+        ).agg(F.sum("wc").cast("bigint").alias("cnt"))
+        top = (
+            pairs.orderBy(F.col("cnt").desc(), "l", "r")
+            .limit(1)
+            .transform(_ckpt)
+        )
+        tops.append(top)
+        syms = syms.crossJoin(F.broadcast(top)).select(
+            "word",
+            "wc",
+            _bpe_apply_merge(
+                F.col("syms"), F.col("l"), F.col("r")
+            ).alias("syms"),
+        )
+    return syms, tops
+
+
 @register(
     "q172_bpe_merges",
     sql=_bpe_oracle_sql(),
@@ -407,16 +515,19 @@ def q172_bpe_merges(spark, sf_dir):
     greedy BPE: per step, count adjacent symbol pairs weighted by
     word count, pick the most frequent pair (count desc, then
     lexicographic tiebreak), then apply it leftmost-first without
-    overlap. The leftmost-greedy rule is expressed as windows, not a
-    sequential fold: consecutive matching positions form runs
-    (possible only when left==right), and merges land on the odd
-    offsets within each run — identical logic in both engines. Each
-    step is one pair-count partial agg + a TakeOrdered(1) + two
-    equi-joins against the merge-position set; the vocabulary (not
-    the corpus) is what iterates, so the corpus is scanned exactly
-    once at any scale. Per-step localCheckpoint bounds lineage; all
-    outputs are strings and exact integers, so the hash check is
-    drift-free."""
+    overlap (the "odd offsets within each run" rule — see
+    _bpe_apply_merge). The vocabulary (not the corpus) is what
+    iterates, so the corpus is scanned exactly once at any scale.
+
+    Optimization round 15 (guide §2.3/§2.4): segmentations now live
+    as per-word symbol ARRAYS folded in the JVM (bpe_induce) instead
+    of exploded (word, pos, sym) rows rewritten per step through
+    window shuffles + two equi-joins + a checkpoint. Per step the
+    only exchange is the map-side-combined pair count; the merge
+    application is a narrow fold over a broadcast 1-row merge table.
+    Identical output (same pair counts, same count-desc/lexicographic
+    tiebreak, same greedy-run semantics), hash-checked by the
+    unchanged DuckDB oracle."""
     docs = table(spark, sf_dir, "documents")
     toks = docs.select(
         F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
@@ -424,81 +535,16 @@ def q172_bpe_merges(spark, sf_dir):
     words = toks.groupBy(F.col("tok").alias("word")).agg(
         F.count("*").alias("wc")
     )
-    syms = (
-        words.select(
-            "word",
-            "wc",
-            F.explode(
-                F.sequence(F.lit(1), F.length("word"))
-            ).alias("pos"),
+    _, tops = bpe_induce(words)
+    merges = [
+        top.select(
+            F.lit(step).cast("int").alias("step"),
+            F.col("l").alias("left_sym"),
+            F.col("r").alias("right_sym"),
+            F.col("cnt").alias("pair_count"),
         )
-        .withColumn("sym", F.col("word").substr(F.col("pos").cast("int"), F.lit(1)))
-        .transform(_ckpt)
-    )
-    w_word = Window.partitionBy("word").orderBy("pos")
-    merges = []
-    for step in range(1, _BPE_STEPS + 1):
-        withnxt = syms.withColumn("nxt", F.lead("sym").over(w_word))
-        pairs = (
-            withnxt.where(F.col("nxt").isNotNull())
-            .groupBy("sym", "nxt")
-            .agg(F.sum("wc").cast("bigint").alias("cnt"))
-        )
-        top = (
-            pairs.orderBy(F.col("cnt").desc(), "sym", "nxt")
-            .limit(1)
-            .select(
-                F.col("sym").alias("l"), F.col("nxt").alias("r"), "cnt"
-            )
-            .transform(_ckpt)
-        )
-        merges.append(
-            top.select(
-                F.lit(step).cast("int").alias("step"),
-                F.col("l").alias("left_sym"),
-                F.col("r").alias("right_sym"),
-                F.col("cnt").alias("pair_count"),
-            )
-        )
-        matched = (
-            withnxt.crossJoin(F.broadcast(top))
-            .where((F.col("sym") == F.col("l")) & (F.col("nxt") == F.col("r")))
-            .select("word", "pos")
-        )
-        grp = matched.withColumn(
-            "grp", F.col("pos") - F.row_number().over(w_word)
-        )
-        mpos = (
-            grp.withColumn(
-                "k",
-                F.row_number().over(
-                    Window.partitionBy("word", "grp").orderBy("pos")
-                ),
-            )
-            .where(F.col("k") % 2 == 1)
-            .select("word", "pos")
-        )
-        im = mpos.withColumn("_m", F.lit(1))
-        ic = mpos.select(
-            "word", (F.col("pos") + 1).alias("pos"), F.lit(1).alias("_c")
-        )
-        syms = (
-            syms.join(im, ["word", "pos"], "left")
-            .join(ic, ["word", "pos"], "left")
-            .where(F.col("_c").isNull())
-            .crossJoin(F.broadcast(top))
-            .select(
-                "word",
-                "wc",
-                F.row_number().over(w_word).alias("pos"),
-                F.when(
-                    F.col("_m").isNotNull(), F.concat("l", "r")
-                )
-                .otherwise(F.col("sym"))
-                .alias("sym"),
-            )
-            .transform(_ckpt)
-        )
+        for step, top in enumerate(tops, start=1)
+    ]
     out = merges[0]
     for m in merges[1:]:
         out = out.unionAll(m)

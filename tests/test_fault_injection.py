@@ -16,7 +16,11 @@ runs in SCALE.md's evidence (tools/fault_run.py directly); here a
 representative per-kernel-family subset keeps suite time bounded:
   - q222_cdc_chunking      — mapInPandas numpy kernel (CDC)
   - q212_semdedup_scaled   — mapInPandas assign + applyInPandas pairs
-  - q275_bpe_encode_tokens — vocab-encode kernel + doc-count join
+  - q90_knn_pruned         — per-partition pruned-KNN Arrow kernel
+                             (similarity family; replaces q275 here —
+                             optimization round 15 removed q275's
+                             Python encode kernel entirely, its BPE
+                             path is now pure JVM)
   - q41_rag_pipeline_mock  — pandas-UDF mock LLM calls (retried calls
                              must not duplicate or reorder)
   - streaming              — applyInPandasWithState live totals vs
@@ -39,7 +43,7 @@ SF_DIR = os.environ.get("RC_RAG_TEST_SF", "/root/testdata/sf0.01")
 KERNEL_QUERIES = [
     "q222_cdc_chunking",
     "q212_semdedup_scaled",
-    "q275_bpe_encode_tokens",
+    "q90_knn_pruned",
     "q41_rag_pipeline_mock",
 ]
 

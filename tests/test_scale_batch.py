@@ -193,3 +193,27 @@ def test_zorder_boxes_cover_all_rows(spark, sf_dir):
         pk_range = pk[1] - pk[0] + 1
         spans = sorted(r.pk_span for r in rows)
         assert spans[len(spans) // 2] < pk_range * 0.6
+
+
+def test_bpe_fold_apply_matches_python_encoder(spark):
+    """The r15 JVM array-fold merge application (scale_batch
+    bpe_induce/_bpe_apply_merge) must segment every vocabulary word
+    exactly like the pure-Python greedy encoder q275's removed Arrow
+    kernel wrapped (curation._bpe_encode_segments) — including the
+    odd-offset-within-run rule for self-merges and rank-order
+    application across steps. size(syms) is what bpe_doc_token_counts
+    now broadcasts as n_tok, so this pins the encode semantics."""
+    from rc_rag_spark.queries.curation import _bpe_encode_segments
+    from rc_rag_spark.queries.scale_batch import bpe_induce
+
+    vocab = [
+        ("aaaa", 5), ("aaab", 4), ("abab", 3), ("baab", 2),
+        ("x", 9), ("aa", 1), ("bbbb", 2), ("abc", 7),
+    ]
+    words = spark.createDataFrame(vocab, ["word", "wc"])
+    syms, tops = bpe_induce(words, steps=3)
+    merges = [(t.first()["l"], t.first()["r"]) for t in tops]
+    encode = _bpe_encode_segments(merges)
+    got = {r["word"]: r["syms"] for r in syms.collect()}
+    for word, _ in vocab:
+        assert got[word] == encode(word), (word, merges)
