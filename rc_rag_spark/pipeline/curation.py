@@ -253,9 +253,9 @@ class CurationPipeline:
                     df.select(self.id_col, F.col(url_col).alias("url"))
                 )
             )
-            bl = self.spark.createDataFrame(
-                [(d,) for d in blocked], "registrable string"
-            )
+            from rc_rag_spark.queries.curation import values_table
+
+            bl = values_table(self.spark, "registrable", list(blocked))
             bad = reg.join(
                 F.broadcast(bl), "registrable", "left_semi"
             ).select(self.id_col)

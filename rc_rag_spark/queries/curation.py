@@ -65,7 +65,7 @@ from rc_rag_spark.queries.scale_batch import (
     _bpe_cte_prefix,
     bpe_induce,
 )
-from rc_rag_spark.sources import table
+from rc_rag_spark.sources import table, wide_table
 
 # --------------------------------------------------------------------------
 # q275/q276 — BPE encode: real token counts from the learned merges.
@@ -152,7 +152,10 @@ def bpe_doc_token_counts(spark, sf_dir):
     vocab-sized after per-task partial aggregation. When the
     vocabulary outgrows the broadcast budget (~100M+ words), swap the
     broadcast for a shuffle join on tok; the doc_id partial agg is
-    unchanged."""
+    unchanged. (A wide_table rebalance of this scan was measured a net
+    loss at sf0.1 — the explode feeds map-side partial aggs that
+    collapse in place, so extra tasks only add scheduling overhead
+    and a wider vocab exchange.)"""
     docs = table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -359,6 +362,22 @@ def _values_cte(name: str, items: list[str]) -> str:
     return f"{name}(s) AS (VALUES {rows})"
 
 
+def values_table(spark, col: str, items: list[str]):
+    """Tiny constant string table as a pure-JVM LocalRelation (VALUES).
+
+    Optimization round 15 (guide §4): ``spark.createDataFrame(list)``
+    builds these through a pickled Python RDD — every broadcast build
+    over one schedules defaultParallelism (32) Python worker tasks to
+    deserialize a handful of strings, measured at ~1 s of executor
+    run time PER reference at sf0.1 (two PSL builds inside every URL
+    query). A VALUES LocalRelation never launches a job at all: the
+    broadcast hash relation is built driver-side from the literal
+    rows. Values are fixed module-level ASCII constants (PSL sample /
+    blocklist), hence the simple quote-doubling escape."""
+    rows = ", ".join("('{}')".format(s.replace("'", "''")) for s in items)
+    return spark.sql(f"SELECT * FROM (VALUES {rows}) AS t({col})")
+
+
 def parse_urls(df):
     """Attach proto/host/port/path/query/q_param/frag to any DataFrame
     with a ``url`` column via Spark's try_parse_url — the JVM-side,
@@ -401,8 +420,8 @@ def _with_registrable(parsed):
     suffixes first, then 1-label), CASE-resolved — zero corpus
     shuffles; at 100 TB the full PSL rides the same two broadcasts."""
     spark = parsed.sparkSession
-    psl2 = spark.createDataFrame([(s,) for s in _PSL2], "s2 string")
-    psl1 = spark.createDataFrame([(s,) for s in _PSL1], "s1 string")
+    psl2 = values_table(spark, "s2", _PSL2)
+    psl1 = values_table(spark, "s1", _PSL1)
     lab = parsed.select(
         "*",
         F.lower("host").alias("lhost"),
@@ -550,8 +569,7 @@ def q279_domain_blocklist_filter(spark, sf_dir):
     in hosts cannot evade the filter because matching runs on the
     lowercased registrable domain."""
     reg = _with_registrable(_parsed_urls(spark, sf_dir))
-    spark_ = reg.sparkSession
-    bl = spark_.createDataFrame([(s,) for s in _BLOCKLIST], "b string")
+    bl = values_table(reg.sparkSession, "b", _BLOCKLIST)
     flagged = reg.join(
         F.broadcast(bl), reg["registrable"] == bl["b"], "left"
     ).select(
@@ -1060,8 +1078,14 @@ def q287_skewed_domain_quota(spark, sf_dir):
     Output: per-class funnel counts (raw / after-dedup / distinct
     domains / kept-after-quota; the mega class keeps exactly
     {_Q282_QUOTA})."""
+    # wide_table (r15): the URL-derivation + parse + PSL-join chain is
+    # expression-dense (5 try_parse_url/regexp passes per row) and sat
+    # on the fixture's single-row-group scan as ONE task (~5 s of the
+    # anchor, measured); the conditional rebalance spreads it and adds
+    # no exchange on a real multi-split layout. The skewed dedup/quota
+    # windows — the shapes this anchor exists to time — are untouched.
     li = (
-        table(spark, sf_dir, "lineitem")
+        wide_table(spark, sf_dir, "lineitem")
         .where(F.col("l_linenumber") <= 4)
         .select(
             (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias(

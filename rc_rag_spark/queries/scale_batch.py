@@ -527,7 +527,10 @@ def q172_bpe_merges(spark, sf_dir):
     application is a narrow fold over a broadcast 1-row merge table.
     Identical output (same pair counts, same count-desc/lexicographic
     tiebreak, same greedy-run semantics), hash-checked by the
-    unchanged DuckDB oracle."""
+    unchanged DuckDB oracle. (A wide_table rebalance of this scan was
+    measured 1.35x SLOWER at sf0.1 — every post-scan op here is
+    vocabulary-sized, so extra tasks are pure scheduling overhead and
+    the single-task partial agg already collapses tokens in place.)"""
     docs = table(spark, sf_dir, "documents")
     toks = docs.select(
         F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
