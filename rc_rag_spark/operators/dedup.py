@@ -23,6 +23,7 @@ from pyspark.sql.functions import pandas_udf
 
 from rc_rag_spark.functions.text import normalize_answer, simple_tokenize
 from rc_rag_spark.checkpoints import ckpt as _ckpt
+from rc_rag_spark.checkpoints import ckpt_lazy as _ckpt_lazy
 
 
 def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -392,8 +393,13 @@ def dedup_clusters(
                     F.col("nbr_min") < labels["label"], F.lit(False)
                 ).alias("_changed"),
             )
-            .transform(_ckpt)
+            .transform(_ckpt_lazy)
         )
+        # LAZY checkpoint + count in one action (r15): the count is the
+        # materializing action, so each round runs ONE job instead of
+        # two (eager-checkpoint job + count job) — the count scans the
+        # checkpoint node's child once and pins its blocks, identical
+        # durability to the eager form for every later reader.
         changed = new_labels.where("_changed").count()
         # dropping the reference releases the superseded checkpoint
         # blocks via the ContextCleaner once GC runs — storage stays

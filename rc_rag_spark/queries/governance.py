@@ -458,6 +458,12 @@ def q263_bradley_terry(spark, sf_dir):
             )
         )
         d = terms.groupBy("i").agg(F.sum("term").alias("d"))
+        # localCheckpoint the |nations|-row strength vector each step
+        # (r15, the q168 weight-table discipline): scores is referenced
+        # TWICE per iteration (si and sj), so an unmaterialized chain
+        # duplicates the whole upstream tree 2^steps times — measured
+        # as driver-side analysis/scheduling dominating the anchor
+        # (~70% of wall outside any stage). Three tiny jobs instead.
         scores = (
             d.alias("t")
             .join(F.broadcast(wins.alias("w")), "i")
@@ -468,6 +474,7 @@ def q263_bradley_terry(spark, sf_dir):
                     "div greatest(d, 1L)"
                 ).cast("bigint").alias("s"),
             )
+            .transform(_ckpt)
         )
     ncomp = sym.groupBy("i").agg(
         F.sum("n").cast("bigint").alias("n_comparisons")

@@ -57,7 +57,7 @@ from rc_rag_spark.functions.vectors import dot, l2_norm
 from rc_rag_spark.operators.dedup import shingles_from_tokens
 from rc_rag_spark.queries.core import register
 from rc_rag_spark.queries.dedup_sim import _sql_minhash_grams
-from rc_rag_spark.sources import table
+from rc_rag_spark.sources import table, wide_table
 from rc_rag_spark.checkpoints import ckpt as _ckpt
 
 
@@ -1076,8 +1076,12 @@ def q214_ivf_pq_adc(spark, sf_dir):
     shuffles codes (4 ints/vector), not embeddings; per-query top-k is
     one window over probed-cell candidates. Exact DECIMAL distance
     terms (q169 discipline) make cell choice, code choice, and the
-    final ranking hash-identical on both engines; ties break by id."""
-    e = table(spark, sf_dir, "embeddings")
+    final ranking hash-identical on both engines; ties break by id.
+    wide_table (r15): the coarse-assign and PQ-code decimal folds
+    chain on this scan (one task on the single-row-group fixture,
+    ~2x the anchor, measured); the conditional rebalance spreads
+    them and adds no exchange on multi-split layouts."""
+    e = wide_table(spark, sf_dir, "embeddings")
     # PACKED-VECTOR kernels (round-7 rewrite of the exploded
     # (vec_id, pos)-row form): every distance is one zip_with +
     # decimal fold over whole arrays, so the coarse stage flows n·k
