@@ -150,10 +150,22 @@ def main() -> None:
     from rc_rag_spark.session import build_session
     import rc_rag_spark.queries as q
 
-    # Size shuffle parallelism to the data: sf0.1 shuffles are a few MB,
-    # where 32 reduce tasks are pure scheduling overhead. At cluster
-    # scale this knob is per-job (AQE coalesces downward, not upward).
-    shuffle_parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8")
+    # Scale-adaptive shuffle parallelism (round 16, VERDICT r15 item 7):
+    # the r15 constant default of 8 made the driver's 8-vs-32-core
+    # scaling probe insensitive by construction — no reduce stage could
+    # use more than 8 cores at either setting. Default to
+    # max(8, $SPARK_GRAFT_CPUS) so reduce-side parallelism follows the
+    # core count the driver asks for; AQE's partition coalescing (on in
+    # session.DEFAULT_CONF) still merges sub-MB partitions, so tiny
+    # sf0.1 shuffles don't fragment into pure scheduling overhead. The
+    # env var remains the explicit override at any scale.
+    shuffle_parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    if shuffle_parts is None:
+        try:
+            ncpu = int(os.environ.get("SPARK_GRAFT_CPUS", ""))
+        except ValueError:
+            ncpu = os.cpu_count() or 8
+        shuffle_parts = str(max(8, ncpu))
     spark = build_session(
         app_name="rc-rag-spark-bench",
         extra_conf={"spark.sql.shuffle.partitions": shuffle_parts},

@@ -372,9 +372,21 @@ def values_table(spark, col: str, items: list[str]):
     run time PER reference at sf0.1 (two PSL builds inside every URL
     query). A VALUES LocalRelation never launches a job at all: the
     broadcast hash relation is built driver-side from the literal
-    rows. Values are fixed module-level ASCII constants (PSL sample /
-    blocklist), hence the simple quote-doubling escape."""
-    rows = ", ".join("('{}')".format(s.replace("'", "''")) for s in items)
+    rows. The module-level PSL/blocklist constants are plain ASCII,
+    but pipeline callers pass user-supplied lists, so three guards:
+    an empty list (invalid ``VALUES `` SQL) returns an empty relation;
+    backslashes are doubled (Spark SQL string literals treat ``\\`` as
+    an escape); values with control characters or other non-printables
+    fall back to the safe createDataFrame path rather than literal
+    interpolation."""
+    if not items:
+        return spark.createDataFrame([], f"{col} string")
+    if any(not s.isprintable() for s in items):
+        return spark.createDataFrame([(s,) for s in items], f"{col} string")
+    rows = ", ".join(
+        "('{}')".format(s.replace("\\", "\\\\").replace("'", "''"))
+        for s in items
+    )
     return spark.sql(f"SELECT * FROM (VALUES {rows}) AS t({col})")
 
 

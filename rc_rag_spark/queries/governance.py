@@ -374,7 +374,23 @@ def q263_bradley_terry(spark, sf_dir):
     lines-per-order (<= 7), so pair volume is O(rows * 21), never
     quadratic; after one groupBy the MM iterations touch only the
     |nations|^2 symmetric matrix — broadcast-sized joins against a
-    25-row strength vector, exactly how you'd iterate at 100 TB."""
+    25-row strength vector, exactly how you'd iterate at 100 TB.
+
+    Optimization round 16 (guide §2.6/§5, VERDICT r15 item 6): the
+    r15 profile attributed ~70% of the anchor to driver-side plan
+    analysis — each iteration's localCheckpoint job rebuilt the sym /
+    wins subtrees (union + three tiny exchanges) and two broadcast
+    exchanges of the 25-row strength vector. Now ``sym`` is
+    checkpointed ONCE, the per-nation wins/comparison totals are
+    collected once (|nations| rows — the one piece of driver traffic,
+    bounded by the nation dimension at any corpus scale), and each MM
+    iteration is ONE tiny job: scan the checkpointed matrix, look the
+    previous strengths up in a constant-folded literal map, aggregate,
+    and collect the 25 updated strengths for the next step's map.
+    Spark computes every update expression (identical DECIMAL(38,0)
+    text — the driver only ferries bigints between steps), so the
+    fixed-point result is bit-identical; the DuckDB oracle is
+    unchanged."""
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
@@ -428,67 +444,90 @@ def q263_bradley_terry(spark, sf_dir):
         )
         .groupBy("i", "j")
         .agg(F.sum("n").cast("bigint").alias("n"))
+        .transform(_ckpt)
     )
-    states = sym.select("i").distinct()
-    wins = (
-        states.alias("st")
-        .join(direct.alias("d"), F.col("d.i") == F.col("st.i"), "left")
-        .groupBy(F.col("st.i").alias("i"))
-        .agg(F.coalesce(F.sum("d.n"), F.lit(0)).cast("bigint").alias("wins"))
+    # one |nations|-row collect: per-nation wins (sum of direct rows —
+    # identical to the old states-left-join-direct aggregation, 0 for
+    # nations that never won) and comparison totals. This is the only
+    # driver traffic besides the per-step strength vectors, all
+    # bounded by the 25-row nation dimension at any corpus scale.
+    dwin = direct.groupBy("i").agg(
+        F.sum("n").cast("bigint").alias("wins")
     )
-    scores = states.select(
-        "i", F.lit(_BT_SCALE).cast("bigint").alias("s")
-    )
-    for _ in range(_BT_ITERS):
-        terms = (
-            sym.alias("sym")
-            .join(F.broadcast(scores.alias("si")),
-                  F.col("sym.i") == F.col("si.i"))
-            .join(F.broadcast(scores.alias("sj")),
-                  F.col("sym.j") == F.col("sj.i"))
-            .select(
-                F.col("sym.i").alias("i"),
-                # 128-bit product (DECIMAL(38,0) == oracle HUGEINT):
-                # sym.n*SC^2 brushes 2^63 at sf100, wins*SC^2 exceeds
-                # it — measured by the round-15 decade probe
-                F.expr(
-                    f"(cast(sym.n as decimal(38,0)) * {_BT_SC2}) "
-                    "div greatest(si.s + sj.s, 1L)"
-                ).alias("term"),
-            )
+    stats = (
+        sym.groupBy("i")
+        .agg(F.sum("n").cast("bigint").alias("n_comparisons"))
+        .join(F.broadcast(dwin), "i", "left")
+        .select(
+            "i",
+            F.coalesce("wins", F.lit(0).cast("bigint")).alias("wins"),
+            "n_comparisons",
         )
-        d = terms.groupBy("i").agg(F.sum("term").alias("d"))
-        # localCheckpoint the |nations|-row strength vector each step
-        # (r15, the q168 weight-table discipline): scores is referenced
-        # TWICE per iteration (si and sj), so an unmaterialized chain
-        # duplicates the whole upstream tree 2^steps times — measured
-        # as driver-side analysis/scheduling dominating the anchor
-        # (~70% of wall outside any stage). Three tiny jobs instead.
-        scores = (
-            d.alias("t")
-            .join(F.broadcast(wins.alias("w")), "i")
+        .collect()
+    )
+    if not stats:
+        return spark.createDataFrame(
+            [],
+            "nation string, n_wins bigint, n_comparisons bigint, "
+            "strength_fp bigint, rnk int",
+        )
+    wins = {r["i"]: r["wins"] for r in stats}
+    ncomp = {r["i"]: r["n_comparisons"] for r in stats}
+    scores = {i: _BT_SCALE for i in wins}
+
+    def _lit_map(d: dict[str, int]) -> str:
+        entries = ", ".join(
+            "'{}', {}L".format(k.replace("'", "''"), v)
+            for k, v in sorted(d.items())
+        )
+        return f"map({entries})"
+
+    for _ in range(_BT_ITERS):
+        # constant-folded literal lookups replace the two broadcast
+        # joins; the arithmetic text is IDENTICAL to the r15 join form
+        # (128-bit DECIMAL(38,0) products — sym.n*SC^2 brushes 2^63 at
+        # sf100, wins*SC^2 exceeds it, measured by the r15 decade probe)
+        sm = _lit_map(scores)
+        terms = sym.select(
+            "i",
+            F.expr(
+                f"(cast(n as decimal(38,0)) * {_BT_SC2}) "
+                f"div greatest({sm}[i] + {sm}[j], 1L)"
+            ).alias("term"),
+        )
+        wm = _lit_map(wins)
+        updated = (
+            terms.groupBy("i")
+            .agg(F.sum("term").alias("d"))
             .select(
                 "i",
                 F.expr(
-                    f"(cast(wins as decimal(38,0)) * {_BT_SC2}) "
+                    f"(cast({wm}[i] as decimal(38,0)) * {_BT_SC2}) "
                     "div greatest(d, 1L)"
                 ).cast("bigint").alias("s"),
             )
-            .transform(_ckpt)
+            .collect()
         )
-    ncomp = sym.groupBy("i").agg(
-        F.sum("n").cast("bigint").alias("n_comparisons")
-    )
-    out = (
-        scores.join(F.broadcast(wins), "i")
-        .join(F.broadcast(ncomp), "i")
-        .select(
-            F.col("i").alias("nation"),
-            F.col("wins").alias("n_wins"),
-            "n_comparisons",
-            F.col("s").cast("bigint").alias("strength_fp"),
-        )
-    )
+        scores = {r["i"]: r["s"] for r in updated}
+    out = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("nation"),
+                        F.lit(wins[i]).cast("bigint").alias("n_wins"),
+                        F.lit(ncomp[i]).cast("bigint").alias(
+                            "n_comparisons"
+                        ),
+                        F.lit(scores[i]).cast("bigint").alias(
+                            "strength_fp"
+                        ),
+                    )
+                    for i in sorted(scores)
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
     return out.withColumn(
         "rnk",
         F.row_number()

@@ -704,7 +704,19 @@ def q168_retrieval_gd_training(spark, sf_dir):
     final weights + training accuracy (z>0 ⇔ σ̃>0.5). Scale: each
     step is one broadcast of 5 weights + one partial-agg scan of the
     feature table — gradient descent as 3 map-reduce passes, the
-    textbook distributed-GD shape."""
+    textbook distributed-GD shape.
+
+    Optimization round 16 (guide §2.6/§5, the q263 discipline): each
+    step used to localCheckpoint a 1-row weight table and crossJoin
+    it back (a broadcast exchange + BroadcastNestedLoopJoin per
+    reference). Now the step's gradient job COLLECTS the updated
+    5-double weight row — Spark evaluates the identical round-at-12
+    update expressions inside the collect, the driver only ferries
+    the literal doubles into the next step's projection (exact IEEE
+    bits re-injected via lit), so the weights are bit-identical and
+    the per-step plan is scan->project->partial-agg with no join at
+    all. Same number of passes over fx; strictly less per-step
+    machinery."""
     feats = q72a_retrieval_features(spark, sf_dir).transform(_ckpt)
     fx = feats.select(
         "label",
@@ -713,19 +725,19 @@ def q168_retrieval_gd_training(spark, sf_dir):
         (F.col("tf_dot").cast("double") / 50.0).alias("x3"),
         (F.col("rare_overlap").cast("double") / 5.0).alias("x4"),
     )
-    w = spark.range(1).select(
-        F.lit(0.0).alias("wb"), F.lit(0.0).alias("w1"),
-        F.lit(0.0).alias("w2"), F.lit(0.0).alias("w3"),
-        F.lit(0.0).alias("w4"),
-    )
+    names = ["wb", "w1", "w2", "w3", "w4"]
+    w = {c: 0.0 for c in names}
+
+    def wlit(c):
+        return F.lit(w[c]).cast("double")
 
     def z_col():
         return (
-            F.col("wb")
-            + F.col("w1") * F.col("x1")
-            + F.col("w2") * F.col("x2")
-            + F.col("w3") * F.col("x3")
-            + F.col("w4") * F.col("x4")
+            wlit("wb")
+            + wlit("w1") * F.col("x1")
+            + wlit("w2") * F.col("x2")
+            + wlit("w3") * F.col("x3")
+            + wlit("w4") * F.col("x4")
         )
 
     def gterm(x=None):
@@ -737,7 +749,7 @@ def q168_retrieval_gd_training(spark, sf_dir):
     pairs_wg = [("wb", "gb"), ("w1", "g1"), ("w2", "g2"),
                 ("w3", "g3"), ("w4", "g4")]
     for _ in range(_GD_STEPS):
-        s = fx.crossJoin(F.broadcast(w)).select(
+        s = fx.select(
             "label", "x1", "x2", "x3", "x4",
             z_col().alias("z"),
             (F.lit(1) + F.abs(z_col())).alias("dd"),
@@ -761,22 +773,17 @@ def q168_retrieval_gd_training(spark, sf_dir):
             gterm("x3").alias("g3"),
             gterm("x4").alias("g4"),
         )
-        # localCheckpoint the 1-row weight table each step: w is
-        # referenced twice per iteration, so an unmaterialized chain
-        # duplicates the whole upstream DAG 2^steps times (measured:
-        # 14 gradient aggregations instead of 3 without this)
-        w = g.crossJoin(F.broadcast(w)).select(
+        row = g.select(
             *[
                 F.round(
-                    F.col(wc) + F.col(gc).cast("double") / F.col("n"), 12
+                    wlit(wc) + F.col(gc).cast("double") / F.col("n"), 12
                 ).alias(wc)
                 for wc, gc in pairs_wg
             ]
-        ).transform(_ckpt)
+        ).collect()[0]
+        w = {c: row[c] for c in names}
 
-    final = fx.crossJoin(F.broadcast(w)).select(
-        "label", z_col().alias("z")
-    )
+    final = fx.select("label", z_col().alias("z"))
     acc = final.agg(
         F.count("*").alias("n_pairs"),
         F.sum(
@@ -785,12 +792,12 @@ def q168_retrieval_gd_training(spark, sf_dir):
         .cast("bigint")
         .alias("n_correct"),
     )
-    return w.crossJoin(F.broadcast(acc)).select(
-        F.round("wb", 9).alias("w_bias"),
-        F.round("w1", 9).alias("w_overlap"),
-        F.round("w2", 9).alias("w_jaccard"),
-        F.round("w3", 9).alias("w_tfdot"),
-        F.round("w4", 9).alias("w_rare"),
+    return acc.select(
+        F.round(wlit("wb"), 9).alias("w_bias"),
+        F.round(wlit("w1"), 9).alias("w_overlap"),
+        F.round(wlit("w2"), 9).alias("w_jaccard"),
+        F.round(wlit("w3"), 9).alias("w_tfdot"),
+        F.round(wlit("w4"), 9).alias("w_rare"),
         "n_pairs",
         "n_correct",
     )

@@ -1,6 +1,7 @@
 """Capture .explain("formatted") for bench HEADLINE queries into
-plans/r15/<query>_<tag>.txt (optimization-round evidence: the judge
-checks plan claims against these committed files).
+plans/$RC_RAG_PLAN_ROUND/<query>_<tag>.txt (default r16 —
+optimization-round evidence: the judge checks plan claims against
+these committed files).
 
 Usage: python tools/capture_plans.py <tag> [query ...]
   tag      suffix for the files (before/after)
@@ -23,7 +24,9 @@ def main() -> None:
     import rc_rag_spark.queries as q
 
     names = sys.argv[2:] or [n for n in HEADLINE if n in q.REGISTRY]
-    out_dir = os.path.join(REPO, "plans", "r15")
+    out_dir = os.path.join(
+        REPO, "plans", os.environ.get("RC_RAG_PLAN_ROUND", "r16")
+    )
     os.makedirs(out_dir, exist_ok=True)
     spark = build_session(app_name="rc-rag-plan-capture")
     spark.sparkContext.setLogLevel("ERROR")
