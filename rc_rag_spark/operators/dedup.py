@@ -207,12 +207,36 @@ def _minhash_stage(
     evaluation — measured 5x faster at sf1 (2.5 s -> 0.5 s for the
     50k-doc corpus signature+bands). The added (_id) exchange is
     partial-aggregated: docs are contiguous in their checkpointed
-    split, so map-side combine emits one row per doc."""
+    split, so map-side combine emits one row per doc.
+
+    Optimization round 16 (guide §6 unsplittable-scan parallelism):
+    the tokenize+shingle+md5 projection ran on the scan's task count —
+    2 tasks on the single-row-group local fixtures, measured 0.7-0.8 s
+    of serial executor time ahead of everything else. A CONDITIONAL
+    round-robin rebalance of the narrow (_id, text) projection (fires
+    only when the scan yields far fewer partitions than cores — never
+    on a splittable multi-file cluster layout, same contract as
+    sources.wide_table) spreads the expression-dense stage; unlike the
+    r15 wide_table experiment (full documents rows, measured q289
+    1.56x SLOWER), only id+text bytes cross the rebalance. Measured
+    same-window: q102 ~1.14x, q289 flat, q61/q95 flat-to-better.
+
+    (Round 16 negative result, recorded per guide §1: checkpointing
+    this table PRE-PARTITIONED+PRE-SORTED on _id, so the two verify
+    joins could reuse the layout, was measured a net LOSS — the
+    LogicalRDD a checkpoint scans DOES carry the hash partitioning,
+    but under AQE EnsureRequirements re-inserts the exchange above
+    ExistingRDD scans anyway (verified: the same plan keeps zero
+    exchanges with AQE off), so the extra _id exchange at
+    materialization bought nothing: q289 shuffle write 5.0 MB ->
+    11.0 MB, q102 64.4 -> 70.3 MB. Reverted.)"""
+    spark = df.sparkSession
+    src = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"))
+    parallelism = spark.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() * 2 < parallelism:
+        src = src.repartition(parallelism)
     sh = (
-        df.select(
-            F.col(id_col).alias("_id"),
-            simple_tokenize(text_col).alias("_toks"),
-        )
+        src.select("_id", simple_tokenize("_txt").alias("_toks"))
         .where(F.size("_toks") >= shingle_n)
         .select(
             "_id",
@@ -300,6 +324,14 @@ def minhash_det_pairs(
         df, id_col, text_col, shingle_n, num_hashes, rows_per_band
     )
     a, b = bands.alias("a"), bands.alias("b")
+    # One exchange for dedup + first verify join (round 16, guide
+    # §2.4): hash-repartitioning the raw band collisions by id_a
+    # satisfies the dedup aggregate's (id_a, id_b) clustering (same
+    # pair always lands in one partition) AND the id_a verify join's
+    # distribution, so the pair set crosses the network once instead
+    # of twice. Map-side combine lost on the dedup is no loss: a
+    # pair's duplicate collisions come from DIFFERENT bands, which
+    # hash to different band-join partitions anyway.
     cand = (
         a.join(
             b,
@@ -310,6 +342,7 @@ def minhash_det_pairs(
         .select(
             F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
         )
+        .repartition("id_a")
         .dropDuplicates(["id_a", "id_b"])
     )
     # verify joins are HINTED sort-merge: the shingle-array side must
@@ -328,12 +361,22 @@ def minhash_det_pairs(
     sb = sh.select(
         F.col("_id").alias("id_b"), F.col("_shingles").alias("_shb")
     ).hint("merge")
+    # Exact Jaccard with ONE set operation (round 16, guide step-2
+    # per-task work): _shingles is array_distinct by construction, so
+    # |union| = |a| + |b| - |intersect| — array_union's second
+    # hash-set build over every candidate pair is pure waste. Values
+    # are identical on distinct inputs (the only inputs this path
+    # ever joins); the oracle comparison is unchanged.
+    inter = F.size(F.array_intersect(F.col("_sha"), F.col("_shb")))
+    union = F.size("_sha") + F.size("_shb") - inter
     return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
         .select(
             "id_a", "id_b",
-            jaccard(F.col("_sha"), F.col("_shb")).alias("jaccard"),
+            F.when(union == 0, F.lit(0.0))
+            .otherwise(inter.cast("double") / union)
+            .alias("jaccard"),
         )
         .where(F.col("jaccard") >= jaccard_threshold)
     )
@@ -366,10 +409,17 @@ def dedup_clusters(
         .distinct()
         .transform(_ckpt)
     )
+    # Seed with round 1's RESULT instead of the identity labelling
+    # (round 16, guide §2.6 job fusion): with labels == id, the first
+    # round's nbr_min is just min(dst), so least(id, min(dst)) from
+    # ONE aggregation over the checkpointed edges replaces both the
+    # old identity-label distinct AND the first join round — same
+    # fixpoint, one fewer join+count round every run. (Every node
+    # appears as src because edges are bidirectional.)
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
+        edges.groupBy(F.col("src").alias("id"))
+        .agg(F.min("dst").alias("_mn"))
+        .select("id", F.least(F.col("id"), F.col("_mn")).alias("label"))
         .transform(_ckpt)
     )
     for _ in range(max_iter):

@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from rc_rag_spark.checkpoints import ckpt as _ckpt
 from rc_rag_spark.operators import corpus as C
 from rc_rag_spark.queries.core import register
 from rc_rag_spark.sources import table
@@ -1359,12 +1360,18 @@ def q247_token_budget_selection(spark, sf_dir):
     else is hash aggregation; this is exactly how budgeted selection
     (quality pruning, dataset mixing under a token cap) runs on real
     pretraining corpora. Output: per-source selected doc/token counts
-    plus how many rode the boundary bucket."""
+    plus how many rode the boundary bucket.
+
+    Optimization round 16 (guide §5 reuse): ``d`` is referenced four
+    times inside budget_selected_docs, so the full-text quality regexp
+    used to run 4x per pass; the checkpoint materializes the narrow
+    (doc_id, source, tokens, bucket) rows once. Same values, same
+    oracle."""
     d = table(spark, sf_dir, "documents").select(
         "doc_id", "source",
         F.ceil(F.col("n_chars") / 4.0).cast("bigint").alias("tokens"),
         F.expr(f"(1000 * {_Q247_LETTERS}) div n_chars").alias("bucket"),
-    )
+    ).transform(_ckpt)
     return token_budget_select(d)
 
 

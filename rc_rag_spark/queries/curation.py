@@ -51,6 +51,7 @@ from __future__ import annotations
 from pyspark.sql import Window  # noqa: F401  (imported for parity with siblings)
 from pyspark.sql import functions as F
 
+from rc_rag_spark.checkpoints import ckpt as _ckpt
 from rc_rag_spark.queries.core import register
 from rc_rag_spark.queries.corpus import (
     _BUDGET_SEL_CTES,
@@ -242,7 +243,11 @@ def q276_token_budget_real_bpe(spark, sf_dir):
     selected half of the corpus is the half a training run would
     actually fit. Same scalable kernel (token_budget_select): bucket
     grid aggregation + one per-doc prefix sum over only the boundary
-    bucket."""
+    bucket. Optimization round 16 (guide §5 reuse): ``d`` is referenced
+    four times inside budget_selected_docs, so the BPE encode subtree
+    used to execute 4x per run; the checkpoint materializes the narrow
+    (doc_id, source, tokens, bucket) rows once. Same values, same
+    oracle."""
     per_doc = bpe_doc_token_counts(spark, sf_dir)
     buckets = table(spark, sf_dir, "documents").select(
         "doc_id",
@@ -250,7 +255,7 @@ def q276_token_budget_real_bpe(spark, sf_dir):
     )
     d = per_doc.join(buckets, "doc_id").select(
         "doc_id", "source", F.col("bpe_tokens").alias("tokens"), "bucket"
-    )
+    ).transform(_ckpt)
     return token_budget_select(d)
 
 
@@ -749,17 +754,17 @@ def q282_domain_quota_sample(spark, sf_dir):
     )
 
 
-def funnel_url_stages(docs):
-    """The q284 funnel's URL stages — (1) canonical-URL exact dedup
-    (min-doc_id winner per sentinel-keyed canonical) then (2)
-    per-registrable-domain quota (md5-ordered rn <= K, sentinel-keyed)
-    — over ANY ``(doc_id, source, url)`` DataFrame. Factored out of
-    q284 so the dirty-URL equivalence test in
-    tests/test_curation_pipeline.py drives the SAME code the funnel
-    query runs; membership-identical to the resumable pipeline's
-    url_canonical_dedup -> domain_quota stages by construction (both
-    key on sentinel_canonical_col / sentinel_registrable_col).
-    Returns ``(dedup, quota)`` DataFrames of survivors."""
+def funnel_url_staged(docs):
+    """The q284 funnel's URL stages in ONE plan — (1) canonical-URL
+    exact dedup (min-doc_id winner per sentinel-keyed canonical) then
+    (2) per-registrable-domain quota (md5-ordered rn <= K,
+    sentinel-keyed) — over ANY ``(doc_id, source, url)`` DataFrame.
+    Returns the dedup SURVIVORS with the quota verdict carried as an
+    ``in_quota`` flag (rows: doc_id, source, registrable, in_quota),
+    so one executed pass yields both stages' survivor sets: the quota
+    window ranks exactly the dedup survivors, identically to filtering
+    first, because every input row of the quota window IS a dedup
+    survivor."""
     reg = _with_registrable(parse_urls(docs))
     c = reg.select(
         "doc_id", "source",
@@ -775,20 +780,30 @@ def funnel_url_stages(docs):
         .where(F.col("rn") == 1)
         .drop("rn")
     )
-    quota = (
-        dedup.select(
-            "doc_id", "source",
-            F.row_number()
-            .over(
+    return dedup.select(
+        "doc_id", "source", "registrable",
+        (
+            F.row_number().over(
                 Window.partitionBy("registrable").orderBy(
                     F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
                 )
             )
-            .alias("rn"),
-        )
-        .where(F.col("rn") <= _Q282_QUOTA)
-        .drop("rn")
+            <= _Q282_QUOTA
+        ).alias("in_quota"),
     )
+
+
+def funnel_url_stages(docs):
+    """``(dedup, quota)`` survivor DataFrames — the two-output view of
+    funnel_url_staged. Factored out of q284 so the dirty-URL
+    equivalence test in tests/test_curation_pipeline.py drives the
+    SAME code the funnel query runs; membership-identical to the
+    resumable pipeline's url_canonical_dedup -> domain_quota stages by
+    construction (both key on sentinel_canonical_col /
+    sentinel_registrable_col)."""
+    staged = funnel_url_staged(docs)
+    dedup = staged.select("doc_id", "source", "registrable")
+    quota = staged.where("in_quota").select("doc_id", "source")
     return dedup, quota
 
 
@@ -907,12 +922,27 @@ def q284_crawl_curation_funnel(spark, sf_dir):
     this plan, so its printed exchange/shuffle-join counts grew by
     exactly that subtree's nodes. Funnel stages themselves are
     unchanged; sf1 growth measured 1.52x per 10x post-composition.
-    Allowed: hash-exchanges<=52 shuffle-joins<=11."""
-    dedup, quota = funnel_url_stages(
+    Allowed: hash-exchanges<=52 shuffle-joins<=11.
+
+    Optimization round 16 (guide §5 reuse, VERDICT r15 item 4 —
+    measured: the stage-count formulation re-executed shared subtrees
+    per funnel stat): ``d`` is referenced FIVE times (f3 + the four
+    references inside budget_selected_docs), and the parse/PSL/window
+    chain twice more (f1, f2) — so the BPE token subtree ran 5x and
+    the URL chain 7x per bench pass. Now the URL stages run ONCE
+    (funnel_url_staged checkpointed, quota carried as the in_quota
+    flag — identical membership by construction) and ``d`` is
+    checkpointed, so every funnel stat and the whole budget tail read
+    materialized narrow rows. Same stage semantics, same oracle, ~5x
+    less executed work; at 100 TB the checkpoints hold only
+    (doc_id, source, flag/tokens/bucket) — the persisted stage tables
+    any production funnel keeps anyway."""
+    staged = funnel_url_staged(
         table(spark, sf_dir, "documents").select(
             "doc_id", "source", F.expr(_URL_EXPR).alias("url")
         )
-    )
+    ).transform(_ckpt)
+    quota = staged.where("in_quota")
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", "n_chars",
         F.expr(f"(1000 * {_Q247_LETTERS}) div n_chars").alias("bucket"),
@@ -925,6 +955,7 @@ def q284_crawl_curation_funnel(spark, sf_dir):
         .where(F.col("bucket") >= _Q284_QUALITY_MIN)
         .join(per_doc, "doc_id")
         .select("doc_id", "source", "tokens", "bucket")
+        .transform(_ckpt)
     )
     sel = budget_selected_docs(d)
 
@@ -934,7 +965,7 @@ def q284_crawl_curation_funnel(spark, sf_dir):
     f0 = per_source(
         table(spark, sf_dir, "documents"), F.count("*").alias("n_raw")
     )
-    f1 = per_source(dedup, F.count("*").alias("n_dedup"))
+    f1 = per_source(staged, F.count("*").alias("n_dedup"))
     f2 = per_source(quota, F.count("*").alias("n_quota"))
     f3 = per_source(d, F.count("*").alias("n_quality"))
     f4 = per_source(

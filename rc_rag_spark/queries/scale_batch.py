@@ -452,19 +452,31 @@ def bpe_induce(words, steps: int = _BPE_STEPS):
     final segmentation as an array column (after all ``steps``
     merges — induction's apply step IS encode, so ``size(syms)`` is
     the word's token count), and ``tops`` the per-step 1-row learned
-    merges (l, r, cnt), each eagerly checkpointed.
+    merges (l, r, cnt) as literal relations.
 
     Scale shape (optimization round 15, guide §2.3/§2.4): the word's
     segmentation lives as ONE array row instead of exploded
     (word, pos, sym) rows, so each step is a map-side-combined pair
     aggregation (explode of adjacent-pair zips -> tiny
     (l, r)-keyed exchange) + TakeOrdered(1) + a NARROW fold applying
-    the broadcast merge — no word-keyed window shuffles, no
-    (word, pos) equi-joins, no per-step vocabulary checkpoint. The
-    previous window/join formulation paid 3 shuffles + 2 joins + a
+    the merge — no word-keyed window shuffles, no (word, pos)
+    equi-joins, no per-step vocabulary checkpoint. The previous
+    window/join formulation paid 3 shuffles + 2 joins + a
     materialized checkpoint per step on the exploded symbol table;
     this pays one vocabulary-pair exchange per step and one
-    vocabulary materialization total."""
+    vocabulary materialization total.
+
+    Optimization round 16 (guide §2.6, the q263/q168 discipline): the
+    per-step 1-row merge is COLLECTED (same one job per step the
+    eager localCheckpoint already paid) and applied as constant
+    literals, so consumers' plans fold the merge chain as three bare
+    projections — the per-step crossJoin(broadcast) machinery (a
+    BroadcastExchange build on EVERY downstream execution of the
+    vocabulary subtree) is gone. Driver traffic is one (l, r, cnt)
+    row per step at any corpus scale; the fold expressions are
+    identical, so segmentations — and every BPE oracle — are
+    unchanged."""
+    spark = words.sparkSession
     syms = words.select(
         "word",
         "wc",
@@ -486,19 +498,34 @@ def bpe_induce(words, steps: int = _BPE_STEPS):
         pairs = prs.groupBy(
             F.col("p.l").alias("l"), F.col("p.r").alias("r")
         ).agg(F.sum("wc").cast("bigint").alias("cnt"))
-        top = (
-            pairs.orderBy(F.col("cnt").desc(), "l", "r")
-            .limit(1)
-            .transform(_ckpt)
+        rows = (
+            pairs.orderBy(F.col("cnt").desc(), "l", "r").limit(1).collect()
+        )
+        # literal 1-row (or 0-row) relation via range(), NOT
+        # createDataFrame: a pickled-RDD relation schedules
+        # defaultParallelism Python-worker tasks per consumer (the
+        # r15 values_table lesson)
+        n = len(rows)
+        top = spark.range(n).select(
+            F.lit(rows[0]["l"] if n else None).cast("string").alias("l"),
+            F.lit(rows[0]["r"] if n else None).cast("string").alias("r"),
+            F.lit(rows[0]["cnt"] if n else None).cast("bigint").alias("cnt"),
         )
         tops.append(top)
-        syms = syms.crossJoin(F.broadcast(top)).select(
-            "word",
-            "wc",
-            _bpe_apply_merge(
-                F.col("syms"), F.col("l"), F.col("r")
-            ).alias("syms"),
-        )
+        if n:
+            syms = syms.select(
+                "word",
+                "wc",
+                _bpe_apply_merge(
+                    F.col("syms"),
+                    F.lit(rows[0]["l"]),
+                    F.lit(rows[0]["r"]),
+                ).alias("syms"),
+            )
+        else:
+            # replicate the old crossJoin-with-empty semantics: no
+            # learnable pair leaves an empty vocabulary downstream
+            syms = syms.where(F.lit(False))
     return syms, tops
 
 
