@@ -1007,9 +1007,15 @@ def q222_cdc_chunking(spark, sf_dir):
     # ~len/mask chunks per doc; rows leave the kernel already at
     # chunk granularity (32-hex key + length), so nothing downstream
     # ever carries the payload.
+    # Optimization round 16 (guide §5 reuse): the chunk stream is
+    # referenced TWICE (the global per-chunk distinct-doc count and
+    # the per-doc join), so the Arrow kernel — the whole cost of this
+    # anchor — executed twice per run; the checkpoint materializes
+    # the narrow (doc_id, ch, clen) rows once. At 100 TB this is the
+    # persisted chunk table every CDC dedup pipeline keeps anyway.
     cs = p.mapInPandas(
         _cdc_chunk_batches, "doc_id long, ch string, clen int"
-    )
+    ).transform(_ckpt)
     global_cnt = cs.groupBy("ch").agg(
         F.countDistinct("doc_id").alias("nd")
     )

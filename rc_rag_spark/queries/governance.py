@@ -59,7 +59,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from rc_rag_spark.queries.core import register
-from rc_rag_spark.sources import table
+from rc_rag_spark.sources import table, wide_table
 from rc_rag_spark.checkpoints import ckpt as _ckpt
 
 
@@ -381,19 +381,31 @@ def q263_bradley_terry(spark, sf_dir):
     analysis — each iteration's localCheckpoint job rebuilt the sym /
     wins subtrees (union + three tiny exchanges) and two broadcast
     exchanges of the 25-row strength vector. Now ``sym`` is
-    checkpointed ONCE, the per-nation wins/comparison totals are
-    collected once (|nations| rows — the one piece of driver traffic,
-    bounded by the nation dimension at any corpus scale), and each MM
-    iteration is ONE tiny job: scan the checkpointed matrix, look the
-    previous strengths up in a constant-folded literal map, aggregate,
-    and collect the 25 updated strengths for the next step's map.
-    Spark computes every update expression (identical DECIMAL(38,0)
-    text — the driver only ferries bigints between steps), so the
-    fixed-point result is bit-identical; the DuckDB oracle is
-    unchanged."""
+    checkpointed ONCE, the per-nation wins/comparison totals and the
+    |nations|^2-row matrix are collected once (bounded by the nation
+    dimension at any corpus scale), and the MM fixed-point runs as
+    exact nonnegative-integer arithmetic in the driver — identical
+    values to the DECIMAL(38,0) expressions (`div` == floor `//` on
+    nonnegatives, integer sums exact in any order), so the result is
+    bit-identical; the DuckDB oracle is unchanged. Distributed work
+    (pair mining, matrix aggregation) stays in Spark."""
+    # Conditional HASH rebalance on the self-join key (round 16,
+    # guide §6/§2.5): the whole pair-mine (scan + broadcast joins +
+    # partial agg) ran as ONE 3-task stage on the single-row-group
+    # fixture — 0.95 s of the 3.4 s anchor (stage profile). A
+    # round-robin wide_table rebalance was measured NO better (its
+    # sort-before-repartition pass, SPARK-23207, costs on the same 3
+    # scan tasks what the rebalance saves); hashing on l_orderkey
+    # needs no sort, spreads the mine, and is skew-safe here (orders
+    # have <= 7 lines). No exchange fires on splittable multi-file
+    # layouts.
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
+    if li.rdd.getNumPartitions() * 2 < spark.sparkContext.defaultParallelism:
+        li = li.repartition(
+            spark.sparkContext.defaultParallelism, "l_orderkey"
+        )
     su = table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_nationkey"
     )
@@ -428,87 +440,54 @@ def q263_bradley_terry(spark, sf_dir):
             ).otherwise(F.col("m1.n_name")).alias("lose_n"),
         )
     )
-    # materialize the aggregated comparison matrix ONCE (|nations|^2
-    # rows): every MM iteration references it twice, and without the
-    # lineage cut Spark would replay the fact-table pair mining per
-    # reference — measured 5.2 s -> ~1 s at sf0.1.
-    direct = pairs.groupBy(
-        F.col("win_n").alias("i"), F.col("lose_n").alias("j")
-    ).agg(F.count("*").cast("bigint").alias("n")).transform(_ckpt)
-    sym = (
-        direct.select("i", "j", "n")
-        .unionByName(
-            direct.select(
-                F.col("j").alias("i"), F.col("i").alias("j"), "n"
-            )
+    # ONE distributed job (round 16, guide §2.6/§5): the aggregated
+    # comparison matrix is bounded by |nations|^2 rows at ANY corpus
+    # scale — 625 rows is model state, not data. The r15/r16 shapes
+    # still ran 4-5 driver-visible jobs (direct ckpt, sym ckpt, stats
+    # collect, one job per MM iteration), and the per-job driver gap
+    # dominated the anchor (stage profile: ~1.7 s outside any stage).
+    # Now the fact-table pair mining + matrix aggregation — all the
+    # distributed work — runs once, its bounded result is collected,
+    # and symmetrization, win/comparison totals and the MM fixed-point
+    # are exact nonnegative-integer arithmetic in the driver:
+    # identical values to the old DECIMAL(38,0)/bigint expressions
+    # (`div` == floor `//` on nonnegatives, greatest == max, integer
+    # sums exact in any order; wins for never-winning nations default
+    # 0 exactly like the old left join) — the oracle hash is
+    # unchanged (re-checked at sf0.001/sf0.01).
+    direct_rows = (
+        pairs.groupBy(
+            F.col("win_n").alias("i"), F.col("lose_n").alias("j")
         )
-        .groupBy("i", "j")
-        .agg(F.sum("n").cast("bigint").alias("n"))
-        .transform(_ckpt)
-    )
-    # one |nations|-row collect: per-nation wins (sum of direct rows —
-    # identical to the old states-left-join-direct aggregation, 0 for
-    # nations that never won) and comparison totals. This is the only
-    # driver traffic besides the per-step strength vectors, all
-    # bounded by the 25-row nation dimension at any corpus scale.
-    dwin = direct.groupBy("i").agg(
-        F.sum("n").cast("bigint").alias("wins")
-    )
-    stats = (
-        sym.groupBy("i")
-        .agg(F.sum("n").cast("bigint").alias("n_comparisons"))
-        .join(F.broadcast(dwin), "i", "left")
-        .select(
-            "i",
-            F.coalesce("wins", F.lit(0).cast("bigint")).alias("wins"),
-            "n_comparisons",
-        )
+        .agg(F.count("*").cast("bigint").alias("n"))
         .collect()
     )
-    if not stats:
+    if not direct_rows:
         return spark.createDataFrame(
             [],
             "nation string, n_wins bigint, n_comparisons bigint, "
             "strength_fp bigint, rnk int",
         )
-    wins = {r["i"]: r["wins"] for r in stats}
-    ncomp = {r["i"]: r["n_comparisons"] for r in stats}
-    scores = {i: _BT_SCALE for i in wins}
-
-    def _lit_map(d: dict[str, int]) -> str:
-        entries = ", ".join(
-            "'{}', {}L".format(k.replace("'", "''"), v)
-            for k, v in sorted(d.items())
-        )
-        return f"map({entries})"
-
+    sym_d: dict[tuple[str, str], int] = {}
+    wins_d: dict[str, int] = {}
+    for r in direct_rows:
+        i, j, n = r["i"], r["j"], r["n"]
+        sym_d[(i, j)] = sym_d.get((i, j), 0) + n
+        sym_d[(j, i)] = sym_d.get((j, i), 0) + n
+        wins_d[i] = wins_d.get(i, 0) + n
+    states = sorted({i for i, _ in sym_d})
+    wins = {i: wins_d.get(i, 0) for i in states}
+    ncomp = {i: 0 for i in states}
+    for (i, _j), n in sym_d.items():
+        ncomp[i] += n
+    scores = {i: _BT_SCALE for i in states}
     for _ in range(_BT_ITERS):
-        # constant-folded literal lookups replace the two broadcast
-        # joins; the arithmetic text is IDENTICAL to the r15 join form
-        # (128-bit DECIMAL(38,0) products — sym.n*SC^2 brushes 2^63 at
-        # sf100, wins*SC^2 exceeds it, measured by the r15 decade probe)
-        sm = _lit_map(scores)
-        terms = sym.select(
-            "i",
-            F.expr(
-                f"(cast(n as decimal(38,0)) * {_BT_SC2}) "
-                f"div greatest({sm}[i] + {sm}[j], 1L)"
-            ).alias("term"),
-        )
-        wm = _lit_map(wins)
-        updated = (
-            terms.groupBy("i")
-            .agg(F.sum("term").alias("d"))
-            .select(
-                "i",
-                F.expr(
-                    f"(cast({wm}[i] as decimal(38,0)) * {_BT_SC2}) "
-                    "div greatest(d, 1L)"
-                ).cast("bigint").alias("s"),
-            )
-            .collect()
-        )
-        scores = {r["i"]: r["s"] for r in updated}
+        d = {i: 0 for i in scores}
+        for (i, j), n in sym_d.items():
+            d[i] += (n * _BT_SC2) // max(scores[i] + scores[j], 1)
+        scores = {
+            i: (wins[i] * _BT_SC2) // max(d[i], 1) for i in scores
+        }
     out = spark.range(1).select(
         F.explode(
             F.array(
