@@ -162,11 +162,18 @@ def semdedup(
         F.col("_v").isNotNull()
     )
 
-    n = src.count()
+    # one job for corpus size + dimension (round 16, guide §2.6: the
+    # count() and first() probes were separate jobs over the same
+    # checkpointed corpus; the budget guard needs only (n, any row's
+    # dim))
+    head = src.agg(
+        F.count("*").alias("n"),
+        F.first(F.size("_v"), ignorenulls=True).alias("d"),
+    ).first()
+    n = head["n"]
     k_eff = k if k is not None else choose_k(n, target_cluster_size)
 
-    first = src.select(F.size("_v").alias("d")).first()
-    dim = int(first["d"]) if first is not None and first["d"] is not None else 0
+    dim = int(head["d"]) if head["d"] is not None else 0
     seed_bytes = k_eff * dim * 8
     if seed_bytes > max_seed_broadcast_bytes:
         raise ValueError(
