@@ -388,7 +388,16 @@ def q263_bradley_terry(spark, sf_dir):
     values to the DECIMAL(38,0) expressions (`div` == floor `//` on
     nonnegatives, integer sums exact in any order), so the result is
     bit-identical; the DuckDB oracle is unchanged. Distributed work
-    (pair mining, matrix aggregation) stays in Spark."""
+    (pair mining, matrix aggregation) stays in Spark.
+
+    resource-change: the conditional hash rebalance of the
+    under-split lineitem scan adds one narrow 3-column exchange on
+    single-file fixture layouts (sf0.01 measured: read 2.19 MB /
+    write 1.32 MB vs the old 143 KB matrix-only shuffles) in trade
+    for the pair-mine stage parallelizing 3 -> 32 tasks; on a
+    splittable multi-file layout the rebalance (and these bytes) do
+    not fire. Caps: shuffle-read<=4194304 / shuffle-write<=2621440 /
+    spill<=2097152."""
     # Conditional HASH rebalance on the self-join key (round 16,
     # guide §6/§2.5): the whole pair-mine (scan + broadcast joins +
     # partial agg) ran as ONE 3-task stage on the single-row-group
